@@ -1,0 +1,258 @@
+"""Stdlib-only image codecs: raw / ppm (P6) / bmp (24-bit) / png (8-bit RGB).
+
+The reference decodes with PIL/cv2 (/root/reference/dupedb.py:85-98); neither
+is available here, so the engine carries encoded payloads in the ``bytes``
+column and decodes with these pure numpy+zlib codecs.  The decode stage's
+error taxonomy (corrupt → dead-letter row) reproduces the reference's
+badfiles semantics (/root/reference/dupedb.py:223-244).
+
+Formats not implementable without external libs (jpg, webm, mp4, audio) are
+explicitly stubbed in ``decode_image`` — the Ray-side plumbing (schema,
+batching, actor signatures) is real and tested; only the codec kernel raises
+``UnsupportedFormatError``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class CodecError(ValueError):
+    """Payload is corrupt / unparsable (→ dead-letter row, badfiles semantics)."""
+
+
+class UnsupportedFormatError(CodecError):
+    """Format needs an external codec not present in this environment (jpg,
+    video, audio).  Marks the deliberate stub boundary for multimodal payloads."""
+
+
+IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png"})
+STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "wav", "flac"})
+
+
+# ---------------------------------------------------------------------------
+# raw: row-major RGB8, dimensions carried out-of-band in the (w, h) columns
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    if len(data) != w * h * 3:
+        raise CodecError(f"raw payload is {len(data)} bytes, expected {w*h*3}")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# ppm: P6 binary
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise CodecError("not a P6 ppm")
+    # header: magic, width, height, maxval — whitespace separated, # comments
+    pos, fields = 2, []
+    try:
+        while len(fields) < 3:
+            while data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while data[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1  # single whitespace after maxval
+    except (IndexError, ValueError) as e:
+        raise CodecError(f"bad ppm header: {e}") from e
+    w, h, maxval = fields
+    if maxval != 255:
+        raise CodecError(f"unsupported ppm maxval {maxval}")
+    body = data[pos : pos + w * h * 3]
+    if len(body) != w * h * 3:
+        raise CodecError("truncated ppm body")
+    return np.frombuffer(body, np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# bmp: BITMAPINFOHEADER, 24bpp BGR, bottom-up, 4-byte row padding
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = np.ascontiguousarray(img[::-1, :, ::-1], np.uint8)  # bottom-up, BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    try:
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+        hdr_size, w, h, planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error as e:
+        raise CodecError(f"bad bmp header: {e}") from e
+    if magic != b"BM" or planes != 1:
+        raise CodecError("not a BMP")
+    if bpp != 24 or compression != 0:
+        raise CodecError(f"unsupported bmp: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    body = data[offset : offset + row_size * h]
+    if len(body) != row_size * h:
+        raise CodecError("truncated bmp body")
+    rows = np.frombuffer(body, np.uint8).reshape(h, row_size)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+# ---------------------------------------------------------------------------
+# png: 8-bit RGB (color type 2), non-interlaced; encoder emits filter 0,
+# decoder supports filters 0-4
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray, level: int = 1) -> bytes:
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.ascontiguousarray(img, np.uint8)
+    scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 1:] = raw.reshape(h, w * 3)
+    idat = zlib.compress(scan.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise CodecError("not a png")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    try:
+        while pos < len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            if len(payload) != length:
+                raise CodecError("truncated chunk")
+            if tag == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+                if depth != 8 or color != 2 or interlace != 0:
+                    raise CodecError(f"unsupported png: depth={depth} color={color}")
+            elif tag == b"IDAT":
+                idat.extend(payload)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if w is None:
+            raise CodecError("png missing IHDR")
+        decomp = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error) as e:
+        raise CodecError(f"bad png: {e}") from e
+    stride = 1 + w * 3
+    if len(decomp) != stride * h:
+        raise CodecError("bad png scanline payload size")
+    scan = np.frombuffer(decomp, np.uint8).reshape(h, stride)
+    filters = scan[:, 0]
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f = filters[y]
+        cur = scan[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(w * 3, np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # sub
+            for x in range(bpp, w * 3):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            out[y] = cur
+        elif f == 2:  # up
+            out[y] = cur + prev
+        elif f == 3:  # average
+            for x in range(w * 3):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:  # paeth
+            for x in range(w * 3):
+                a = cur[x - bpp] if x >= bpp else np.uint8(0)
+                c = prev[x - bpp] if x >= bpp else np.uint8(0)
+                cur[x] = (int(cur[x]) + int(_paeth(np.array(a), np.array(prev[x]), np.array(c)))) & 0xFF
+            out[y] = cur
+        else:
+            raise CodecError(f"bad png filter {f}")
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(img)
+    if fmt == "ppm":
+        return encode_ppm(img)
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "png":
+        return encode_png(img)
+    raise UnsupportedFormatError(f"no encoder for fmt={fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode one payload to an (h, w, 3) uint8 array.
+
+    Raises CodecError for corrupt payloads (dead-letter) and
+    UnsupportedFormatError for stubbed formats (jpg/video/audio — the
+    multimodal plumbing is real, the codec kernel is the documented stub).
+    """
+    if fmt == "raw":
+        img = decode_raw(data, w, h)
+    elif fmt == "ppm":
+        img = decode_ppm(data)
+    elif fmt == "bmp":
+        img = decode_bmp(data)
+    elif fmt == "png":
+        img = decode_png(data)
+    elif fmt in STUB_FMTS:
+        raise UnsupportedFormatError(
+            f"fmt={fmt!r} requires an external codec (PIL/ffmpeg) not present "
+            "in this environment; stubbed per FIXTURES.md"
+        )
+    else:
+        raise CodecError(f"unknown fmt {fmt!r}")
+    if img.shape[0] != h or img.shape[1] != w:
+        raise CodecError(f"decoded dims {img.shape[1]}x{img.shape[0]} != declared {w}x{h}")
+    return img

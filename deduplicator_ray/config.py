@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+The reference threads its config through CLI flags and encodes the one
+load-bearing parameter (hash size) in the database *filename*
+(``name.s12`` — /root/reference/dupedb.py:120-128, dedupc.py:670).  Here the
+config is an explicit dataclass whose digest is recorded in every lineage
+manifest so resume can detect config drift (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- image hashing (reference: --hashsize, /root/reference/dedupc.py:586,598-600)
+    hash_size: int = 8              # 8 → 64-bit dHash packed into the phash:int64 column
+    strict: bool = True             # strict mode: animations/videos md5-matched (dupedb.py:82-90)
+
+    # --- duplicate grouping
+    threshold: int = 2              # min bucket size to report (dupedb.py:331; dedupc.py:175)
+    skip_zero_hash: bool = True     # poison bucket int(hash)==0 skipped (dedupc.py:176-178)
+
+    # --- caption signatures (graft axis B; config recorded for the recall gate)
+    shingle_k: int = 5              # character shingle width
+    num_perm: int = 128             # MinHash permutations
+    bands: int = 16                 # LSH bands
+    rows_per_band: int = 8          # num_perm == bands * rows_per_band
+    simhash_bits: int = 64
+
+    # --- verification thresholds
+    hamming_max: int = 4            # image dHash Hamming radius for near-dup verify
+    jaccard_min: float = 0.8        # caption MinHash Jaccard threshold
+
+    # --- skew / scale controls (SURVEY.md §7.4)
+    band_group_cap: int = 256       # max members considered per LSH bucket; extras
+                                    # deterministically sampled + logged, never silent
+    salt_buckets: int = 8           # sub-buckets for salted hot bands
+
+    # --- connected components
+    cc_max_rounds: int = 10         # label propagation rounds upper bound
+
+    # --- keeper ranking word lists (reference criteria dict, dedupc.py:663-668)
+    good_words: tuple[str, ...] = ()
+    bad_words: tuple[str, ...] = ()
+    good_names: tuple[str, ...] = ()
+    bad_names: tuple[str, ...] = ()
+
+    # --- execution knobs
+    decode_batch_size: int = 512    # rows per batch for decode-heavy stages
+    text_batch_size: int = 4096     # rows per batch for text/signature stages
+
+    def config_hash(self) -> str:
+        """Stable digest of all semantic parameters, stamped into manifests."""
+        blob = json.dumps(asdict(self), sort_keys=True, default=list)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,365 @@
+"""Deterministic synthetic image+caption corpus (FIXTURES.md).
+
+Generates the ``images`` table with exactly the BASELINE.json ``input_hint``
+schema — (image_id, bytes, w, h, fmt, caption, phash) — plus the
+``images_truth`` ground-truth table, with a fixed seed and zero external
+data.  Each truth group exercises one duplicate derivation from the
+reference's behavior space (exact / reencode / noisy / resized / crop_shift
+/ degenerate / corrupt / distinct_lookalike — see FIXTURES.md).
+
+Generation is pure numpy and embarrassingly parallel over groups (each group
+is seeded independently with ``default_rng([SEED, group_id])``), so the
+corpus is byte-identical whether built serially on the driver or sharded
+through Ray — the sf0.1 bench corpus is built once and cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deduplicator_ray import codecs, hashing
+from deduplicator_ray.resize import resize_u8
+
+SEED = 42
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+TRUTH_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("group_id", pa.int64()),
+        ("kind", pa.string()),
+        ("source_id", pa.string()),
+        ("psnr_db", pa.float64()),
+        ("caption_kind", pa.string()),
+        ("expected_keeper", pa.bool_()),
+        ("phash_stale", pa.bool_()),
+    ]
+)
+
+_WORDS = (
+    "sunset harbor mountain forest river canyon meadow lantern window shadow "
+    "portrait texture gradient skyline horizon crystal ember willow marble cobalt "
+    "amber drift field stone cloud petal branch spiral prism dune glacier tide"
+).split()
+
+_DIRS = ["corpus", "img", "archive", "downloads", "sorted", "best", "originals", "temp", "cache", "backup"]
+_GOOD_DIR_WORDS = ("best", "original")
+_BAD_DIR_WORDS = ("temp", "cache")
+_FMTS = ["raw", "ppm", "bmp", "png"]
+_EXTS = {"raw": "raw", "ppm": "ppm", "bmp": "bmp", "png": "png"}
+
+
+def _base_image(rng: np.random.Generator) -> np.ndarray:
+    """Low-frequency RGB image: oriented gradient + 2-3 gaussian blobs
+    (stable dHash under benign perturbation, per FIXTURES.md)."""
+    w = int(rng.integers(16, 33)) * 2  # 32..64 even
+    h = int(rng.integers(16, 33)) * 2
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ang = rng.uniform(0, 2 * np.pi)
+    ramp = (np.cos(ang) * xx / w + np.sin(ang) * yy / h)
+    ramp = (ramp - ramp.min()) / max(ramp.ptp(), 1e-9)
+    img = np.zeros((h, w, 3), np.float64)
+    base_col = rng.uniform(40, 215, size=3)
+    end_col = rng.uniform(40, 215, size=3)
+    for c in range(3):
+        img[:, :, c] = base_col[c] + ramp * (end_col[c] - base_col[c])
+    for _ in range(int(rng.integers(2, 4))):
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        sig = rng.uniform(min(w, h) / 8, min(w, h) / 3)
+        amp = rng.uniform(-80, 80, size=3)
+        blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig * sig))
+        for c in range(3):
+            img[:, :, c] += amp[c] * blob
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _add_noise_psnr(img: np.ndarray, psnr_db: float, rng: np.random.Generator) -> np.ndarray:
+    """Additive gaussian noise scaled so measured PSNR ≈ target."""
+    sigma = 255.0 / (10 ** (psnr_db / 20.0))
+    noisy = img.astype(np.float64) + rng.normal(0, sigma, img.shape)
+    return np.clip(noisy, 0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
+
+
+def _caption(rng: np.random.Generator) -> str:
+    n = int(rng.integers(6, 21))
+    return " ".join(rng.choice(_WORDS, size=n))
+
+
+def _caption_variant(cap: str, kind: str, rng: np.random.Generator) -> str:
+    toks = cap.split()
+    if kind == "same":
+        return cap
+    if kind == "shingle_near":
+        i = int(rng.integers(0, len(toks)))
+        toks[i] = str(rng.choice(_WORDS))
+        return " ".join(toks)
+    if kind == "token_swap":
+        if len(toks) >= 2:
+            i, j = rng.choice(len(toks), size=2, replace=False)
+            toks[i], toks[j] = toks[j], toks[i]
+        return " ".join(toks)
+    # unrelated
+    return _caption(rng)
+
+
+def _image_id(gid: int, member: int, rng: np.random.Generator, ext: str, style: str) -> str:
+    depth = int(rng.integers(1, 4))
+    dirs = "/".join(str(rng.choice(_DIRS)) for _ in range(depth))
+    stem = f"{rng.choice(_WORDS)}_{gid:05d}"
+    if style == "hex36":
+        name = format(int(rng.integers(0, 2**63)) * 2**81 + gid, "036x")[:36] + f".{ext}"
+    elif style == "series":
+        name = f"{stem} ({member + 1}).{ext}"
+    elif style == "page":
+        name = f"{stem}_p{member + 1}.{ext}"
+    elif style == "plain":
+        name = f"{rng.choice(_WORDS)}-{stem}.{ext}"
+    else:
+        name = f"{stem}.{ext}"
+    return f"{dirs}/{name}"
+
+
+def _encode(img: np.ndarray, fmt: str) -> bytes:
+    return codecs.encode_image(img, fmt)
+
+
+def generate_group(gid: int, hash_size: int = 8) -> tuple[list[dict], list[dict]]:
+    """Generate one truth group. Returns (image_rows, truth_rows)."""
+    rng = np.random.default_rng([SEED, gid])
+    rows: list[dict] = []
+    truth: list[dict] = []
+    roll = rng.uniform()
+
+    def emit(img, fmt, member, style, kind, source_idx, cap_kind, cap,
+             corrupt=False, stale_phash=False):
+        data = _encode(img, fmt)
+        if corrupt:
+            cut = max(8, len(data) // 3)
+            data = data[:cut]
+        h, w = img.shape[:2]
+        iid = _image_id(gid, member, rng, _EXTS[fmt], style)
+        if corrupt:
+            ph = 0
+        else:
+            ph = hashing.u64_to_i64(hashing.dhash_u64(img, hash_size))
+        if stale_phash and rows:
+            ph = rows[0]["phash"]
+        rows.append(
+            dict(image_id=iid, bytes=data, w=w, h=h, fmt=fmt, caption=cap, phash=ph)
+        )
+        base_img = None if source_idx is None else _group_pixels[source_idx]
+        p = float("inf") if base_img is None or corrupt else (
+            psnr(base_img, img) if base_img.shape == img.shape else float("nan")
+        )
+        truth.append(
+            dict(
+                image_id=iid,
+                group_id=gid,
+                kind=kind,
+                source_id=rows[source_idx]["image_id"] if source_idx is not None else iid,
+                psnr_db=p,
+                caption_kind=cap_kind,
+                expected_keeper=False,  # filled in by finalize below
+                phash_stale=stale_phash,
+            )
+        )
+        _group_pixels.append(img)
+
+    _group_pixels: list[np.ndarray] = []
+
+    if roll < 0.02:
+        # degenerate: constant-color → dhash == 0 → poison bucket
+        # (/root/reference/dedupc.py:176-178)
+        w = int(rng.integers(16, 33)) * 2
+        h = int(rng.integers(16, 33)) * 2
+        img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        cap = _caption(rng)
+        emit(img, str(rng.choice(_FMTS)), 0, "plain", "degenerate", None, "same", cap)
+        emit(img, str(rng.choice(_FMTS)), 1, "plain", "degenerate", 0, "same", cap)
+        return rows, truth
+
+    base = _base_image(rng)
+    cap = _caption(rng)
+    base_fmt = str(rng.choice(_FMTS))
+    emit(base, base_fmt, 0, str(rng.choice(["stem", "plain"])), "base", None, "same", cap)
+
+    if roll < 0.17:
+        # distinct lookalike: second independent image, same caption family,
+        # must NOT cluster (precision guard)
+        other = _base_image(np.random.default_rng([SEED, gid, 7]))
+        emit(other, str(rng.choice(_FMTS)), 1, "plain", "distinct_lookalike", None,
+             "unrelated", _caption_variant(cap, "unrelated", rng))
+        return rows, truth
+
+    member = 1
+    if rng.uniform() < 0.5:  # exact byte-dup, different id
+        iid_style = str(rng.choice(["series", "plain", "hex36"]))
+        data_img = _group_pixels[0]
+        emit(data_img, base_fmt, member, iid_style, "exact", 0, "same", cap)
+        member += 1
+    if rng.uniform() < 0.7:  # reencode: same pixels, different fmt
+        alt = str(rng.choice([f for f in _FMTS if f != base_fmt]))
+        emit(_group_pixels[0], alt, member, "page", "reencode", 0,
+             "shingle_near", _caption_variant(cap, "shingle_near", rng))
+        member += 1
+    for target in rng.choice([40.0, 45.0, 50.0], size=int(rng.integers(0, 3)), replace=False):
+        noisy = _add_noise_psnr(base, float(target), rng)
+        emit(noisy, str(rng.choice(_FMTS)), member, "series", "noisy", 0,
+             "shingle_near", _caption_variant(cap, "shingle_near", rng))
+        member += 1
+    if rng.uniform() < 0.4:  # resized
+        factor = float(rng.choice([0.5, 2.0]))
+        nw, nh = max(8, int(base.shape[1] * factor)), max(8, int(base.shape[0] * factor))
+        emit(resize_u8(base, nw, nh), str(rng.choice(_FMTS)), member, "plain",
+             "resized", 0, "same", cap)
+        member += 1
+    if rng.uniform() < 0.3:  # crop/shift 1-3 px
+        s = int(rng.integers(1, 4))
+        cropped = base[s:, s:, :]
+        emit(cropped, str(rng.choice(_FMTS)), member, "page", "crop_shift", 0,
+             "token_swap", _caption_variant(cap, "token_swap", rng))
+        member += 1
+    if rng.uniform() < 0.04:  # corrupt payload → dead-letter
+        emit(base, "png", member, "plain", "corrupt", 0, "same", cap,
+             corrupt=True, stale_phash=True)
+        member += 1
+    if rng.uniform() < 0.03 and member > 1:  # stale stored phash (validate test)
+        shifted = np.roll(base, base.shape[1] // 3, axis=1)
+        emit(shifted, base_fmt, member, "plain", "shifted_stale", 0, "same", cap,
+             stale_phash=True)
+        member += 1
+
+    return rows, truth
+
+
+def _finalize_keepers(rows: list[dict], truth: list[dict]) -> None:
+    """Mark expected_keeper: argmin of the reference quality tuple among the
+    group's decodable members whose dhash equals the group's modal dhash —
+    mirrors keeper election on the exact-dhash bucket (dedupc.py:180)."""
+    from deduplicator_ray.stages.ranking import keeper_sort_key
+
+    by_gid: dict[int, list[int]] = {}
+    for i, t in enumerate(truth):
+        by_gid.setdefault(t["group_id"], []).append(i)
+    for gid, idxs in by_gid.items():
+        # the exact-dhash bucket the base lands in: non-corrupt, non-stale
+        # members sharing the base's recomputed hash (reference-mode cluster)
+        base_ph = rows[idxs[0]]["phash"]
+        live = [
+            i for i in idxs
+            if truth[i]["kind"] != "corrupt"
+            and not truth[i]["phash_stale"]
+            and rows[i]["phash"] == base_ph
+            and base_ph != 0
+        ]
+        if len(live) < 2:
+            continue
+        keys = {}
+        for i in live:
+            r = rows[i]
+            keys[i] = keeper_sort_key(
+                r["image_id"], 1, r["w"] * r["h"], len(r["bytes"])
+            )
+        best = min(keys, key=keys.get)
+        truth[best]["expected_keeper"] = True
+
+
+def build_tables(n_groups: int, hash_size: int = 8) -> tuple[pa.Table, pa.Table]:
+    all_rows: list[dict] = []
+    all_truth: list[dict] = []
+    for gid in range(n_groups):
+        rows, truth = generate_group(gid, hash_size)
+        _finalize_keepers(rows, truth)
+        all_rows.extend(rows)
+        all_truth.extend(truth)
+    images = pa.Table.from_pylist(all_rows, schema=IMAGES_SCHEMA)
+    truth = pa.Table.from_pylist(all_truth, schema=TRUTH_SCHEMA)
+    return images, truth
+
+
+# --- sf sizing: ~4 rows/group mean; sf keyed off the testdata dir name ------
+
+SF_GROUPS = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 16000}
+
+
+def sf_name(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in SF_GROUPS else "sf0.001"
+
+
+def fixture_dir(sf_dir: str, hash_size: int = 8) -> str:
+    root = os.environ.get("DEDUP_FIXTURE_ROOT", os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    return os.path.join(root, f"{sf_name(sf_dir)}_hs{hash_size}")
+
+
+def ensure_fixture(sf_dir: str, hash_size: int = 8, n_groups: int | None = None) -> str:
+    """Build (once) and cache the images+truth parquet for an sf tier.
+
+    Sharded parquet: groups are generated in contiguous shards so the bench
+    corpus (sf0.1, ~64k rows) parallelizes downstream reads; a _SUCCESS
+    marker makes the cache crash-safe (partial builds are rebuilt).
+    """
+    out = fixture_dir(sf_dir, hash_size)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    n_groups = n_groups or SF_GROUPS[sf_name(sf_dir)]
+    tmp = out + ".tmp"
+    os.makedirs(os.path.join(tmp, "images"), exist_ok=True)
+    os.makedirs(os.path.join(tmp, "truth"), exist_ok=True)
+    shard_size = 500
+    for shard_start in range(0, n_groups, shard_size):
+        imgs, truth = _build_shard(shard_start, min(shard_start + shard_size, n_groups), hash_size)
+        pq.write_table(imgs, os.path.join(tmp, "images", f"part-{shard_start:06d}.parquet"))
+        pq.write_table(truth, os.path.join(tmp, "truth", f"part-{shard_start:06d}.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _build_shard(g0: int, g1: int, hash_size: int) -> tuple[pa.Table, pa.Table]:
+    rows: list[dict] = []
+    truth: list[dict] = []
+    for gid in range(g0, g1):
+        r, t = generate_group(gid, hash_size)
+        _finalize_keepers(r, t)
+        rows.extend(r)
+        truth.extend(t)
+    return (
+        pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
+        pa.Table.from_pylist(truth, schema=TRUTH_SCHEMA),
+    )
+
+
+def images_path(sf_dir: str, hash_size: int = 8) -> str:
+    return os.path.join(ensure_fixture(sf_dir, hash_size), "images")
+
+
+def truth_path(sf_dir: str, hash_size: int = 8) -> str:
+    return os.path.join(ensure_fixture(sf_dir, hash_size), "truth")

@@ -1,0 +1,133 @@
+"""Single-process numpy oracle for golden tests (SURVEY.md §5.2).
+
+Recomputes, without Ray, exactly what the reference computes:
+
+- fingerprints: dHash per image (md5 is the strict-mode path for
+  non-decodable media — /root/reference/dupedb.py:68-101);
+- reference-mode clusters: buckets of *exact* dhash equality with
+  ``threshold``, skipping the zero hash (dupedb.py:296-369 +
+  dedupc.py:176-178);
+- keeper decisions: argmin of the quality tuple per bucket
+  (dedupc.py:180, 211-218);
+- extended-mode (north star): all-pairs verification
+  (Hamming(dhash) ≤ t  OR  MinHash-Jaccard(caption) ≥ j) and the transitive
+  closure (union-find) — the ground truth the distributed LSH pipeline's
+  recall ≥ 0.99 is measured against.
+
+Everything here is O(n²)-tolerant driver-side code for fixture scales; the
+Ray pipeline must match it, not the other way around.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicator_ray import codecs, hashing
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.functions import text as textfn
+from deduplicator_ray.stages.ranking import keeper_sort_key
+
+
+def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
+    """Decode + fingerprint every row; corrupt rows get status='error'."""
+    out = []
+    cols = images.to_pydict()
+    for i in range(images.num_rows):
+        row = {k: cols[k][i] for k in images.column_names}
+        rec = {
+            "image_id": row["image_id"],
+            "caption": row["caption"],
+            "pixels": row["w"] * row["h"],
+            "filesize": len(row["bytes"]),
+            "md5": hashing.md5_hex(row["bytes"]),
+            "stored_phash": row["phash"],
+        }
+        try:
+            img = codecs.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+            rec["dhash"] = hashing.u64_to_i64(hashing.dhash_u64(img, cfg.hash_size))
+            rec["status"] = "ok"
+        except codecs.CodecError as e:
+            rec["dhash"] = None
+            rec["status"] = "error"
+            rec["error"] = f"{type(e).__name__}: {e}"
+        out.append(rec)
+    return out
+
+
+def reference_clusters(rows: list[dict], cfg: PipelineConfig) -> dict[int, list[str]]:
+    """Exact-dhash buckets ≥ threshold, zero hash skipped. Key = dhash int64."""
+    buckets: dict[int, list[str]] = {}
+    for r in rows:
+        if r["status"] != "ok":
+            continue
+        if cfg.skip_zero_hash and r["dhash"] == 0:
+            continue
+        buckets.setdefault(r["dhash"], []).append(r["image_id"])
+    return {h: sorted(ids) for h, ids in buckets.items() if len(ids) >= cfg.threshold}
+
+
+def reference_decisions(rows: list[dict], cfg: PipelineConfig) -> list[dict]:
+    """Per bucket: keeper + deletions under the reference quality ranking."""
+    by_id = {r["image_id"]: r for r in rows}
+    out = []
+    for h, ids in sorted(reference_clusters(rows, cfg).items()):
+        ranked = sorted(
+            ids,
+            key=lambda i: keeper_sort_key(i, 1, by_id[i]["pixels"], by_id[i]["filesize"]),
+        )
+        out.append({"dhash": h, "keeper": ranked[0], "deletions": ranked[1:]})
+    return out
+
+
+def verified_pairs(rows: list[dict], cfg: PipelineConfig) -> set[tuple[str, str]]:
+    """All-pairs ground truth for the extended (LSH) mode: a pair is a dup if
+    image Hamming ≤ hamming_max OR exact caption character-shingle Jaccard ≥
+    jaccard_min — the same verify metric the pipeline applies to LSH
+    candidates (MinHash banding only *proposes*; verification is exact)."""
+    ok = [r for r in rows if r["status"] == "ok" and not (cfg.skip_zero_hash and r["dhash"] == 0)]
+    n = len(ok)
+    ids = [r["image_id"] for r in ok]
+    dh = np.array([hashing.i64_to_u64(r["dhash"]) for r in ok], dtype=np.uint64)
+    shingles = [textfn.char_shingle_hashes(str(r["caption"] or ""), cfg.shingle_k) for r in ok]
+    pairs: set[tuple[str, str]] = set()
+    for i in range(n):
+        ham = hashing.hamming_u64(
+            np.full(n - i - 1, dh[i], dtype=np.uint64).view(np.int64),
+            dh[i + 1 :].view(np.int64),
+        )
+        cand = set(np.where(ham <= cfg.hamming_max)[0] + i + 1)
+        si = shingles[i]
+        for j in range(i + 1, n):
+            if j in cand:
+                continue
+            sj = shingles[j]
+            if len(si) == 0 and len(sj) == 0:
+                jac = 1.0
+            else:
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                jac = inter / (len(si) + len(sj) - inter)
+            if jac >= cfg.jaccard_min:
+                cand.add(j)
+        for j in cand:
+            a, b = ids[i], ids[j]
+            pairs.add((a, b) if a < b else (b, a))
+    return pairs
+
+
+def connected_components(pairs: set[tuple[str, str]]) -> dict[str, str]:
+    """Union-find transitive closure; label = lexicographic min member."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in {n for p in pairs for n in p}}

@@ -1,0 +1,188 @@
+"""End-to-end image dedup pipelines (the flagship).
+
+Two modes:
+
+- **reference mode** — exactly the reference algorithm, distributed:
+  decode+hash → filter (ok, nonzero hash — /root/reference/dedupc.py:176-178)
+  → ``groupby(dhash)`` (the shuffle that replaces the reference's
+  ``dict[hash → [paths]]`` store, dupedb.py:104-132) → per-bucket keeper
+  election (dedupc.py:157-229).  Oracle-comparable bit-for-bit.
+
+- **extended mode** (north star) — adds caption MinHash/SimHash signatures,
+  LSH banding over both image-hash slices and caption bands, in-bucket
+  verification (Hamming ≤ t / exact shingle Jaccard ≥ j), distributed
+  connected components, then the same keeper election per component.
+
+All stages stream; nothing materializes the input except the CC assignment
+table (small — edge nodes only).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from deduplicator_ray import fixtures
+from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
+from deduplicator_ray.stages.banding import make_banding
+from deduplicator_ray.stages.candidates import make_verify_bucket
+from deduplicator_ray.stages.components import connected_components
+from deduplicator_ray.stages.decode_hash import make_decode_hash
+from deduplicator_ray.stages.resolve import make_resolve
+from deduplicator_ray.stages.signatures import CaptionSignatures
+
+
+def load_images(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Read the synthetic images corpus for this sf tier (built+cached on
+    first use).  Columns are NOT pruned here: decode needs bytes; callers
+    that only need metadata should read with ``columns=``."""
+    return rd.read_parquet(fixtures.images_path(sf_dir, cfg.hash_size))
+
+
+def fingerprints(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """P1: decode + dhash/md5/crc32 + rank-feature columns; bytes dropped."""
+    return images.map_batches(
+        make_decode_hash(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+
+
+def _live(fp: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
+    """ok rows with non-poison hash (zero-hash skip, dedupc.py:176-178)."""
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["status"], "ok")
+        if cfg.skip_zero_hash:
+            mask = pc.and_(mask, pc.not_equal(t["dhash"], 0))
+        return t.filter(mask)
+
+    return fp.map_batches(f, batch_format="pyarrow")
+
+
+def dead_letter(fp: rd.Dataset) -> rd.Dataset:
+    """badfiles sink analog (S5, /root/reference/dupedb.py:231-242): the
+    quarantine rows as a dataset instead of an append-only text file."""
+    return fp.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "error")).select(
+            ["image_id", "status", "error"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference mode
+
+
+def reference_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """(dhash, image_id) membership of every exact-dhash bucket ≥ threshold."""
+    import pandas as pd
+
+    fp = _live(fingerprints(images, cfg), cfg)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < cfg.threshold:
+            return g.iloc[0:0]
+        return g
+
+    return (
+        fp.select_columns(["dhash", "image_id"])
+        .groupby("dhash")
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+
+def reference_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Decision table of the reference delete pipeline: per exact-dhash
+    bucket, keeper + deletions + rename target."""
+    fp = _live(fingerprints(images, cfg), cfg)
+    resolve = make_resolve(cfg, cluster_col="cluster_id", with_superstate=True)
+
+    def add_cluster(t: pa.Table) -> pa.Table:
+        return t.append_column("cluster_id", pc.cast(t["dhash_hex"], pa.string()))
+
+    return (
+        fp.map_batches(add_cluster, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# extended mode (LSH + CC)
+
+
+def verified_edges_from_fp(fp: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                           channels: tuple[str, ...] = ("img", "cap")) -> rd.Dataset:
+    """Verified near-dup edges (src < dst; may contain multi-band duplicates)
+    plus overflow stats rows (src == ''), from a live fingerprint dataset."""
+    if "cap" in channels:
+        fp = fp.map_batches(
+            CaptionSignatures,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.text_batch_size,
+            concurrency=(1, 8),
+        )
+    band_rows = fp.map_batches(
+        make_banding(cfg, channels), batch_format="pyarrow", batch_size=cfg.text_batch_size
+    )
+    return band_rows.groupby(["band", "key"]).map_groups(
+        make_verify_bucket(cfg), batch_format="pandas"
+    )
+
+
+def verified_edges(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                   channels: tuple[str, ...] = ("img", "cap")) -> rd.Dataset:
+    return verified_edges_from_fp(_live(fingerprints(images, cfg), cfg), cfg, channels)
+
+
+def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Distinct verified dup pairs (the recall-gate artifact)."""
+    import pandas as pd
+
+    edges = verified_edges(images, cfg)
+    return (
+        edges.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def extended_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """(image_id, cluster_id) for every node in a verified near-dup component."""
+    edges = verified_edges(images, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges, cfg)
+
+
+def extended_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       num_partitions: int = 16) -> rd.Dataset:
+    """Keeper election per near-dup component (hash join of the cluster
+    assignment back to the fingerprint features, then per-cluster resolve).
+
+    The fingerprint table (bytes already dropped — keys + features only) is
+    materialized once so edges and the join both consume it without
+    recomputing the decode stage through lazy lineage.
+    """
+    fp = _live(fingerprints(images, cfg), cfg).materialize()
+    edges = verified_edges_from_fp(fp, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    clusters = connected_components(edges, cfg)
+    joined = clusters.join(
+        fp.drop_columns(["caption"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("image_id",),
+    )
+    resolve = make_resolve(cfg, cluster_col="cluster_id", with_superstate=True)
+    return joined.groupby("cluster_id").map_groups(resolve, batch_format="pandas")

@@ -1,0 +1,409 @@
+"""Relational / analytics pipelines over the driver's testdata tables.
+
+These exercise the engine's general query surface — vectorized projections,
+grouped aggregates with partial pre-aggregation, broadcast joins, windowed
+aggregates, top-k, dedup — each with an exact DuckDB-SQL mirror registered in
+``__ray_entry__.oracle_sql`` (column names matched 1:1).
+
+Scale notes are per function; the common rules: prune columns at
+``read_parquet``, pre-aggregate inside ``map_batches`` before any
+``groupby`` (combiner pattern), broadcast small dimension tables with
+``ray.put`` instead of shuffle-joining them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q_pricing_summary — TPC-H Q1 shape: grouped aggregate with partial
+# pre-aggregation inside map_batches (combiner), tiny final groupby.
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       count(*) AS count_order,
+       sum(l_quantity) / count(*) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_top_customers — broadcast hash join (customer is the small side, shipped
+# once via ray.put; no shuffle join) + grouped revenue + global top-k.
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(ck, "") for ck in t["o_custkey"].to_pylist()]
+        return t.append_column("c_name", pa.array(names, pa.string()))
+
+    df = (
+        agg.map_batches(attach_name, batch_format="pyarrow")
+        .sort([("revenue", "descending"), ("o_custkey", "ascending")])
+        .limit(k)
+        .to_pandas()
+    )
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    return df[["c_custkey", "c_name", "revenue", "n_orders"]]
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey AS c_custkey,
+       any_value(c_name) AS c_name,
+       sum(o_totalprice) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_window — tumbling 1-hour windowed aggregate per event_type
+# (streaming-shaped workload: window key derived vectorized, then grouped).
+
+
+def events_window(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return t.append_column("window_start", hour.cast(pa.timestamp("us")))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*) AS n_events,
+       sum(value) AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_exact_dedup_lineitem — hash-partition exact dedup: first row per
+# l_orderkey under l_linenumber order (per-group first, SURVEY.md D2 shape).
+
+
+def exact_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.pipelines.doc_dedup import exact_dedup
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    out = exact_dedup(ds, ["l_orderkey"], ["l_linenumber"]).to_pandas()
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+EXACT_DEDUP_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn = 1
+ORDER BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_dedup_bucket — dedup documents on a derived bucket key
+# (lang, n_chars): keep min doc_id per bucket.
+
+
+def docs_dedup_bucket(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.pipelines.doc_dedup import exact_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    out = exact_dedup(ds, ["lang", "n_chars"], ["doc_id"]).to_pandas()
+    return out.sort_values(["lang", "n_chars"]).reset_index(drop=True)[
+        ["lang", "n_chars", "doc_id"]
+    ]
+
+
+DOCS_DEDUP_BUCKET_SQL = """
+SELECT lang, n_chars, min(doc_id) AS doc_id
+FROM documents
+GROUP BY lang, n_chars
+ORDER BY lang, n_chars
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_text_stats — vectorized text-analysis projection, SQL-mirrored.
+
+
+def docs_text_stats(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.pipelines.doc_dedup import text_features
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = text_features(ds).select_columns(
+        ["doc_id", "n_tokens", "punct_cnt", "stopword_cnt"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_cnt,
+       len(list_filter(string_split(text, ' '),
+           x -> x IN ('the','and','of','a','to','in','is','on','for','with'))) AS stopword_cnt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_lang_id — deterministic marker-count language heuristic, mirrored as
+# a CASE chain in SQL (priority order en,de,fr,es,zh on strict >).
+
+
+def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.pipelines.doc_dedup import text_features
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = text_features(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lang_score_sql(lang: str) -> str:
+    from deduplicator_ray.functions.text import LANG_MARKERS
+
+    terms = [
+        f"(length(text) - length(replace(text, '{m}', ''))) / {len(m)}"
+        for m in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+DOCS_LANG_ID_SQL = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+         ELSE 'en'
+       END AS lang_pred
+FROM scores
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ann_cosine_topk — brute-force cosine top-5 for query vectors vec_id 0-3,
+# DuckDB list_cosine_similarity as the oracle.  cos rounded to 6 dp on both
+# sides so float64 summation-order noise can't flip the value hash.
+
+
+def ann_cosine_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.functions.vector import brute_force_topk
+
+    qtbl = pq.read_table(_t(sf_dir, "embeddings"))
+    qdf = qtbl.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=k)
+    out["cos"] = out["cos"].round(6)
+    return out.reset_index(drop=True)
+
+
+ANN_COSINE_TOPK_SQL = """
+SELECT query_id, rank, vec_id, cos FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS rank
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 4 AND e.vec_id != q.vec_id)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_part_brand_revenue — partitioned hash join both-sides-large shape
+# (lineitem ⋈ part on partkey via Dataset.join), grouped by brand.
+
+
+def part_brand_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pc.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_pydict({"l_partkey": t["l_partkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow", batch_size=65536)
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+    out = (
+        joined.groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+PART_BRAND_REVENUE_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_balance — per-nation supplier account stats (small-table
+# aggregate + broadcast name lookup).
+
+
+def supplier_balance(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    lookup_ref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())))
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    agg = ds.groupby("s_nationkey").aggregate(
+        Sum("s_acctbal", alias_name="total_bal"),
+        Mean("s_acctbal", alias_name="avg_bal"),
+        Count(alias_name="n_suppliers"),
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(x, "") for x in t["s_nationkey"].to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
+
+    out = agg.map_batches(attach, batch_format="pyarrow").to_pandas()
+    out["total_bal"] = out["total_bal"].round(4)
+    out["avg_bal"] = out["avg_bal"].round(4)
+    return out.sort_values("s_nationkey").reset_index(drop=True)[
+        ["s_nationkey", "n_name", "total_bal", "avg_bal", "n_suppliers"]
+    ]
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT s_nationkey,
+       any_value(n_name) AS n_name,
+       round(sum(s_acctbal), 4) AS total_bal,
+       round(avg(s_acctbal), 4) AS avg_bal,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""

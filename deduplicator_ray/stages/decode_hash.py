@@ -1,0 +1,107 @@
+"""P1 — decode + fingerprint stage (the CPU-heavy map_batches transform).
+
+Reimplements ``getProcHash`` + ``fingerprintImage``
+(/root/reference/dupedb.py:68-101, 201-259) as a stateless Arrow-batch
+transform: decode the ``bytes`` payload per ``fmt``, compute the dHash
+fingerprint, byte md5/crc32, and the quality-tuple inputs
+(pixels/filesize/frames), with the reference's error taxonomy folded into
+``status``/``error`` dead-letter columns instead of a badfiles.txt sink
+(dupedb.py:223-244 → S5).
+
+Zero-copy notes: batches arrive as pyarrow Tables straight from the object
+store; per-image byte payloads are materialized via ``as_py()`` only at the
+decode boundary (unavoidable — decoding is per-image), everything else stays
+vectorized numpy.  Decode cost dominates, so the stage is sized with a small
+``batch_size`` (cfg.decode_batch_size) and runs as stateless tasks — no
+warm state is needed (codec tables are module constants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicator_ray import codecs, hashing
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.stages.ranking import rank_columns
+
+MAX_IMAGE_PIXELS = 160_000_000  # decompression-bomb guard (/root/reference/dupedb.py:33)
+
+
+def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
+    """Build the batch fn. hash_size=8 → dhash packed as int64; wider hashes
+    (e.g. the reference default 12 → 36 hex chars) land in ``dhash_hex``."""
+    hash_size = cfg.hash_size
+    use_u64 = hash_size == 8
+
+    def decode_hash(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["image_id"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+
+        dhash = np.zeros(n, np.int64)
+        dhash_hex = [""] * n
+        md5s = [""] * n
+        crc32s = [""] * n
+        status = ["ok"] * n
+        errors = [""] * n
+        filesize = np.zeros(n, np.int64)
+        pixels = np.zeros(n, np.int64)
+
+        for i in range(n):
+            data = payloads[i]
+            filesize[i] = len(data)
+            pixels[i] = int(ws[i]) * int(hs[i])
+            md5s[i] = hashing.md5_hex(data)
+            crc32s[i] = hashing.crc32_hex(data)
+            try:
+                if pixels[i] > MAX_IMAGE_PIXELS:
+                    raise codecs.CodecError(f"decompression bomb: {pixels[i]} px")
+                img = codecs.decode_image(data, fmts[i], int(ws[i]), int(hs[i]))
+                if use_u64:
+                    u = hashing.dhash_u64(img, 8)
+                    dhash[i] = hashing.u64_to_i64(u)
+                    dhash_hex[i] = format(u, "016x")
+                else:
+                    bits = hashing.dhash_bits(img, hash_size)
+                    dhash_hex[i] = hashing.bits_to_hex(bits)
+                    dhash[i] = 0
+            except codecs.UnsupportedFormatError as e:
+                # stub boundary for jpg/video/audio payloads: strict-mode
+                # fallback is byte-content identity (md5), matching the
+                # reference's non-image branch (dupedb.py:100-101)
+                status[i] = "md5_only"
+                errors[i] = str(e)
+            except codecs.CodecError as e:
+                status[i] = "error"
+                errors[i] = f"{type(e).__name__}: {e}"
+            except MemoryError:
+                status[i] = "error"
+                errors[i] = "MemoryError"
+
+        out = batch.drop_columns(["bytes"])  # payload not needed downstream
+        out = out.append_column("dhash", pa.array(dhash, pa.int64()))
+        out = out.append_column("dhash_hex", pa.array(dhash_hex, pa.string()))
+        out = out.append_column("content_md5", pa.array(md5s, pa.string()))
+        out = out.append_column("crc32", pa.array(crc32s, pa.string()))
+        out = out.append_column("pixels", pa.array(pixels, pa.int64()))
+        out = out.append_column("filesize", pa.array(filesize, pa.int64()))
+        out = out.append_column("frames", pa.array(np.ones(n, np.int32), pa.int32()))
+        out = out.append_column("status", pa.array(status, pa.string()))
+        out = out.append_column("error", pa.array(errors, pa.string()))
+        if with_rank_columns:
+            rk = rank_columns(
+                np.array(ids, dtype=object),
+                np.ones(n, np.int32),
+                pixels,
+                filesize,
+                cfg.good_words, cfg.bad_words, cfg.good_names, cfg.bad_names,
+            )
+            for name, arr in rk.items():
+                out = out.append_column(name, pa.array(arr))
+        return out
+
+    return decode_hash

@@ -1,0 +1,54 @@
+"""P2 — caption signature stage (MinHash + SimHash), actor pool.
+
+Graft axis B: the reference has no caption analog; the north star mandates
+MinHash over caption shingles + SimHash over caption tokens.  This is the
+canonical *stateful* stage: permutation parameters are derived once per
+actor in ``__init__`` (ST1/ST2 analog — SURVEY.md §2.3) and reused across
+batches, so it is a callable class run with
+``map_batches(CaptionSignatures, fn_constructor_kwargs=..., concurrency=N)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.functions import text as textfn
+
+
+class CaptionSignatures:
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        # warm per-actor state: permutation parameters (once per actor)
+        self.perm_a, self.perm_b = textfn.perm_params(self.cfg.num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        caps = batch["caption"].to_pylist()
+        n = len(caps)
+        sigs = np.empty((n, cfg.num_perm), np.uint64)
+        for i, cap in enumerate(caps):
+            sh = textfn.char_shingle_hashes(str(cap or ""), cfg.shingle_k)
+            if len(sh) == 0:
+                sigs[i] = 0
+                continue
+            with np.errstate(over="ignore"):
+                sigs[i] = (sh[None, :] * self.perm_a[:, None] + self.perm_b[:, None]).min(axis=1)
+        simhash = textfn.simhash_batch(caps)
+        minhash_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64)), cfg.num_perm
+        )
+        out = batch.append_column("minhash", minhash_col)
+        out = out.append_column("simhash", pa.array(simhash, pa.int64()))
+        return out
+
+
+def minhash_from_column(batch: pa.Table) -> np.ndarray:
+    """(n, num_perm) uint64 view of the fixed-size-list minhash column."""
+    col = batch["minhash"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    num_perm = col.type.list_size
+    flat = col.values.to_numpy(zero_copy_only=False).view(np.uint64)
+    return flat.reshape(-1, num_perm)

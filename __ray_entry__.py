@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library it calls) touches ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``        — flagship pipeline (reference-mode image dedup
+  decisions) on the sf0.001 synthetic corpus.
+- ``queries()``      — one entry per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data extensions); each takes ``sf_dir``.
+- ``oracle_sql()``   — DuckDB mirrors for the SQL-expressible queries
+  (column names match 1:1); image-pipeline and signature queries run over
+  the engine-generated image corpus / non-SQL kernels, so they get the
+  rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +18,169 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _cfg():
+    from deduplicator_ray.config import PipelineConfig
+
+    return PipelineConfig()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: reference-mode dedup decision table at sf0.001."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    images = ip.load_images(SF_SMALL, _cfg())
+    return ip.reference_decisions(images, _cfg())
+
+
+# ---------------------------------------------------------------------------
+# image-pipeline queries (engine-generated corpus; rows-only driver check,
+# golden-tested against the oracle in tests/)
+
+
+def _img_reference_clusters(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.reference_clusters(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values(["dhash", "image_id"]).reset_index(drop=True)
+
+
+def _img_reference_decisions(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.reference_decisions(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values(["cluster_id", "image_id"]).reset_index(drop=True)
+
+
+def _img_dup_pairs(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.dup_pairs(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _img_extended_clusters(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.extended_clusters(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def _img_dead_letter(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = _cfg()
+    out = ip.dead_letter(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg))
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def _img_validate_phash(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.validate_phash(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def _docs_dup_pairs(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.doc_dedup import doc_dup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return doc_dup_pairs(ds, _cfg()).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _docs_simhash_pairs(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.doc_dedup import simhash_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return simhash_pairs(ds).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _docs_fingerprints(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.doc_dedup import text_features
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = text_features(ds).select_columns(["doc_id", "fingerprint", "n_tokens_bpe"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _ann_ivf_topk(sf_dir: str):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicator_ray.functions.vector import ivf_topk
+
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].to_numpy())
+    out["cos_e6"] = np.floor(out["cos"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deduplicator_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-mirrored relational / analytics operators
+        "pricing_summary": q.pricing_summary,
+        "top_customers": q.top_customers,
+        "events_window": q.events_window,
+        "exact_dedup_lineitem": q.exact_dedup_lineitem,
+        "docs_dedup_bucket": q.docs_dedup_bucket,
+        "docs_text_stats": q.docs_text_stats,
+        "docs_lang_id": q.docs_lang_id,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "part_brand_revenue": q.part_brand_revenue,
+        "supplier_balance": q.supplier_balance,
+        # image dedup pipelines (engine corpus; golden-tested vs oracle)
+        "img_reference_clusters": _img_reference_clusters,
+        "img_reference_decisions": _img_reference_decisions,
+        "img_dup_pairs": _img_dup_pairs,
+        "img_extended_clusters": _img_extended_clusters,
+        "img_dead_letter": _img_dead_letter,
+        "img_validate_phash": _img_validate_phash,
+        # text near-dup + fingerprints
+        "docs_dup_pairs": _docs_dup_pairs,
+        "docs_simhash_pairs": _docs_simhash_pairs,
+        "docs_fingerprints": _docs_fingerprints,
+        # approximate vector search
+        "ann_ivf_topk": _ann_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deduplicator_ray.pipelines import queries as q
+
+    return {
+        "pricing_summary": q.PRICING_SUMMARY_SQL,
+        "top_customers": q.TOP_CUSTOMERS_SQL,
+        "events_window": q.EVENTS_WINDOW_SQL,
+        "exact_dedup_lineitem": q.EXACT_DEDUP_LINEITEM_SQL,
+        "docs_dedup_bucket": q.DOCS_DEDUP_BUCKET_SQL,
+        "docs_text_stats": q.DOCS_TEXT_STATS_SQL,
+        "docs_lang_id": q.DOCS_LANG_ID_SQL,
+        "ann_cosine_topk": q.ANN_COSINE_TOPK_SQL,
+        "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
+        "supplier_balance": q.SUPPLIER_BALANCE_SQL,
+    }

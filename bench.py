@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: end-to-end extended image dedup (decode → hash → signatures → LSH
+banding → verify → distributed CC) over the synthetic image corpus matched
+to $GRAFT_SF_DIR, consumed to a count — the BASELINE.json metric surface
+(images/sec at recall ≥ 0.99, gated separately in tests/).
+
+`--scaling` runs the headline twice in fresh processes at num_cpus=8 and 32
+(the sandbox substitution for the N / 4N-node criterion) and reports both
+throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from deduplicator_ray import fixtures
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.doc_dedup import doc_dup_pairs
+
+    cfg = PipelineConfig()
+    # untimed: build/cache the corpus and warm the page cache with one read
+    images_path = fixtures.images_path(SF_DIR, cfg.hash_size)
+    n_images = rd.read_parquet(images_path).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: extended dedup through CC, consumed to a count
+    n_clustered = timed(
+        "img_extended_clusters",
+        lambda: ip.extended_clusters(rd.read_parquet(images_path), cfg).count(),
+    )
+
+    # reference-mode decision table (the exact reference algorithm)
+    timed(
+        "img_reference_decisions",
+        lambda: ip.reference_decisions(rd.read_parquet(images_path), cfg).count(),
+    )
+
+    # verified dup pairs only (no CC)
+    timed(
+        "img_dup_pairs",
+        lambda: ip.dup_pairs(rd.read_parquet(images_path), cfg).count(),
+    )
+
+    # text near-dup over the driver documents table
+    timed(
+        "docs_dup_pairs",
+        lambda: doc_dup_pairs(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text"]), cfg).count(),
+    )
+
+    headline = timings["img_extended_clusters"]
+    result = {
+        "metric": "end-to-end extended image dedup wall-clock (decode+hash+LSH+verify+CC)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "n_images": int(n_images),
+        "images_per_sec": round(n_images / headline, 1) if headline else None,
+        "n_clustered": int(n_clustered),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8→32 cpus (sandbox N→4N substitution)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "images_per_sec_8": lo["images_per_sec"],
+        "images_per_sec_32": hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "n_images": lo["n_images"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -40,8 +40,9 @@ class PipelineConfig:
                                     # deterministically sampled + logged, never silent
     salt_buckets: int = 8           # sub-buckets for salted hot bands
 
-    # --- connected components
-    cc_max_rounds: int = 10         # label propagation rounds upper bound
+    # --- connected components (iterative edge contraction, stages/components.py)
+    cc_max_rounds: int = 16         # max contraction levels (node count ≥ halves per level)
+    cc_driver_edge_cap: int = 2_000_000  # residual graph ≤ this → driver union-find base case
 
     # --- keeper ranking word lists (reference criteria dict, dedupc.py:663-668)
     good_words: tuple[str, ...] = ()

@@ -60,16 +60,40 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_poly_hash_windows(codes, k))
 
 
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(n: int) -> np.ndarray:
+    """[B^(n-1), ..., B, 1] mod 2^64."""
+    if n not in _POW_CACHE:
+        p = np.empty(n, np.uint64)
+        acc = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(n - 1, -1, -1):
+                p[i] = acc
+                acc = acc * _B
+        _POW_CACHE[n] = p
+    return _POW_CACHE[n]
+
+
+def _poly_hash_one(data: bytes) -> np.uint64:
+    """seed*B^n + Σ byte_i * B^(n-1-i), fully vectorized over the bytes."""
+    n = len(data)
+    if n == 0:
+        return np.uint64(_SEED_A)
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    pw = _powers(n)
+    with np.errstate(over="ignore"):
+        seed_term = np.uint64(_SEED_A) * (pw[0] * _B)
+        return seed_term + np.dot(codes, pw).astype(np.uint64)
+
+
 def hash_tokens(tokens: list[str]) -> np.ndarray:
-    """uint64 hash per token (polynomial over utf-8 bytes)."""
+    """uint64 hash per token (polynomial over utf-8 bytes; numpy-vectorized
+    per string — no per-byte Python)."""
     out = np.empty(len(tokens), np.uint64)
     for i, t in enumerate(tokens):
-        codes = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        h = np.uint64(_SEED_A)
-        with np.errstate(over="ignore"):
-            for c in codes:
-                h = h * _B + c
-        out[i] = h
+        out[i] = _poly_hash_one(t.encode("utf-8"))
     return out
 
 

@@ -25,18 +25,20 @@ import ray.data as rd
 
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.functions import text as textfn
-from deduplicator_ray.stages.candidates import make_verify_bucket
+from deduplicator_ray.stages.candidates import make_partition_verify
 from deduplicator_ray.stages.components import connected_components
+from deduplicator_ray.stages.partitioned import (
+    drop_duplicates,
+    keep_first,
+    partitioned_groupby,
+)
 
 
 def exact_dedup(ds: rd.Dataset, keys: list[str], order: list[str]) -> rd.Dataset:
     """Keep the first row per key group under ``order`` — the classic
-    hash-partition + per-group-first exact dedup shuffle (SURVEY.md D2)."""
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order, kind="mergesort").head(1)
-
-    return ds.groupby(keys).map_groups(first, batch_format="pandas")
+    hash-partition + per-group-first exact dedup shuffle (SURVEY.md D2),
+    vectorized per key-partition (stages/partitioned.py)."""
+    return keep_first(ds, keys, order)
 
 
 def add_content_md5(ds: rd.Dataset, col: str = "text") -> rd.Dataset:
@@ -89,16 +91,16 @@ def doc_band_rows(ds: rd.Dataset, cfg: PipelineConfig, id_col: str = "doc_id",
 def doc_dup_pairs(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                   id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Distinct verified near-dup doc pairs (exact shingle Jaccard ≥ threshold)."""
-    edges = doc_band_rows(ds, cfg, id_col, text_col).groupby(["band", "key"]).map_groups(
-        make_verify_bucket(cfg), batch_format="pandas"
+    edges = partitioned_groupby(
+        doc_band_rows(ds, cfg, id_col, text_col), ["band", "key"],
+        make_partition_verify(cfg),
     )
-    return (
+    return drop_duplicates(
         edges.map_batches(
             lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
             batch_format="pyarrow",
-        )
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        ),
+        ["src", "dst"],
     )
 
 
@@ -154,12 +156,21 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
                 dst.append(ids[i + 1 + j])
         return pd.DataFrame({"src": src, "dst": dst})
 
-    return (
-        ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
-        .groupby(["band", "key"])
-        .map_groups(verify, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band", "key"], sort=False)["image_id"].transform("size")
+        df = df[sizes >= 2]
+        if df.empty:
+            return pd.DataFrame({"src": pd.Series([], dtype=str),
+                                 "dst": pd.Series([], dtype=str)})
+        outs = [verify(g) for _, g in df.groupby(["band", "key"], sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return drop_duplicates(
+        partitioned_groupby(
+            ds.map_batches(f, batch_format="pyarrow", batch_size=4096),
+            ["band", "key"], verify_partition,
+        ),
+        ["src", "dst"],
     )
 
 

@@ -27,10 +27,15 @@ import ray.data as rd
 from deduplicator_ray import fixtures
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.stages.banding import make_banding
-from deduplicator_ray.stages.candidates import make_verify_bucket
+from deduplicator_ray.stages.candidates import make_partition_verify
 from deduplicator_ray.stages.components import connected_components
 from deduplicator_ray.stages.decode_hash import make_decode_hash
-from deduplicator_ray.stages.resolve import make_resolve
+from deduplicator_ray.stages.partitioned import (
+    drop_duplicates,
+    filter_min_group_size,
+    partitioned_groupby,
+)
+from deduplicator_ray.stages.resolve import make_partition_resolve, make_resolve
 from deduplicator_ray.stages.signatures import CaptionSignatures
 
 
@@ -61,6 +66,22 @@ def _live(fp: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
     return fp.map_batches(f, batch_format="pyarrow")
 
 
+def validate_phash(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """``validateHash`` analog (M11, /root/reference/dupedb.py:413-438):
+    recompute the fingerprint from bytes and flag rows whose stored ``phash``
+    column disagrees (stale index entries).  The reference repairs its
+    mutable store in place; here recompute-before-group makes repair
+    implicit, and this stage *reports* the drift."""
+    fp = fingerprints(images, cfg)
+
+    def mism(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t["status"], "ok")
+        diff = pc.not_equal(t["dhash"], t["phash"])
+        return t.filter(pc.and_(ok, diff)).select(["image_id", "phash", "dhash"])
+
+    return fp.map_batches(mism, batch_format="pyarrow")
+
+
 def dead_letter(fp: rd.Dataset) -> rd.Dataset:
     """badfiles sink analog (S5, /root/reference/dupedb.py:231-242): the
     quarantine rows as a dataset instead of an append-only text file."""
@@ -77,20 +98,14 @@ def dead_letter(fp: rd.Dataset) -> rd.Dataset:
 
 
 def reference_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
-    """(dhash, image_id) membership of every exact-dhash bucket ≥ threshold."""
-    import pandas as pd
+    """(dhash, image_id) membership of every exact-dhash bucket ≥ threshold.
 
+    The bucket threshold (A2, /root/reference/dupedb.py:331) runs as a
+    partitioned groupby — one vectorized Python call per key-partition, not
+    one per dhash value."""
     fp = _live(fingerprints(images, cfg), cfg)
-
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < cfg.threshold:
-            return g.iloc[0:0]
-        return g
-
-    return (
-        fp.select_columns(["dhash", "image_id"])
-        .groupby("dhash")
-        .map_groups(bucket, batch_format="pandas")
+    return filter_min_group_size(
+        fp.select_columns(["dhash", "image_id"]), ["dhash"], cfg.threshold
     )
 
 
@@ -98,15 +113,14 @@ def reference_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG
     """Decision table of the reference delete pipeline: per exact-dhash
     bucket, keeper + deletions + rename target."""
     fp = _live(fingerprints(images, cfg), cfg)
-    resolve = make_resolve(cfg, cluster_col="cluster_id", with_superstate=True)
 
     def add_cluster(t: pa.Table) -> pa.Table:
         return t.append_column("cluster_id", pc.cast(t["dhash_hex"], pa.string()))
 
-    return (
-        fp.map_batches(add_cluster, batch_format="pyarrow")
-        .groupby("cluster_id")
-        .map_groups(resolve, batch_format="pandas")
+    return partitioned_groupby(
+        fp.map_batches(add_cluster, batch_format="pyarrow"),
+        ["cluster_id"],
+        make_partition_resolve(cfg, cluster_col="cluster_id", with_superstate=True),
     )
 
 
@@ -129,9 +143,7 @@ def verified_edges_from_fp(fp: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     band_rows = fp.map_batches(
         make_banding(cfg, channels), batch_format="pyarrow", batch_size=cfg.text_batch_size
     )
-    return band_rows.groupby(["band", "key"]).map_groups(
-        make_verify_bucket(cfg), batch_format="pandas"
-    )
+    return partitioned_groupby(band_rows, ["band", "key"], make_partition_verify(cfg))
 
 
 def verified_edges(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -141,16 +153,13 @@ def verified_edges(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
 def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Distinct verified dup pairs (the recall-gate artifact)."""
-    import pandas as pd
-
     edges = verified_edges(images, cfg)
-    return (
+    return drop_duplicates(
         edges.map_batches(
             lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
             batch_format="pyarrow",
-        )
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        ),
+        ["src", "dst"],
     )
 
 
@@ -184,5 +193,8 @@ def extended_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
         num_partitions=num_partitions,
         on=("image_id",),
     )
-    resolve = make_resolve(cfg, cluster_col="cluster_id", with_superstate=True)
-    return joined.groupby("cluster_id").map_groups(resolve, batch_format="pandas")
+    return partitioned_groupby(
+        joined,
+        ["cluster_id"],
+        make_partition_resolve(cfg, cluster_col="cluster_id", with_superstate=True),
+    )

@@ -1,0 +1,183 @@
+"""Multimodal column stages: decode / resize / feature-extract / frame-sample.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+(fmt, w, h).  The Ray-side plumbing — schema, actor-pool signatures, batch
+sizing, output layout — is real and tested; codec kernels that need
+external libraries (jpeg, mp4, audio) are the clearly-marked stubs in
+``codecs.decode_image`` (UnsupportedFormatError → dead-letter row), with a
+deterministic fake decoder available for plumbing tests.
+
+These are the canonical actor-pool stages: per-actor setup happens once in
+``__init__`` (resize coefficient caches warm up per actor), work per batch
+in ``__call__`` — run with ``map_batches(Cls, concurrency=N, batch_size=B)``
+and a SMALL batch size because rows carry pixel payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduplicator_ray import codecs
+from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
+from deduplicator_ray.resize import grayscale_u8, resize_u8
+
+
+class ResizeImages:
+    """Actor-pool stage: decode → Lanczos resize → re-encode.
+
+    Output schema mirrors the input (bytes/w/h updated, fmt preserved for
+    encodable formats).  Corrupt/stub rows pass through with status='error'.
+    """
+
+    def __init__(self, out_w: int = 64, out_h: int = 64, out_fmt: str = "png"):
+        self.out_w, self.out_h, self.out_fmt = out_w, out_h, out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        out_bytes, status = [], []
+        for i in range(n):
+            try:
+                img = codecs.decode_image(payloads[i], fmts[i], int(ws[i]), int(hs[i]))
+                small = resize_u8(img, self.out_w, self.out_h)
+                out_bytes.append(codecs.encode_image(small, self.out_fmt))
+                status.append("ok")
+            except codecs.CodecError as e:
+                out_bytes.append(b"")
+                status.append(f"error:{type(e).__name__}")
+        out = batch.drop_columns(["bytes", "w", "h", "fmt"])
+        out = out.append_column("bytes", pa.array(out_bytes, pa.binary()))
+        out = out.append_column("w", pa.array([self.out_w] * n, pa.int32()))
+        out = out.append_column("h", pa.array([self.out_h] * n, pa.int32()))
+        out = out.append_column("fmt", pa.array([self.out_fmt] * n, pa.string()))
+        out = out.append_column("resize_status", pa.array(status, pa.string()))
+        return out
+
+
+class ImageFeatures:
+    """Actor-pool stage: cheap visual features (mean RGB, luma histogram,
+    edge density) — the shape of a model-inference stage without a model."""
+
+    def __init__(self, hist_bins: int = 16):
+        self.bins = hist_bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        mean_rgb = np.zeros((n, 3), np.float32)
+        hist = np.zeros((n, self.bins), np.float32)
+        edge = np.zeros(n, np.float32)
+        status = ["ok"] * n
+        for i in range(n):
+            try:
+                img = codecs.decode_image(payloads[i], fmts[i], int(ws[i]), int(hs[i]))
+                mean_rgb[i] = img.reshape(-1, 3).mean(axis=0)
+                g = grayscale_u8(img).astype(np.float32)
+                h, _ = np.histogram(g, bins=self.bins, range=(0, 256))
+                hist[i] = h / max(g.size, 1)
+                gx = np.abs(np.diff(g, axis=1)).mean() if g.shape[1] > 1 else 0.0
+                gy = np.abs(np.diff(g, axis=0)).mean() if g.shape[0] > 1 else 0.0
+                edge[i] = gx + gy
+            except codecs.CodecError as e:
+                status[i] = f"error:{type(e).__name__}"
+        out = batch.select(["image_id"])
+        out = out.append_column(
+            "mean_rgb", pa.FixedSizeListArray.from_arrays(pa.array(mean_rgb.reshape(-1)), 3)
+        )
+        out = out.append_column(
+            "luma_hist", pa.FixedSizeListArray.from_arrays(pa.array(hist.reshape(-1)), self.bins)
+        )
+        out = out.append_column("edge_density", pa.array(edge))
+        out = out.append_column("feat_status", pa.array(status, pa.string()))
+        return out
+
+
+class FrameSample:
+    """Actor-pool stage for video frame sampling (dupedb.py:92-98 decodes
+    frame 0 of videos with cv2 — unavailable here).
+
+    Plumbing is real: emits (image_id, frame_idx, bytes, w, h, fmt) rows.
+    The mp4/webm codec kernel is STUBBED — with ``fake=True`` a
+    deterministic fake decoder (seeded by image_id) generates frames so the
+    schema/fan-out path is testable; with ``fake=False`` video rows
+    dead-letter with the UnsupportedFormatError message.
+    """
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def __init__(self, n_frames: int = 2, fake: bool = False):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("image_id", "frame_idx", "bytes", "w", "h", "fmt", "status")}
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        for i, iid in enumerate(ids):
+            if fmts[i] not in ("mp4", "webm"):
+                continue
+            if not self.fake:
+                rows["image_id"].append(iid)
+                rows["frame_idx"].append(-1)
+                rows["bytes"].append(b"")
+                rows["w"].append(0)
+                rows["h"].append(0)
+                rows["fmt"].append(fmts[i])
+                rows["status"].append(
+                    "error:UnsupportedFormatError: video decode requires ffmpeg/cv2 "
+                    "(stubbed; see codecs.STUB_FMTS)"
+                )
+                continue
+            rng = np.random.default_rng(
+                np.frombuffer(iid.encode()[:16].ljust(16, b"\0"), np.uint32)
+            )
+            for f in range(self.n_frames):
+                img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+                rows["image_id"].append(iid)
+                rows["frame_idx"].append(f)
+                rows["bytes"].append(codecs.encode_png(img))
+                rows["w"].append(16)
+                rows["h"].append(16)
+                rows["fmt"].append("png")
+                rows["status"].append("ok_fake")
+        return pa.Table.from_pydict(rows, schema=self.OUT_SCHEMA)
+
+
+def resize_pipeline(ds: rd.Dataset, out_w: int, out_h: int,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=128,           # pixel payloads: small batches
+        concurrency=(1, 8),
+    )
+
+
+def feature_pipeline(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    return ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+    )

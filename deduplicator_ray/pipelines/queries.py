@@ -36,6 +36,9 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Money is carried as exact integer cents (the testdata values are
+    2-decimal) so distributed summation order can't perturb the value hash
+    — floating sums are NOT order-stable across partitionings."""
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -44,12 +47,16 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        disc_pct = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df["qty"] = df["l_quantity"].astype(np.int64)
+        df["base_c"] = cents
+        df["disc_e4"] = cents * (100 - disc_pct)
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
+            sum_qty=("qty", "sum"),
+            sum_base_price_c=("base_c", "sum"),
+            sum_disc_price_e4=("disc_e4", "sum"),
+            count_order=("qty", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -58,23 +65,24 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
             Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
     )
-    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_qty_e6"] = (out["sum_qty"] * 1_000_000) // out["count_order"]
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_c,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS sum_disc_price_e4,
        count(*) AS count_order,
-       sum(l_quantity) / count(*) AS avg_qty
+       (sum(CAST(l_quantity AS BIGINT)) * 1000000) // count(*) AS avg_qty_e6
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -96,15 +104,16 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        df["revenue_c"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
         g = df.groupby("o_custkey", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            revenue_c=("revenue_c", "sum"), n_orders=("revenue_c", "size")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
         orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("o_custkey")
-        .aggregate(Sum("revenue", alias_name="revenue"),
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"),
                    Sum("n_orders", alias_name="n_orders"))
     )
 
@@ -115,22 +124,22 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     df = (
         agg.map_batches(attach_name, batch_format="pyarrow")
-        .sort([("revenue", "descending"), ("o_custkey", "ascending")])
+        .sort(["revenue_c", "o_custkey"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
     df = df.rename(columns={"o_custkey": "c_custkey"})
-    return df[["c_custkey", "c_name", "revenue", "n_orders"]]
+    return df[["c_custkey", "c_name", "revenue_c", "n_orders"]]
 
 
 TOP_CUSTOMERS_SQL = """
 SELECT o_custkey AS c_custkey,
        any_value(c_name) AS c_name,
-       sum(o_totalprice) AS revenue,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_c,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey
-ORDER BY revenue DESC, o_custkey
+ORDER BY revenue_c DESC, o_custkey
 LIMIT 10
 """
 
@@ -146,14 +155,16 @@ def events_window(sf_dir: str) -> pd.DataFrame:
     def add_window(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())
         hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
-        return t.append_column("window_start", hour.cast(pa.timestamp("us")))
+        vc = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        out = t.append_column("window_start", hour.cast(pa.timestamp("us")))
+        return out.append_column("value_c", pa.array(vc))
 
     out = (
         ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "window_start"])
         .aggregate(
             Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("value_c", alias_name="sum_value_c"),
             Max("value", alias_name="max_value"),
         )
         .to_pandas()
@@ -165,7 +176,7 @@ EVENTS_WINDOW_SQL = """
 SELECT event_type,
        time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        count(*) AS n_events,
-       sum(value) AS sum_value,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c,
        max(value) AS max_value
 FROM events
 GROUP BY event_type, window_start
@@ -184,14 +195,17 @@ def exact_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_quantity"]
     )
-    out = exact_dedup(ds, ["l_orderkey"], ["l_linenumber"]).to_pandas()
+    # the testdata lineitem has duplicate (orderkey, linenumber) keys, so the
+    # keep-first order must be fully deterministic over the output columns
+    out = exact_dedup(ds, ["l_orderkey"], ["l_linenumber", "l_quantity"]).to_pandas()
     return out.sort_values("l_orderkey").reset_index(drop=True)
 
 
 EXACT_DEDUP_LINEITEM_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity
 FROM (SELECT l_orderkey, l_linenumber, l_quantity,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_quantity) AS rn
       FROM lineitem)
 WHERE rn = 1
 ORDER BY l_orderkey
@@ -293,8 +307,14 @@ ORDER BY doc_id
 
 # ---------------------------------------------------------------------------
 # q_ann_cosine_topk — brute-force cosine top-5 for query vectors vec_id 0-3,
-# DuckDB list_cosine_similarity as the oracle.  cos rounded to 6 dp on both
-# sides so float64 summation-order noise can't flip the value hash.
+# DuckDB list_cosine_similarity (cast to DOUBLE — its float32 default would
+# diverge from numpy float64) as the oracle.  cos is emitted as integer
+# micro-cosine ``cos_e6 = floor(cos*1e6 + 0.5)`` on BOTH sides so the
+# driver's exact value hash can't be tripped by float representation.
+
+
+def _cos_e6(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, np.float64) * 1e6 + 0.5).astype(np.int64)
 
 
 def ann_cosine_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
@@ -308,17 +328,17 @@ def ann_cosine_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     queries = np.stack(qdf["embedding"].to_numpy())
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=k)
-    out["cos"] = out["cos"].round(6)
-    return out.reset_index(drop=True)
+    out["cos_e6"] = _cos_e6(out["cos"].to_numpy())
+    return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
 
 
 ANN_COSINE_TOPK_SQL = """
-SELECT query_id, rank, vec_id, cos FROM (
+SELECT query_id, rank, vec_id, cos_e6 FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos,
+         CAST(floor(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT) AS cos_e6,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
          ) AS rank
   FROM embeddings q CROSS JOIN embeddings e
   WHERE q.vec_id < 4 AND e.vec_id != q.vec_id)
@@ -339,8 +359,11 @@ def part_brand_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     )
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pc.scalar(1.0), t["l_discount"]))
-        return pa.Table.from_pydict({"l_partkey": t["l_partkey"], "revenue": r})
+        cents = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        disc = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"l_partkey": t["l_partkey"], "revenue_e4": pa.array(cents * (100 - disc))}
+        )
 
     li = li.map_batches(rev, batch_format="pyarrow", batch_size=65536)
     part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
@@ -350,16 +373,16 @@ def part_brand_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     )
     out = (
         joined.groupby("p_brand")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(4)
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
 PART_BRAND_REVENUE_SQL = """
 SELECT p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_e4,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -378,10 +401,15 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
     nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     lookup_ref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())))
     ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
-    agg = ds.groupby("s_nationkey").aggregate(
-        Sum("s_acctbal", alias_name="total_bal"),
-        Mean("s_acctbal", alias_name="avg_bal"),
-        Count(alias_name="n_suppliers"),
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["s_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return t.append_column("bal_c", pa.array(c))
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Sum("bal_c", alias_name="total_bal_c"), Count(alias_name="n_suppliers"))
     )
 
     def attach(t: pa.Table) -> pa.Table:
@@ -390,18 +418,21 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
         return t.append_column("n_name", pa.array(names, pa.string()))
 
     out = agg.map_batches(attach, batch_format="pyarrow").to_pandas()
-    out["total_bal"] = out["total_bal"].round(4)
-    out["avg_bal"] = out["avg_bal"].round(4)
+    # DuckDB's // truncates toward zero (unlike Python's floor) — match it,
+    # balances can be negative
+    out["avg_bal_e4"] = np.trunc(
+        (out["total_bal_c"] * 100) / out["n_suppliers"]
+    ).astype(np.int64)
     return out.sort_values("s_nationkey").reset_index(drop=True)[
-        ["s_nationkey", "n_name", "total_bal", "avg_bal", "n_suppliers"]
+        ["s_nationkey", "n_name", "total_bal_c", "avg_bal_e4", "n_suppliers"]
     ]
 
 
 SUPPLIER_BALANCE_SQL = """
 SELECT s_nationkey,
        any_value(n_name) AS n_name,
-       round(sum(s_acctbal), 4) AS total_bal,
-       round(avg(s_acctbal), 4) AS avg_bal,
+       sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS total_bal_c,
+       (sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) * 100) // count(*) AS avg_bal_e4,
        count(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY s_nationkey

@@ -1,0 +1,155 @@
+"""Partitioned-groupby: the scale pattern for high-cardinality keys.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes Python once per GROUP.  For
+keys with millions of tiny groups (LSH buckets, pair dedup, exact dedup)
+that per-group overhead dominates wall-clock.  The fix: group by a
+*partition* of the key space — ``part = hash(key) % P`` — so the shuffle
+still co-locates every row of a key, but Python runs once per PARTITION and
+the per-key logic inside is vectorized pandas/numpy.
+
+P is a knob: at sandbox scale a few × cores; at cluster scale thousands
+(each partition must fit in a worker's heap).  Correctness is independent
+of P because the hash partition is a refinement-preserving map: key-equal
+rows always share a partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Vectorized 64-bit hash of the key columns.
+
+    MUST be process-deterministic: Python's builtin ``hash()`` is salted per
+    interpreter (PYTHONHASHSEED), so using it would scatter the same key
+    into different partitions from different workers and silently break
+    every partitioned groupby.  Strings use zlib.crc32 (C-speed,
+    deterministic); only partition spread is needed here, not 64-bit
+    collision resistance."""
+    import zlib
+
+    acc = np.zeros(t.num_rows, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = t[k]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                v = np.fromiter(
+                    (zlib.crc32(str(x).encode()) for x in col.to_pylist()),
+                    dtype=np.uint64, count=t.num_rows,
+                )
+            acc = (acc ^ v) * _MIX
+    return acc
+
+
+def partitioned_groupby(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Apply ``fn`` to each key-partition (a pandas DataFrame containing
+    complete key groups, possibly many).  ``fn`` must do its own per-key
+    logic vectorized (e.g. ``df.groupby(keys, sort=False)`` / sort + mask)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (_hash_cols(t, keys) % np.uint64(num_parts)).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        out = fn(g.drop(columns="__part"))
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(apply, batch_format="pandas")
+    )
+
+
+def partitioned_merge_str(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_cols: list[str],
+    right_cols: list[str],
+    left_on: str,
+    right_on: str,
+    how: str = "left",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Hash-partitioned equi-join for ALL-STRING frames via the partition
+    pattern: both sides get ``part = hash(key) % P`` and a side tag, the
+    union (schema-aligned by ''-padding the other side's columns) is grouped
+    by partition, and each partition does one vectorized ``pandas.merge``.
+    No join-actor pool, no per-group Python.  Non-key column names must be
+    disjoint between sides."""
+
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def tag(side: str, key: str, own_cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in own_cols:
+                    arrays.append(t[c].cast(pa.string()) if t[c].type != pa.string() else t[c])
+                else:
+                    arrays.append(pa.array([""] * n, pa.string()))
+            part = (_hash_cols(t, [key]) % np.uint64(num_parts)).astype(np.int32)
+            names += ["__part", "__side"]
+            arrays += [pa.array(part), pa.array([side] * n, pa.string())]
+            return pa.Table.from_arrays(arrays, names=names)
+
+        return f
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols]
+        r = g.loc[g["__side"] == "r", right_cols]
+        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+
+    u = left.map_batches(tag("l", left_on, left_cols), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_on, right_cols), batch_format="pyarrow")
+    )
+    return u.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
+def drop_duplicates(ds: rd.Dataset, keys: list[str], num_parts: int = 64) -> rd.Dataset:
+    """Global distinct-on-keys via the partition pattern (vectorized)."""
+    return partitioned_groupby(
+        ds, keys, lambda df: df.drop_duplicates(keys), num_parts
+    )
+
+
+def keep_first(ds: rd.Dataset, keys: list[str], order: list[str],
+               num_parts: int = 64) -> rd.Dataset:
+    """Exact dedup: first row per key group under ``order`` — vectorized
+    sort + drop_duplicates per partition (replaces per-group map_groups)."""
+    return partitioned_groupby(
+        ds,
+        keys,
+        lambda df: df.sort_values(order, kind="mergesort").drop_duplicates(keys),
+        num_parts,
+    )
+
+
+def filter_min_group_size(ds: rd.Dataset, keys: list[str], min_size: int,
+                          num_parts: int = 64) -> rd.Dataset:
+    """Keep only rows whose key group has ≥ min_size members (bucket
+    threshold, /root/reference/dupedb.py:331) — vectorized value_counts."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(keys, sort=False)[keys[0]].transform("size")
+        return df[sizes >= min_size]
+
+    return partitioned_groupby(ds, keys, f, num_parts)

@@ -57,6 +57,23 @@ def _argsort(g: pd.DataFrame, order) -> pd.DataFrame:
     return g.sort_values(cols, ascending=asc, kind="mergesort")
 
 
+def make_partition_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
+                           with_superstate: bool = False):
+    """Partition-level wrapper: one Python call per key-partition, looping
+    the per-cluster election over the (pre-threshold-filtered) clusters in
+    the partition — avoids Ray map_groups' per-group overhead when the
+    cluster count is large (see stages/partitioned.py)."""
+    resolve = make_resolve(cfg, cluster_col, with_superstate)
+
+    def resolve_partition(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [resolve(g) for _, g in df.groupby(cluster_col, sort=False)]
+        if not outs:
+            return resolve(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return resolve_partition
+
+
 def make_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
                  with_superstate: bool = False):
     """Group fn for ``groupby(cluster_col).map_groups``.

@@ -133,12 +133,15 @@ def verified_edges_from_fp(fp: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     """Verified near-dup edges (src < dst; may contain multi-band duplicates)
     plus overflow stats rows (src == ''), from a live fingerprint dataset."""
     if "cap" in channels:
+        # A pre-constructed instance (perm params computed once, ~2 KB)
+        # ships to every task — full task-pool width, unlike an actor pool
+        # whose lazy scale-up was measured to serialize this stage into
+        # 2 tasks.  Actor pools are reserved for genuinely heavy state
+        # (state/bandtable.py, pipelines/multimodal.py).
         fp = fp.map_batches(
-            CaptionSignatures,
-            fn_constructor_kwargs={"cfg": cfg},
+            CaptionSignatures(cfg),
             batch_format="pyarrow",
             batch_size=cfg.text_batch_size,
-            concurrency=(1, 8),
         )
     band_rows = fp.map_batches(
         make_banding(cfg, channels), batch_format="pyarrow", batch_size=cfg.text_batch_size
@@ -164,7 +167,14 @@ def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Da
 
 
 def extended_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
-    """(image_id, cluster_id) for every node in a verified near-dup component."""
+    """(image_id, cluster_id) for every node in a verified near-dup component.
+
+    Raw verified edges (multi-band duplicates included) feed CC directly:
+    connected_components tolerates duplicate edges — the driver base case
+    dedups implicitly in union-find, and the first star round's
+    per-partition ``drop_duplicates`` removes them after the adjacency
+    shuffle — so a dedicated global dedup shuffle here would only add an
+    extra sort."""
     edges = verified_edges(images, cfg).map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
         batch_format="pyarrow",

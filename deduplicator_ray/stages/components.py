@@ -1,29 +1,34 @@
-"""P6 — distributed connected components via iterative edge contraction.
+"""P6 — distributed connected components via alternating star contraction.
 
 The north-rule algorithm ("distributed union-find — iterative
-hash-partitioned edge contraction"; cf. the MapReduce CC family, Rastogi et
-al. ICDE 2013, and the two-phase contraction scheme of Kiveris et al.
-"Connected Components in MapReduce and Beyond", SoCC 2014 — public
-literature).  Plain min-label propagation converges in O(diameter) rounds,
-which is unbounded for chain-shaped near-dup components (measured: a
-caption-chained component at sf0.01 was still widening its wavefront after
-16 rounds).  Contraction instead shrinks the *graph* geometrically:
+hash-partitioned edge contraction").  We implement the alternating
+Large-Star / Small-Star scheme of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC 2014 — public literature), which is provably
+convergent in O(log² n) rounds and geometric in practice.  A first-cut
+min-label *edge relabeling* (A(v)=min(v,N(v)); E'={(A(u),A(v))}) was
+measured pathological on monotone chains — a 40-edge chain contracted by
+only ~1 edge per level because the min label of node cᵢ is cᵢ₋₁, so the
+chain re-emerges nearly intact.  Star contraction has no such case:
 
-  level k:
-    A_k(v)   = min(v, N(v))                 # one partitioned min-reduce
-    E_{k+1}  = {(A_k(u), A_k(v)) : (u,v) ∈ E_k, A_k(u) ≠ A_k(v)}
-               deduplicated                  # two partitioned merges + dedup
-  stop when E is empty (forest fully contracted) or ≤ cc_driver_edge_cap,
-  in which case the residual graph is collapsed with a driver-side
-  union-find (bounded memory by the cap — the geometric shrink makes the
-  residual tiny after 2-3 levels at any input scale);
-  then labels are composed back down: root(v) = R(A_1(A_2(...A_k(v)))),
-  one partitioned merge per level.
+  Large-Star (center u, neighbors Γ(u)):
+      m = min(Γ(u) ∪ {u});  emit (v, m) for every v ∈ Γ(u) with v > u
+  Small-Star (center u):
+      Γ⁻ = {v ∈ Γ(u) : v < u};  if Γ⁻ ≠ ∅: m = min(Γ⁻);
+      emit (u, m) and (v, m) for v ∈ Γ⁻ \ {m}
 
-Every shuffle is a partition-vectorized groupby (stages/partitioned.py) —
-no per-group Python, no join actors.  Node ids are the ``image_id`` strings
-themselves; cluster labels are the lexicographic-min member id (stable and
-collision-free — no integer id assignment, SURVEY.md §7.4.4).
+Each half-round is ONE hash-partitioned shuffle (group adjacency by center
+node, emit vectorized per partition — stages/partitioned.py).  Edges always
+connect *original* node ids (no supernode space), so there is no label
+composition phase: at the fixpoint the edge set IS the assignment — every
+edge points a member at its component's lexicographic-min id.  Fixpoint is
+detected by (count, order-independent checksum) equality across rounds;
+residual graphs at or below ``cc_driver_edge_cap`` collapse with a
+driver-side union-find (bounded memory base case, as in the paper's
+final local step).
+
+Node ids are the ``image_id`` strings themselves; cluster labels are the
+lexicographic-min member id (stable and collision-free — no integer id
+assignment, SURVEY.md §7.4.4).
 """
 
 from __future__ import annotations
@@ -43,8 +48,11 @@ from deduplicator_ray.functions.text import hash_strings_u64
 from deduplicator_ray.stages.partitioned import (
     drop_duplicates,
     partitioned_groupby,
-    partitioned_merge_str,
 )
+
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+_ASSIGN_SCHEMA = pa.schema([("image_id", pa.string()),
+                            ("cluster_id", pa.string())])
 
 
 def _checksum(assign: rd.Dataset) -> int:
@@ -64,65 +72,85 @@ def _checksum(assign: rd.Dataset) -> int:
     return sum(p["h"] for p in parts) % (1 << 64)
 
 
-def _min_label(edges: rd.Dataset, num_parts: int) -> rd.Dataset:
-    """A(v) = min(v, neighbors) over symmetrized edges — (node, label)."""
+def _edge_checksum(edges: rd.Dataset) -> int:
+    """Order-independent checksum over (src, dst) edge rows."""
 
-    def pairs(b: pa.Table) -> pa.Table:
-        src = b["src"].to_pylist()
-        dst = b["dst"].to_pylist()
-        return pa.Table.from_pydict(
-            {"node": src + dst + src, "label": dst + src + src},
-            schema=pa.schema([("node", pa.string()), ("label", pa.string())]),
-        )
+    def h(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_pylist()
+        dst = batch["dst"].to_pylist()
+        hv = hash_strings_u64([f"{a}\x00{b}" for a, b in zip(src, dst)])
+        with np.errstate(over="ignore"):
+            s = int(hv.sum(dtype=np.uint64))
+        return pa.Table.from_pydict({"h": [s - (1 << 63)]})
 
-    def minred(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["label"].min()
+    parts = edges.map_batches(h, batch_format="pyarrow").take_all()
+    return sum(p["h"] for p in parts) % (1 << 64)
 
-    return (
-        partitioned_groupby(edges.map_batches(pairs, batch_format="pyarrow"),
-                            ["node"], minred, num_parts)
-        .repartition(num_parts)
-        .materialize()
+
+def _symmetrize(b: pa.Table) -> pa.Table:
+    src = b["src"].to_pylist()
+    dst = b["dst"].to_pylist()
+    return pa.Table.from_pydict(
+        {"node": src + dst, "nbr": dst + src},
+        schema=pa.schema([("node", pa.string()), ("nbr", pa.string())]),
     )
 
 
-def _relabel(edges: rd.Dataset, assign: rd.Dataset, num_parts: int) -> rd.Dataset:
-    """E' = {(ℓ(src), ℓ(dst)) : ℓ(src) ≠ ℓ(dst)}, deduplicated + canonical
-    (src < dst)."""
-    j1 = partitioned_merge_str(
-        edges, assign.map_batches(
-            lambda b: pa.Table.from_pydict({"node": b["node"], "lsrc": b["label"]}),
-            batch_format="pyarrow"),
-        ["src", "dst"], ["node", "lsrc"], "src", "node", "inner", num_parts,
-    ).map_batches(
-        lambda b: pa.Table.from_pydict({"dst": b["dst"], "lsrc": b["lsrc"]}),
-        batch_format="pyarrow",
-    )
-    j2 = partitioned_merge_str(
-        j1, assign.map_batches(
-            lambda b: pa.Table.from_pydict({"node": b["node"], "ldst": b["label"]}),
-            batch_format="pyarrow"),
-        ["dst", "lsrc"], ["node", "ldst"], "dst", "node", "inner", num_parts,
-    )
+def _star_partition_fn(large: bool):
+    """Per-partition star step over complete adjacency groups (the
+    partitioned groupby guarantees every row of a center node lands in one
+    partition).  Fully vectorized pandas — no per-center Python."""
 
-    def canon(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["lsrc"].to_pylist(), dtype=object)
-        c = np.asarray(b["ldst"].to_pylist(), dtype=object)
-        keep = a != c
-        a, c = a[keep], c[keep]
-        lo = np.where(a < c, a, c)
-        hi = np.where(a < c, c, a)
-        return pa.Table.from_pydict(
-            {"src": lo.tolist(), "dst": hi.tolist()},
-            schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
-        )
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["node"] != df["nbr"]].drop_duplicates()
+        empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                              "dst": pd.Series([], dtype=object)})
+        if df.empty:
+            return empty
+        node = df["node"].to_numpy()
+        nbr = df["nbr"].to_numpy()
+        if large:
+            mn = df.groupby("node", sort=False)["nbr"].transform("min").to_numpy()
+            m = np.where(mn < node, mn, node)      # min(Γ(u) ∪ {u})
+            keep = nbr > node
+            out = pd.DataFrame({"src": nbr[keep], "dst": m[keep]})
+        else:
+            sub = df[df["nbr"] < df["node"]]
+            if sub.empty:
+                return empty
+            m = sub.groupby("node", sort=False)["nbr"].transform("min").to_numpy()
+            s_nbr = sub["nbr"].to_numpy()
+            leaf = pd.DataFrame({"src": s_nbr, "dst": m})
+            centers = sub.groupby("node", sort=False)["nbr"].min()
+            own = pd.DataFrame({"src": centers.index.to_numpy(),
+                                "dst": centers.to_numpy()})
+            out = pd.concat([leaf, own], ignore_index=True)
+        out = out[out["src"] != out["dst"]].drop_duplicates()
+        return out
 
-    return drop_duplicates(
-        j2.map_batches(canon, batch_format="pyarrow"), ["src", "dst"], num_parts
-    ).repartition(num_parts).materialize()
+    return f
 
 
-def _driver_union_find(edge_rows: list[dict]) -> dict[str, str]:
+def _star_half(E: rd.Dataset, num_parts: int, large: bool) -> rd.Dataset:
+    return partitioned_groupby(
+        E.map_batches(_symmetrize, batch_format="pyarrow"),
+        ["node"], _star_partition_fn(large), num_parts,
+    ).materialize()
+
+
+def _fetch_edges(E: rd.Dataset) -> tuple[list[str], list[str]]:
+    """Pull an edge dataset to the driver as two flat string lists via Arrow
+    batches.  NEVER ``take_all()`` here: its per-row dict conversion was
+    measured at ~50 s for 88 k rows where batch iteration takes 0.04 s."""
+    src: list[str] = []
+    dst: list[str] = []
+    for b in E.iter_batches(batch_size=None, batch_format="pyarrow"):
+        src.extend(b["src"].to_pylist())
+        dst.extend(b["dst"].to_pylist())
+    return src, dst
+
+
+def _driver_union_find(src: list[str], dst: list[str]) -> dict[str, str]:
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -133,12 +161,26 @@ def _driver_union_find(edge_rows: list[dict]) -> dict[str, str]:
             parent[x], x = root, parent[x]
         return root
 
-    for e in edge_rows:
-        ra, rb = find(e["src"]), find(e["dst"])
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in list(parent)}
+
+
+def _driver_assignment(src: list[str], dst: list[str]) -> rd.Dataset:
+    parent = _driver_union_find(src, dst)
+    nodes: set[str] = set()
+    for a, b in zip(src, dst):
+        if a != b:
+            nodes.add(a)
+            nodes.add(b)
+    ids = sorted(nodes)
+    return rd.from_arrow(pa.Table.from_pydict(
+        {"image_id": ids, "cluster_id": [parent.get(x, x) for x in ids]},
+        schema=_ASSIGN_SCHEMA,
+    ))
 
 
 def connected_components(
@@ -149,70 +191,67 @@ def connected_components(
     """edges: Dataset[(src: string, dst: string)] → Dataset[(image_id, cluster_id)].
 
     Tolerates duplicate/self edges.  Returns only nodes that appear in some
-    edge (singletons label themselves implicitly; callers union them back)."""
+    proper edge (singletons label themselves implicitly; callers union them
+    back).
+
+    The edge set is materialized ONCE at entry — the iterative algorithm
+    re-consumes it, and a lazy dataset would re-execute the entire upstream
+    decode/LSH/verify lineage on every consumption.  The edge table is
+    pairs-only (two string columns), orders of magnitude smaller than the
+    input corpus, and lives in the object store with spill — safe at any
+    scale.
+    """
     cfg = cfg or PipelineConfig()
     debug = bool(os.environ.get("DEDUP_CC_DEBUG"))
 
-    levels: list[rd.Dataset] = []
-    E = edges
-    root_map: dict[str, str] = {}
-    for level in range(cfg.cc_max_rounds):
+    E = edges.materialize()
+    n = E.count()
+    if n == 0:
+        return rd.from_arrow(pa.Table.from_pydict(
+            {"image_id": [], "cluster_id": []}, schema=_ASSIGN_SCHEMA))
+    if n <= cfg.cc_driver_edge_cap:
+        # local base case (paper's final step) applied at round 0: the edge
+        # set already fits the driver memory bound (2M edges ≈ 200 MB), so
+        # one union-find replaces the shuffle rounds.
+        return _driver_assignment(*_fetch_edges(E))
+
+    # scale the shuffle width to the live edge count so small residual
+    # graphs don't pay fixed per-partition task overhead
+    num_parts = int(min(num_partitions, max(2, n // 25_000 + 1)))
+
+    prev: tuple[int, int] | None = None
+    for rnd in range(cfg.cc_max_rounds):
         t0 = _time.time()
-        A = _min_label(E, num_partitions)
-        levels.append(A)
-        E = _relabel(E, A, num_partitions)
-        n_edges = E.count()
+        E = _star_half(E, num_parts, large=True)
+        E = _star_half(E, num_parts, large=False)
+        n = E.count()
         if debug:
-            print(f"[cc] level {level}: {n_edges} contracted edges "
-                  f"({_time.time() - t0:.1f}s)", file=sys.stderr, flush=True)
-        if n_edges == 0:
-            break
-        if n_edges <= cfg.cc_driver_edge_cap:
-            root_map = _driver_union_find(E.take_all())
-            break
+            print(f"[cc] round {rnd}: {n} edges ({_time.time() - t0:.1f}s)",
+                  file=sys.stderr, flush=True)
+        if n == 0:
+            return rd.from_arrow(pa.Table.from_pydict(
+                {"image_id": [], "cluster_id": []}, schema=_ASSIGN_SCHEMA))
+        if n <= cfg.cc_driver_edge_cap:
+            return _driver_assignment(*_fetch_edges(E))
+        cur = (n, _edge_checksum(E))
+        if cur == prev:
+            break  # star fixpoint: every edge is (member, component_min)
+        prev = cur
     else:
         raise RuntimeError(
-            f"connected_components did not contract within {cfg.cc_max_rounds} "
-            "levels — raise cc_max_rounds or cc_driver_edge_cap"
+            f"connected_components did not converge within {cfg.cc_max_rounds} "
+            "rounds — raise cc_max_rounds or cc_driver_edge_cap"
         )
 
-    # compose labels downward: root(v) = R(A_k(...A_1(v)))
-    # R as a dataset over the top level's label space
-    if root_map:
-        R = rd.from_arrow(pa.Table.from_pydict(
-            {"rnode": list(root_map), "root": list(root_map.values())},
-            schema=pa.schema([("rnode", pa.string()), ("root", pa.string())]),
-        ))
-    else:
-        R = None
+    # fixpoint edge set IS the assignment: (src → dst) ∪ (dst → dst)
+    def to_assign(b: pa.Table) -> pa.Table:
+        src = b["src"].to_pylist()
+        dst = b["dst"].to_pylist()
+        return pa.Table.from_pydict(
+            {"image_id": src + dst, "cluster_id": dst + dst},
+            schema=_ASSIGN_SCHEMA)
 
-    # walk levels top-down, rewriting each level's labels to final roots
-    assign = levels[-1]
-    if R is not None:
-        assign = partitioned_merge_str(
-            assign, R, ["node", "label"], ["rnode", "root"],
-            "label", "rnode", "left", num_partitions,
-        ).map_batches(_fill_root, batch_format="pandas")
-    for A in reversed(levels[:-1]):
-        assign = partitioned_merge_str(
-            A, assign.map_batches(
-                lambda b: pa.Table.from_pydict({"unode": b["node"], "root": b["label"]}),
-                batch_format="pyarrow"),
-            ["node", "label"], ["unode", "root"],
-            "label", "unode", "left", num_partitions,
-        ).map_batches(_fill_root, batch_format="pandas")
-
-    return assign.map_batches(
-        lambda b: pa.Table.from_pydict(
-            {"image_id": b["node"], "cluster_id": b["label"]}
-        ),
-        batch_format="pyarrow",
+    return drop_duplicates(
+        E.map_batches(to_assign, batch_format="pyarrow"),
+        ["image_id"], num_parts,
     )
-
-
-def _fill_root(df: pd.DataFrame) -> pd.DataFrame:
-    """After a left merge of (node,label) with an upper-level root map,
-    label := root where found, else keep label (it was already a root)."""
-    root = df["root"] if "root" in df else pd.Series([None] * len(df))
-    lab = df["label"].where(root.isna() | (root == ""), root)
-    return pd.DataFrame({"node": df["node"], "label": lab})

@@ -164,3 +164,48 @@ def test_extended_decisions_shape(images_ds):
     keeps = dec[dec.action == "keep"]
     renamed = keeps[keeps.rename_to != ""]
     assert renamed["rename_to"].str.match(r"^[0-9a-f]{16}_[0-9A-F]{8}\.\w+$").all()
+
+
+def test_distributed_cc_contraction_path():
+    """Force the multi-level edge-contraction path (cc_driver_edge_cap=0 makes
+    the driver base case unreachable) on an adversarial graph — a long chain
+    (O(diameter) for plain label propagation), two cliques bridged to it,
+    duplicate and self edges — and require exact agreement with the
+    single-process union-find oracle."""
+    import dataclasses
+
+    import ray.data as rd
+    from deduplicator_ray.stages.components import connected_components
+
+    edges = []
+    chain = [f"c{i:03d}" for i in range(40)]
+    edges += list(zip(chain, chain[1:]))
+    kq = [f"k{i}" for i in range(6)]
+    edges += [(a, b) for i, a in enumerate(kq) for b in kq[i + 1:]]
+    edges += [("k0", "c000")]                     # bridge clique→chain
+    edges += [("z1", "z2"), ("z2", "z3")]         # separate small component
+    edges += [("c005", "c004"), ("z3", "z3")]     # reversed dup + self edge
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+
+    cfg = dataclasses.replace(PipelineConfig(), cc_driver_edge_cap=0)
+    got = connected_components(ds, cfg, num_partitions=4).to_pandas()
+    want = oracle.connected_components(
+        {(min(a, b), max(a, b)) for a, b in edges if a != b})
+    assert dict(zip(got["image_id"], got["cluster_id"])) == want
+
+
+def test_cc_empty_and_driver_base_case():
+    import ray.data as rd
+    import pyarrow as pa
+    from deduplicator_ray.stages.components import connected_components
+
+    empty = rd.from_arrow(pa.Table.from_pydict(
+        {"src": [], "dst": []},
+        schema=pa.schema([("src", pa.string()), ("dst", pa.string())])))
+    out = connected_components(empty, CFG).to_pandas()
+    assert len(out) == 0  # ray drops column metadata on empty to_pandas
+
+    ds = rd.from_items([{"src": "a", "dst": "b"}, {"src": "b", "dst": "c"}])
+    out = connected_components(ds, CFG).to_pandas()
+    assert dict(zip(out["image_id"], out["cluster_id"])) == {
+        "a": "a", "b": "a", "c": "a"}

@@ -120,6 +120,52 @@ def _docs_fingerprints(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _mm_resize(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.multimodal import resize_pipeline
+
+    out = resize_pipeline(ip.load_images(sf_dir, _cfg()), 32, 32)
+    df = out.select_columns(
+        ["image_id", "w", "h", "fmt", "resize_status"]).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def _mm_features(sf_dir: str):
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.multimodal import feature_pipeline
+
+    import numpy as np
+
+    out = feature_pipeline(ip.load_images(sf_dir, _cfg())).to_pandas()
+    # hash-stable projection: micro-rounded scalars, list cols dropped
+    out["edge_e3"] = np.floor(out["edge_density"].to_numpy() * 1e3 + 0.5).astype("int64")
+    return out[["image_id", "edge_e3", "feat_status"]].sort_values(
+        "image_id").reset_index(drop=True)
+
+
+def _mm_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing over synthetic video rows (the decode
+    kernel is stubbed; fake=True drives the deterministic fake decoder)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.multimodal import FrameSample
+
+    head = ip.load_images(sf_dir, _cfg()).limit(64).to_pandas()
+    vids = pa.Table.from_pydict({
+        "image_id": head["image_id"].tolist(),
+        "bytes": [b""] * len(head),
+        "fmt": ["mp4"] * len(head),
+    })
+    out = rd.from_arrow(vids).map_batches(
+        FrameSample, fn_constructor_kwargs={"n_frames": 2, "fake": True},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    ).to_pandas()
+    return out[["image_id", "frame_idx", "w", "h", "fmt", "status"]].sort_values(
+        ["image_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _ann_ivf_topk(sf_dir: str):
     import os
 
@@ -153,6 +199,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q.ann_cosine_topk,
         "part_brand_revenue": q.part_brand_revenue,
         "supplier_balance": q.supplier_balance,
+        "nation_revenue": q.nation_revenue,
+        "orders_topk_per_group": q.orders_topk_per_group,
+        "events_sessionize": q.events_sessionize,
+        "lineitem_shipdate_head": q.lineitem_shipdate_head,
+        "emb_near_dup": q.emb_near_dup,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_decisions": _img_reference_decisions,
@@ -160,6 +211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_extended_clusters": _img_extended_clusters,
         "img_dead_letter": _img_dead_letter,
         "img_validate_phash": _img_validate_phash,
+        # multimodal plumbing stages (actor pools; decode stubs documented)
+        "mm_resize": _mm_resize,
+        "mm_features": _mm_features,
+        "mm_frame_sample": _mm_frame_sample,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_simhash_pairs": _docs_simhash_pairs,
@@ -183,4 +238,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": q.ANN_COSINE_TOPK_SQL,
         "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
         "supplier_balance": q.SUPPLIER_BALANCE_SQL,
+        "nation_revenue": q.NATION_REVENUE_SQL,
+        "orders_topk_per_group": q.ORDERS_TOPK_PER_GROUP_SQL,
+        "events_sessionize": q.EVENTS_SESSIONIZE_SQL,
+        "lineitem_shipdate_head": q.LINEITEM_SHIPDATE_HEAD_SQL,
+        "emb_near_dup": q.EMB_NEAR_DUP_SQL,
     }

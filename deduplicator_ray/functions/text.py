@@ -46,10 +46,10 @@ def _poly_hash_windows(codes: np.ndarray, k: int) -> np.ndarray:
         codes = np.pad(codes, (0, k - len(codes)), constant_values=0)
     win = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint64)
     powers = np.empty(k, np.uint64)
-    p = np.uint64(1)
+    p = 1  # Python int: wraparound applied explicitly (no numpy overflow warning)
     for i in range(k - 1, -1, -1):
-        powers[i] = p
-        p = p * _B
+        powers[i] = np.uint64(p)
+        p = (p * int(_B)) & 0xFFFFFFFFFFFFFFFF
     with np.errstate(over="ignore"):
         return (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
 

@@ -438,3 +438,249 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY s_nationkey
 ORDER BY s_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# q_nation_revenue — multi-way join (TPC-H Q5 shape): big⋈big partitioned
+# hash join lineitem⋈orders on orderkey, then two broadcast dimension hops
+# (customer→nationkey, nation→name) via ray.put lookups instead of shuffles.
+# Scale note: customer is broadcast here because the testdata dimension is
+# small; at 10^12-fact scale with a large customer dim, swap the broadcast
+# for a second partitioned join on o_custkey — the aggregate stays the same.
+
+
+def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                cust["c_nationkey"].to_pylist())))
+    nation_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100 + 0.5)
+        disc = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100 + 0.5)
+        rev = (cents * (100 - disc)).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                           "rev_e4": rev})
+        g = df.groupby("l_orderkey", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    joined = li_agg.join(orders, join_type="inner", num_partitions=num_partitions,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        nk = [lookup.get(ck, -1) for ck in t["o_custkey"].to_pylist()]
+        df = pd.DataFrame({"n_nationkey": nk,
+                           "rev_e4": t["rev_e4"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("n_nationkey", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(to_nation, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+    df = agg.to_pandas()
+    df["n_name"] = [nation_name.get(k, "") for k in df["n_nationkey"]]
+    df = df.sort_values("n_nationkey").reset_index(drop=True)
+    return df[["n_nationkey", "n_name", "revenue_e4"]]
+
+
+NATION_REVENUE_SQL = """
+SELECT c_nationkey AS n_nationkey,
+       any_value(n_name) AS n_name,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_orders_topk_per_group — grouped top-k (window-rank shape): top 3 orders
+# by totalprice within each o_orderpriority.  The key cardinality is tiny
+# (5 priorities) so a partitioned groupby would skew; instead each batch
+# emits its local top-3 per priority (combiner) and the surviving ≤ 3·B rows
+# collapse in one final per-group pass.
+
+
+def orders_topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["price_c"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = df.sort_values(["o_orderpriority", "price_c", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("o_orderpriority", sort=False).head(k)
+        return pa.Table.from_pandas(
+            out[["o_orderpriority", "o_orderkey", "price_c"]], preserve_index=False)
+
+    reduced = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "price_c", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("o_orderpriority", sort=False).head(k).copy()
+        out["rank"] = out.groupby("o_orderpriority", sort=False).cumcount() + 1
+        return out
+
+    # the combiner leaves ≤ k rows per priority per batch — tiny; one
+    # single-partition pass finishes it deterministically
+    out = reduced.repartition(1).map_batches(final_topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_orderpriority", "rank"]).reset_index(drop=True)[
+        ["o_orderpriority", "rank", "o_orderkey", "price_c"]]
+
+
+ORDERS_TOPK_PER_GROUP_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, price_c
+FROM (SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                         o_orderkey) AS rank
+      FROM orders)
+WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_sessionize — stateful streaming-window analog: per-user session
+# assignment with a 30-minute inactivity gap.  Partitioned groupby on
+# user_id; inside each partition the gap/cumsum logic is fully vectorized
+# (sort by (user, ts) → diff → break mask → cumsum).  SQL mirror uses
+# lag()/sum() windows.
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        ts = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_user = np.empty(len(df), bool)
+        new_user[0:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(len(df), bool)
+        gap_break[0:1] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = new_user | gap_break
+        out = pd.DataFrame({"user_id": uid, "start": starts})
+        g = out.groupby("user_id", as_index=False).agg(
+            n_sessions=("start", "sum"), n_events=("start", "size"))
+        g["n_sessions"] = g["n_sessions"].astype(np.int64)
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    out = partitioned_groupby(ds, ["user_id"], sessions, num_parts=16).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       sum(is_start) AS n_sessions,
+       count(*) AS n_events
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_lineitem_shipdate_head — global sort + limit: the earliest 100 shipments
+# under a fully deterministic key.
+
+
+def lineitem_shipdate_head(sf_dir: str, n: int = 100) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_orderkey", "l_linenumber"])
+    out = ds.sort(["l_shipdate", "l_orderkey", "l_linenumber"]).limit(n).to_pandas()
+    return out[["l_shipdate", "l_orderkey", "l_linenumber"]]
+
+
+LINEITEM_SHIPDATE_HEAD_SQL = """
+SELECT l_shipdate, l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY l_shipdate, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_emb_near_dup — embedding-cosine near-duplicate pairs.  The baseline
+# scale path: normalize once per batch, matmul against the broadcast
+# normalized matrix (ray.put once, read per task — NOT re-shipped per
+# batch), emit pairs (a < b) above threshold.  O(n²/P) flops distributed
+# over batches; the IVF-bucketed variant for larger n lives in
+# functions/vector.py (ann_ivf_topk).  cos is emitted as integer
+# micro-cosine on both sides so the driver value-hash is float-stable.
+
+
+def emb_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids_all, mat))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mat_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        vecs = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ m.T
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(len(ids)):
+            mask = (sims[i] >= threshold) & (all_ids > ids[i])
+            js = np.nonzero(mask)[0]
+            rows_a.extend([int(ids[i])] * len(js))
+            rows_b.extend(all_ids[js].tolist())
+            rows_c.extend(np.floor(sims[i][js] * 1e6 + 0.5).astype(np.int64).tolist())
+        return pa.Table.from_pydict(
+            {"va": rows_a, "vb": rows_b, "cos_e6": rows_c},
+            schema=pa.schema([("va", pa.int64()), ("vb", pa.int64()),
+                              ("cos_e6", pa.int64())]))
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024).to_pandas()
+    return out.sort_values(["va", "vb"]).reset_index(drop=True)
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1e6 + 0.5)
+            AS BIGINT) AS cos_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+ORDER BY va, vb
+"""

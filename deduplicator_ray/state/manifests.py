@@ -140,7 +140,12 @@ def checkpoint_fingerprints(
 
     if not out_dirs:
         raise RuntimeError("no shards completed yet (max_shards=0?)")
-    return rd.read_parquet(out_dirs)
+    # read_parquet expands a single directory but not a LIST of directories —
+    # enumerate the shard files explicitly
+    files = sorted(
+        f for d in out_dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    return rd.read_parquet(files)
 
 
 def write_stage_manifest(out_dir: str, stage: str, cfg: PipelineConfig,

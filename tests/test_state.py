@@ -1,0 +1,138 @@
+"""Checkpoint/resume manifests (state/manifests.py) and the BandIndex actor
+pool (state/bandtable.py) — the north-rule resumability + stateful-stage
+surfaces."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deduplicator_ray import fixtures
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.state import manifests
+from deduplicator_ray.state.bandtable import BandIndex
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def sharded_corpus(tmp_path_factory, sf_small):
+    """Three small parquet shards split off the sf0.001 fixture corpus."""
+    src = pq.read_table(fixtures.images_path(sf_small, CFG.hash_size))
+    d = tmp_path_factory.mktemp("corpus")
+    n = src.num_rows
+    cut1, cut2 = n // 3, 2 * n // 3
+    for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n)]):
+        pq.write_table(src.slice(lo, hi - lo), os.path.join(d, f"shard-{i}.parquet"))
+    return str(d)
+
+
+def _all_ids(ds):
+    return sorted(ds.to_pandas()["image_id"])
+
+
+def test_checkpoint_resume_after_partial_run(sharded_corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulated crash: only 1 missing shard is allowed to complete
+    partial = manifests.checkpoint_fingerprints(sharded_corpus, ckpt, CFG, max_shards=1)
+    assert len(manifests.completed_shards(ckpt)) == 1
+    n_partial = partial.count()
+
+    # resume: finishes the remaining shards, does NOT recompute shard 0
+    man0_before = manifests.load_manifest(ckpt, "shard-0")
+    full = manifests.checkpoint_fingerprints(sharded_corpus, ckpt, CFG)
+    man0_after = manifests.load_manifest(ckpt, "shard-0")
+    assert man0_before == man0_after  # untouched on resume (incl. wall_s)
+    assert len(manifests.completed_shards(ckpt)) == 3
+    assert full.count() > n_partial
+
+    # checkpointed output == direct computation over the same corpus
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.image_dedup import fingerprints
+
+    direct = fingerprints(rd.read_parquet(sharded_corpus), CFG)
+    assert _all_ids(full) == _all_ids(direct)
+
+
+def test_checkpoint_invalidation_on_config_and_input_change(sharded_corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    manifests.checkpoint_fingerprints(sharded_corpus, ckpt, CFG)
+    wall0 = {m["shard"]: m["wall_s"] for m in manifests.completed_shards(ckpt)}
+
+    # config drift invalidates every shard (config_hash mismatch): with
+    # max_shards=0 nothing may be reused and nothing recomputed → error
+    cfg2 = dataclasses.replace(CFG, hamming_max=CFG.hamming_max + 1)
+    with pytest.raises(RuntimeError, match="no shards completed"):
+        manifests.checkpoint_fingerprints(sharded_corpus, ckpt, cfg2, max_shards=0)
+
+    # mutating ONE input shard invalidates exactly that shard
+    shard1 = os.path.join(sharded_corpus, "shard-1.parquet")
+    t = pq.read_table(shard1)
+    pq.write_table(t.slice(0, t.num_rows - 1), shard1)
+    os.utime(shard1, (0, 0))
+    manifests.checkpoint_fingerprints(sharded_corpus, ckpt, CFG)
+    wall1 = {m["shard"]: m["wall_s"] for m in manifests.completed_shards(ckpt)}
+    assert wall1["shard-0"] == wall0["shard-0"]  # untouched
+    assert wall1["shard-2"] == wall0["shard-2"]  # untouched
+    assert wall1["shard-1"] != wall0["shard-1"]  # recomputed
+
+
+def test_checkpoint_manifest_contents(sharded_corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    manifests.checkpoint_fingerprints(sharded_corpus, ckpt, CFG)
+    for m in manifests.completed_shards(ckpt):
+        assert m["stage"] == manifests.STAGE_FINGERPRINT
+        assert m["status"] == "ok"
+        assert m["config_hash"] == CFG.config_hash()
+        assert m["row_count"] > 0
+        assert m["n_errors"] >= 0
+        assert m["wall_s"] >= 0
+
+
+def test_band_index_matches_shuffle_candidates(sf_small):
+    """The actor-pool band index must produce exactly the candidate set the
+    batch shuffle path produces: ids sharing ≥1 band bucket."""
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.image_dedup import _live, fingerprints
+    from deduplicator_ray.stages.banding import make_banding
+
+    fp = _live(
+        fingerprints(rd.read_parquet(fixtures.images_path(sf_small, CFG.hash_size)), CFG),
+        CFG,
+    ).to_pandas().head(200)
+
+    idx = BandIndex(CFG, num_shards=3)
+    idx.add_batch(list(zip(fp["image_id"], (int(x) & (2**64 - 1) for x in fp["dhash"]),
+                           fp["caption"])))
+
+    # shuffle-path band rows for the same records (signatures + banding)
+    from deduplicator_ray.stages.signatures import CaptionSignatures
+
+    tbl = CaptionSignatures(CFG)(pa.Table.from_pandas(fp, preserve_index=False))
+    band_rows = make_banding(CFG, ("img", "cap"))(tbl).to_pandas()
+    buckets: dict[tuple, set] = {}
+    for _, r in band_rows.iterrows():
+        buckets.setdefault((r["band"], r["key"]), set()).add(r["image_id"])
+
+    expect: dict[str, set] = {i: set() for i in fp["image_id"]}
+    for members in buckets.values():
+        for a in members:
+            expect[a] |= members - {a}
+
+    for _, r in fp.head(50).iterrows():
+        got = idx.candidates(int(r["dhash"]) & (2**64 - 1), r["caption"],
+                             exclude=r["image_id"])
+        assert got == expect[r["image_id"]], r["image_id"]
+
+    stats = idx.stats()
+    assert sum(s["n_entries"] for s in stats) > 0
+    assert all(s["n_buckets"] > 0 for s in stats)  # routing spreads shards

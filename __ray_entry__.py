@@ -95,6 +95,20 @@ def _docs_dup_pairs(sf_dir: str):
     return doc_dup_pairs(ds, _cfg()).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _docs_clusters(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.doc_dedup import doc_clusters
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = doc_clusters(ds, _cfg()).to_pandas()
+    out = out.rename(columns={"image_id": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_simhash_pairs(sf_dir: str):
     import os
 
@@ -204,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
+        "docs_jaccard_pairs": q.docs_jaccard_pairs,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_decisions": _img_reference_decisions,
@@ -217,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_sample": _mm_frame_sample,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
+        "docs_clusters": _docs_clusters,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_fingerprints": _docs_fingerprints,
         # approximate vector search
@@ -243,4 +259,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": q.EVENTS_SESSIONIZE_SQL,
         "lineitem_shipdate_head": q.LINEITEM_SHIPDATE_HEAD_SQL,
         "emb_near_dup": q.EMB_NEAR_DUP_SQL,
+        "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
     }

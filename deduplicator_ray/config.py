@@ -38,6 +38,9 @@ class PipelineConfig:
     # --- skew / scale controls (SURVEY.md §7.4)
     band_group_cap: int = 256       # max members considered per LSH bucket; extras
                                     # deterministically sampled + logged, never silent
+    img_rep_cap: int = 8192         # rep-verify width for hot image buckets after
+                                    # exact-hash collapse (Hamming verify is a
+                                    # vectorized popcount — 8k² ≈ 67M ops ≈ cheap)
     salt_buckets: int = 8           # sub-buckets for salted hot bands
 
     # --- connected components (iterative edge contraction, stages/components.py)

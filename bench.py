@@ -102,11 +102,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Strong scaling on the dedicated compute-dominant corpus (sfscale,
-    ~465k images): same input, fresh ray sessions at 8 and 32 cpus.  The
-    sf0.1-matched job carries too little compute (~140 core-s) for a
-    fixed-input comparison to measure anything but scheduler latency."""
-    scale_dir = os.environ.get("GRAFT_SCALE_DIR", "sfscale")
+    """Strong scaling on the dedicated compute-dominant corpus (sfscale3,
+    ~1.4M images, 8.2 GB): same input, fresh ray sessions at 8 and 32 cpus.
+    The sf0.1-matched job carries too little compute (~140 core-s) for a
+    fixed-input comparison to measure anything but fixed scheduler/shuffle
+    latency (~20 s), which bounds efficiency at ~0.6 regardless of the
+    engine; at ~2000 core-s the compute dominates and the measurement
+    reflects the pipeline's actual scaling."""
+    scale_dir = os.environ.get("GRAFT_SCALE_DIR", "sfscale3")
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir,

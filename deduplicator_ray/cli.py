@@ -1,0 +1,118 @@
+"""Job entry point — the ``ray job submit`` surface (north-rule requirement).
+
+Runs the dedup pipelines end-to-end over a corpus directory and writes
+resumable, partitioned Parquet artifacts plus per-stage manifests:
+
+    ray job submit -- python -m deduplicator_ray.cli extended \\
+        --input /data/images --output /data/out [--resume]
+
+    python -m deduplicator_ray.cli reference --input ... --output ...
+
+Stages and artifacts (all under --output):
+
+    fingerprints/<shard>/*.parquet   per-input-shard checkpoint (resumable:
+                                     a re-run skips shards whose manifest
+                                     matches config hash + input digest —
+                                     state/manifests.py)
+    clusters/*.parquet               (image_id, cluster_id)
+    decisions/*.parquet              keeper/delete/rename decision table
+    _manifests/, _<stage>_manifest.json   lineage + metrics
+
+The script owns no Ray session when launched via ``ray job submit`` (the
+job driver initializes Ray); standalone runs auto-init guarded by
+``ray.is_initialized()``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import ray
+
+
+def _ensure_ray() -> None:
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
+        hash_size: int = 8) -> dict:
+    _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.compute as pc
+
+    from deduplicator_ray import tuning
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import manifests
+    from deduplicator_ray.stages.components import connected_components
+
+    tuning.tune()
+    cfg = PipelineConfig(hash_size=hash_size)
+    metrics: dict = {"mode": mode, "input": input_dir, "resume": resume}
+    t_all = time.time()
+
+    # stage 1 — fingerprints, checkpointed per input shard (resume surface)
+    ckpt = os.path.join(output_dir, "fingerprints")
+    t0 = time.time()
+    if resume:
+        fp = manifests.checkpoint_fingerprints(input_dir, ckpt, cfg)
+    else:
+        import ray.data as rd
+
+        fp = ip.fingerprints(rd.read_parquet(input_dir), cfg)
+    fp = ip._live(fp, cfg)
+    metrics["fingerprint_wall_s"] = round(time.time() - t0, 3)
+
+    if mode == "reference":
+        t0 = time.time()
+        dec = ip.reference_decisions_from_fp(fp, cfg)
+        dec.write_parquet(os.path.join(output_dir, "decisions"))
+        metrics["decisions_wall_s"] = round(time.time() - t0, 3)
+    else:
+        # stage 2-4 — signatures → banding → verify → CC
+        t0 = time.time()
+        edges = ip.verified_edges_from_fp(fp, cfg)
+        stats = edges.map_batches(
+            lambda t: t.filter(pc.equal(t["src"], "")).select(["overflow"]),
+            batch_format="pyarrow",
+        )
+        real = edges.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+            batch_format="pyarrow",
+        )
+        clusters = connected_components(real, cfg)
+        clusters.write_parquet(os.path.join(output_dir, "clusters"))
+        overflow = stats.to_pandas()
+        metrics["cluster_wall_s"] = round(time.time() - t0, 3)
+        metrics["n_overflow_buckets"] = int(len(overflow))
+        metrics["max_overflow_bucket"] = int(overflow["overflow"].max()) if len(overflow) else 0
+
+    metrics["total_wall_s"] = round(time.time() - t_all, 3)
+    manifests.write_stage_manifest(output_dir, f"job_{mode}", cfg, metrics)
+    return metrics
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
+    p.add_argument("mode", choices=["reference", "extended"])
+    p.add_argument("--input", required=True, help="directory of input parquet shards")
+    p.add_argument("--output", required=True, help="output directory for artifacts")
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute everything (skip shard checkpoints)")
+    p.add_argument("--hash-size", type=int, default=8)
+    a = p.parse_args(argv)
+    m = run(a.mode, a.input, a.output, resume=not a.no_resume,
+            hash_size=a.hash_size)
+    print(json.dumps(m))
+
+
+if __name__ == "__main__":
+    main()

@@ -306,7 +306,8 @@ SF_GROUPS = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 16000,
              # fixed-input 8→32-cpu comparison measures scheduler latency,
              # not scaling; 8× the rows makes compute dominate while staying
              # ~2.8 GB on disk
-             "sfscale": 128000}
+             "sfscale": 128000,
+             "sfscale3": 384000}
 
 
 def sf_name(sf_dir: str) -> str:

@@ -113,7 +113,12 @@ def reference_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG)
 def reference_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Decision table of the reference delete pipeline: per exact-dhash
     bucket, keeper + deletions + rename target."""
-    fp = _live(fingerprints(images, cfg), cfg)
+    return reference_decisions_from_fp(_live(fingerprints(images, cfg), cfg), cfg)
+
+
+def reference_decisions_from_fp(fp: rd.Dataset,
+                                cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Same, from an already-live fingerprint dataset (cli.py job path)."""
 
     def add_cluster(t: pa.Table) -> pa.Table:
         return t.append_column("cluster_id", pc.cast(t["dhash_hex"], pa.string()))

@@ -119,17 +119,29 @@ def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
                 a, b = ids[i], ids[i + 1 + j]
                 edges.append((a, b) if a < b else (b, a))
     else:
+        # Verify order matters: exact Jaccard runs first and band keys
+        # (MinHash recompute) are derived LAZILY only for pairs that pass —
+        # the eager variant (owner check first) recomputes signatures for
+        # every multi-bucket member in every partition it lands in, which
+        # measured SLOWER (68 s vs 37 s wall at 465k images).  The length-
+        # ratio bound jac ≤ min(|A|,|B|)/max(|A|,|B|) rejects chance
+        # collisions before any set intersection.
         sh = [cache.sh(c) for c in caps]
+        jmin = cfg.jaccard_min
         for i in range(k - 1):
             si = sh[i]
             for j in range(i + 1, k):
                 sj = sh[j]
-                if len(si) == 0 and len(sj) == 0:
+                la, lb = len(si), len(sj)
+                if la == 0 and lb == 0:
                     jac = 1.0
                 else:
+                    lo, hi = (la, lb) if la < lb else (lb, la)
+                    if lo < jmin * hi:
+                        continue  # length bound: jac ≤ lo/hi < threshold
                     inter = len(np.intersect1d(si, sj, assume_unique=True))
-                    jac = inter / (len(si) + len(sj) - inter)
-                if jac < cfg.jaccard_min:
+                    jac = inter / (la + lb - inter)
+                if jac < jmin:
                     continue
                 # image channel owns Hamming-verified pairs — but only when
                 # an image channel exists: dhash==0 rows are either filtered

@@ -138,6 +138,34 @@ def _star_half(E: rd.Dataset, num_parts: int, large: bool) -> rd.Dataset:
     ).materialize()
 
 
+def _local_contract(b: pa.Table) -> pa.Table:
+    """Shuffle-free block-local contraction: union-find over the block's
+    edges, emit one (member → local_root) star edge per non-root member.
+
+    Verified edges arrive grouped by band bucket, so a k-member clique or
+    multi-band duplicate stream is usually co-located in one block; the
+    local pass collapses it to k-1 edges before the expensive global
+    adjacency shuffle.  Connectivity is preserved exactly: every member
+    keeps an edge to its block-local root, and a node spanning blocks
+    bridges its local roots.  (Kiveris et al. §local-contraction.)"""
+    src = b["src"].to_pylist()
+    dst = b["dst"].to_pylist()
+    parent = _driver_union_find(src, dst)
+    nodes: set[str] = set()
+    for a, c in zip(src, dst):
+        if a != c:
+            nodes.add(a)
+            nodes.add(c)
+    out_s, out_d = [], []
+    for x in nodes:
+        r = parent.get(x, x)
+        if r != x:
+            out_s.append(x)
+            out_d.append(r)
+    return pa.Table.from_pydict({"src": out_s, "dst": out_d},
+                                schema=_EDGE_SCHEMA)
+
+
 def _fetch_edges(E: rd.Dataset) -> tuple[list[str], list[str]]:
     """Pull an edge dataset to the driver as two flat string lists via Arrow
     batches.  NEVER ``take_all()`` here: its per-row dict conversion was
@@ -213,6 +241,17 @@ def connected_components(
         # local base case (paper's final step) applied at round 0: the edge
         # set already fits the driver memory bound (2M edges ≈ 200 MB), so
         # one union-find replaces the shuffle rounds.
+        return _driver_assignment(*_fetch_edges(E))
+
+    # shuffle-free local contraction first: collapses co-located cliques /
+    # duplicate streams per block (measured 5.6M → ~1M edges on the 465k-
+    # image corpus) so the global rounds — or the base case — see a far
+    # smaller graph
+    E = E.map_batches(_local_contract, batch_format="pyarrow").materialize()
+    n = E.count()
+    if debug:
+        print(f"[cc] local contraction: {n} edges", file=sys.stderr, flush=True)
+    if n <= cfg.cc_driver_edge_cap:
         return _driver_assignment(*_fetch_edges(E))
 
     # scale the shuffle width to the live edge count so small residual

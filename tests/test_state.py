@@ -136,3 +136,40 @@ def test_band_index_matches_shuffle_candidates(sf_small):
     stats = idx.stats()
     assert sum(s["n_entries"] for s in stats) > 0
     assert all(s["n_buckets"] > 0 for s in stats)  # routing spreads shards
+
+
+def test_cli_job_end_to_end_and_resume(sharded_corpus, tmp_path):
+    """The ray-job entry point: extended job writes clusters + manifests,
+    and a re-run reuses every fingerprint shard (resume)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray import cli
+
+    out = str(tmp_path / "job_out")
+    m1 = cli.run("extended", sharded_corpus, out)
+    assert m1["total_wall_s"] > 0
+    assert os.path.isdir(os.path.join(out, "clusters"))
+    clusters = rd.read_parquet(os.path.join(out, "clusters")).to_pandas()
+    assert len(clusters) > 0
+    assert set(clusters.columns) == {"image_id", "cluster_id"}
+
+    with open(os.path.join(out, "_job_extended_manifest.json")) as f:
+        man = json.load(f)
+    assert man["stage"] == "job_extended"
+    assert man["config_hash"] == CFG.config_hash()
+
+    # resume run: all 3 shards reused, fingerprints not recomputed
+    wall0 = {m["shard"]: m["wall_s"]
+             for m in manifests.completed_shards(os.path.join(out, "fingerprints"))}
+    m2 = cli.run("extended", sharded_corpus, out)
+    wall1 = {m["shard"]: m["wall_s"]
+             for m in manifests.completed_shards(os.path.join(out, "fingerprints"))}
+    assert wall0 == wall1
+
+    # reference mode writes a decision table
+    out2 = str(tmp_path / "job_ref")
+    cli.run("reference", sharded_corpus, out2)
+    dec = rd.read_parquet(os.path.join(out2, "decisions")).to_pandas()
+    assert (dec.groupby("cluster_id")["action"]
+            .apply(lambda s: (s == "keep").sum()) == 1).all()

@@ -126,12 +126,29 @@ def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
         # measured SLOWER (68 s vs 37 s wall at 465k images).  The length-
         # ratio bound jac ≤ min(|A|,|B|)/max(|A|,|B|) rejects chance
         # collisions before any set intersection.
-        sh = [cache.sh(c) for c in caps]
+        # Check order tuned from cProfile: the scalar Hamming image-owned
+        # test runs FIRST (most caption collisions are between image
+        # near-dups the image channel already owns — skipping them avoids
+        # ever computing their shingles), then lazy shingles + length
+        # bound, then the set intersection, then lazy owner-band keys.
         jmin = cfg.jaccard_min
+        hmax = cfg.hamming_max
+        dh_py = [int(x) for x in dh_u.view(np.uint64).tolist()]
+        sh = [None] * k
         for i in range(k - 1):
-            si = sh[i]
+            di = dh_py[i]
             for j in range(i + 1, k):
+                dj = dh_py[j]
+                if (di or dj) and (di ^ dj).bit_count() <= hmax:
+                    continue  # image channel owns Hamming-verified pairs
+                    # (0-0 pairs have no image owner: poison hash in the
+                    # image pipeline, dhash=0 for text-only docs)
+                si = sh[i]
+                if si is None:
+                    si = sh[i] = cache.sh(caps[i])
                 sj = sh[j]
+                if sj is None:
+                    sj = sh[j] = cache.sh(caps[j])
                 la, lb = len(si), len(sj)
                 if la == 0 and lb == 0:
                     jac = 1.0
@@ -143,13 +160,6 @@ def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
                     jac = inter / (la + lb - inter)
                 if jac < jmin:
                     continue
-                # image channel owns Hamming-verified pairs — but only when
-                # an image channel exists: dhash==0 rows are either filtered
-                # out of the image pipeline (poison hash) or text-only docs
-                # (doc_dedup sets dhash=0), so a 0-0 pair has no image owner
-                if (dh_u[i] != 0 or dh_u[j] != 0) and \
-                        int(hamming_u64(dh_u[i:i + 1], dh_u[j:j + 1])[0]) <= cfg.hamming_max:
-                    continue
                 bk_i, bk_j = cache.bk(caps[i]), cache.bk(caps[j])
                 colliding = np.nonzero(bk_i == bk_j)[0]
                 if len(colliding) and colliding[0] != band_idx:
@@ -159,15 +169,44 @@ def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
     return edges
 
 
+class _LocalUF:
+    """Union-find for spanning-forest emission inside hot buckets: a dense
+    mutual-near-dup region has O(m²) verified pairs, but connected
+    components downstream only need a spanning subgraph — emitting one
+    tree edge per union keeps hot-bucket output linear while preserving
+    every cluster exactly.  Deterministic given deterministic pair order."""
+
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: str, b: str) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        self.parent[hi] = lo
+        return True
+
+
 def _collapse_verify(ids, dh, band_idx: int, cfg: PipelineConfig,
                      cap_n: int) -> list[tuple[str, str]]:
-    """Hot image bucket: exact-dhash collapse + representative verify.
+    """Hot image bucket: exact-dhash collapse + capped representative verify.
 
     Identical-hash groups (Hamming 0, all slices equal → owner slice 0)
     emit star edges to the group's lexicographic-min member from band 0
     only.  Cross-group similarity is verified between one representative
-    per distinct hash; rep counts above the cap fall back to deterministic
-    sub-splits with rep-of-rep relinking."""
+    per distinct hash (spanning-forest emission); above ``img_rep_cap``
+    distinct hashes the region is low-information and clusters by exact
+    hash only (see inline note)."""
     dh_u = np.asarray(dh, np.int64)
     groups: dict[int, list[str]] = {}
     for idx, h in enumerate(dh_u.tolist()):
@@ -184,23 +223,26 @@ def _collapse_verify(ids, dh, band_idx: int, cfg: PipelineConfig,
     order = sorted(range(len(rep_ids)), key=lambda i: rep_ids[i])
     rep_ids = [rep_ids[i] for i in order]
     rep_h = np.asarray([rep_hash[i] for i in order], np.int64)
+
+    m = len(rep_ids)
+    if m > cfg.img_rep_cap:
+        # Low-information hash region (the generalized zero-hash poison
+        # bucket, /root/reference/dedupc.py:176-178): >8k DISTINCT hashes
+        # share one 13-bit slice only when the hash carries almost no
+        # gradient signal (measured: smooth-image buckets with 54k distinct
+        # reps where 1.9% of rep pairs sit within Hamming 4 — a quadratic
+        # pair mass whose transitive closure glues unrelated smooth images).
+        # Policy: cluster these by EXACT hash only (the reference's own
+        # semantics); the overflow row records the skip — never silent.
+        return edges
+    # cross-group rep verify with spanning-forest emission: dense regions
+    # have O(m²) verified pairs but CC only needs a spanning subgraph
     cache = _SigCache(cfg)
-    blanks = [""] * len(rep_ids)
-    cap_n = max(cap_n, cfg.img_rep_cap)   # rep verify is vectorized Hamming
-    if len(rep_ids) <= cap_n:
-        edges += _verify_members(rep_ids, rep_h, blanks, band_idx, True, cfg, cache)
-    else:
-        reps2 = []
-        for s in range(0, len(rep_ids), cap_n):
-            sub = slice(s, min(s + cap_n, len(rep_ids)))
-            edges += _verify_members(rep_ids[sub], rep_h[sub], blanks[sub],
-                                     band_idx, True, cfg, cache)
-            reps2.append(s)
-        reps2 = reps2[:cap_n]
-        edges += _verify_members(
-            [rep_ids[i] for i in reps2], rep_h[reps2],
-            [""] * len(reps2), band_idx, True, cfg, cache,
-        )
+    uf = _LocalUF()
+    for a, b in sorted(_verify_members(rep_ids, rep_h, [""] * m, band_idx,
+                                       True, cfg, cache)):
+        if uf.union(a, b):
+            edges.append((a, b))
     return edges
 
 
@@ -211,12 +253,25 @@ def make_partition_verify(cfg: PipelineConfig):
     def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
             return _EMPTY
-        # drop singleton buckets vectorized — the overwhelming majority
-        sizes = df.groupby(["band", "key"], sort=False)["image_id"].transform("size")
-        df = df[sizes >= 2]
-        if df.empty:
-            return _EMPTY
-        df = df.sort_values(["band", "key", "image_id"], kind="mergesort")
+        # numpy bucket iteration: lexsort once, walk (band,key) span
+        # boundaries, slice flat arrays per bucket.  The pandas
+        # groupby-iterator version spent ~40% of partition wall in
+        # DataFrame per-bucket chopping (cProfile, 824k-row partition).
+        band_a = df["band"].to_numpy()
+        key_a = df["key"].to_numpy()
+        ids_a = df["image_id"].to_numpy()
+        dh_a = df["dhash"].to_numpy()
+        caps_a = df["caption"].to_numpy() if "caption" in df else None
+        order = np.lexsort((ids_a, key_a, band_a))
+        band_a, key_a, ids_a, dh_a = (band_a[order], key_a[order],
+                                      ids_a[order], dh_a[order])
+        if caps_a is not None:
+            caps_a = caps_a[order]
+        change = np.flatnonzero((band_a[1:] != band_a[:-1])
+                                | (key_a[1:] != key_a[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(band_a)]))
+        multi = ends - starts >= 2
 
         src_out: list[str] = []
         dst_out: list[str] = []
@@ -224,12 +279,13 @@ def make_partition_verify(cfg: PipelineConfig):
         cache = _SigCache(cfg)
         cap_n = cfg.band_group_cap
 
-        for (band, _key), g in df.groupby(["band", "key"], sort=False):
-            ids = g["image_id"].tolist()
-            dh = g["dhash"].to_numpy()
-            caps = g["caption"].tolist() if "caption" in g else [""] * len(ids)
+        for s0, s1 in zip(starts[multi].tolist(), ends[multi].tolist()):
+            band = int(band_a[s0])
+            ids = ids_a[s0:s1].tolist()
+            dh = dh_a[s0:s1]
+            caps = caps_a[s0:s1].tolist() if caps_a is not None else [""] * len(ids)
             is_img = band < CAP_BAND_OFFSET
-            band_idx = int(band) if is_img else int(band) - CAP_BAND_OFFSET
+            band_idx = band if is_img else band - CAP_BAND_OFFSET
             k = len(ids)
             if k <= cap_n:
                 edges = _verify_members(ids, dh, caps, band_idx, is_img, cfg, cache)
@@ -246,19 +302,52 @@ def make_partition_verify(cfg: PipelineConfig):
                 overflow.append(k)
                 edges = _collapse_verify(ids, dh, band_idx, cfg, cap_n)
             else:
+                # hot caption bucket: exact-caption collapse.  Identical
+                # captions are Jaccard-1 groups → star edges to the group
+                # min (owner: caption band 0, unless the image channel owns
+                # the pair); cross-group reps get the normal verify, with
+                # destructive sub-split (logged) only beyond the cap.
                 overflow.append(k)
                 edges = []
-                reps = []
-                for s in range(0, k, cap_n):
-                    sub = slice(s, min(s + cap_n, k))
-                    edges += _verify_members(ids[sub], dh[sub], caps[sub],
-                                             band_idx, is_img, cfg, cache)
-                    reps.append(s)
-                reps = reps[:cap_n]
-                edges += _verify_members(
-                    [ids[i] for i in reps], dh[reps],
-                    [caps[i] for i in reps], band_idx, is_img, cfg, cache,
-                )
+                cgroups: dict[str, list[int]] = {}
+                for idx in range(k):
+                    cgroups.setdefault(caps[idx], []).append(idx)
+                rep_idx: list[int] = []
+                dh_arr = np.asarray(dh, np.int64)
+                for members in cgroups.values():
+                    members.sort(key=lambda i: ids[i])
+                    r = members[0]
+                    rep_idx.append(r)
+                    if band_idx == 0:
+                        for m in members[1:]:
+                            if (dh_arr[r] != 0 or dh_arr[m] != 0) and \
+                                    int(hamming_u64(dh_arr[r:r + 1],
+                                                    dh_arr[m:m + 1])[0]) \
+                                    <= cfg.hamming_max:
+                                continue  # image channel owns this pair
+                            a, b = ids[r], ids[m]
+                            edges.append((a, b) if a < b else (b, a))
+                rep_idx.sort(key=lambda i: ids[i])
+                r_ids = [ids[i] for i in rep_idx]
+                r_dh = dh_arr[rep_idx]
+                r_caps = [caps[i] for i in rep_idx]
+                kr = len(rep_idx)
+                if kr <= cap_n:
+                    edges += _verify_members(r_ids, r_dh, r_caps, band_idx,
+                                             False, cfg, cache)
+                else:
+                    reps2 = []
+                    for s in range(0, kr, cap_n):
+                        sub = slice(s, min(s + cap_n, kr))
+                        edges += _verify_members(r_ids[sub], r_dh[sub],
+                                                 r_caps[sub], band_idx,
+                                                 False, cfg, cache)
+                        reps2.append(s)
+                    reps2 = reps2[:cap_n]
+                    edges += _verify_members(
+                        [r_ids[i] for i in reps2], r_dh[reps2],
+                        [r_caps[i] for i in reps2], band_idx, False, cfg, cache,
+                    )
             for a, b in edges:
                 src_out.append(a)
                 dst_out.append(b)

@@ -54,8 +54,13 @@ class PipelineConfig:
     bad_names: tuple[str, ...] = ()
 
     # --- execution knobs
-    decode_batch_size: int = 512    # rows per batch for decode-heavy stages
-    text_batch_size: int = 4096     # rows per batch for text/signature stages
+    # batch_size None = per-block batches: an explicit batch_size BREAKS
+    # Ray's read→map operator fusion, forcing the multi-GB bytes column
+    # through an extra object-store materialization (measured 131 s vs
+    # 46 s fused on the 14 GB sfimg corpus).  Block size (target_max_block
+    # _size) bounds per-task memory instead.
+    decode_batch_size: int | None = None
+    text_batch_size: int | None = None
 
     def config_hash(self) -> str:
         """Stable digest of all semantic parameters, stamped into manifests."""

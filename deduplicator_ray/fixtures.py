@@ -65,11 +65,13 @@ _FMTS = ["raw", "ppm", "bmp", "png"]
 _EXTS = {"raw": "raw", "ppm": "ppm", "bmp": "bmp", "png": "png"}
 
 
-def _base_image(rng: np.random.Generator) -> np.ndarray:
+def _base_image(rng: np.random.Generator, size_scale: int = 1) -> np.ndarray:
     """Low-frequency RGB image: oriented gradient + 2-3 gaussian blobs
-    (stable dHash under benign perturbation, per FIXTURES.md)."""
-    w = int(rng.integers(16, 33)) * 2  # 32..64 even
-    h = int(rng.integers(16, 33)) * 2
+    (stable dHash under benign perturbation, per FIXTURES.md).  The rng
+    draw sequence is independent of ``size_scale`` so scaled corpora keep
+    the same group structure."""
+    w = int(rng.integers(16, 33)) * 2 * size_scale  # 32..64 even, × scale
+    h = int(rng.integers(16, 33)) * 2 * size_scale
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     ang = rng.uniform(0, 2 * np.pi)
     ramp = (np.cos(ang) * xx / w + np.sin(ang) * yy / h)
@@ -144,8 +146,15 @@ def _encode(img: np.ndarray, fmt: str) -> bytes:
     return codecs.encode_image(img, fmt)
 
 
-def generate_group(gid: int, hash_size: int = 8) -> tuple[list[dict], list[dict]]:
-    """Generate one truth group. Returns (image_rows, truth_rows)."""
+def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
+                   fmts: list[str] | None = None) -> tuple[list[dict], list[dict]]:
+    """Generate one truth group. Returns (image_rows, truth_rows).
+
+    ``size_scale`` multiplies linear image dimensions (the sfimg tier uses
+    10 → ~320-640 px, the realistic payload shape for the scaling bench);
+    ``fmts`` overrides the codec pool (sfimg weights PNG so multi-GB
+    corpora stay on disk budget)."""
+    _fmts = fmts if fmts is not None else _FMTS
     rng = np.random.default_rng([SEED, gid])
     rows: list[dict] = []
     truth: list[dict] = []
@@ -191,24 +200,24 @@ def generate_group(gid: int, hash_size: int = 8) -> tuple[list[dict], list[dict]
     if roll < 0.02:
         # degenerate: constant-color → dhash == 0 → poison bucket
         # (/root/reference/dedupc.py:176-178)
-        w = int(rng.integers(16, 33)) * 2
-        h = int(rng.integers(16, 33)) * 2
+        w = int(rng.integers(16, 33)) * 2 * size_scale
+        h = int(rng.integers(16, 33)) * 2 * size_scale
         img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
         cap = _caption(rng)
-        emit(img, str(rng.choice(_FMTS)), 0, "plain", "degenerate", None, "same", cap)
-        emit(img, str(rng.choice(_FMTS)), 1, "plain", "degenerate", 0, "same", cap)
+        emit(img, str(rng.choice(_fmts)), 0, "plain", "degenerate", None, "same", cap)
+        emit(img, str(rng.choice(_fmts)), 1, "plain", "degenerate", 0, "same", cap)
         return rows, truth
 
-    base = _base_image(rng)
+    base = _base_image(rng, size_scale)
     cap = _caption(rng)
-    base_fmt = str(rng.choice(_FMTS))
+    base_fmt = str(rng.choice(_fmts))
     emit(base, base_fmt, 0, str(rng.choice(["stem", "plain"])), "base", None, "same", cap)
 
     if roll < 0.17:
         # distinct lookalike: second independent image, same caption family,
         # must NOT cluster (precision guard)
-        other = _base_image(np.random.default_rng([SEED, gid, 7]))
-        emit(other, str(rng.choice(_FMTS)), 1, "plain", "distinct_lookalike", None,
+        other = _base_image(np.random.default_rng([SEED, gid, 7]), size_scale)
+        emit(other, str(rng.choice(_fmts)), 1, "plain", "distinct_lookalike", None,
              "unrelated", _caption_variant(cap, "unrelated", rng))
         return rows, truth
 
@@ -219,25 +228,25 @@ def generate_group(gid: int, hash_size: int = 8) -> tuple[list[dict], list[dict]
         emit(data_img, base_fmt, member, iid_style, "exact", 0, "same", cap)
         member += 1
     if rng.uniform() < 0.7:  # reencode: same pixels, different fmt
-        alt = str(rng.choice([f for f in _FMTS if f != base_fmt]))
+        alt = str(rng.choice([f for f in _fmts if f != base_fmt] or ["png"]))
         emit(_group_pixels[0], alt, member, "page", "reencode", 0,
              "shingle_near", _caption_variant(cap, "shingle_near", rng))
         member += 1
     for target in rng.choice([40.0, 45.0, 50.0], size=int(rng.integers(0, 3)), replace=False):
         noisy = _add_noise_psnr(base, float(target), rng)
-        emit(noisy, str(rng.choice(_FMTS)), member, "series", "noisy", 0,
+        emit(noisy, str(rng.choice(_fmts)), member, "series", "noisy", 0,
              "shingle_near", _caption_variant(cap, "shingle_near", rng))
         member += 1
     if rng.uniform() < 0.4:  # resized
         factor = float(rng.choice([0.5, 2.0]))
         nw, nh = max(8, int(base.shape[1] * factor)), max(8, int(base.shape[0] * factor))
-        emit(resize_u8(base, nw, nh), str(rng.choice(_FMTS)), member, "plain",
+        emit(resize_u8(base, nw, nh), str(rng.choice(_fmts)), member, "plain",
              "resized", 0, "same", cap)
         member += 1
     if rng.uniform() < 0.3:  # crop/shift 1-3 px
         s = int(rng.integers(1, 4))
         cropped = base[s:, s:, :]
-        emit(cropped, str(rng.choice(_FMTS)), member, "page", "crop_shift", 0,
+        emit(cropped, str(rng.choice(_fmts)), member, "page", "crop_shift", 0,
              "token_swap", _caption_variant(cap, "token_swap", rng))
         member += 1
     if rng.uniform() < 0.04:  # corrupt payload → dead-letter
@@ -300,14 +309,16 @@ def build_tables(n_groups: int, hash_size: int = 8) -> tuple[pa.Table, pa.Table]
 
 # --- sf sizing: ~4 rows/group mean; sf keyed off the testdata dir name ------
 
-SF_GROUPS = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 16000,
-             # dedicated strong-scaling corpus (bench.py --scaling): the
-             # sf0.1-matched job carries only ~140 core-s of compute, so a
-             # fixed-input 8→32-cpu comparison measures scheduler latency,
-             # not scaling; 8× the rows makes compute dominate while staying
-             # ~2.8 GB on disk
-             "sfscale": 128000,
-             "sfscale3": 384000}
+# tier → (n_groups, size_scale, fmt_pool).  sfimg is the strong-scaling
+# corpus: ~87k images at 320-640 px (PNG-weighted so ~10 GB of pixels fit
+# the disk budget) — the realistic payload shape where codec+hash compute
+# dominates, unlike the 50-px thumbnails of the sf tiers whose jobs are
+# shuffle-latency-bound at any parallelism
+SF_GROUPS = {"sf0.001": (160, 1, None), "sf0.01": (1600, 1, None),
+             "sf0.1": (16000, 1, None),
+             "sfscale": (128000, 1, None),
+             "sfscale3": (384000, 1, None),
+             "sfimg": (24000, 10, ["png"])}
 
 
 def sf_name(sf_dir: str) -> str:
@@ -331,15 +342,28 @@ def ensure_fixture(sf_dir: str, hash_size: int = 8, n_groups: int | None = None)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    n_groups = n_groups or SF_GROUPS[sf_name(sf_dir)]
+    cfg_groups, size_scale, fmts = SF_GROUPS[sf_name(sf_dir)]
+    n_groups = n_groups or cfg_groups
     tmp = out + ".tmp"
     os.makedirs(os.path.join(tmp, "images"), exist_ok=True)
     os.makedirs(os.path.join(tmp, "truth"), exist_ok=True)
-    shard_size = 500
-    for shard_start in range(0, n_groups, shard_size):
-        imgs, truth = _build_shard(shard_start, min(shard_start + shard_size, n_groups), hash_size)
-        pq.write_table(imgs, os.path.join(tmp, "images", f"part-{shard_start:06d}.parquet"))
-        pq.write_table(truth, os.path.join(tmp, "truth", f"part-{shard_start:06d}.parquet"))
+    shard_size = max(50, 500 // size_scale)  # big-image tiers: smaller shards
+    spans = [(s0, min(s0 + shard_size, n_groups))
+             for s0 in range(0, n_groups, shard_size)]
+    if len(spans) > 8 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
+        # shards are seeded independently (default_rng([SEED, gid])) so the
+        # parallel build is byte-identical to the serial one
+        import concurrent.futures as cf
+
+        workers = min(24, os.cpu_count() or 4)
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_shard,
+                        [(tmp, s0, s1, hash_size, size_scale, fmts)
+                         for s0, s1 in spans],
+                        chunksize=1))
+    else:
+        for s0, s1 in spans:
+            _write_shard((tmp, s0, s1, hash_size, size_scale, fmts))
     if os.path.exists(out):
         import shutil
 
@@ -350,11 +374,19 @@ def ensure_fixture(sf_dir: str, hash_size: int = 8, n_groups: int | None = None)
     return out
 
 
-def _build_shard(g0: int, g1: int, hash_size: int) -> tuple[pa.Table, pa.Table]:
+def _write_shard(args) -> None:
+    tmp, g0, g1, hash_size, size_scale, fmts = args
+    imgs, truth = _build_shard(g0, g1, hash_size, size_scale, fmts)
+    pq.write_table(imgs, os.path.join(tmp, "images", f"part-{g0:06d}.parquet"))
+    pq.write_table(truth, os.path.join(tmp, "truth", f"part-{g0:06d}.parquet"))
+
+
+def _build_shard(g0: int, g1: int, hash_size: int, size_scale: int = 1,
+                 fmts: list[str] | None = None) -> tuple[pa.Table, pa.Table]:
     rows: list[dict] = []
     truth: list[dict] = []
     for gid in range(g0, g1):
-        r, t = generate_group(gid, hash_size)
+        r, t = generate_group(gid, hash_size, size_scale, fmts)
         _finalize_keepers(r, t)
         rows.extend(r)
         truth.extend(t)

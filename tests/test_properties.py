@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) over the pure kernels — SURVEY.md §5.3.
+
+These run without Ray where possible: hash/codec roundtrips, owner-band
+exclusivity, union-find vs the oracle closure, signature estimates.  One
+fuzz drives the real distributed CC (small graphs, forced star rounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from deduplicator_ray import codecs, hashing, oracle
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.functions import text as textfn
+
+CFG = PipelineConfig()
+
+_img = st.integers(2, 24).flatmap(
+    lambda w: st.integers(2, 24).map(lambda h: (w, h))
+).flatmap(
+    lambda wh: st.integers(0, 2**32 - 1).map(
+        lambda seed: np.random.default_rng(seed).integers(
+            0, 256, (wh[1], wh[0], 3), np.uint8))
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(img=_img, fmt=st.sampled_from(["raw", "ppm", "bmp", "png"]))
+def test_codec_roundtrip_lossless_and_hash_invariant(img, fmt):
+    data = codecs.encode_image(img, fmt)
+    out = codecs.decode_image(data, fmt, img.shape[1], img.shape[0])
+    assert np.array_equal(out, img)  # all in-sandbox codecs are lossless
+    assert hashing.dhash_u64(out, 8) == hashing.dhash_u64(img, 8)
+
+
+@settings(max_examples=100, deadline=None)
+@given(h=st.integers(0, 2**64 - 1),
+       flips=st.lists(st.integers(0, 63), min_size=0, max_size=4, unique=True))
+def test_owner_band_exclusivity(h, flips):
+    """Any pair within Hamming ≤ 4 agrees on ≥1 of the 5 dHash slices
+    (pigeonhole), and exactly one band owns it (the first agreeing slice)."""
+    from deduplicator_ray.stages.candidates import _img_slice_keys
+
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    pair = np.array([h, h2], np.uint64).view(np.int64)
+    keys = _img_slice_keys(pair)
+    agree = keys[0] == keys[1]
+    assert agree.any()  # pigeonhole: ≤4 flips, 5 slices
+    owner = int(np.argmax(agree))
+    # the owner is unique by definition (first agreeing slice); every slice
+    # before it disagrees
+    assert not agree[:owner].any()
+
+
+@settings(max_examples=50, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60))
+def test_driver_union_find_matches_oracle_closure(edges):
+    from deduplicator_ray.stages.components import _driver_union_find
+
+    named = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges]
+    parent = _driver_union_find([a for a, _ in named], [b for _, b in named])
+    want = oracle.connected_components(
+        {(min(a, b), max(a, b)) for a, b in named if a != b})
+    got = {}
+    for a, b in named:
+        if a != b:
+            got[a] = parent.get(a, a)
+            got[b] = parent.get(b, b)
+    # roots must match the oracle's lexicographic-min component labels
+    for n, root in got.items():
+        assert want[n] == root
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       texts=st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=8))
+def test_minhash_band_keys_deterministic_and_jaccard_monotone(seed, texts):
+    for t in texts:
+        s1 = textfn.minhash_signature(t, CFG.shingle_k, CFG.num_perm)
+        s2 = textfn.minhash_signature(t, CFG.shingle_k, CFG.num_perm)
+        assert np.array_equal(s1, s2)
+        b1 = textfn.band_keys(s1[None, :], CFG.bands, CFG.rows_per_band)
+        b2 = textfn.band_keys(s2[None, :], CFG.bands, CFG.rows_per_band)
+        assert np.array_equal(b1, b2)
+    # identical text → identical signature → estimated jaccard 1
+    s = textfn.minhash_signature(texts[0], CFG.shingle_k, CFG.num_perm)
+    assert textfn.est_jaccard(s, s) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3), st.text("ab", min_size=1, max_size=4)),
+    min_size=1, max_size=30))
+def test_keep_first_is_permutation_invariant(rows):
+    """Exact dedup must not depend on input row order (distributed blocks
+    arrive in arbitrary order)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["k", "o", "v"])
+
+    def ref(d):
+        return (d.sort_values(["o", "v"], kind="mergesort")
+                 .drop_duplicates(["k"])
+                 .sort_values(["k", "o", "v"])
+                 .reset_index(drop=True))
+
+    a = ref(df)
+    b = ref(df.sample(frac=1, random_state=7))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_distributed_cc_fuzz_vs_oracle(ray_session):
+    """Random small graphs through the REAL star-contraction path
+    (cc_driver_edge_cap=0) must match the oracle closure."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from deduplicator_ray.stages.components import connected_components
+
+    cfg = dataclasses.replace(CFG, cc_driver_edge_cap=0)
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        n = int(rng.integers(5, 25))
+        m = int(rng.integers(1, 40))
+        edges = [(f"v{int(rng.integers(0, n)):02d}",
+                  f"v{int(rng.integers(0, n)):02d}") for _ in range(m)]
+        ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        got = connected_components(ds, cfg, num_partitions=3).to_pandas()
+        want = oracle.connected_components(
+            {(min(a, b), max(a, b)) for a, b in edges if a != b})
+        gm = ({} if len(got) == 0
+              else dict(zip(got["image_id"], got["cluster_id"])))
+        assert gm == want, trial

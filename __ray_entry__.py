@@ -180,6 +180,19 @@ def _mm_frame_sample(sf_dir: str):
         ["image_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _mm_montage(sf_dir: str):
+    """S7 montage-sink analog: per-cluster thumbnail grids (sizes only in
+    the check output; the bytes column is exercised by tests)."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.multimodal import montage_pipeline
+
+    images = ip.load_images(sf_dir, _cfg())
+    clusters = ip.extended_clusters(images, _cfg())
+    out = montage_pipeline(ip.load_images(sf_dir, _cfg()), clusters).to_pandas()
+    return out[["cluster_id", "w", "h", "fmt", "n_members", "status"]].sort_values(
+        "cluster_id").reset_index(drop=True)
+
+
 def _ann_ivf_topk(sf_dir: str):
     import os
 
@@ -230,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize": _mm_resize,
         "mm_features": _mm_features,
         "mm_frame_sample": _mm_frame_sample,
+        "mm_montage": _mm_montage,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_clusters": _docs_clusters,

@@ -181,3 +181,124 @@ def feature_pipeline(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd
         batch_size=128,
         concurrency=(1, 8),
     )
+
+
+class ConcatImages:
+    """Per-cluster image concatenation (the GUI's merge action,
+    /root/reference/compare.py:493-515 — cv2 h/v-stack of two images,
+    here generalized to a cluster's members as a ``map_groups`` stage).
+
+    Members are decoded, resized to the first member's height (horizontal)
+    or width (vertical), stacked, and re-encoded.  Emits one row per
+    cluster: (cluster_id, bytes, w, h, fmt, n_members, status).
+    """
+
+    def __init__(self, axis: str = "h", out_fmt: str = "png", max_members: int = 8):
+        assert axis in ("h", "v")
+        self.axis, self.out_fmt, self.max_members = axis, out_fmt, max_members
+
+    def __call__(self, df):
+        import pandas as pd
+
+        rows = {k: [] for k in ("cluster_id", "bytes", "w", "h", "fmt",
+                                "n_members", "status")}
+        for cid, g in df.groupby("cluster_id", sort=False):
+            g = g.sort_values("image_id").head(self.max_members)
+            imgs, ok = [], True
+            for _, r in g.iterrows():
+                try:
+                    imgs.append(codecs.decode_image(
+                        r["bytes"], r["fmt"], int(r["w"]), int(r["h"])))
+                except codecs.CodecError:
+                    ok = False
+                    break
+            if not ok or not imgs:
+                rows["cluster_id"].append(cid)
+                rows["bytes"].append(b"")
+                rows["w"].append(0)
+                rows["h"].append(0)
+                rows["fmt"].append(self.out_fmt)
+                rows["n_members"].append(len(g))
+                rows["status"].append("error")
+                continue
+            if self.axis == "h":
+                ref_h = imgs[0].shape[0]
+                imgs = [im if im.shape[0] == ref_h else
+                        resize_u8(im, max(1, im.shape[1] * ref_h // im.shape[0]), ref_h)
+                        for im in imgs]
+                out = np.concatenate(imgs, axis=1)
+            else:
+                ref_w = imgs[0].shape[1]
+                imgs = [im if im.shape[1] == ref_w else
+                        resize_u8(im, ref_w, max(1, im.shape[0] * ref_w // im.shape[1]))
+                        for im in imgs]
+                out = np.concatenate(imgs, axis=0)
+            rows["cluster_id"].append(cid)
+            rows["bytes"].append(codecs.encode_image(out, self.out_fmt))
+            rows["w"].append(out.shape[1])
+            rows["h"].append(out.shape[0])
+            rows["fmt"].append(self.out_fmt)
+            rows["n_members"].append(len(g))
+            rows["status"].append("ok")
+        return pd.DataFrame(rows)
+
+
+class MontageImages(ConcatImages):
+    """Comparison-montage sink analog (S7, /root/reference/dedupc.py:109-154
+    shells out to ImageMagick ``montage``): per duplicate cluster, resize
+    every member to a fixed tile and lay them out in a thumbnail grid,
+    emitted as an encoded image column (no subprocess, no side files)."""
+
+    def __init__(self, tile: int = 32, cols: int = 4, out_fmt: str = "png",
+                 max_members: int = 16):
+        super().__init__("h", out_fmt, max_members)
+        self.tile, self.cols = tile, cols
+
+    def __call__(self, df):
+        import pandas as pd
+
+        rows = {k: [] for k in ("cluster_id", "bytes", "w", "h", "fmt",
+                                "n_members", "status")}
+        t = self.tile
+        for cid, g in df.groupby("cluster_id", sort=False):
+            g = g.sort_values("image_id").head(self.max_members)
+            tiles = []
+            status = "ok"
+            for _, r in g.iterrows():
+                try:
+                    img = codecs.decode_image(
+                        r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                    tiles.append(resize_u8(img, t, t))
+                except codecs.CodecError:
+                    tiles.append(np.zeros((t, t, 3), np.uint8))
+                    status = "partial"
+            n = len(tiles)
+            cols = min(self.cols, n)
+            rows_n = (n + cols - 1) // cols
+            grid = np.zeros((rows_n * t, cols * t, 3), np.uint8)
+            for i, im in enumerate(tiles):
+                r0, c0 = (i // cols) * t, (i % cols) * t
+                grid[r0:r0 + t, c0:c0 + t] = im
+            rows["cluster_id"].append(cid)
+            rows["bytes"].append(codecs.encode_image(grid, self.out_fmt))
+            rows["w"].append(grid.shape[1])
+            rows["h"].append(grid.shape[0])
+            rows["fmt"].append(self.out_fmt)
+            rows["n_members"].append(n)
+            rows["status"].append(status)
+        return pd.DataFrame(rows)
+
+
+def montage_pipeline(images: rd.Dataset, clusters: rd.Dataset,
+                     tile: int = 32, cols: int = 4,
+                     num_partitions: int = 8) -> rd.Dataset:
+    """Join cluster assignments back to payloads and render one montage per
+    cluster (partitioned groupby on cluster_id, vectorized per partition)."""
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    joined = clusters.join(images, join_type="inner",
+                           num_partitions=num_partitions, on=("image_id",))
+    return partitioned_groupby(
+        joined, ["cluster_id"], MontageImages(tile=tile, cols=cols),
+        num_parts=num_partitions,
+    )

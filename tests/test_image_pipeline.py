@@ -209,3 +209,38 @@ def test_cc_empty_and_driver_base_case():
     out = connected_components(ds, CFG).to_pandas()
     assert dict(zip(out["image_id"], out["cluster_id"])) == {
         "a": "a", "b": "a", "c": "a"}
+
+
+def test_montage_and_concat(images_ds):
+    """S7 montage-sink analog + the GUI concat action (compare.py:493-515),
+    as per-cluster map_groups stages over the engine codecs."""
+    import pandas as pd
+
+    from deduplicator_ray import codecs
+    from deduplicator_ray.pipelines.multimodal import (
+        ConcatImages, MontageImages, montage_pipeline)
+
+    clusters = ip.extended_clusters(images_ds, CFG)
+    out = montage_pipeline(ip.load_images("/root/testdata/sf0.001", CFG),
+                           clusters).to_pandas()
+    assert len(out) > 0
+    ok = out[out["status"] != "error"]
+    assert len(ok) > 0
+    # every montage decodes to the declared grid size
+    r = ok.iloc[0]
+    img = codecs.decode_image(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+    assert img.shape == (r["h"], r["w"], 3)
+    assert (ok["w"] % 32 == 0).all() and (ok["h"] % 32 == 0).all()
+
+    # concat: deterministic horizontal stack of one cluster's members
+    members = ip.load_images("/root/testdata/sf0.001", CFG).to_pandas()
+    cl = clusters.to_pandas()
+    cid = cl["cluster_id"].iloc[0]
+    sub = members[members["image_id"].isin(
+        cl[cl["cluster_id"] == cid]["image_id"])].copy()
+    sub["cluster_id"] = cid
+    cat = ConcatImages("h")(sub)
+    assert len(cat) == 1 and cat.iloc[0]["status"] == "ok"
+    c = cat.iloc[0]
+    img = codecs.decode_image(c["bytes"], c["fmt"], int(c["w"]), int(c["h"]))
+    assert img.shape[1] >= int(sub.iloc[0]["w"])  # wider than any one member

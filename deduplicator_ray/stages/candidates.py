@@ -44,6 +44,16 @@ split (sorted by id) into cap-sized sub-buckets verified internally, plus a
 sub-buckets — preserving cluster connectivity for near-clique hot buckets
 via union-find transitivity.  Every overflow is emitted as a stats row
 (src == '', overflow = bucket size) routed to the run manifest.
+
+On salting (the classical hot-band treatment, cfg.salt_buckets): we
+evaluated salted band keys — ``key' = (key, hash(id) % S)`` — and chose
+exact-hash collapse instead.  Salting splits a hot bucket's CANDIDATE
+PAIRS across S² sub-buckets, so recovering them needs either duplicate row
+fan-out (each row in every salt slot of one side — S× shuffle volume) or a
+second linking pass; collapse bounds the same work in one pass while
+keeping pair emission exact up to the documented low-information cutoff.
+Salted routing remains available for the actor-pool band index
+(state/bandtable.py routes whole buckets by key hash).
 """
 
 from __future__ import annotations

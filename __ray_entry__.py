@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
+        "orders_without_lineitems": q.orders_without_lineitems,
+        "docs_purge_semijoin": q.docs_purge_semijoin,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_decisions": _img_reference_decisions,
@@ -274,4 +276,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_shipdate_head": q.LINEITEM_SHIPDATE_HEAD_SQL,
         "emb_near_dup": q.EMB_NEAR_DUP_SQL,
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
+        "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
+        "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
     }

@@ -756,3 +756,72 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
 ORDER BY va, vb
 """
+
+
+# ---------------------------------------------------------------------------
+# q_orders_without_lineitems — ANTI-join (the reference's known-paths skip,
+# J1/dupedb.py:190-194, as a relational op): orders with no lineitem.  The
+# key set of the smaller side is broadcast once via ray.put and applied as a
+# vectorized membership filter — no shuffle.  At big-big scale swap for the
+# partitioned merge with how="left_anti".
+
+
+def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    li_keys = pq.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    keys_ref = ray.put(set(li_keys["l_orderkey"].to_pylist()))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([k not in keys for k in t["o_orderkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = orders.map_batches(anti, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_purge_semijoin — SEMI-join (the reference's --purge whitelist,
+# J2/dupedb.py:159-173): keep only documents whose id appears in a derived
+# whitelist (here: doc ids referenced by en-language rows of the same
+# table — a stand-in for "the current scan's glob").
+
+
+def docs_purge_semijoin(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    wl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    keep = {d for d, l in zip(wl["doc_id"].to_pylist(), wl["lang"].to_pylist())
+            if l == "en"}
+    keep_ref = ray.put(keep)
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "source", "n_chars"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        k = ray.get(keep_ref)
+        mask = pa.array([d in k for d in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    out = docs.map_batches(semi, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PURGE_SEMIJOIN_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+ORDER BY doc_id
+"""

@@ -88,12 +88,20 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
             lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
             batch_format="pyarrow",
         )
-        clusters = connected_components(real, cfg)
+        clusters = connected_components(real, cfg).materialize()
         clusters.write_parquet(os.path.join(output_dir, "clusters"))
         overflow = stats.to_pandas()
         metrics["cluster_wall_s"] = round(time.time() - t0, 3)
         metrics["n_overflow_buckets"] = int(len(overflow))
         metrics["max_overflow_bucket"] = int(overflow["overflow"].max()) if len(overflow) else 0
+        # order-independent assignment checksum: re-runs / resumed runs of
+        # the same input+config must reproduce it bit-for-bit
+        from deduplicator_ray.stages.components import _checksum as _cc_sum
+
+        renamed = clusters.map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow")
+        metrics["cluster_checksum"] = str(_cc_sum(renamed))
+        metrics["n_clustered"] = int(clusters.count())
 
     metrics["total_wall_s"] = round(time.time() - t_all, 3)
     manifests.write_stage_manifest(output_dir, f"job_{mode}", cfg, metrics)

@@ -244,3 +244,88 @@ def test_montage_and_concat(images_ds):
     c = cat.iloc[0]
     img = codecs.decode_image(c["bytes"], c["fmt"], int(c["w"]), int(c["h"]))
     assert img.shape[1] >= int(sub.iloc[0]["w"])  # wider than any one member
+
+
+def test_hot_image_bucket_collapse_policy():
+    """Skew policy unit test: a hot image bucket collapses by exact hash
+    (stars at band 0), verifies distinct reps within the cap, and switches
+    to exact-hash-only above img_rep_cap (low-information cutoff)."""
+    import dataclasses
+
+    from deduplicator_ray.stages.candidates import _collapse_verify
+
+    cfg = dataclasses.replace(CFG, img_rep_cap=8)
+    # 3 identical-hash groups of 4 + two near-dup singletons (hamming 1)
+    ids, dh = [], []
+    base = 0x0F0F0F0F0F0F0F0F
+    for gi, h in enumerate([base, base ^ (1 << 20), base ^ (3 << 40)]):
+        for m in range(4):
+            ids.append(f"g{gi}_m{m}")
+            dh.append(h)
+    ids += ["s0", "s1"]
+    dh += [base ^ 1, base ^ 3]
+
+    edges = _collapse_verify(ids, np.array(dh, dtype=np.int64).tolist(), 0, cfg, 4)
+    # stars: every group member linked to its min member
+    for gi in range(3):
+        for m in range(1, 4):
+            assert (f"g{gi}_m0", f"g{gi}_m{m}") in edges
+    # rep cross links exist for reps within hamming<=4 owned by band 0
+    rep_pairs = [e for e in edges if not e[0].split("_")[0] == e[1].split("_")[0]]
+    assert rep_pairs, "expected cross-group rep links"
+
+    # low-information cutoff: >img_rep_cap distinct hashes → stars only
+    ids2 = [f"x{i}" for i in range(20)]
+    dh2 = [base ^ (i << 8) for i in range(20)]  # 20 distinct hashes, cap 8
+    edges2 = _collapse_verify(ids2, dh2, 0, cfg, 4)
+    assert edges2 == []  # singleton hash groups, no rep verify above cap
+
+
+def test_hot_caption_bucket_collapse_policy():
+    """Hot caption buckets collapse by exact caption: stars at cap band 0
+    for identical captions (unless image-owned), reps re-verified."""
+    import pandas as pd
+
+    from deduplicator_ray.stages.candidates import make_partition_verify
+
+    # 300 rows of one caption (> band_group_cap 256) + 3 of another that is
+    # a near-dup of the first; dhash distinct (no image ownership)
+    capA = "sunset harbor mountain forest river canyon meadow lantern window"
+    capB = capA.replace("window", "shadow")
+    # place the bucket at the pair's true owner band (first colliding
+    # minhash band) so the cross-group rep link is owned here
+    from deduplicator_ray.functions import text as textfn
+    sA = textfn.minhash_signature(capA, CFG.shingle_k, CFG.num_perm)
+    sB = textfn.minhash_signature(capB, CFG.shingle_k, CFG.num_perm)
+    bkA = textfn.band_keys(sA[None, :], CFG.bands, CFG.rows_per_band)[0]
+    bkB = textfn.band_keys(sB[None, :], CFG.bands, CFG.rows_per_band)[0]
+    coll = np.nonzero(bkA == bkB)[0]
+    owner = int(coll[0]) if len(coll) else 0
+    n = 300
+    ids = [f"a{i:03d}" for i in range(n)] + ["b0", "b1", "b2"]
+    dh = np.random.default_rng(5).integers(-2**62, 2**62, n + 3).tolist()
+    caps = [capA] * n + [capB] * 3
+    # two hot buckets: band 0 (owns identical-caption stars) and the pair's
+    # owner band (owns the cross-group rep link); same members in both,
+    # mirroring real multi-band collisions
+    rows = {
+        "band": [100] * (n + 3) + [100 + owner] * (n + 3),
+        "key": [777] * (n + 3) + [778] * (n + 3),
+        "image_id": ids + ids,
+        # well-separated hashes (hamming ~32) so no pair is image-owned
+        "dhash": dh + dh,
+        "caption": caps + caps,
+    }
+    out = make_partition_verify(CFG)(pd.DataFrame(rows))
+    real = out[out["src"] != ""]
+    over = out[out["src"] == ""]
+    assert len(over) == 2 and (over["overflow"] == n + 3).all()
+    pairs = set(zip(real["src"], real["dst"]))
+    # identical-caption stars to the min member
+    assert ("a000", "a001") in pairs and ("a000", "a299") in pairs
+    assert ("b0", "b1") in pairs and ("b0", "b2") in pairs
+    # cross-group rep link iff exact jaccard >= threshold
+    from deduplicator_ray.functions.text import exact_jaccard_char_shingles
+    j = exact_jaccard_char_shingles(capA, capB, CFG.shingle_k)
+    expect_link = j >= CFG.jaccard_min and len(coll) > 0
+    assert (("a000", "b0") in pairs) == expect_link

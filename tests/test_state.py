@@ -173,3 +173,12 @@ def test_cli_job_end_to_end_and_resume(sharded_corpus, tmp_path):
     dec = rd.read_parquet(os.path.join(out2, "decisions")).to_pandas()
     assert (dec.groupby("cluster_id")["action"]
             .apply(lambda s: (s == "keep").sum()) == 1).all()
+
+
+def test_cli_checksum_reproducible(sharded_corpus, tmp_path):
+    from deduplicator_ray import cli
+
+    m1 = cli.run("extended", sharded_corpus, str(tmp_path / "o1"))
+    m2 = cli.run("extended", sharded_corpus, str(tmp_path / "o2"))
+    assert m1["cluster_checksum"] == m2["cluster_checksum"]
+    assert m1["n_clustered"] == m2["n_clustered"] > 0

@@ -77,9 +77,19 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
         dec.write_parquet(os.path.join(output_dir, "decisions"))
         metrics["decisions_wall_s"] = round(time.time() - t0, 3)
     else:
-        # stage 2-4 — signatures → banding → verify → CC
+        # stage 2-4 — signatures → banding → verify → CC; when resuming,
+        # the banding+verify stage checkpoints per band-bucket partition
+        # (state/edge_checkpoint.py) so completed buckets never recompute
         t0 = time.time()
-        edges = ip.verified_edges_from_fp(fp, cfg)
+        if resume:
+            from deduplicator_ray.state import edge_checkpoint as ec
+
+            fp = fp.materialize()
+            edges = ec.checkpoint_verified_edges(
+                fp, os.path.join(output_dir, "edges"), cfg,
+                input_digest=ec.fingerprint_digest(ckpt))
+        else:
+            edges = ip.verified_edges_from_fp(fp, cfg)
         stats = edges.map_batches(
             lambda t: t.filter(pc.equal(t["src"], "")).select(["overflow"]),
             batch_format="pyarrow",

@@ -182,3 +182,50 @@ def test_cli_checksum_reproducible(sharded_corpus, tmp_path):
     m2 = cli.run("extended", sharded_corpus, str(tmp_path / "o2"))
     assert m1["cluster_checksum"] == m2["cluster_checksum"]
     assert m1["n_clustered"] == m2["n_clustered"] > 0
+
+
+def test_edge_checkpoint_resume_matches_direct(sharded_corpus, tmp_path):
+    """Band-bucket partition checkpointing: kill-and-resume produces the
+    exact edge set of a direct run, and completed partitions are never
+    recomputed (north rule: resume without recomputing completed band
+    buckets)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.image_dedup import (
+        _live, fingerprints, verified_edges_from_fp)
+    from deduplicator_ray.state import edge_checkpoint as ec
+
+    fp = _live(fingerprints(rd.read_parquet(sharded_corpus), CFG), CFG).materialize()
+    ck = str(tmp_path / "edges_ck")
+    digest = "test-digest-1"
+
+    # simulated crash after 2 of 4 partitions
+    ec.checkpoint_verified_edges(fp, ck, CFG, n_partitions=4,
+                                 input_digest=digest, max_partitions=2)
+    assert len(ec.completed_partitions(ck)) == 2
+    walls0 = {m["partition"]: m["wall_s"] for m in ec.completed_partitions(ck)}
+
+    # resume completes the rest without touching finished partitions
+    full = ec.checkpoint_verified_edges(fp, ck, CFG, n_partitions=4,
+                                        input_digest=digest)
+    walls1 = {m["partition"]: m["wall_s"] for m in ec.completed_partitions(ck)}
+    assert len(walls1) == 4
+    for p, w in walls0.items():
+        assert walls1[p] == w  # untouched on resume
+
+    def pairset(ds):
+        df = ds.to_pandas()
+        df = df[df["src"] != ""]
+        return set(zip(df["src"], df["dst"]))
+
+    direct = verified_edges_from_fp(fp, CFG)
+    assert pairset(full) == pairset(direct)
+
+    # config drift invalidates: nothing completed under a changed config
+    import dataclasses
+
+    cfg2 = dataclasses.replace(CFG, jaccard_min=0.9)
+    with pytest.raises(RuntimeError, match="no edge partitions"):
+        ec.checkpoint_verified_edges(fp, ck, cfg2, n_partitions=4,
+                                     input_digest=digest, max_partitions=0)

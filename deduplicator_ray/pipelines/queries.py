@@ -78,14 +78,18 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+# DuckDB sum(BIGINT) yields DECIMAL(38,0); the engine emits int64, so every
+# aggregate in the mirrors is CAST back to BIGINT *outside* the sum or the
+# driver's dtype-sensitive value hash diverges (CORRECTNESS_r01
+# hash_match=false on exactly the 7 queries with uncast sums).
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_c,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS sum_disc_price_e4,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
        count(*) AS count_order,
-       (sum(CAST(l_quantity AS BIGINT)) * 1000000) // count(*) AS avg_qty_e6
+       CAST((CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS avg_qty_e6
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -138,7 +142,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
 TOP_CUSTOMERS_SQL = """
 SELECT o_custkey AS c_custkey,
        any_value(c_name) AS c_name,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey
@@ -172,6 +176,9 @@ def events_window(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    # pin the timestamp unit: DuckDB time_bucket emits timestamp[us] and the
+    # driver value hash is dtype-sensitive
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
@@ -179,7 +186,7 @@ EVENTS_WINDOW_SQL = """
 SELECT event_type,
        time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
        max(value) AS max_value
 FROM events
 GROUP BY event_type, window_start
@@ -384,8 +391,8 @@ def part_brand_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
 
 PART_BRAND_REVENUE_SQL = """
 SELECT p_brand,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_e4,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -432,10 +439,10 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
 
 
 SUPPLIER_BALANCE_SQL = """
-SELECT s_nationkey,
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
        any_value(n_name) AS n_name,
-       sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS total_bal_c,
-       (sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) * 100) // count(*) AS avg_bal_e4,
+       CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_bal_c,
+       CAST((CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100) // count(*) AS BIGINT) AS avg_bal_e4,
        count(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY s_nationkey
@@ -497,10 +504,10 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
 
 
 NATION_REVENUE_SQL = """
-SELECT c_nationkey AS n_nationkey,
+SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey,
        any_value(n_name) AS n_name,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_e4
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -606,7 +613,7 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
 SELECT user_id,
-       sum(is_start) AS n_sessions,
+       CAST(sum(is_start) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM marked
 GROUP BY user_id

@@ -45,6 +45,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for col in a.columns:
             av, bv = a[col], b[col]
+            # the driver's value hash is dtype-sensitive (int64 vs DuckDB
+            # decimal128 object columns hash differently even when values
+            # print the same) — flag any dtype divergence, don't paper over
+            # it with astype(str)
+            if av.dtype != bv.dtype:
+                problems.append(
+                    f"col {col}: dtype mismatch ray={av.dtype} sql={bv.dtype}")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 if not np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
                     bad = np.where(~np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9))[0][:3]

@@ -44,7 +44,19 @@ def _img_reference_clusters(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
     out = ip.reference_clusters(ip.load_images(sf_dir, _cfg()), _cfg())
-    return out.to_pandas().sort_values(["dhash", "image_id"]).reset_index(drop=True)
+    return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
+
+
+def _img_reference_clusters_h12(sf_dir: str):
+    """Reference-mode clustering at the reference's DEFAULT hash size 12
+    (/root/reference/dedupc.py:586) — the 144-bit hex keyspace."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), hash_size=12)
+    out = ip.reference_clusters(ip.load_images(sf_dir, cfg), cfg)
+    return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
 
 
 def _img_reference_decisions(sf_dir: str):
@@ -236,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_purge_semijoin": q.docs_purge_semijoin,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
+        "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_decisions": _img_reference_decisions,
         "img_dup_pairs": _img_dup_pairs,
         "img_extended_clusters": _img_extended_clusters,

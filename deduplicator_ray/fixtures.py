@@ -62,7 +62,11 @@ _DIRS = ["corpus", "img", "archive", "downloads", "sorted", "best", "originals",
 _GOOD_DIR_WORDS = ("best", "original")
 _BAD_DIR_WORDS = ("temp", "cache")
 _FMTS = ["raw", "ppm", "bmp", "png"]
-_EXTS = {"raw": "raw", "ppm": "ppm", "bmp": "bmp", "png": "png"}
+# jpg/mp4 are the stub-codec media formats: the engine cannot decode them
+# in-sandbox, so they exercise the strict-mode md5 keyspace
+# (/root/reference/dupedb.py:82-101)
+_EXTS = {"raw": "raw", "ppm": "ppm", "bmp": "bmp", "png": "png",
+         "jpg": "jpg", "mp4": "mp4"}
 
 
 def _base_image(rng: np.random.Generator, size_scale: int = 1) -> np.ndarray:
@@ -171,7 +175,9 @@ def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
         if corrupt:
             ph = 0
         else:
-            ph = hashing.u64_to_i64(hashing.dhash_u64(img, hash_size))
+            # phash:int64 is definitionally the 64-bit precomputed hash
+            # (input_hint) regardless of the pipeline's hash_size config
+            ph = hashing.u64_to_i64(hashing.dhash_u64(img, 8))
         if stale_phash and rows:
             ph = rows[0]["phash"]
         rows.append(
@@ -206,6 +212,43 @@ def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
         cap = _caption(rng)
         emit(img, str(rng.choice(_fmts)), 0, "plain", "degenerate", None, "same", cap)
         emit(img, str(rng.choice(_fmts)), 1, "plain", "degenerate", 0, "same", cap)
+        return rows, truth
+
+    if roll < 0.045:
+        # strict-mode media: stub-codec payloads (jpg/mp4) that the engine
+        # cannot decode — getProcHash md5-keys them into the same index as
+        # images (/root/reference/dupedb.py:82-101), so byte-identical media
+        # must cluster and elect a keeper exactly like images do.
+        from deduplicator_ray.stages.ranking import keeper_sort_key
+        fmt = str(rng.choice(["jpg", "mp4"]))
+        payload = rng.integers(0, 256, int(rng.integers(512, 4096)),
+                               dtype=np.uint8).tobytes()
+        cap = _caption(rng)
+        n_dups = int(rng.integers(2, 4))
+        first = len(rows)
+        for m in range(n_dups):
+            iid = _image_id(gid, m, rng, _EXTS[fmt],
+                            str(rng.choice(["plain", "series"])))
+            rows.append(dict(image_id=iid, bytes=payload, w=0, h=0, fmt=fmt,
+                             caption=cap, phash=0))
+            truth.append(dict(
+                image_id=iid, group_id=gid, kind="media_exact",
+                source_id=rows[first]["image_id"], psnr_db=float("inf"),
+                caption_kind="same", expected_keeper=False, phash_stale=False))
+        if rng.uniform() < 0.4:  # distinct media payload: must NOT cluster
+            other = rng.integers(0, 256, int(rng.integers(512, 4096)),
+                                 dtype=np.uint8).tobytes()
+            iid = _image_id(gid, n_dups, rng, _EXTS[fmt], "plain")
+            rows.append(dict(image_id=iid, bytes=other, w=0, h=0, fmt=fmt,
+                             caption=_caption(rng), phash=0))
+            truth.append(dict(
+                image_id=iid, group_id=gid, kind="media_distinct",
+                source_id=iid, psnr_db=float("inf"), caption_kind="unrelated",
+                expected_keeper=False, phash_stale=False))
+        # keeper among the byte-identical members (equal quality → min id)
+        keys = {i: keeper_sort_key(rows[i]["image_id"], 1, 0, len(payload))
+                for i in range(first, first + n_dups)}
+        truth[min(keys, key=keys.get)]["expected_keeper"] = True
         return rows, truth
 
     base = _base_image(rng, size_scale)
@@ -327,8 +370,12 @@ def sf_name(sf_dir: str) -> str:
 
 
 def fixture_dir(sf_dir: str, hash_size: int = 8) -> str:
+    """v2: the corpus is hash_size-independent (phash is always the 64-bit
+    precomputed column; wide-hash runs recompute from bytes), so all configs
+    share one cached build.  The version tag invalidates v1 caches built
+    before the strict-mode media groups existed."""
     root = os.environ.get("DEDUP_FIXTURE_ROOT", os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    return os.path.join(root, f"{sf_name(sf_dir)}_hs{hash_size}")
+    return os.path.join(root, f"{sf_name(sf_dir)}_v2")
 
 
 def ensure_fixture(sf_dir: str, hash_size: int = 8, n_groups: int | None = None) -> str:

@@ -45,9 +45,20 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
         }
         try:
             img = codecs.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
-            rec["dhash"] = hashing.u64_to_i64(hashing.dhash_u64(img, cfg.hash_size))
+            bits = hashing.dhash_bits(img, cfg.hash_size)
+            rec["proc_hash"] = hashing.bits_to_hex(bits)
+            rec["dhash"] = (hashing.u64_to_i64(hashing.pack_bits_u64(bits))
+                            if cfg.hash_size == 8 else 0)
             rec["status"] = "ok"
+        except codecs.UnsupportedFormatError as e:
+            # strict-mode media: md5 joins the same keyspace
+            # (/root/reference/dupedb.py:82-101)
+            rec["proc_hash"] = rec["md5"]
+            rec["dhash"] = 0
+            rec["status"] = "md5_only"
+            rec["error"] = str(e)
         except codecs.CodecError as e:
+            rec["proc_hash"] = None
             rec["dhash"] = None
             rec["status"] = "error"
             rec["error"] = f"{type(e).__name__}: {e}"
@@ -55,15 +66,22 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
     return out
 
 
-def reference_clusters(rows: list[dict], cfg: PipelineConfig) -> dict[int, list[str]]:
-    """Exact-dhash buckets ≥ threshold, zero hash skipped. Key = dhash int64."""
-    buckets: dict[int, list[str]] = {}
-    for r in rows:
-        if r["status"] != "ok":
-            continue
-        if cfg.skip_zero_hash and r["dhash"] == 0:
-            continue
-        buckets.setdefault(r["dhash"], []).append(r["image_id"])
+def _live_rows(rows: list[dict], cfg: PipelineConfig) -> list[dict]:
+    """Rows in the dedup keyspace: decodable + md5-keyed media, minus the
+    zero-hash poison bucket (int(hash, 16) == 0, dedupc.py:176-178)."""
+    return [
+        r for r in rows
+        if r["status"] in ("ok", "md5_only")
+        and not (cfg.skip_zero_hash and int(r["proc_hash"], 16) == 0)
+    ]
+
+
+def reference_clusters(rows: list[dict], cfg: PipelineConfig) -> dict[str, list[str]]:
+    """Exact proc-hash buckets ≥ threshold, zero hash skipped.
+    Key = the unified getProcHash keyspace (dHash hex | md5 hex)."""
+    buckets: dict[str, list[str]] = {}
+    for r in _live_rows(rows, cfg):
+        buckets.setdefault(r["proc_hash"], []).append(r["image_id"])
     return {h: sorted(ids) for h, ids in buckets.items() if len(ids) >= cfg.threshold}
 
 
@@ -76,7 +94,7 @@ def reference_decisions(rows: list[dict], cfg: PipelineConfig) -> list[dict]:
             ids,
             key=lambda i: keeper_sort_key(i, 1, by_id[i]["pixels"], by_id[i]["filesize"]),
         )
-        out.append({"dhash": h, "keeper": ranked[0], "deletions": ranked[1:]})
+        out.append({"proc_hash": h, "keeper": ranked[0], "deletions": ranked[1:]})
     return out
 
 
@@ -84,19 +102,28 @@ def verified_pairs(rows: list[dict], cfg: PipelineConfig) -> set[tuple[str, str]
     """All-pairs ground truth for the extended (LSH) mode: a pair is a dup if
     image Hamming ≤ hamming_max OR exact caption character-shingle Jaccard ≥
     jaccard_min — the same verify metric the pipeline applies to LSH
-    candidates (MinHash banding only *proposes*; verification is exact)."""
-    ok = [r for r in rows if r["status"] == "ok" and not (cfg.skip_zero_hash and r["dhash"] == 0)]
+    candidates (MinHash banding only *proposes*; verification is exact).
+    md5-keyed media pair by byte identity (equal md5) or caption Jaccard —
+    never by the dhash channel (their dhash is 0)."""
+    ok = _live_rows(rows, cfg)
     n = len(ok)
     ids = [r["image_id"] for r in ok]
+    decodable = np.array([r["status"] == "ok" for r in ok], dtype=bool)
+    md5s = [r["md5"] for r in ok]
     dh = np.array([hashing.i64_to_u64(r["dhash"]) for r in ok], dtype=np.uint64)
     shingles = [textfn.char_shingle_hashes(str(r["caption"] or ""), cfg.shingle_k) for r in ok]
     pairs: set[tuple[str, str]] = set()
     for i in range(n):
-        ham = hashing.hamming_u64(
-            np.full(n - i - 1, dh[i], dtype=np.uint64).view(np.int64),
-            dh[i + 1 :].view(np.int64),
-        )
-        cand = set(np.where(ham <= cfg.hamming_max)[0] + i + 1)
+        if decodable[i]:
+            ham = hashing.hamming_u64(
+                np.full(n - i - 1, dh[i], dtype=np.uint64).view(np.int64),
+                dh[i + 1 :].view(np.int64),
+            )
+            cand = set((np.where((ham <= cfg.hamming_max)
+                                 & decodable[i + 1:])[0] + i + 1).tolist())
+        else:
+            cand = {j for j in range(i + 1, n)
+                    if not decodable[j] and md5s[j] == md5s[i]}
         si = shingles[i]
         for j in range(i + 1, n):
             if j in cand:

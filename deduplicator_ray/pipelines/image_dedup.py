@@ -57,11 +57,19 @@ def fingerprints(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd
 
 
 def _live(fp: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
-    """ok rows with non-poison hash (zero-hash skip, dedupc.py:176-178)."""
+    """Rows that enter the dedup keyspace: decodable images (``ok``) AND
+    strict-mode md5-keyed media (``md5_only``) — ``getProcHash`` routes both
+    into the same hash→paths index (/root/reference/dupedb.py:68-101); only
+    hard decode errors are quarantined.  The zero-hash poison skip
+    (dedupc.py:176-178, ``int(hash, 16) == 0``) applies to the hex keyspace
+    uniformly, which also covers wide hashes (hash_size > 8) whose int64
+    ``dhash`` column is always 0."""
     def f(t: pa.Table) -> pa.Table:
-        mask = pc.equal(t["status"], "ok")
+        mask = pc.is_in(t["status"], value_set=pa.array(["ok", "md5_only"]))
         if cfg.skip_zero_hash:
-            mask = pc.and_(mask, pc.not_equal(t["dhash"], 0))
+            nonzero = pc.invert(
+                pc.match_substring_regex(t["proc_hash"], r"^0+$"))
+            mask = pc.and_(mask, nonzero)
         return t.filter(mask)
 
     return fp.map_batches(f, batch_format="pyarrow")
@@ -99,14 +107,18 @@ def dead_letter(fp: rd.Dataset) -> rd.Dataset:
 
 
 def reference_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
-    """(dhash, image_id) membership of every exact-dhash bucket ≥ threshold.
+    """(proc_hash, image_id) membership of every exact-hash bucket ≥
+    threshold.  The key is the unified ``getProcHash`` keyspace — dHash hex
+    for decodable images at ANY hash_size (the reference default 12 included),
+    content md5 for strict-mode media — so this works bit-for-bit like the
+    reference's ``db[hash] = [paths]`` index (dupedb.py:253-257).
 
     The bucket threshold (A2, /root/reference/dupedb.py:331) runs as a
     partitioned groupby — one vectorized Python call per key-partition, not
-    one per dhash value."""
+    one per hash value."""
     fp = _live(fingerprints(images, cfg), cfg)
     return filter_min_group_size(
-        fp.select_columns(["dhash", "image_id"]), ["dhash"], cfg.threshold
+        fp.select_columns(["proc_hash", "image_id"]), ["proc_hash"], cfg.threshold
     )
 
 
@@ -121,7 +133,7 @@ def reference_decisions_from_fp(fp: rd.Dataset,
     """Same, from an already-live fingerprint dataset (cli.py job path)."""
 
     def add_cluster(t: pa.Table) -> pa.Table:
-        return t.append_column("cluster_id", pc.cast(t["dhash_hex"], pa.string()))
+        return t.append_column("cluster_id", pc.cast(t["proc_hash"], pa.string()))
 
     return partitioned_groupby(
         fp.map_batches(add_cluster, batch_format="pyarrow"),

@@ -108,9 +108,12 @@ class _SigCache:
 
 
 def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
-                    cache: _SigCache) -> list[tuple[str, str]]:
+                    cache: _SigCache, img_active: bool = True) -> list[tuple[str, str]]:
     """All-pairs verify within one (sub-)bucket; emits only owner-band pairs.
-    k bounded by the cap."""
+    k bounded by the cap.  ``img_active``: whether the image channel is
+    banding this dataset — the caption channel may only delegate
+    Hamming-verified pairs to the image channel when it actually exists,
+    else those pairs would be silently dropped."""
     k = len(ids)
     edges = []
     dh_u = np.asarray(dh, np.int64)
@@ -149,7 +152,7 @@ def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
             di = dh_py[i]
             for j in range(i + 1, k):
                 dj = dh_py[j]
-                if (di or dj) and (di ^ dj).bit_count() <= hmax:
+                if img_active and (di or dj) and (di ^ dj).bit_count() <= hmax:
                     continue  # image channel owns Hamming-verified pairs
                     # (0-0 pairs have no image owner: poison hash in the
                     # image pipeline, dhash=0 for text-only docs)
@@ -207,8 +210,8 @@ class _LocalUF:
         return True
 
 
-def _collapse_verify(ids, dh, band_idx: int, cfg: PipelineConfig,
-                     cap_n: int) -> list[tuple[str, str]]:
+def _collapse_verify(ids, dh, band_idx: int,
+                     cfg: PipelineConfig) -> list[tuple[str, str]]:
     """Hot image bucket: exact-dhash collapse + capped representative verify.
 
     Identical-hash groups (Hamming 0, all slices equal → owner slice 0)
@@ -256,9 +259,21 @@ def _collapse_verify(ids, dh, band_idx: int, cfg: PipelineConfig,
     return edges
 
 
-def make_partition_verify(cfg: PipelineConfig):
-    """Partition-level fn for ``partitioned_groupby(band_rows, ["band","key"], fn)``."""
-    from deduplicator_ray.stages.banding import CAP_BAND_OFFSET
+def make_partition_verify(cfg: PipelineConfig,
+                          channels: tuple[str, ...] = ("img", "cap")):
+    """Partition-level fn for ``partitioned_groupby(band_rows, ["band","key"], fn)``.
+
+    ``channels`` must match what ``make_banding`` emitted: the caption
+    channel's owner logic delegates Hamming-verified pairs to the image
+    channel only when that channel is active (a caption-only run would
+    otherwise silently drop them)."""
+    from deduplicator_ray.stages.banding import _IMG_SLICES, CAP_BAND_OFFSET, MD5_BAND
+
+    img_active = "img" in channels
+    if img_active and cfg.hamming_max > len(_IMG_SLICES) - 1:
+        raise ValueError(
+            f"hamming_max={cfg.hamming_max} exceeds the pigeonhole capacity "
+            f"of {len(_IMG_SLICES)} dHash slices (max {len(_IMG_SLICES) - 1})")
 
     def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -294,11 +309,27 @@ def make_partition_verify(cfg: PipelineConfig):
             ids = ids_a[s0:s1].tolist()
             dh = dh_a[s0:s1]
             caps = caps_a[s0:s1].tolist() if caps_a is not None else [""] * len(ids)
+            if band == MD5_BAND:
+                # strict-mode media: byte-exact dedup.  The payload column
+                # carries the FULL md5 hex; identical-md5 groups are mutual
+                # dups → star edges to the lexicographic-min member (linear
+                # in bucket size, hot buckets included).  Differing md5s in
+                # one bucket are 64-bit key collisions — no edge.
+                mgroups: dict[str, list[str]] = {}
+                for iid, m in zip(ids, caps):
+                    mgroups.setdefault(m, []).append(iid)
+                for members in mgroups.values():
+                    members.sort()
+                    for other in members[1:]:
+                        src_out.append(members[0])
+                        dst_out.append(other)
+                continue
             is_img = band < CAP_BAND_OFFSET
             band_idx = band if is_img else band - CAP_BAND_OFFSET
             k = len(ids)
             if k <= cap_n:
-                edges = _verify_members(ids, dh, caps, band_idx, is_img, cfg, cache)
+                edges = _verify_members(ids, dh, caps, band_idx, is_img, cfg,
+                                        cache, img_active)
             elif is_img:
                 # hot image bucket: exact-hash collapse (the reference's own
                 # grouping semantics, dupedb.py:253-257).  Measured skew at
@@ -310,7 +341,7 @@ def make_partition_verify(cfg: PipelineConfig):
                 # emitting one linking edge per verified rep pair —
                 # cluster-exact, pair-sampled (logged as overflow).
                 overflow.append(k)
-                edges = _collapse_verify(ids, dh, band_idx, cfg, cap_n)
+                edges = _collapse_verify(ids, dh, band_idx, cfg)
             else:
                 # hot caption bucket: exact-caption collapse.  Identical
                 # captions are Jaccard-1 groups → star edges to the group
@@ -330,7 +361,8 @@ def make_partition_verify(cfg: PipelineConfig):
                     rep_idx.append(r)
                     if band_idx == 0:
                         for m in members[1:]:
-                            if (dh_arr[r] != 0 or dh_arr[m] != 0) and \
+                            if img_active and \
+                                    (dh_arr[r] != 0 or dh_arr[m] != 0) and \
                                     int(hamming_u64(dh_arr[r:r + 1],
                                                     dh_arr[m:m + 1])[0]) \
                                     <= cfg.hamming_max:
@@ -344,19 +376,20 @@ def make_partition_verify(cfg: PipelineConfig):
                 kr = len(rep_idx)
                 if kr <= cap_n:
                     edges += _verify_members(r_ids, r_dh, r_caps, band_idx,
-                                             False, cfg, cache)
+                                             False, cfg, cache, img_active)
                 else:
                     reps2 = []
                     for s in range(0, kr, cap_n):
                         sub = slice(s, min(s + cap_n, kr))
                         edges += _verify_members(r_ids[sub], r_dh[sub],
                                                  r_caps[sub], band_idx,
-                                                 False, cfg, cache)
+                                                 False, cfg, cache, img_active)
                         reps2.append(s)
                     reps2 = reps2[:cap_n]
                     edges += _verify_members(
                         [r_ids[i] for i in reps2], r_dh[reps2],
-                        [r_caps[i] for i in reps2], band_idx, False, cfg, cache,
+                        [r_caps[i] for i in reps2], band_idx, False, cfg,
+                        cache, img_active,
                     )
             for a, b in edges:
                 src_out.append(a)

@@ -44,6 +44,7 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
 
         dhash = np.zeros(n, np.int64)
         dhash_hex = [""] * n
+        proc_hash = [""] * n
         md5s = [""] * n
         crc32s = [""] * n
         status = ["ok"] * n
@@ -69,12 +70,18 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
                     bits = hashing.dhash_bits(img, hash_size)
                     dhash_hex[i] = hashing.bits_to_hex(bits)
                     dhash[i] = 0
+                proc_hash[i] = dhash_hex[i]
             except codecs.UnsupportedFormatError as e:
                 # stub boundary for jpg/video/audio payloads: strict-mode
                 # fallback is byte-content identity (md5), matching the
-                # reference's non-image branch (dupedb.py:100-101)
+                # reference's non-image branch (dupedb.py:100-101).  The md5
+                # lands in the SAME proc_hash keyspace as the dHash hex —
+                # exactly how getProcHash merges both into one hash→paths
+                # index (/root/reference/dupedb.py:68-101), so byte-identical
+                # media dedup alongside images.
                 status[i] = "md5_only"
                 errors[i] = str(e)
+                proc_hash[i] = md5s[i]
             except codecs.CodecError as e:
                 status[i] = "error"
                 errors[i] = f"{type(e).__name__}: {e}"
@@ -85,6 +92,7 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
         out = batch.drop_columns(["bytes"])  # payload not needed downstream
         out = out.append_column("dhash", pa.array(dhash, pa.int64()))
         out = out.append_column("dhash_hex", pa.array(dhash_hex, pa.string()))
+        out = out.append_column("proc_hash", pa.array(proc_hash, pa.string()))
         out = out.append_column("content_md5", pa.array(md5s, pa.string()))
         out = out.append_column("crc32", pa.array(crc32s, pa.string()))
         out = out.append_column("pixels", pa.array(pixels, pa.int64()))

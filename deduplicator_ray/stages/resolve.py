@@ -78,7 +78,7 @@ def make_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
                  with_superstate: bool = False):
     """Group fn for ``groupby(cluster_col).map_groups``.
 
-    Input rows need: image_id, dhash_hex, crc32, rk_* columns.
+    Input rows need: image_id, proc_hash, crc32, rk_* columns.
     Output decision rows: (cluster_id, image_id, action, rename_to, dest_path).
     """
 
@@ -124,7 +124,10 @@ def make_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
             if idx == 0 and "!" not in iid:
                 ext = iid.rsplit(".", 1)[-1] if "." in iid else ""
                 suffix = f"_{row['crc32']}" if bucket_size > 1 else ""
-                rename_to = f"{row['dhash_hex']}{suffix}.{ext}"
+                # rename target uses the proc hash — md5 for strict-mode
+                # media, dHash hex for images (dedupc.py:316-320 formats
+                # whatever getProcHash returned)
+                rename_to = f"{row['proc_hash']}{suffix}.{ext}"
             out_cols["cluster_id"].append(cid)
             out_cols["image_id"].append(iid)
             out_cols["action"].append(action)

@@ -71,7 +71,12 @@ def _band_rows_for(image_id: str, dhash_u64: int, caption: str,
 
 
 class BandIndex:
-    """Driver-side handle over a pool of BandShardActor shards."""
+    """Driver-side handle over a pool of BandShardActor shards.
+
+    Serves the img (dHash slice) + cap (MinHash band) channels only: rows
+    with no decodable hash (strict-mode md5 media) belong to the exact
+    md5 band of the batch path (stages/banding.MD5_BAND) — don't feed them
+    here with dhash=0 or they all collide in the zero slices."""
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, num_shards: int = 4):
         self.cfg = cfg

@@ -68,6 +68,9 @@ def test_stored_phash_matches_recompute(corpus, truth):
     for r in corpus.to_pylist():
         if r["image_id"] in stale or r["image_id"] in corrupt:
             continue
+        if r["fmt"] in ("jpg", "mp4"):  # stub-codec media: md5-keyed, phash 0
+            assert r["phash"] == 0
+            continue
         img = codecs.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
         assert hashing.u64_to_i64(hashing.dhash_u64(img)) == r["phash"]
 
@@ -77,7 +80,7 @@ def test_reference_clusters_match_oracle(images_ds, oracle_rows):
     rc = ip.reference_clusters(images_ds, CFG).to_pandas()
     ray_map = {}
     for _, r in rc.iterrows():
-        ray_map.setdefault(int(r["dhash"]), []).append(r["image_id"])
+        ray_map.setdefault(r["proc_hash"], []).append(r["image_id"])
     ray_map = {k: sorted(v) for k, v in ray_map.items()}
     assert ray_map == oc
 
@@ -129,7 +132,8 @@ def test_zero_hash_skipped(images_ds, truth, oracle_rows):
     degen = {t["image_id"] for t in truth.to_pylist() if t["kind"] == "degenerate"}
     assert degen, "fixture must contain degenerate groups"
     # degenerate constant images hash to 0 and must not appear in any cluster
-    zero_rows = {r["image_id"] for r in oracle_rows if r["dhash"] == 0}
+    zero_rows = {r["image_id"] for r in oracle_rows
+                 if r["status"] == "ok" and int(r["proc_hash"], 16) == 0}
     assert degen <= zero_rows
     rc = ip.reference_clusters(images_ds, CFG).to_pandas()
     assert not (set(rc["image_id"]) & degen)
@@ -163,7 +167,9 @@ def test_extended_decisions_shape(images_ds):
     assert (per == 1).all()
     keeps = dec[dec.action == "keep"]
     renamed = keeps[keeps.rename_to != ""]
-    assert renamed["rename_to"].str.match(r"^[0-9a-f]{16}_[0-9A-F]{8}\.\w+$").all()
+    # 16-hex dhash for image clusters, 32-hex md5 for strict-mode media
+    assert renamed["rename_to"].str.match(
+        r"^[0-9a-f]{16}([0-9a-f]{16})?_[0-9A-F]{8}\.\w+$").all()
 
 
 def test_distributed_cc_contraction_path():
@@ -265,7 +271,7 @@ def test_hot_image_bucket_collapse_policy():
     ids += ["s0", "s1"]
     dh += [base ^ 1, base ^ 3]
 
-    edges = _collapse_verify(ids, np.array(dh, dtype=np.int64).tolist(), 0, cfg, 4)
+    edges = _collapse_verify(ids, np.array(dh, dtype=np.int64).tolist(), 0, cfg)
     # stars: every group member linked to its min member
     for gi in range(3):
         for m in range(1, 4):
@@ -277,7 +283,7 @@ def test_hot_image_bucket_collapse_policy():
     # low-information cutoff: >img_rep_cap distinct hashes → stars only
     ids2 = [f"x{i}" for i in range(20)]
     dh2 = [base ^ (i << 8) for i in range(20)]  # 20 distinct hashes, cap 8
-    edges2 = _collapse_verify(ids2, dh2, 0, cfg, 4)
+    edges2 = _collapse_verify(ids2, dh2, 0, cfg)
     assert edges2 == []  # singleton hash groups, no rep verify above cap
 
 
@@ -329,3 +335,70 @@ def test_hot_caption_bucket_collapse_policy():
     j = exact_jaccard_char_shingles(capA, capB, CFG.shingle_k)
     expect_link = j >= CFG.jaccard_min and len(coll) > 0
     assert (("a000", "b0") in pairs) == expect_link
+
+
+def test_md5_media_cluster_in_decisions(images_ds, truth, oracle_rows):
+    """Strict-mode media (stub jpg/mp4 payloads) enter the SAME proc-hash
+    keyspace as images (getProcHash, /root/reference/dupedb.py:68-101):
+    byte-identical media must cluster, elect a keeper, and get an
+    md5-formatted rename target; distinct media must not cluster."""
+    tr = truth.to_pylist()
+    media = {t["image_id"] for t in tr if t["kind"] == "media_exact"}
+    distinct = {t["image_id"] for t in tr if t["kind"] == "media_distinct"}
+    assert media, "fixture must contain byte-identical media groups"
+
+    dec = ip.reference_decisions(images_ds, CFG).to_pandas()
+    # every byte-identical media row got a decision; distinct media did not
+    assert media <= set(dec["image_id"])
+    assert not (distinct & set(dec["image_id"]))
+    # oracle agreement on the media subset
+    od = oracle.reference_decisions(oracle_rows, CFG)
+    o_keep = {d["keeper"] for d in od}
+    keeps = set(dec.loc[dec.action == "keep", "image_id"])
+    assert (keeps & media) == (o_keep & media)
+    # keeper rename target is the md5 (32 hex) + CRC32 suffix
+    m_keep = dec[(dec.action == "keep") & dec.image_id.isin(media)
+                 & (dec.rename_to != "")]
+    assert len(m_keep) > 0
+    assert m_keep["rename_to"].str.match(r"^[0-9a-f]{32}_[0-9A-F]{8}\.\w+$").all()
+
+
+def test_md5_media_in_extended_clusters(images_ds, truth):
+    """Byte-identical media also flow through the extended (LSH+CC) path via
+    the md5 exact band."""
+    tr = truth.to_pylist()
+    by_gid = {}
+    for t in tr:
+        if t["kind"] == "media_exact":
+            by_gid.setdefault(t["group_id"], []).append(t["image_id"])
+    assert by_gid
+    cl = ip.extended_clusters(images_ds, CFG).to_pandas()
+    assign = dict(zip(cl["image_id"], cl["cluster_id"]))
+    for gid, members in by_gid.items():
+        labels = {assign.get(m) for m in members}
+        assert None not in labels, (gid, members)
+        assert len(labels) == 1, (gid, members, labels)
+
+
+def test_reference_clusters_hash_size_12(sf_small):
+    """The reference's DEFAULT hash size (12 → 36-hex keyspace,
+    /root/reference/dedupc.py:586,598-600) must produce non-empty clusters
+    matching the oracle — regression for the r1 bug where hash_size>8
+    silently wiped the corpus."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    cfg = dataclasses.replace(CFG, hash_size=12)
+    corpus = pq.read_table(fixtures.images_path(sf_small, cfg.hash_size))
+    rows12 = oracle.compute_rows(corpus, cfg)
+    oc = oracle.reference_clusters(rows12, cfg)
+    assert oc, "oracle must find clusters at hash_size=12"
+    rc = ip.reference_clusters(ip.load_images(sf_small, cfg), cfg).to_pandas()
+    assert len(rc) > 0
+    # 36-hex keys (plus 32-hex md5 media keys)
+    assert rc["proc_hash"].str.match(r"^[0-9a-f]{32}([0-9a-f]{4})?$").all()
+    ray_map = {}
+    for _, r in rc.iterrows():
+        ray_map.setdefault(r["proc_hash"], []).append(r["image_id"])
+    assert {k: sorted(v) for k, v in ray_map.items()} == oc

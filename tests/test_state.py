@@ -108,7 +108,10 @@ def test_band_index_matches_shuffle_candidates(sf_small):
     fp = _live(
         fingerprints(rd.read_parquet(fixtures.images_path(sf_small, CFG.hash_size)), CFG),
         CFG,
-    ).to_pandas().head(200)
+    ).to_pandas()
+    # the band index serves the img+cap channels; strict-mode md5 media
+    # go through the exact-dedup path (md5 band) in the batch pipeline
+    fp = fp[fp["status"] == "ok"].head(200)
 
     idx = BandIndex(CFG, num_shards=3)
     idx.add_batch(list(zip(fp["image_id"], (int(x) & (2**64 - 1) for x in fp["dhash"]),

@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "orders_without_lineitems": q.orders_without_lineitems,
         "docs_purge_semijoin": q.docs_purge_semijoin,
+        "docs_substring_dup": q.docs_substring_dup,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
@@ -291,4 +292,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
+        "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,
     }

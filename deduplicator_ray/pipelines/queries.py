@@ -832,3 +832,62 @@ FROM documents
 WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_substring_dup — suffix-array-style substring dedup (ExactSubstr
+# semantics, Lee et al. ACL 2022): maximal spans of ≥8-token windows that
+# duplicate earlier corpus content.  The Ray side is the windowed-fingerprint
+# pipeline (pipelines/substring.py: hash pass → dup-set → exact verify →
+# span merge); the mirror recomputes the identical semantics with window
+# strings directly — value-exact because the engine verifies hash candidates
+# against exact window text before marking.
+
+SUBSTRING_K = 8
+
+
+def docs_substring_dup(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
+    from deduplicator_ray.pipelines.substring import substring_dup_spans
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = substring_dup_spans(ds, k=k).to_pandas()
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+DOCS_SUBSTRING_DUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(t[u.i:u.i + {SUBSTRING_K - 1}], ' ') AS win
+  FROM toks, UNNEST(range(1, greatest(len(t) - {SUBSTRING_K} + 2, 1))) u(i)
+),
+dup AS (
+  SELECT win FROM wins GROUP BY win HAVING count(*) > 1
+),
+occ AS (
+  SELECT w.doc_id, w.pos,
+         row_number() OVER (PARTITION BY w.win ORDER BY w.doc_id, w.pos) AS rn
+  FROM wins w JOIN dup USING (win)
+),
+dup_occ AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+gaps AS (
+  SELECT doc_id, pos,
+         lag(pos, 1, -1000000) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM dup_occ
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev_pos <= {SUBSTRING_K} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM gaps
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {SUBSTRING_K} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM islands
+GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""

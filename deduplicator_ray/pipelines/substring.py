@@ -1,0 +1,204 @@
+"""Substring-level dedup — the suffix-array leg of the north-rule triple
+(MinHash / SimHash / suffix-array substring).
+
+Semantics follow the ExactSubstr shape of "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., ACL 2022 — public): any k-token window
+that occurs more than once in the corpus is a duplicated substring; every
+occurrence except the canonical first (lexicographic min (doc_id, pos)) is
+marked, and marked positions merge into maximal spans per document — the
+trim/filter decision table a training-data pipeline consumes.
+
+A monolithic suffix array needs corpus-global sorted state (the reference
+paper builds one per shard and merges); the Ray-Data-native equivalent is
+**windowed fingerprinting**, which detects exactly the same matches of
+length ≥ k tokens while shuffling 8 bytes per window instead of the text:
+
+P1  window hashes   map_batches: per-batch token crc32 → one concatenated
+                    array → sliding-window polynomial hash (vectorized
+                    numpy, no per-window Python) → (whash, doc_id, pos),
+                    locally pre-aggregated to (whash, cnt) partials.
+P2  dup-hash set    partitioned groupby on whash, sum counts, keep cnt>1.
+                    The surviving set is the *duplicated* fraction only —
+                    broadcast via ray.put at sandbox scale; at corpus scale
+                    swap the broadcast for a partitioned semi-join on whash
+                    (stages/partitioned.partitioned_merge_str shape) — the
+                    pipeline below keeps that substitution local to one
+                    stage.
+P3  exact verify    re-emit only windows whose hash is in the dup set, NOW
+                    carrying the window text; group by (whash, win) so hash
+                    collisions can never mark a unique substring; drop the
+                    canonical first occurrence per exact window.
+P4  span merge      partitioned groupby on doc_id: sort positions, merge
+                    windows closer than k tokens into maximal spans
+                    (vectorized gaps-and-islands) → (doc_id, span_start,
+                    span_end, n_windows).
+
+Positions are 1-based token indices; a span covers tokens
+[span_start, span_end).  Tokenization is a literal single-space split so the
+DuckDB mirror (pipelines/queries.DOCS_SUBSTRING_DUP_SQL) is value-exact.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+_B = np.uint64(1099511628211)  # FNV-1a prime as the polynomial base
+
+
+def _window_weights(k: int) -> np.ndarray:
+    w = np.empty(k, np.uint64)
+    acc = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        w[j] = acc
+        with np.errstate(over="ignore"):
+            acc = acc * _B
+    return w
+
+
+def _batch_windows(texts: list[str], k: int):
+    """All k-token windows of a batch: (doc_idx, pos, whash) numpy arrays.
+
+    One concatenated token-hash array per batch + one sliding-window
+    multiply-add — no per-window Python.  Token hashes are crc32 (C speed);
+    the 64-bit polynomial over them is collision-checked later by exact
+    string verify (P3), so hash quality only affects the candidate volume.
+    """
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+    flat = [zlib.crc32(tok.encode()) for toks in tok_lists for tok in toks]
+    h = np.asarray(flat, np.uint64)
+    n = len(h)
+    if n < k:
+        z = np.zeros(0, np.int64)
+        return z, z, z.view(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, k)
+    with np.errstate(over="ignore"):
+        whash = (win * _window_weights(k)[None, :]).sum(axis=1, dtype=np.uint64)
+    # valid window starts: fully inside one document
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[: n - k + 1]
+    pos_in_doc = np.arange(n - k + 1, dtype=np.int64) - starts[doc_of]
+    valid = pos_in_doc <= lens[doc_of] - k
+    return doc_of[valid], pos_in_doc[valid] + 1, whash[valid].view(np.int64)
+
+
+def _dup_window_hashes(ds: rd.Dataset, k: int, text_col: str,
+                       num_parts: int) -> np.ndarray:
+    """P1+P2: sorted int64 array of window hashes occurring > 1 time."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        _, _, wh = _batch_windows(texts, k)
+        uniq, cnt = np.unique(wh, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), pa.array(cnt.astype(np.int64))],
+            names=["whash", "cnt"])
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("whash", as_index=False)["cnt"].sum()
+        out = g[g["cnt"] > 1][["whash"]]
+        return out if len(out) else pd.DataFrame({"whash": pd.Series([], dtype="int64")})
+
+    dup = partitioned_groupby(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=4096),
+        ["whash"], reduce_part, num_parts=num_parts)
+    chunks = [b["whash"].to_numpy(zero_copy_only=False)
+              for b in dup.iter_batches(batch_format="pyarrow")]
+    return np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, np.int64)
+
+
+def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_parts: int = 64) -> rd.Dataset:
+    """(doc_id, pos) of every non-canonical occurrence of a duplicated
+    k-token window (exact-string verified)."""
+    dup_ref = ray.put(_dup_window_hashes(ds, k, text_col, num_parts))
+
+    def emit_hits(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        ids = t[id_col].to_pylist()
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        doc_idx, pos, wh = _batch_windows(texts, k)
+        if len(dup_sorted):
+            i = np.searchsorted(dup_sorted, wh)
+            i[i == len(dup_sorted)] = 0
+            hit = dup_sorted[i] == wh
+        else:
+            hit = np.zeros(len(wh), bool)
+        doc_idx, pos, wh = doc_idx[hit], pos[hit], wh[hit]
+        toks = [texts[d].split(" ") for d in doc_idx]
+        wins = [" ".join(tk[p - 1:p - 1 + k]) for tk, p in zip(toks, pos)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(wh, pa.int64()),
+                pa.array(wins, pa.string()),
+                pa.array([ids[d] for d in doc_idx], pa.int64()),
+                pa.array(pos, pa.int64()),
+            ],
+            names=["whash", "win", "doc_id", "pos"])
+
+    def mark_non_canonical(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        df = df.sort_values(["whash", "win", "doc_id", "pos"], kind="mergesort")
+        grp = df.groupby(["whash", "win"], sort=False)
+        sizes = grp["pos"].transform("size")
+        first = grp.cumcount() == 0
+        out = df.loc[(sizes > 1) & ~first, ["doc_id", "pos"]]
+        return out if len(out) else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "pos": pd.Series([], dtype="int64")})
+
+    hits = ds.map_batches(emit_hits, batch_format="pyarrow", batch_size=4096)
+    return partitioned_groupby(hits, ["whash"], mark_non_canonical,
+                               num_parts=num_parts)
+
+
+def substring_dup_spans(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_parts: int = 64) -> rd.Dataset:
+    """Trim decision table: maximal duplicated spans per document.
+
+    (doc_id, span_start, span_end, n_windows) — tokens
+    [span_start, span_end) duplicate earlier corpus content; ``n_windows``
+    is how many duplicated windows merged into the span."""
+    occ = duplicated_occurrences(ds, k, id_col, text_col, num_parts)
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "span_start": pd.Series([], dtype="int64"),
+            "span_end": pd.Series([], dtype="int64"),
+            "n_windows": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        new_doc = np.empty(len(df), bool)
+        new_doc[:1] = True
+        new_doc[1:] = doc[1:] != doc[:-1]
+        gap = np.empty(len(df), bool)
+        gap[:1] = True
+        gap[1:] = (pos[1:] - pos[:-1]) > k
+        island = np.cumsum(new_doc | gap)
+        out = pd.DataFrame({"doc_id": doc, "pos": pos, "isl": island})
+        g = out.groupby("isl", as_index=False).agg(
+            doc_id=("doc_id", "first"), span_start=("pos", "min"),
+            span_end=("pos", "max"), n_windows=("pos", "size"))
+        g["span_end"] = g["span_end"] + k
+        g["n_windows"] = g["n_windows"].astype("int64")
+        return g[["doc_id", "span_start", "span_end", "n_windows"]]
+
+    return partitioned_groupby(occ, ["doc_id"], merge_spans,
+                               num_parts=num_parts)

@@ -66,6 +66,28 @@ def _img_reference_decisions(sf_dir: str):
     return out.to_pandas().sort_values(["cluster_id", "image_id"]).reset_index(drop=True)
 
 
+def _img_clusters_hidealts(sf_dir: str):
+    """GUI hide-alts bucket filter (D4, compare.py:519-560)."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.reference_clusters_hidealts(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
+
+
+def _img_decisions_explain(sf_dir: str):
+    """explainSort output (M10, dedupc.py:99-106): keeper rows carry the
+    per-bucket ranking explanation."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), explain=True)
+    out = ip.reference_decisions(ip.load_images(sf_dir, cfg), cfg)
+    df = out.to_pandas().sort_values(["cluster_id", "image_id"]).reset_index(drop=True)
+    df["explain_lines"] = df["explain"].str.count("\n")
+    return df[["cluster_id", "image_id", "action", "explain_lines"]]
+
+
 def _img_dup_pairs(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -251,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_decisions": _img_reference_decisions,
+        "img_clusters_hidealts": _img_clusters_hidealts,
+        "img_decisions_explain": _img_decisions_explain,
         "img_dup_pairs": _img_dup_pairs,
         "img_extended_clusters": _img_extended_clusters,
         "img_dead_letter": _img_dead_letter,

@@ -47,6 +47,12 @@ class PipelineConfig:
     cc_max_rounds: int = 16         # max contraction levels (node count ≥ halves per level)
     cc_driver_edge_cap: int = 2_000_000  # residual graph ≤ this → driver union-find base case
 
+    # --- source filtering (reference --files-exempt, dedupc.py:687-691)
+    files_exempt: tuple[str, ...] = ()  # drop ids containing any substring
+
+    # --- decision-table explain output (explainSort, dedupc.py:99-106)
+    explain: bool = False           # attach per-bucket ranking explanation
+
     # --- keeper ranking word lists (reference criteria dict, dedupc.py:663-668)
     good_words: tuple[str, ...] = ()
     bad_words: tuple[str, ...] = ()

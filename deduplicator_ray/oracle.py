@@ -158,3 +158,16 @@ def connected_components(pairs: set[tuple[str, str]]) -> dict[str, str]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in {n for p in pairs for n in p}}
+
+
+def reference_clusters_hidealts(rows: list[dict], cfg: PipelineConfig) -> dict[str, list[str]]:
+    """loadDuplicates with hide-alts (compare.py:519-560): a bucket survives
+    iff its alt-suppressed member list still meets the threshold; surviving
+    buckets keep FULL membership (the reference stores ``filelist``)."""
+    from deduplicator_ray.stages.alts import suppress_alt_members
+
+    out = {}
+    for h, ids in reference_clusters(rows, cfg).items():
+        if len(suppress_alt_members(ids)) >= cfg.threshold:
+            out[h] = ids
+    return out

@@ -91,9 +91,12 @@ def doc_band_rows(ds: rd.Dataset, cfg: PipelineConfig, id_col: str = "doc_id",
 def doc_dup_pairs(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                   id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Distinct verified near-dup doc pairs (exact shingle Jaccard ≥ threshold)."""
+    from deduplicator_ray.stages.candidates import VERIFY_SCHEMA
+
     edges = partitioned_groupby(
         doc_band_rows(ds, cfg, id_col, text_col), ["band", "key"],
-        make_partition_verify(cfg),
+        make_partition_verify(cfg, channels=("cap",)),
+        out_schema=VERIFY_SCHEMA,
     )
     return drop_duplicates(
         edges.map_batches(
@@ -169,6 +172,7 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
         partitioned_groupby(
             ds.map_batches(f, batch_format="pyarrow", batch_size=4096),
             ["band", "key"], verify_partition,
+            out_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
         ),
         ["src", "dst"],
     )

@@ -42,9 +42,31 @@ from deduplicator_ray.stages.signatures import CaptionSignatures
 def load_images(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Read the synthetic images corpus for this sf tier (built+cached on
     first use).  Columns are NOT pruned here: decode needs bytes; callers
-    that only need metadata should read with ``columns=``."""
+    that only need metadata should read with ``columns=``.
+
+    ``cfg.files_exempt`` substrings filter ids at the source (S2,
+    /root/reference/dedupc.py:687-691: drop any path containing an exempt
+    substring) — vectorized, applied before the bytes leave the read stage."""
     tuning.tune()
-    return rd.read_parquet(fixtures.images_path(sf_dir, cfg.hash_size))
+    ds = rd.read_parquet(fixtures.images_path(sf_dir, cfg.hash_size))
+    if cfg.files_exempt:
+        ds = apply_exempt(ds, cfg.files_exempt)
+    return ds
+
+
+def apply_exempt(ds: rd.Dataset, substrings: tuple[str, ...],
+                 id_col: str = "image_id") -> rd.Dataset:
+    """Exempt-substring source filter (S2): keep rows whose id contains NONE
+    of the substrings — ``all(path.find(j) == -1 for j in files_exempt)``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = None
+        for sub in substrings:
+            hit = pc.match_substring(t[id_col], sub)
+            mask = hit if mask is None else pc.or_(mask, hit)
+        return t.filter(pc.invert(mask)) if mask is not None else t
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def fingerprints(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
@@ -122,6 +144,54 @@ def reference_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG)
     )
 
 
+def reference_clusters_hidealts(images: rd.Dataset,
+                                cfg: PipelineConfig = DEFAULT_CONFIG,
+                                namespace: str = "bucket") -> rd.Dataset:
+    """``loadDuplicates`` with hide-alts on (D4,
+    /root/reference/compare.py:519-560): per bucket, series-alt members are
+    suppressed and the REDUCED list is re-thresholded — but a surviving
+    bucket reports its FULL membership (the reference stores ``filelist``,
+    not ``filelist_no_series``, compare.py:564).  Suppression changes which
+    buckets survive, not their membership.
+
+    ``namespace``: the id universe the smart base-file probe searches —
+    'bucket' (default; free) or 'corpus' (broadcast of all live ids — the
+    reference globs the whole filesystem; at 10^12 rows derive a
+    series_style key and self-join instead)."""
+    import ray as _ray
+
+    from deduplicator_ray.stages.alts import suppress_alt_members
+
+    fp = _live(fingerprints(images, cfg), cfg).select_columns(
+        ["proc_hash", "image_id"])
+    ns_ref = None
+    if namespace == "corpus":
+        ids = sorted(x for b in fp.iter_batches(batch_format="pyarrow")
+                     for x in b["image_id"].to_pylist())
+        ns_ref = _ray.put(ids)
+
+    def f(df):
+        import pandas as pd
+
+        ns_all = _ray.get(ns_ref) if ns_ref is not None else None
+        rows_h, rows_id = [], []
+        for h, g in df.groupby("proc_hash", sort=False):
+            members = sorted(g["image_id"])
+            if len(members) < cfg.threshold:
+                continue
+            kept = suppress_alt_members(members, ns_all)
+            if len(kept) < cfg.threshold:
+                continue
+            rows_h.extend([h] * len(members))
+            rows_id.extend(members)
+        return pd.DataFrame({"proc_hash": rows_h, "image_id": rows_id})
+
+    return partitioned_groupby(
+        fp, ["proc_hash"], f,
+        out_schema=pa.schema([("proc_hash", pa.string()),
+                              ("image_id", pa.string())]))
+
+
 def reference_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Decision table of the reference delete pipeline: per exact-dhash
     bucket, keeper + deletions + rename target."""
@@ -135,10 +205,13 @@ def reference_decisions_from_fp(fp: rd.Dataset,
     def add_cluster(t: pa.Table) -> pa.Table:
         return t.append_column("cluster_id", pc.cast(t["proc_hash"], pa.string()))
 
+    from deduplicator_ray.stages.resolve import decision_schema
+
     return partitioned_groupby(
         fp.map_batches(add_cluster, batch_format="pyarrow"),
         ["cluster_id"],
         make_partition_resolve(cfg, cluster_col="cluster_id", with_superstate=True),
+        out_schema=decision_schema(cfg),
     )
 
 
@@ -164,7 +237,11 @@ def verified_edges_from_fp(fp: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     band_rows = fp.map_batches(
         make_banding(cfg, channels), batch_format="pyarrow", batch_size=cfg.text_batch_size
     )
-    return partitioned_groupby(band_rows, ["band", "key"], make_partition_verify(cfg))
+    from deduplicator_ray.stages.candidates import VERIFY_SCHEMA
+
+    return partitioned_groupby(band_rows, ["band", "key"],
+                               make_partition_verify(cfg, channels),
+                               out_schema=VERIFY_SCHEMA)
 
 
 def verified_edges(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -221,8 +298,11 @@ def extended_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
         num_partitions=num_partitions,
         on=("image_id",),
     )
+    from deduplicator_ray.stages.resolve import decision_schema
+
     return partitioned_groupby(
         joined,
         ["cluster_id"],
         make_partition_resolve(cfg, cluster_col="cluster_id", with_superstate=True),
+        out_schema=decision_schema(cfg),
     )

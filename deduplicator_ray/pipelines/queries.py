@@ -61,7 +61,7 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             sum_disc_price_e4=("disc_e4", "sum"),
             count_order=("qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -115,7 +115,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
         g = df.groupby("o_custkey", as_index=False).agg(
             revenue_c=("revenue_c", "sum"), n_orders=("revenue_c", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -478,7 +478,7 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
         df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
                            "rev_e4": rev})
         g = df.groupby("l_orderkey", as_index=False)["rev_e4"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     li_agg = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536) \
         .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
@@ -493,7 +493,7 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
         df = pd.DataFrame({"n_nationkey": nk,
                            "rev_e4": t["rev_e4"].to_numpy(zero_copy_only=False)})
         g = df.groupby("n_nationkey", as_index=False)["rev_e4"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = joined.map_batches(to_nation, batch_format="pyarrow") \
         .groupby("n_nationkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
@@ -536,7 +536,8 @@ def orders_topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
                             ascending=[True, False, True])
         out = df.groupby("o_orderpriority", sort=False).head(k)
         return pa.Table.from_pandas(
-            out[["o_orderpriority", "o_orderkey", "price_c"]], preserve_index=False)
+            out[["o_orderpriority", "o_orderkey", "price_c"]],
+            preserve_index=False).replace_schema_metadata(None)
 
     reduced = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
 

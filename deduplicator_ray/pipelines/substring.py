@@ -110,7 +110,8 @@ def _dup_window_hashes(ds: rd.Dataset, k: int, text_col: str,
 
     dup = partitioned_groupby(
         ds.map_batches(partials, batch_format="pyarrow", batch_size=4096),
-        ["whash"], reduce_part, num_parts=num_parts)
+        ["whash"], reduce_part, num_parts=num_parts,
+        out_schema=pa.schema([("whash", pa.int64())]))
     chunks = [b["whash"].to_numpy(zero_copy_only=False)
               for b in dup.iter_batches(batch_format="pyarrow")]
     return np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, np.int64)
@@ -160,8 +161,9 @@ def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
              "pos": pd.Series([], dtype="int64")})
 
     hits = ds.map_batches(emit_hits, batch_format="pyarrow", batch_size=4096)
-    return partitioned_groupby(hits, ["whash"], mark_non_canonical,
-                               num_parts=num_parts)
+    return partitioned_groupby(
+        hits, ["whash"], mark_non_canonical, num_parts=num_parts,
+        out_schema=pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]))
 
 
 def substring_dup_spans(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
@@ -200,5 +202,8 @@ def substring_dup_spans(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
         g["n_windows"] = g["n_windows"].astype("int64")
         return g[["doc_id", "span_start", "span_end", "n_windows"]]
 
-    return partitioned_groupby(occ, ["doc_id"], merge_spans,
-                               num_parts=num_parts)
+    return partitioned_groupby(
+        occ, ["doc_id"], merge_spans, num_parts=num_parts,
+        out_schema=pa.schema([
+            ("doc_id", pa.int64()), ("span_start", pa.int64()),
+            ("span_end", pa.int64()), ("n_windows", pa.int64())]))

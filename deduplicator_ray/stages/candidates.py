@@ -65,6 +65,14 @@ from deduplicator_ray.config import PipelineConfig
 from deduplicator_ray.functions import text as textfn
 from deduplicator_ray.hashing import hamming_u64
 
+import pyarrow as pa
+
+# callers pass this as partitioned_groupby's out_schema so empty partitions
+# emit the exact same Arrow schema as full ones
+VERIFY_SCHEMA = pa.schema([
+    ("src", pa.string()), ("dst", pa.string()), ("overflow", pa.int64()),
+])
+
 _EMPTY = pd.DataFrame(
     {"src": pd.Series([], dtype=str), "dst": pd.Series([], dtype=str),
      "overflow": pd.Series([], dtype="int64")}

@@ -1,4 +1,4 @@
-"""P6 — distributed connected components via alternating star contraction.
+r"""P6 — distributed connected components via alternating star contraction.
 
 The north-rule algorithm ("distributed union-find — iterative
 hash-partitioned edge contraction").  We implement the alternating
@@ -135,6 +135,7 @@ def _star_half(E: rd.Dataset, num_parts: int, large: bool) -> rd.Dataset:
     return partitioned_groupby(
         E.map_batches(_symmetrize, batch_format="pyarrow"),
         ["node"], _star_partition_fn(large), num_parts,
+        out_schema=_EDGE_SCHEMA,
     ).materialize()
 
 

@@ -57,17 +57,43 @@ def partitioned_groupby(
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_parts: int = 64,
+    out_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` to each key-partition (a pandas DataFrame containing
     complete key groups, possibly many).  ``fn`` must do its own per-key
-    logic vectorized (e.g. ``df.groupby(keys, sort=False)`` / sort + mask)."""
+    logic vectorized (e.g. ``df.groupby(keys, sort=False)`` / sort + mask).
+
+    ``out_schema``: pass it when ``fn`` can return EMPTY frames whose
+    dtypes are ambiguous (object-dtype string columns) — empty pandas
+    blocks otherwise infer null types and downstream operators see a
+    drifting schema per partition ("RefBundle with a different schema"
+    warnings, CORRECTNESS_r01).  With a schema, every partition emits an
+    Arrow table of the exact same schema, empty or not.
+
+    The partition id is refined ×16 beyond ``num_parts``: Ray's sort-based
+    groupby range-partitions on sampled key boundaries, and a LOW-cardinality
+    key (e.g. 64 distinct ids over ~200 sort ranges) samples duplicate
+    boundaries → empty ranges → schema-less empty blocks (the "new schema:
+    ." executor warnings).  Refinement preserves correctness (key-equal rows
+    still share a partition — it's a finer refinement of the same hash
+    partition) while making the key cardinality comfortably exceed any sort
+    fan-out; ``fn`` just runs on 16× smaller, still fully-vectorized
+    partitions."""
+    fine_parts = num_parts * 16
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = (_hash_cols(t, keys) % np.uint64(num_parts)).astype(np.int32)
+        part = (_hash_cols(t, keys) % np.uint64(fine_parts)).astype(np.int32)
         return t.append_column("__part", pa.array(part))
 
-    def apply(g: pd.DataFrame) -> pd.DataFrame:
+    def apply(g: pd.DataFrame):
         out = fn(g.drop(columns="__part"))
+        if out_schema is not None:
+            # from_pandas metadata is stripped: a schema carrying the
+            # b'pandas' blob is unhashable (pyarrow hashes the metadata
+            # dict) and trips Ray's schema-dedup on every concat
+            return pa.Table.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            ).replace_schema_metadata(None)
         return out
 
     return (
@@ -95,6 +121,9 @@ def partitioned_merge_str(
     disjoint between sides."""
 
     all_cols = list(dict.fromkeys(left_cols + right_cols))
+    fine_parts = num_parts * 16  # see partitioned_groupby on sort-range cardinality
+    out_cols = list(dict.fromkeys(left_cols + [c for c in right_cols if c != right_on]))
+    out_schema = pa.schema([(c, pa.string()) for c in out_cols])
 
     def tag(side: str, key: str, own_cols: list[str]):
         def f(t: pa.Table) -> pa.Table:
@@ -106,17 +135,21 @@ def partitioned_merge_str(
                     arrays.append(t[c].cast(pa.string()) if t[c].type != pa.string() else t[c])
                 else:
                     arrays.append(pa.array([""] * n, pa.string()))
-            part = (_hash_cols(t, [key]) % np.uint64(num_parts)).astype(np.int32)
+            part = (_hash_cols(t, [key]) % np.uint64(fine_parts)).astype(np.int32)
             names += ["__part", "__side"]
             arrays += [pa.array(part), pa.array([side] * n, pa.string())]
             return pa.Table.from_arrays(arrays, names=names)
 
         return f
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame):
         l = g.loc[g["__side"] == "l", left_cols]
         r = g.loc[g["__side"] == "r", right_cols]
-        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+        out = l.merge(r, how=how, left_on=left_on, right_on=right_on)
+        return pa.Table.from_pandas(
+            out[out_cols] if set(out_cols) <= set(out.columns) else out,
+            schema=out_schema, preserve_index=False,
+        ).replace_schema_metadata(None)
 
     u = left.map_batches(tag("l", left_on, left_cols), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_on, right_cols), batch_format="pyarrow")

@@ -36,6 +36,41 @@ _HEX36_RE = re.compile(r"^[0-9a-f]{36}\.")  # dedupc.py:83
 _SERIES_RE = re.compile(r" \(\d+\)\.")      # dedupc.py:87
 _PUNCT = "-_ +"                             # dedupc.py:86
 
+# The FULL series-pattern set of getSeriesInfo
+# (/root/reference/compare.py:79-92), in the reference's priority order.
+# Applied to the filename STEM (no extension).  This is the M12 operator —
+# distinct from the narrow " (n)." flag that feeds makeNameSortTuple (M8).
+_SERIES_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"_(\d+)$"), "_<#>"),
+    (re.compile(r"-(\d+)$"), "-<#>"),
+    (re.compile(r" (\d+)$"), " <#>"),
+    (re.compile(r"\((\d+)\)$"), "(<#>)"),
+    (re.compile(r"_p(\d+)$"), "_p<#>"),
+    (re.compile(r"_img(\d+)$"), "_img<#>"),
+    (re.compile(r"-img(\d+)$"), "-img<#>"),
+    (re.compile(r"-alt(\d*)$"), "-alt<#>"),
+    (re.compile(r" edit$"), " edit<#>"),
+    (re.compile(r"(?<=[a-zA-Z])(\d)$"), "<#>"),
+]
+
+
+def series_info(stem: str) -> tuple[int, str] | None:
+    """``getSeriesInfo`` (compare.py:77-105): first matching pattern wins;
+    the captured number (default 1 when the group is empty/absent, e.g.
+    ``-alt``/`` edit``) must be ≤ 1000; returns (no, style) where style has
+    the number replaced by ``<#>``."""
+    for pat, stylem in _SERIES_PATTERNS:
+        m = pat.search(stem)
+        if m:
+            try:
+                i = int(m.groups()[0])
+            except (IndexError, ValueError, TypeError):
+                i = 1
+            if i > 1000:
+                continue
+            return i, pat.sub(stylem, stem)
+    return None
+
 
 def split_path(image_id: str) -> tuple[str, str]:
     """os.path.split with '/' separator (image_id is path-shaped by fixture design)."""

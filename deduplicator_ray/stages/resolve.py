@@ -24,8 +24,45 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import pyarrow as pa
+
 from deduplicator_ray.config import PipelineConfig
 from deduplicator_ray.stages.ranking import split_path
+
+# out_schema for partitioned_groupby: empty partitions keep the decision
+# table's exact Arrow schema
+DECISION_SCHEMA = pa.schema([
+    ("cluster_id", pa.string()), ("image_id", pa.string()),
+    ("action", pa.string()), ("rename_to", pa.string()),
+    ("dest_path", pa.string()),
+])
+
+_EXPLAIN_HEADER = ("image(-frames, -res, -size, -density), "
+                   "path(-good, +bad, -depth), "
+                   "name(-hash, -good, +bad, -punctuation, +number, )")
+
+
+def decision_schema(cfg: PipelineConfig) -> pa.Schema:
+    if cfg.explain:
+        return DECISION_SCHEMA.append(pa.field("explain", pa.string()))
+    return DECISION_SCHEMA
+
+
+def _explain_sort(g: pd.DataFrame) -> str:
+    """``explainSort`` (M10, /root/reference/dedupc.py:99-106): the ranking
+    header plus one '{sort_tuple}\\t| {path}' line per member, in quality
+    order — answers "why was X deleted?" from the decision table alone."""
+    lines = [_EXPLAIN_HEADER]
+    for _, row in g.iterrows():
+        tup = ((-int(row["rk_frames"]), -int(row["rk_pixels"]),
+                -int(row["rk_filesize"]), -float(row["rk_density"])),
+               (-int(row["rk_dir_good"]), int(row["rk_dir_bad"]),
+                -int(row["rk_dir_len"])),
+               (int(row["rk_name_hex"]), -int(row["rk_name_good"]),
+                int(row["rk_name_bad"]), -int(row["rk_name_punct"]),
+                int(row["rk_name_series"])))
+        lines.append(f"{tup}\t| {row['image_id']} ")
+    return "\n".join(lines)
 
 # lexicographic order of the reference tuples, expressed as (column, ascending)
 _IMAGE_ORDER = [
@@ -87,12 +124,14 @@ def make_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
             "cluster_id": [], "image_id": [], "action": [],
             "rename_to": [], "dest_path": [],
         }
+        if cfg.explain:
+            out_cols["explain"] = []
         if len(g) < cfg.threshold:
             return pd.DataFrame(out_cols).astype(
-                {"cluster_id": str, "image_id": str, "action": str,
-                 "rename_to": str, "dest_path": str})
+                {c: str for c in out_cols})
         cid = str(g[cluster_col].iloc[0])
         by_quality = _argsort(g, _IMAGE_ORDER)
+        explain_text = _explain_sort(by_quality) if cfg.explain else None
         keeper = by_quality.iloc[0]
         bucket_size = len(g)
 
@@ -133,6 +172,10 @@ def make_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
             out_cols["action"].append(action)
             out_cols["rename_to"].append(rename_to)
             out_cols["dest_path"].append(dest if idx == 0 else "")
+            if cfg.explain:
+                # keeper row carries the bucket's full ranking explanation
+                # (the reference prints it per bucket, dedupc.py:182-184)
+                out_cols["explain"].append(explain_text if idx == 0 else "")
         return pd.DataFrame(out_cols)
 
     return resolve

@@ -1,0 +1,154 @@
+"""Reference-behavior completion: full getSeriesInfo patterns (M12),
+known-alts suppression (D4), explainSort (M10), exempt filter (S2) — each
+pinned against hand-computed cases from the reference source."""
+
+import dataclasses
+
+import pytest
+
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.stages.alts import find_base_for_path, suppress_alt_members
+from deduplicator_ray.stages.ranking import series_info
+
+CFG = PipelineConfig()
+
+
+# --- M12: the full pattern set of compare.py:79-92 -------------------------
+
+@pytest.mark.parametrize("stem,expect", [
+    ("pic_3", (3, "pic_<#>")),
+    ("pic-27", (27, "pic-<#>")),
+    ("pic 4", (4, "pic <#>")),
+    ("pic(4)", (4, "pic(<#>)")),
+    ("pic_p12", (12, "pic_p<#>")),
+    ("pic_img7", (7, "pic_img<#>")),
+    ("pic-img2", (2, "pic-img<#>")),
+    ("pic-alt", (1, "pic-alt<#>")),      # empty capture → defaults to 1
+    ("pic-alt3", (3, "pic-alt<#>")),
+    ("pic edit", (1, "pic edit<#>")),    # no capture group → defaults to 1
+    ("picX2", (2, "picX<#>")),           # lookbehind letter+single digit
+    ("pic", None),
+    ("pic_2000", None),                  # i > 1000 skipped (compare.py:100)
+])
+def test_series_info_patterns(stem, expect):
+    assert series_info(stem) == expect
+
+
+def test_series_info_priority_order():
+    # "_(\d+)$" outranks the single-digit lookbehind pattern
+    assert series_info("a_12") == (12, "a_<#>")
+    # the " (n)" form: "(\d+)$" only fires with parens; " (4)" matches
+    # " (\d+)$"? No — "(4)" ends with ')' so " (\d+)$" can't match; the
+    # paren pattern "\((\d+)\)$" does.
+    assert series_info("a (4)") == (4, "a (<#>)")
+
+
+# --- D4: suppress_alt_members (compare.py:527-548) --------------------------
+
+def test_stub_suppression_drops_series_member():
+    # "x (2)" stem is a ≤12-char extension of "x" — the quick string-stub
+    # method drops it when the base stem is present
+    fl = ["d/x.png", "d/x (2).png"]
+    assert suppress_alt_members(fl) == ["d/x.png"]
+
+
+def test_stub_suppression_respects_12_char_window():
+    # extension longer than 12 chars is NOT a stub match
+    fl = ["d/x.png", "d/x_aaaaaaaaaaaaaaa_long_suffix.png"]
+    assert set(suppress_alt_members(fl)) == set(fl)
+
+
+def test_find_base_glob_branch():
+    # " otm$" is glob-only (not a series_info pattern) so the common-base
+    # branch fires; the glob includes the file itself (as the reference's
+    # filesystem glob does) and the first sorted hit wins
+    ns = ["d/pic otm.png", "d/pic.png", "d/pica.png"]
+    base = find_base_for_path("d/pic otm.png", ns)
+    assert base == "d/pic otm.png"  # space sorts first → self is g[0]
+    # single glob hit → no base
+    assert find_base_for_path("d/pic otm.png", ["d/pic otm.png"]) is False
+
+
+def test_prev_series_branch_returns_stem_never_matches():
+    # reference quirk: the previous-in-series branch returns the STEM, which
+    # can never equal a member path with extension → no removal through it
+    ns = ["d/pic_1.jpg", "d/pic_2.jpg"]
+    base = find_base_for_path("d/pic_2.jpg", ns)
+    # the glob branch also fires here ([-_ ][\d+]$), taking priority is NOT
+    # the case: prev-series is checked first and returns the stem
+    assert base == "d/pic_1"
+
+
+def test_hidealts_pipeline_matches_oracle(sf_small):
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray import fixtures, oracle
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    corpus = pq.read_table(fixtures.images_path(sf_small, CFG.hash_size))
+    rows = oracle.compute_rows(corpus, CFG)
+    want = oracle.reference_clusters_hidealts(rows, CFG)
+    got = ip.reference_clusters_hidealts(
+        ip.load_images(sf_small, CFG), CFG).to_pandas()
+    gmap = {}
+    for _, r in got.iterrows():
+        gmap.setdefault(r["proc_hash"], []).append(r["image_id"])
+    assert {k: sorted(v) for k, v in gmap.items()} == want
+    plain = oracle.reference_clusters(rows, CFG)
+    assert len(want) <= len(plain)
+
+
+def test_hidealts_oracle_suppresses_series_bucket():
+    """Constructed bucket where every extra member is a series-alt of the
+    base: hide-alts must drop the bucket below threshold."""
+    from deduplicator_ray import oracle
+
+    # NOTE the surviving bucket needs stems LONGER than 12 chars with
+    # distinct prefixes: the reference's quick-stub check truncates the stem
+    # by 12 chars (compare.py:534), so short stems produce an empty stub
+    # that matches any similar-length member — reproduced bug-for-bug.
+    rows = [
+        {"image_id": "d/xlongenoughname.png", "status": "ok", "proc_hash": "ab" * 8},
+        {"image_id": "d/xlongenoughname (2).png", "status": "ok", "proc_hash": "ab" * 8},
+        {"image_id": "someplace/yellowstonepark.png", "status": "ok", "proc_hash": "cd" * 8},
+        {"image_id": "otherdir/mountaintopview.png", "status": "ok", "proc_hash": "cd" * 8},
+    ]
+    got = oracle.reference_clusters_hidealts(rows, CFG)
+    assert "ab" * 8 not in got          # alt suppressed → below threshold
+    assert got["cd" * 8] == ["otherdir/mountaintopview.png",
+                             "someplace/yellowstonepark.png"]
+
+
+# --- M10: explainSort ------------------------------------------------------
+
+def test_explain_column_on_keeper_rows(sf_small):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(CFG, explain=True)
+    dec = ip.reference_decisions(ip.load_images(sf_small, cfg), cfg).to_pandas()
+    assert "explain" in dec.columns
+    keeps = dec[dec.action == "keep"]
+    dels = dec[dec.action == "delete"]
+    assert (keeps["explain"] != "").all()
+    assert (dels["explain"] == "").all()
+    ex = keeps["explain"].iloc[0]
+    # header (dedupc.py:100) + one tuple line per bucket member
+    assert ex.startswith("image(-frames, -res, -size, -density)")
+    first_cluster = keeps["cluster_id"].iloc[0]
+    n_members = (dec["cluster_id"] == first_cluster).sum()
+    assert keeps["explain"].iloc[0].count("\t| ") == n_members
+
+
+# --- S2: exempt filter -----------------------------------------------------
+
+def test_exempt_filter(sf_small):
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(CFG, files_exempt=("temp", "cache"))
+    ds = ip.load_images(sf_small, cfg)
+    ids = [x for b in ds.iter_batches(batch_format="pyarrow")
+           for x in b["image_id"].to_pylist()]
+    assert ids
+    assert all("temp" not in i and "cache" not in i for i in ids)
+    plain = ip.load_images(sf_small, CFG).count()
+    assert len(ids) < plain

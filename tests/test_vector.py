@@ -1,0 +1,71 @@
+"""ANN kernels: IVF index build/search — measured recall vs brute force and
+a read-pruning assertion (probed files strictly fewer than index files)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from deduplicator_ray.functions.vector import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_search,
+    probed_files,
+)
+
+SF = "/root/testdata/sf0.01"
+INDEX_DIR = "/tmp/dedup_ray_test_ivf_index"
+
+
+def _queries(n=8):
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet")).to_pandas()
+    q = t[t["vec_id"] < n].sort_values("vec_id")
+    return np.stack(q["embedding"].to_numpy()), q["vec_id"].to_numpy()
+
+
+def test_ivf_index_recall_and_read_pruning(ray_session):
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    cents = build_ivf_index(ds, INDEX_DIR, n_centroids=16, sample_rows=4096)
+    assert os.path.exists(os.path.join(INDEX_DIR, "centroids.npy"))
+    assert len(cents) == 16
+
+    queries, qids = _queries()
+    got = ivf_search(INDEX_DIR, queries, qids, k=5, nprobe=8)
+    want = brute_force_topk(ds, queries, qids, k=5)
+
+    gset = set(zip(got["query_id"], got["vec_id"]))
+    wset = set(zip(want["query_id"], want["vec_id"]))
+    recall = len(gset & wset) / len(wset)
+    # the testdata embeddings are near-uniform 64-dim — IVF's worst case
+    # (neighbors spread almost evenly over buckets).  Measured curve on this
+    # corpus: nprobe 4→0.575, 8→0.775, 10→0.875, 12→0.925, 14→0.95.  The
+    # gate pins the measured nprobe=8 floor; clustered real-world embeddings
+    # sit far higher at the same probe fraction.
+    assert recall >= 0.7, recall
+
+    # the scale property: search touches only the probed buckets' files
+    from deduplicator_ray.functions.vector import _normalize
+
+    # two queries × 4 probes: the probed union must stay a strict subset
+    # (8 queries would cover all 16 buckets on this near-uniform corpus)
+    qn = _normalize(np.asarray(queries[:2], np.float64))
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :4]
+    hit, total = probed_files(INDEX_DIR, np.unique(probes))
+    assert total >= 16  # one file per non-empty bucket at least
+    assert 0 < len(hit) < total
+
+
+def test_ivf_full_probe_matches_brute_force(ray_session):
+    """nprobe == n_centroids degrades IVF to exact search — results must
+    equal brute force exactly (same ordering rules both sides)."""
+    ds = rd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    queries, qids = _queries(4)
+    got = ivf_search(INDEX_DIR, queries, qids, k=5, nprobe=16)
+    want = brute_force_topk(ds, queries, qids, k=5)
+    assert got[["query_id", "rank", "vec_id"]].values.tolist() == \
+        want[["query_id", "rank", "vec_id"]].values.tolist()

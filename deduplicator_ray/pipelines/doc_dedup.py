@@ -185,33 +185,65 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
 def text_features(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Per-doc analysis columns.  Tokenization for the SQL-checked columns is
     a literal single-space split (mirroring DuckDB string_split(text, ' '));
-    ``n_tokens_ws``/BPE counts use the engine tokenizers."""
+    ``n_tokens_ws``/BPE counts use the engine tokenizers.
+
+    All counting columns are pyarrow.compute kernels over the whole batch
+    (the r1 per-row Python loop measured as the stage's wall-clock);
+    language-ID runs as 15 vectorized substring counts + a 5-step priority
+    argmax.  Only the winnowing fingerprint stays per-row (numpy per
+    string; its min-``keep`` selection has no reduceat form)."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = [str(x) for x in t[text_col].to_pylist()]
-        n = len(texts)
-        n_tokens = np.zeros(n, np.int64)
-        n_tokens_ws = np.zeros(n, np.int64)
-        n_tokens_bpe = np.zeros(n, np.int64)
-        punct = np.zeros(n, np.int64)
+        col = pc.cast(t[text_col], pa.string())
+        n = t.num_rows
+        # len(string_split(text, ' ')) == count(' ') + 1
+        n_tokens = pc.add(pc.count_substring(col, " "), 1).cast(pa.int64())
+        # Python str.split() token count == number of \S+ runs
+        n_tokens_ws = pc.count_substring_regex(col, r"\S+").cast(pa.int64())
+        n_tokens_bpe = pc.count_substring_regex(
+            col, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").cast(pa.int64())
+        punct = pc.utf8_length(
+            pc.replace_substring_regex(col, "[a-zA-Z0-9 ]", "")).cast(pa.int64())
+
+        # stopword count over the single-space split: flatten the list
+        # column once, one is_in pass, per-doc segment sums
+        toks = pc.split_pattern(col, " ")
+        offsets = np.asarray(toks.combine_chunks().offsets)
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=pa.array(textfn.STOPWORDS))
+        stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        seg_starts = offsets[:-1].astype(np.int64)
         stop = np.zeros(n, np.int64)
-        langs = [""] * n
-        fps = np.zeros(n, np.int64)
-        for i, s in enumerate(texts):
-            toks = s.split(" ")
-            n_tokens[i] = len(toks)
-            n_tokens_ws[i] = textfn.token_count_ws(s)
-            n_tokens_bpe[i] = textfn.token_count_bpe(s)
-            punct[i] = textfn.punct_count(s)
-            stop[i] = sum(1 for x in toks if x in textfn.STOPWORDS)
-            langs[i] = textfn.lang_id(s)
-            fps[i] = textfn.rolling_fingerprint(s)
-        out = t.append_column("n_tokens", pa.array(n_tokens))
-        out = out.append_column("n_tokens_ws", pa.array(n_tokens_ws))
-        out = out.append_column("n_tokens_bpe", pa.array(n_tokens_bpe))
-        out = out.append_column("punct_cnt", pa.array(punct))
+        nonempty = counts > 0
+        if nonempty.any() and len(stop_np):
+            stop[nonempty] = np.add.reduceat(
+                stop_np, seg_starts[nonempty])
+        # np.add.reduceat quirk: a start index beyond the last element is
+        # invalid; guard trailing empty docs (counts==0 already excluded)
+
+        # language-ID: marker-count matrix + the reference priority argmax
+        scores = np.zeros((len(textfn.LANG_ORDER), n), np.int64)
+        for li, lang in enumerate(textfn.LANG_ORDER):
+            for m in textfn.LANG_MARKERS[lang]:
+                scores[li] += pc.count_substring(col, m).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+        best = np.zeros(n, np.int64)  # index into LANG_ORDER, 0 = 'en'
+        for li in range(1, len(textfn.LANG_ORDER)):
+            better = scores[li] > scores[best, np.arange(n)]
+            best = np.where(better, li, best)
+        langs = np.asarray(textfn.LANG_ORDER, dtype=object)[best].tolist()
+
+        texts = [str(x) for x in col.to_pylist()]
+        fps = np.fromiter((textfn.rolling_fingerprint(s) for s in texts),
+                          np.int64, count=n)
+
+        out = t.append_column("n_tokens", n_tokens)
+        out = out.append_column("n_tokens_ws", n_tokens_ws)
+        out = out.append_column("n_tokens_bpe", n_tokens_bpe)
+        out = out.append_column("punct_cnt", punct)
         out = out.append_column("stopword_cnt", pa.array(stop))
-        out = out.append_column("lang_pred", pa.array(langs))
+        out = out.append_column("lang_pred", pa.array(langs, pa.string()))
         out = out.append_column("fingerprint", pa.array(fps))
         return out
 

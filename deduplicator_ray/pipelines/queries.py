@@ -105,7 +105,8 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    lookup_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                          cust["c_name"].combine_chunks()))
 
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
@@ -125,9 +126,11 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
     def attach_name(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(ck, "") for ck in t["o_custkey"].to_pylist()]
-        return t.append_column("c_name", pa.array(names, pa.string()))
+        # vectorized broadcast lookup: index_in + take (no per-row dict)
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(t["o_custkey"].cast(keys.type), value_set=keys)
+        vals = pc.fill_null(pc.take(names, idx), "")
+        return t.append_column("c_name", vals)
 
     df = (
         agg.map_batches(attach_name, batch_format="pyarrow")
@@ -409,7 +412,8 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    lookup_ref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())))
+    lookup_ref = ray.put((nat["n_nationkey"].combine_chunks(),
+                          nat["n_name"].combine_chunks()))
     ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
 
     def to_cents(t: pa.Table) -> pa.Table:
@@ -423,9 +427,10 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
     )
 
     def attach(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(x, "") for x in t["s_nationkey"].to_pylist()]
-        return t.append_column("n_name", pa.array(names, pa.string()))
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(t["s_nationkey"].cast(keys.type), value_set=keys)
+        vals = pc.fill_null(pc.take(names, idx), "")
+        return t.append_column("n_name", vals)
 
     out = agg.map_batches(attach, batch_format="pyarrow").to_pandas()
     # DuckDB's // truncates toward zero (unlike Python's floor) — match it,
@@ -464,8 +469,8 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
 
     cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                cust["c_nationkey"].to_pylist())))
+    cust_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                        cust["c_nationkey"].combine_chunks()))
     nation_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
@@ -488,9 +493,10 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
     def to_nation(t: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        nk = [lookup.get(ck, -1) for ck in t["o_custkey"].to_pylist()]
-        df = pd.DataFrame({"n_nationkey": nk,
+        keys, nks = ray.get(cust_ref)
+        idx = pc.index_in(t["o_custkey"].cast(keys.type), value_set=keys)
+        nk = pc.fill_null(pc.take(nks, idx), -1).cast(pa.int64())
+        df = pd.DataFrame({"n_nationkey": nk.to_numpy(zero_copy_only=False),
                            "rev_e4": t["rev_e4"].to_numpy(zero_copy_only=False)})
         g = df.groupby("n_nationkey", as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
@@ -778,14 +784,15 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     li_keys = pq.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
-    keys_ref = ray.put(set(li_keys["l_orderkey"].to_pylist()))
+    keys_ref = ray.put(li_keys["l_orderkey"].unique())
 
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderstatus"])
 
     def anti(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = pa.array([k not in keys for k in t["o_orderkey"].to_pylist()])
+        mask = pc.invert(pc.is_in(t["o_orderkey"].cast(keys.type),
+                                  value_set=keys))
         return t.filter(mask)
 
     out = orders.map_batches(anti, batch_format="pyarrow").to_pandas()
@@ -811,16 +818,15 @@ def docs_purge_semijoin(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     wl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
-    keep = {d for d, l in zip(wl["doc_id"].to_pylist(), wl["lang"].to_pylist())
-            if l == "en"}
-    keep_ref = ray.put(keep)
+    keep_ref = ray.put(
+        wl.filter(pc.equal(wl["lang"], "en"))["doc_id"].unique())
 
     docs = rd.read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "source", "n_chars"])
 
     def semi(t: pa.Table) -> pa.Table:
-        k = ray.get(keep_ref)
-        mask = pa.array([d in k for d in t["doc_id"].to_pylist()])
+        keys = ray.get(keep_ref)
+        mask = pc.is_in(t["doc_id"].cast(keys.type), value_set=keys)
         return t.filter(mask)
 
     out = docs.map_batches(semi, batch_format="pyarrow").to_pandas()

@@ -25,16 +25,11 @@ class CaptionSignatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        caps = batch["caption"].to_pylist()
-        n = len(caps)
-        sigs = np.empty((n, cfg.num_perm), np.uint64)
-        for i, cap in enumerate(caps):
-            sh = textfn.char_shingle_hashes(str(cap or ""), cfg.shingle_k)
-            if len(sh) == 0:
-                sigs[i] = 0
-                continue
-            with np.errstate(over="ignore"):
-                sigs[i] = (sh[None, :] * self.perm_a[:, None] + self.perm_b[:, None]).min(axis=1)
+        caps = [str(c or "") for c in batch["caption"].to_pylist()]
+        # segment-min batch MinHash: num_perm vectorized passes over the
+        # batch's concatenated shingles, not one Python iteration per
+        # caption (the P2 hot path at 10^12 rows — see functions/text.py)
+        sigs = textfn.minhash_batch(caps, cfg.shingle_k, cfg.num_perm)
         simhash = textfn.simhash_batch(caps)
         minhash_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64)), cfg.num_perm

@@ -103,18 +103,26 @@ def _img_extended_clusters(sf_dir: str):
 
 
 def _img_dead_letter(sf_dir: str):
+    """Projected to (image_id, status) so the driver can VALUE-check it
+    against the fixture truth table (dead letters == the generator's
+    corrupt rows); the error detail column stays on the library API."""
     from deduplicator_ray.pipelines import image_dedup as ip
 
     cfg = _cfg()
     out = ip.dead_letter(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg))
-    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    df = out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    return df[["image_id", "status"]]
 
 
 def _img_validate_phash(sf_dir: str):
+    """Projected to (image_id, phash): the drift set equals the truth
+    table's stale-phash rows, so the mirror is SQL over images ⋈ truth;
+    the recomputed dhash column stays on the library API."""
     from deduplicator_ray.pipelines import image_dedup as ip
 
     out = ip.validate_phash(ip.load_images(sf_dir, _cfg()), _cfg())
-    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    df = out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    return df[["image_id", "phash"]]
 
 
 def _docs_dup_pairs(sf_dir: str):
@@ -169,12 +177,16 @@ def _docs_fingerprints(sf_dir: str):
 
 
 def _mm_resize(sf_dir: str):
+    """ok/error status is SQL-derivable from (fmt, truth.kind), so this
+    query is value-checked; the full error taxonomy stays on the API."""
     from deduplicator_ray.pipelines import image_dedup as ip
     from deduplicator_ray.pipelines.multimodal import resize_pipeline
 
     out = resize_pipeline(ip.load_images(sf_dir, _cfg()), 32, 32)
     df = out.select_columns(
         ["image_id", "w", "h", "fmt", "resize_status"]).to_pandas()
+    df["status"] = df["resize_status"].str.split(":").str[0]
+    df = df.drop(columns=["resize_status"])
     return df.sort_values("image_id").reset_index(drop=True)
 
 
@@ -294,10 +306,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _fixture_mirrors() -> dict[str, str]:
+    """DuckDB mirrors for image-corpus queries, over the engine-generated
+    fixture parquet (the driver compares at sf=0.01; the paths resolve —
+    and the fixture builds if absent — at composition time).  These check
+    engine DECODE/VALIDATE behavior against the generator's ground truth:
+    dead letters == corrupt rows, phash drift == stale-phash rows, resize
+    ok/error == decodable-format × non-corrupt."""
+    from deduplicator_ray import fixtures
+
+    sf = "/root/testdata/sf0.01"
+    images = fixtures.images_path(sf) + "/*.parquet"
+    truth = fixtures.truth_path(sf) + "/*.parquet"
+    return {
+        "img_dead_letter": f"""
+            SELECT image_id, 'error' AS status
+            FROM '{truth}' WHERE kind = 'corrupt'
+            ORDER BY image_id
+        """,
+        "img_validate_phash": f"""
+            SELECT i.image_id, i.phash
+            FROM '{images}' i JOIN '{truth}' t USING (image_id)
+            WHERE t.phash_stale AND t.kind != 'corrupt'
+            ORDER BY i.image_id
+        """,
+        "mm_resize": f"""
+            SELECT i.image_id,
+                   CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h,
+                   'png' AS fmt,
+                   CASE WHEN t.kind = 'corrupt' OR i.fmt IN ('jpg', 'mp4')
+                        THEN 'error' ELSE 'ok' END AS status
+            FROM '{images}' i JOIN '{truth}' t USING (image_id)
+            ORDER BY i.image_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from deduplicator_ray.pipelines import queries as q
 
-    return {
+    return _fixture_mirrors() | {
         "pricing_summary": q.PRICING_SUMMARY_SQL,
         "top_customers": q.TOP_CUSTOMERS_SQL,
         "events_window": q.EVENTS_WINDOW_SQL,
@@ -317,4 +365,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
         "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,
+        "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
+        "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -898,3 +898,48 @@ FROM islands
 GROUP BY doc_id, isl
 ORDER BY doc_id, span_start
 """
+
+
+# ---------------------------------------------------------------------------
+# Mirrors for the LSH doc pipelines.  The LSH path must recover EXACTLY the
+# brute-force pair set (banding proposes, exact Jaccard verifies, and at
+# 16 bands × 8 rows the measured recall on this corpus is 1.0 — golden
+# tested), so exact SQL is a legitimate oracle: any LSH miss becomes a
+# driver value-hash failure, which is precisely what we want watched.
+
+DOCS_DUP_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM documents
+)
+SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(b.doc_id AS VARCHAR) AS dst
+FROM d a JOIN d b
+  ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+ORDER BY src, dst
+"""
+
+DOCS_CLUSTERS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM documents
+),
+e AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
+  FROM d a JOIN d b ON a.doc_id != b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+r(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM r GROUP BY node ORDER BY doc_id
+"""

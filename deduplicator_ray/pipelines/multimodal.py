@@ -293,7 +293,12 @@ def montage_pipeline(images: rd.Dataset, clusters: rd.Dataset,
                      tile: int = 32, cols: int = 4,
                      num_partitions: int = 8) -> rd.Dataset:
     """Join cluster assignments back to payloads and render one montage per
-    cluster (partitioned groupby on cluster_id, vectorized per partition)."""
+    cluster (partitioned groupby on cluster_id, vectorized per partition).
+
+    ``num_partitions`` sizes the payload-carrying join shuffle: at corpus
+    scale it must grow with data volume (each partition holds its clusters'
+    FULL pixel payloads in one worker's heap) — a few × total cores is the
+    working default; 8 suits the sandbox tiers."""
     from deduplicator_ray.stages.partitioned import partitioned_groupby
 
     joined = clusters.join(images, join_type="inner",

@@ -94,19 +94,102 @@ def _argsort(g: pd.DataFrame, order) -> pd.DataFrame:
     return g.sort_values(cols, ascending=asc, kind="mergesort")
 
 
+def _split_cols(ids: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized split_path: (dir, name) on the last '/'."""
+    parts = ids.str.rpartition("/")
+    return parts[0], parts[2]
+
+
 def make_partition_resolve(cfg: PipelineConfig, cluster_col: str = "cluster_id",
                            with_superstate: bool = False):
-    """Partition-level wrapper: one Python call per key-partition, looping
-    the per-cluster election over the (pre-threshold-filtered) clusters in
-    the partition — avoids Ray map_groups' per-group overhead when the
-    cluster count is large (see stages/partitioned.py)."""
+    """Partition-level wrapper: one Python call per key-partition, the
+    whole election VECTORIZED across every cluster in the partition (no
+    per-cluster Python, no iterrows — a mega-cluster costs sorts, not row
+    loops).  ``cfg.explain`` falls back to the per-cluster loop (debug
+    output is per-row string formatting by nature)."""
     resolve = make_resolve(cfg, cluster_col, with_superstate)
 
-    def resolve_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def loop_partition(df: pd.DataFrame) -> pd.DataFrame:
         outs = [resolve(g) for _, g in df.groupby(cluster_col, sort=False)]
         if not outs:
             return resolve(df.iloc[0:0])
         return pd.concat(outs, ignore_index=True)
+
+    if cfg.explain:
+        return loop_partition
+
+    def resolve_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=str) for c in
+                              ("cluster_id", "image_id", "action",
+                               "rename_to", "dest_path")})
+        if df.empty:
+            return empty
+        sizes = df.groupby(cluster_col, sort=False)[cluster_col].transform("size")
+        df = df[sizes >= cfg.threshold]
+        if df.empty:
+            return empty
+
+        cols = [c for c, _ in _IMAGE_ORDER]
+        asc = [a for _, a in _IMAGE_ORDER]
+        q = df.sort_values([cluster_col] + cols, ascending=[True] + asc,
+                           kind="mergesort").reset_index(drop=True)
+        grp = q.groupby(cluster_col, sort=False)
+        is_keeper = grp.cumcount() == 0
+        bucket_size = grp[cluster_col].transform("size")
+        ids = q["image_id"].astype(str)
+
+        # rename target (keeper only, '!'-exempt — dedupc.py:310-320)
+        has_dot = ids.str.contains(".", regex=False)
+        ext = ids.str.rsplit(".", n=1).str[-1].where(has_dot, "")
+        rename = q["proc_hash"].astype(str) + \
+            ("_" + q["crc32"].astype(str)).where(bucket_size > 1, "") + \
+            "." + ext
+        exempt = ids.str.contains("!", regex=False)
+        rename_to = rename.where(is_keeper & ~exempt, "")
+
+        dest = pd.Series("", index=q.index)
+        if with_superstate:
+            dirs, names = _split_cols(ids)
+            keep = q[is_keeper.to_numpy()]
+            k_ids = keep["image_id"].astype(str)
+            k_dir, k_name = _split_cols(k_ids)
+            per = keep[[cluster_col]].copy().reset_index(drop=True)
+            per["k_dir"], per["k_name"] = k_dir.to_numpy(), k_name.to_numpy()
+            per["k_ext"] = k_ids.str.rsplit(".", n=1).str[-1].to_numpy()
+
+            for order, which in ((_DIR_ORDER, "dir"), (_NAME_ORDER, "name")):
+                ocols = [c for c, _ in order]
+                oasc = [a for _, a in order]
+                s = q.sort_values([cluster_col] + ocols,
+                                  ascending=[True] + oasc, kind="mergesort")
+                first = s.groupby(cluster_col, sort=False).head(1)
+                b_ids = first["image_id"].astype(str)
+                b_dir, b_name = _split_cols(b_ids)
+                per[f"b_{which}_dir"] = b_dir.to_numpy()
+                per[f"b_{which}_name"] = b_name.to_numpy()
+                # tie-break override toward the keeper (dedupc.py:502-515):
+                # identical sort key (all order cols except the id
+                # tie-break) → the keeper's own dir/name wins
+                kk = keep[ocols[:-1]].reset_index(drop=True)
+                bb = first[ocols[:-1]].reset_index(drop=True)
+                per[f"tie_{which}"] = (kk.to_numpy() == bb.to_numpy()).all(axis=1)
+
+            b_dir = per["b_dir_dir"].where(
+                ~(per["tie_dir"] & (per["k_dir"] != per["b_dir_dir"])), per["k_dir"])
+            b_name = per["b_name_name"].where(
+                ~(per["tie_name"] & (per["k_name"] != per["b_name_name"])), per["k_name"])
+            stem = b_name.str.rsplit(".", n=1).str[0]
+            dest_per = (b_dir + "/").where(b_dir != "", "") + stem + "." + per["k_ext"]
+            dest_map = dict(zip(per[cluster_col], dest_per))
+            dest = q[cluster_col].map(dest_map).where(is_keeper, "")
+
+        return pd.DataFrame({
+            "cluster_id": q[cluster_col].astype(str),
+            "image_id": ids,
+            "action": pd.Series(np.where(is_keeper, "keep", "delete"), index=q.index),
+            "rename_to": rename_to,
+            "dest_path": dest,
+        })
 
     return resolve_partition
 

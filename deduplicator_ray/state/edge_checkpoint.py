@@ -74,13 +74,21 @@ def checkpoint_verified_edges(
     n_partitions: int = 8,
     input_digest: str = "",
     max_partitions: int | None = None,
+    require_complete: bool = True,
 ) -> rd.Dataset:
     """Compute verified near-dup edges partition-by-partition with resume.
 
     ``fp`` must be a re-readable (checkpointed/materialized) live
     fingerprint dataset — each missing partition re-consumes it.  Returns
-    the union of all partitions' edge datasets (including overflow stats
-    rows, src == '').
+    the union of the COMPLETED partitions' edge datasets (including
+    overflow stats rows, src == '').
+
+    ``require_complete`` (default True): raise if fewer than
+    ``n_partitions`` partitions are complete — a silently partial edge set
+    fed to connected_components yields incomplete clusters with no error.
+    An incremental caller (checkpoint-as-you-go waves via
+    ``max_partitions``) must opt in to the partial view explicitly with
+    ``require_complete=False``.
     """
     os.makedirs(os.path.join(ckpt_dir, "_manifests"), exist_ok=True)
     cfg_hash = cfg.config_hash()
@@ -146,6 +154,11 @@ def checkpoint_verified_edges(
 
     if not done_dirs:
         raise RuntimeError("no edge partitions completed yet (max_partitions=0?)")
+    if require_complete and len(done_dirs) < n_partitions:
+        raise RuntimeError(
+            f"only {len(done_dirs)}/{n_partitions} edge partitions complete — "
+            "pass require_complete=False to consume the partial edge set "
+            "(downstream clusters would silently be incomplete)")
     files = sorted(f for d in done_dirs
                    for f in glob.glob(os.path.join(d, "*.parquet")))
     return rd.read_parquet(files)

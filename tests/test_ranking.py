@@ -51,3 +51,52 @@ def test_rank_columns_match_tuples():
         assert cols["rk_name_hex"][i] == nt[0]
         assert cols["rk_name_punct"][i] == -nt[3]
         assert cols["rk_name_series"][i] == nt[4]
+
+
+def test_partition_resolve_vector_equals_loop():
+    """The vectorized partition resolve must match the per-cluster loop
+    (make_resolve) row-for-row, including SuperState dest_path tie-breaks,
+    on randomized clusters with ties and '!'-exempt ids."""
+    import dataclasses
+
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.ranking import rank_columns
+    from deduplicator_ray.stages.resolve import make_partition_resolve, make_resolve
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for cid in range(40):
+        k = int(rng.integers(1, 6))
+        for m in range(k):
+            style = rng.choice(["d/a_{}.png", "d/e/b {} (2).png", "x!{}.bmp",
+                                "plain{}", "best/c_{}.ppm"])
+            iid = str(style).format(f"{cid}_{m}")
+            rows.append({
+                "cluster_id": f"c{cid:03d}",
+                "image_id": iid,
+                "proc_hash": f"{rng.integers(0, 2**60):016x}",
+                "crc32": f"{rng.integers(0, 2**32):08X}",
+                "pixels": int(rng.choice([100, 100, 400])),   # ties likely
+                "filesize": int(rng.choice([10, 10, 50])),
+                "frames": 1,
+            })
+    df = pd.DataFrame(rows)
+    rk = rank_columns(df["image_id"].to_numpy(dtype=object),
+                      df["frames"].to_numpy(), df["pixels"].to_numpy(),
+                      df["filesize"].to_numpy())
+    for name, arr in rk.items():
+        df[name] = arr
+
+    cfg = PipelineConfig()
+    for sup in (False, True):
+        vec = make_partition_resolve(cfg, with_superstate=sup)(df.copy())
+        loop_fn = make_resolve(cfg, "cluster_id", sup)
+        loop = pd.concat([loop_fn(g) for _, g in df.groupby("cluster_id")],
+                         ignore_index=True)
+        key = ["cluster_id", "image_id"]
+        v = vec.sort_values(key).reset_index(drop=True)
+        l = loop.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(v, l, check_like=True)

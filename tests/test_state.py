@@ -203,9 +203,15 @@ def test_edge_checkpoint_resume_matches_direct(sharded_corpus, tmp_path):
     ck = str(tmp_path / "edges_ck")
     digest = "test-digest-1"
 
-    # simulated crash after 2 of 4 partitions
-    ec.checkpoint_verified_edges(fp, ck, CFG, n_partitions=4,
-                                 input_digest=digest, max_partitions=2)
+    # simulated crash after 2 of 4 partitions: the partial view must be an
+    # explicit opt-in (require_complete guards downstream CC correctness)
+    with pytest.raises(RuntimeError, match="2/4 edge partitions"):
+        ec.checkpoint_verified_edges(fp, ck, CFG, n_partitions=4,
+                                     input_digest=digest, max_partitions=2)
+    partial = ec.checkpoint_verified_edges(fp, ck, CFG, n_partitions=4,
+                                           input_digest=digest, max_partitions=0,
+                                           require_complete=False)
+    assert partial.count() >= 0
     assert len(ec.completed_partitions(ck)) == 2
     walls0 = {m["partition"]: m["wall_s"] for m in ec.completed_partitions(ck)}
 

@@ -92,6 +92,13 @@ def run_bench() -> dict:
             lambda: doc_dup_pairs(
                 rd.read_parquet(docs, columns=["doc_id", "text"]), cfg).count(),
         )
+        from deduplicator_ray.pipelines.substring import substring_dup_spans
+
+        timed(
+            "docs_substring_dup",
+            lambda: substring_dup_spans(
+                rd.read_parquet(docs, columns=["doc_id", "text"])).count(),
+        )
 
     headline = timings["img_extended_clusters"]
     result = {

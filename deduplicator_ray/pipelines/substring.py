@@ -117,11 +117,30 @@ def _dup_window_hashes(ds: rd.Dataset, k: int, text_col: str,
     return np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, np.int64)
 
 
-def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
-                           text_col: str = "text",
-                           num_parts: int = 64) -> rd.Dataset:
-    """(doc_id, pos) of every non-canonical occurrence of a duplicated
-    k-token window (exact-string verified)."""
+_HIT_SCHEMA = pa.schema([
+    ("whash", pa.int64()), ("win", pa.string()),
+    ("doc_id", pa.int64()), ("pos", pa.int64()),
+])
+
+
+def _mark_non_canonical(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "pos": pd.Series([], dtype="int64")})
+    df = df.sort_values(["whash", "win", "doc_id", "pos"], kind="mergesort")
+    grp = df.groupby(["whash", "win"], sort=False)
+    sizes = grp["pos"].transform("size")
+    first = grp.cumcount() == 0
+    out = df.loc[(sizes > 1) & ~first, ["doc_id", "pos"]]
+    return out if len(out) else pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "pos": pd.Series([], dtype="int64")})
+
+
+def _candidate_hits_broadcast(ds: rd.Dataset, k: int, id_col: str,
+                              text_col: str, num_parts: int) -> rd.Dataset:
+    """Pass 2, broadcast flavor: ship the dup-hash array once (ray.put),
+    re-emit only matching windows WITH their text."""
     dup_ref = ray.put(_dup_window_hashes(ds, k, text_col, num_parts))
 
     def emit_hits(t: pa.Table) -> pa.Table:
@@ -139,42 +158,118 @@ def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
         toks = [texts[d].split(" ") for d in doc_idx]
         wins = [" ".join(tk[p - 1:p - 1 + k]) for tk, p in zip(toks, pos)]
         return pa.Table.from_arrays(
-            [
-                pa.array(wh, pa.int64()),
-                pa.array(wins, pa.string()),
-                pa.array([ids[d] for d in doc_idx], pa.int64()),
-                pa.array(pos, pa.int64()),
-            ],
-            names=["whash", "win", "doc_id", "pos"])
+            [pa.array(wh, pa.int64()), pa.array(wins, pa.string()),
+             pa.array([ids[d] for d in doc_idx], pa.int64()),
+             pa.array(pos, pa.int64())],
+            schema=_HIT_SCHEMA)
 
-    def mark_non_canonical(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "pos": pd.Series([], dtype="int64")})
-        df = df.sort_values(["whash", "win", "doc_id", "pos"], kind="mergesort")
-        grp = df.groupby(["whash", "win"], sort=False)
-        sizes = grp["pos"].transform("size")
-        first = grp.cumcount() == 0
-        out = df.loc[(sizes > 1) & ~first, ["doc_id", "pos"]]
+    return ds.map_batches(emit_hits, batch_format="pyarrow", batch_size=4096)
+
+
+def _candidate_hits_shuffle(ds: rd.Dataset, k: int, id_col: str,
+                            text_col: str, num_parts: int) -> rd.Dataset:
+    """Pass 2, shuffle flavor (NO driver-side dup set — the 10^12-row path
+    where the duplicated-hash set itself may not fit one node):
+
+    1. every window as a 24-byte (whash, doc_id, pos) row;
+    2. groupby whash → keep occurrences of multi-member hashes;
+    3. co-partition those (doc_id, pos) hits with the document TEXTS on
+       doc_id; slice each hit's window text locally.
+
+    Two extra shuffles of fixed-width rows buy unbounded dup-set size."""
+
+    def emit_all(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        doc_idx, pos, wh = _batch_windows(texts, k)
+        return pa.Table.from_arrays(
+            [pa.array(wh, pa.int64()),
+             pa.array(np.asarray([ids[d] for d in doc_idx], np.int64)),
+             pa.array(pos, pa.int64())],
+            names=["whash", "doc_id", "pos"])
+
+    def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("whash", sort=False)["pos"].transform("size")
+        out = df[sizes > 1]
         return out if len(out) else pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
+            {"whash": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
              "pos": pd.Series([], dtype="int64")})
 
-    hits = ds.map_batches(emit_hits, batch_format="pyarrow", batch_size=4096)
+    cand = partitioned_groupby(
+        ds.map_batches(emit_all, batch_format="pyarrow", batch_size=4096),
+        ["whash"], keep_multi, num_parts=num_parts,
+        out_schema=pa.schema([("whash", pa.int64()), ("doc_id", pa.int64()),
+                              ("pos", pa.int64())]))
+
+    # co-partition candidates with texts on doc_id; extract window strings
+    def tag_cand(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["whash"], t["doc_id"], t["pos"],
+             pa.array([""] * t.num_rows, pa.string())],
+            names=["whash", "doc_id", "pos", "text"])
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pa.array(np.zeros(n, np.int64)),
+             t[id_col].cast(pa.int64()),
+             pa.array(np.full(n, -1, np.int64)),
+             t[text_col].cast(pa.string())],
+            names=["whash", "doc_id", "pos", "text"])
+
+    u = cand.map_batches(tag_cand, batch_format="pyarrow").union(
+        ds.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def slice_wins(df: pd.DataFrame) -> pd.DataFrame:
+        hits = df[df["pos"] >= 0]
+        docs = df[df["pos"] < 0]
+        if hits.empty:
+            return pd.DataFrame({
+                "whash": pd.Series([], dtype="int64"),
+                "win": pd.Series([], dtype=str),
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64")})
+        toks = {int(d): str(t).split(" ")
+                for d, t in zip(docs["doc_id"], docs["text"])}
+        wins = [" ".join(toks[int(d)][p - 1:p - 1 + k])
+                for d, p in zip(hits["doc_id"], hits["pos"])]
+        return pd.DataFrame({"whash": hits["whash"].to_numpy(),
+                             "win": wins,
+                             "doc_id": hits["doc_id"].to_numpy(),
+                             "pos": hits["pos"].to_numpy()})
+
+    return partitioned_groupby(u, ["doc_id"], slice_wins,
+                               num_parts=num_parts, out_schema=_HIT_SCHEMA)
+
+
+def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text", num_parts: int = 64,
+                           strategy: str = "broadcast") -> rd.Dataset:
+    """(doc_id, pos) of every non-canonical occurrence of a duplicated
+    k-token window (exact-string verified).
+
+    ``strategy``: 'broadcast' ships the dup-hash set via ray.put (right
+    while it fits a node — it is the *duplicated* fraction only);
+    'shuffle' never materializes it (see ``_candidate_hits_shuffle``)."""
+    if strategy == "shuffle":
+        hits = _candidate_hits_shuffle(ds, k, id_col, text_col, num_parts)
+    else:
+        hits = _candidate_hits_broadcast(ds, k, id_col, text_col, num_parts)
     return partitioned_groupby(
-        hits, ["whash"], mark_non_canonical, num_parts=num_parts,
+        hits, ["whash"], _mark_non_canonical, num_parts=num_parts,
         out_schema=pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]))
 
 
 def substring_dup_spans(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        num_parts: int = 64) -> rd.Dataset:
+                        text_col: str = "text", num_parts: int = 64,
+                        strategy: str = "broadcast") -> rd.Dataset:
     """Trim decision table: maximal duplicated spans per document.
 
     (doc_id, span_start, span_end, n_windows) — tokens
     [span_start, span_end) duplicate earlier corpus content; ``n_windows``
     is how many duplicated windows merged into the span."""
-    occ = duplicated_occurrences(ds, k, id_col, text_col, num_parts)
+    occ = duplicated_occurrences(ds, k, id_col, text_col, num_parts, strategy)
 
     def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({

@@ -139,3 +139,33 @@ def test_distributed_cc_fuzz_vs_oracle(ray_session):
         gm = ({} if len(got) == 0
               else dict(zip(got["image_id"], got["cluster_id"])))
         assert gm == want, trial
+
+
+def test_partitioned_merge_str(ray_session):
+    """The hash-partitioned all-string merge (the broadcast-free big⋈big
+    path for D4/J4-shaped self-joins): inner and left joins match pandas."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplicator_ray.stages.partitioned import partitioned_merge_str
+
+    l = rd.from_items([{"a": f"k{i:03d}", "x": str(i)} for i in range(200)])
+    r = rd.from_items([{"b": f"k{i:03d}", "y": str(i * 2)}
+                       for i in range(0, 200, 2)])
+    got = partitioned_merge_str(l, r, ["a", "x"], ["b", "y"], "a", "b",
+                                how="inner", num_parts=4).to_pandas()
+    ldf = pd.DataFrame({"a": [f"k{i:03d}" for i in range(200)],
+                        "x": [str(i) for i in range(200)]})
+    rdf = pd.DataFrame({"b": [f"k{i:03d}" for i in range(0, 200, 2)],
+                        "y": [str(i * 2) for i in range(0, 200, 2)]})
+    want = ldf.merge(rdf, how="inner", left_on="a", right_on="b")[["a", "x", "y"]]
+    key = ["a", "x", "y"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True))
+
+    left = partitioned_merge_str(l, r, ["a", "x"], ["b", "y"], "a", "b",
+                                 how="left", num_parts=4).to_pandas()
+    assert len(left) == 200
+    matched = left[left["y"].notna() & (left["y"] != "")]
+    assert len(matched) == 100

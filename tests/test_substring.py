@@ -80,3 +80,24 @@ def test_no_duplicates_yields_empty():
     docs = {i: " ".join(f"w{i}_{j}" for j in range(12)) for i in range(5)}
     out = _spans(docs, k=3)
     assert len(out) == 0
+
+
+def test_shuffle_strategy_matches_broadcast():
+    """The no-broadcast shuffle path (for dup-sets too big to ship) must
+    produce the identical span table."""
+    docs = {1: "the quick brown fox jumps over it extra pad",
+            2: "prefix words the quick brown fox jumps over it",
+            3: "alpha beta gamma filler one two alpha beta gamma",
+            4: "totally unrelated content with unique tokens here"}
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()])
+    a = substring_dup_spans(ds, k=3, num_parts=4,
+                            strategy="broadcast").to_pandas()
+    b = substring_dup_spans(ds, k=3, num_parts=4,
+                            strategy="shuffle").to_pandas()
+    key = ["doc_id", "span_start", "span_end", "n_windows"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key[:2]).reset_index(drop=True)[key],
+        b.sort_values(key[:2]).reset_index(drop=True)[key])
+    assert len(a) > 0

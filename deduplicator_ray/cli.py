@@ -40,7 +40,10 @@ def _ensure_ray() -> None:
 
 
 def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
-        hash_size: int = 8) -> dict:
+        hash_size: int = 8, files_exempt: tuple[str, ...] = (),
+        threshold: int = 2, explain: bool = False,
+        good_words: tuple[str, ...] = (), bad_words: tuple[str, ...] = (),
+        good_names: tuple[str, ...] = (), bad_names: tuple[str, ...] = ()) -> dict:
     _ensure_ray()
     from ray.data import DataContext
 
@@ -55,7 +58,10 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     from deduplicator_ray.stages.components import connected_components
 
     tuning.tune()
-    cfg = PipelineConfig(hash_size=hash_size)
+    cfg = PipelineConfig(hash_size=hash_size, files_exempt=tuple(files_exempt),
+                         threshold=threshold, explain=explain,
+                         good_words=tuple(good_words), bad_words=tuple(bad_words),
+                         good_names=tuple(good_names), bad_names=tuple(bad_names))
     metrics: dict = {"mode": mode, "input": input_dir, "resume": resume}
     t_all = time.time()
 
@@ -68,6 +74,12 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
         import ray.data as rd
 
         fp = ip.fingerprints(rd.read_parquet(input_dir), cfg)
+    if cfg.files_exempt:
+        # --files-exempt substring drop (S2, dedupc.py:687-691).  Applied
+        # post-fingerprint so the shard CHECKPOINT stays exempt-independent
+        # (changing the exempt list must not invalidate resume state);
+        # the reference filters pre-scan — same decisions, cached decode.
+        fp = ip.apply_exempt(fp, cfg.files_exempt)
     fp = ip._live(fp, cfg)
     metrics["fingerprint_wall_s"] = round(time.time() - t0, 3)
 
@@ -125,10 +137,24 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", required=True, help="output directory for artifacts")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute everything (skip shard checkpoints)")
-    p.add_argument("--hash-size", type=int, default=8)
+    p.add_argument("--hash-size", type=int, default=8,
+                   help="dHash size (the reference default is 12; 8 packs int64)")
+    p.add_argument("--files-exempt", action="append", default=[],
+                   help="drop ids containing this substring (repeatable)")
+    p.add_argument("--threshold", type=int, default=2,
+                   help="min bucket size to report (reference threshhold)")
+    p.add_argument("--explain", action="store_true",
+                   help="attach explainSort ranking text to keeper rows")
+    p.add_argument("--good-dirs", action="append", default=[])
+    p.add_argument("--bad-dirs", action="append", default=[])
+    p.add_argument("--good-names", action="append", default=[])
+    p.add_argument("--bad-names", action="append", default=[])
     a = p.parse_args(argv)
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
-            hash_size=a.hash_size)
+            hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),
+            threshold=a.threshold, explain=a.explain,
+            good_words=tuple(a.good_dirs), bad_words=tuple(a.bad_dirs),
+            good_names=tuple(a.good_names), bad_names=tuple(a.bad_names))
     print(json.dumps(m))
 
 

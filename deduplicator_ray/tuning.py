@@ -8,6 +8,14 @@ badly at our block sizes and were measured on the sf0.1 corpus (58k rows):
   per-block fixed cost (measured: extended dedup 110 s → 15 s at 32 cpus
   after setting it to 2×cores).
 - sort-based shuffle sampling cost scales with block count, not bytes.
+- operator resource reservation (``op_resource_reservation_enabled``)
+  starves a heavy fused map feeding an AllToAll sort: on the 18 GB sfimg
+  corpus at 8 cpus the decode→signatures→banding operator held only ~3 of
+  8 cores busy (699 core-s stretched over 238 s wall); disabling the
+  reservation ran the identical pipeline in 91 s at 8 cpus and 40 s at 32
+  (measured, round 2).  The sort is a materializing barrier anyway — there
+  is no pipelined consumer to reserve cores for, and memory backpressure
+  still applies through the object store.
 
 ``tune()`` is idempotent and safe to call from every pipeline entry point —
 it only narrows the block floor on small sessions; on a real multi-node
@@ -31,3 +39,4 @@ def tune() -> None:
     except Exception:
         cores = 8
     ctx.read_op_min_num_blocks = max(8, min(200, 2 * cores))
+    ctx.op_resource_reservation_enabled = False

@@ -18,6 +18,10 @@ from dataclasses import asdict, dataclass, field
 class PipelineConfig:
     # --- image hashing (reference: --hashsize, /root/reference/dedupc.py:586,598-600)
     hash_size: int = 8              # 8 → 64-bit dHash packed into the phash:int64 column
+    hash_fn: str = "dhash"          # pluggable perceptual hash: dhash | phash
+                                    # (the reference is dHash-only via imagehash;
+                                    # pHash is the engine's pluggable alternative,
+                                    # SURVEY.md §2.10)
     strict: bool = True             # strict mode: animations/videos md5-matched (dupedb.py:82-90)
 
     # --- duplicate grouping

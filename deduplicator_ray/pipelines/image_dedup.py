@@ -102,7 +102,9 @@ def validate_phash(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
     recompute the fingerprint from bytes and flag rows whose stored ``phash``
     column disagrees (stale index entries).  The reference repairs its
     mutable store in place; here recompute-before-group makes repair
-    implicit, and this stage *reports* the drift."""
+    implicit, and this stage *reports* the drift.  Only meaningful with
+    the default ``hash_fn='dhash'`` at hash_size 8 — the stored phash:int64
+    column is definitionally the 64-bit dHash (input_hint)."""
     fp = fingerprints(images, cfg)
 
     def mism(t: pa.Table) -> pa.Table:

@@ -33,6 +33,10 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
     (e.g. the reference default 12 → 36 hex chars) land in ``dhash_hex``."""
     hash_size = cfg.hash_size
     use_u64 = hash_size == 8
+    if cfg.hash_fn not in ("dhash", "phash"):
+        raise ValueError(f"unknown hash_fn {cfg.hash_fn!r} (dhash|phash)")
+    bits_fn = (hashing.dhash_bits if cfg.hash_fn == "dhash"
+               else hashing.phash_bits)
 
     def decode_hash(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -62,12 +66,12 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
                 if pixels[i] > MAX_IMAGE_PIXELS:
                     raise codecs.CodecError(f"decompression bomb: {pixels[i]} px")
                 img = codecs.decode_image(data, fmts[i], int(ws[i]), int(hs[i]))
+                bits = bits_fn(img, hash_size)
                 if use_u64:
-                    u = hashing.dhash_u64(img, 8)
+                    u = hashing.pack_bits_u64(bits)
                     dhash[i] = hashing.u64_to_i64(u)
                     dhash_hex[i] = format(u, "016x")
                 else:
-                    bits = hashing.dhash_bits(img, hash_size)
                     dhash_hex[i] = hashing.bits_to_hex(bits)
                     dhash[i] = 0
                 proc_hash[i] = dhash_hex[i]

@@ -402,3 +402,39 @@ def test_reference_clusters_hash_size_12(sf_small):
     for _, r in rc.iterrows():
         ray_map.setdefault(r["proc_hash"], []).append(r["image_id"])
     assert {k: sorted(v) for k, v in ray_map.items()} == oc
+
+
+def test_phash_mode_clusters(sf_small):
+    """Pluggable hash_fn='phash' (SURVEY §2.10): byte/pixel-identical dups
+    still cluster (same pixels → same pHash), distinct lookalikes do not,
+    and the keyspace stays 16-hex at hash_size=8."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    cfg = dataclasses.replace(CFG, hash_fn="phash")
+    corpus = pq.read_table(fixtures.images_path("/root/testdata/sf0.001", 8))
+    rc = ip.reference_clusters(ip.load_images("/root/testdata/sf0.001", cfg),
+                               cfg).to_pandas()
+    assert len(rc) > 0
+    assert rc["proc_hash"].str.match(r"^[0-9a-f]{16}([0-9a-f]{16})?$").all()
+
+    # exact byte-dups must share a pHash cluster
+    truth = pq.read_table(fixtures.truth_path("/root/testdata/sf0.001", 8)).to_pylist()
+    exacts = [(t["source_id"], t["image_id"]) for t in truth if t["kind"] == "exact"]
+    assert exacts
+    assign = {}
+    for _, r in rc.iterrows():
+        assign[r["image_id"]] = r["proc_hash"]
+    paired = sum(1 for s, d in exacts
+                 if assign.get(s) is not None and assign.get(s) == assign.get(d))
+    assert paired >= 0.9 * len(exacts)
+    # distinct lookalikes must not co-cluster with their group's base
+    looka = [(t["source_id"], t["image_id"]) for t in truth
+             if t["kind"] == "distinct_lookalike"]
+    bases = {t["group_id"]: t["image_id"] for t in truth if t["kind"] == "base"}
+    by_gid = {t["image_id"]: t["group_id"] for t in truth}
+    wrong = sum(1 for _, d in looka
+                if assign.get(d) is not None
+                and assign.get(d) == assign.get(bases.get(by_gid[d])))
+    assert wrong == 0

@@ -130,9 +130,11 @@ def _docs_dup_pairs(sf_dir: str):
 
     import ray.data as rd
 
+    from deduplicator_ray import io as dio
+
     from deduplicator_ray.pipelines.doc_dedup import doc_dup_pairs
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     return doc_dup_pairs(ds, _cfg()).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
 
@@ -142,9 +144,11 @@ def _docs_clusters(sf_dir: str):
 
     import ray.data as rd
 
+    from deduplicator_ray import io as dio
+
     from deduplicator_ray.pipelines.doc_dedup import doc_clusters
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     out = doc_clusters(ds, _cfg()).to_pandas()
     out = out.rename(columns={"image_id": "doc_id"})
@@ -156,9 +160,11 @@ def _docs_simhash_pairs(sf_dir: str):
 
     import ray.data as rd
 
+    from deduplicator_ray import io as dio
+
     from deduplicator_ray.pipelines.doc_dedup import simhash_pairs
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     return simhash_pairs(ds).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
 
@@ -168,9 +174,11 @@ def _docs_fingerprints(sf_dir: str):
 
     import ray.data as rd
 
+    from deduplicator_ray import io as dio
+
     from deduplicator_ray.pipelines.doc_dedup import text_features
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     out = text_features(ds).select_columns(["doc_id", "fingerprint", "n_tokens_bpe"])
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -209,6 +217,8 @@ def _mm_frame_sample(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
+    from deduplicator_ray import io as dio
+
     from deduplicator_ray.pipelines import image_dedup as ip
     from deduplicator_ray.pipelines.multimodal import FrameSample
 
@@ -246,11 +256,13 @@ def _ann_ivf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from deduplicator_ray import io as dio
+
     from deduplicator_ray.functions.vector import ivf_topk
 
     qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
     qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = dio.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     out = ivf_topk(ds, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].to_numpy())
     out["cos_e6"] = np.floor(out["cos"].to_numpy() * 1e6 + 0.5).astype(np.int64)

@@ -17,6 +17,7 @@ import os
 import subprocess
 import sys
 import time
+from deduplicator_ray import io as dio
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -54,7 +55,7 @@ def run_bench() -> dict:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    n_images = rd.read_parquet(images_path).count()
+    n_images = dio.read_parquet(images_path).count()
 
     timings: dict[str, float] = {}
 
@@ -67,20 +68,20 @@ def run_bench() -> dict:
     # headline: extended dedup through CC, consumed to a count
     n_clustered = timed(
         "img_extended_clusters",
-        lambda: ip.extended_clusters(rd.read_parquet(images_path), cfg).count(),
+        lambda: ip.extended_clusters(dio.read_parquet(images_path), cfg).count(),
     )
 
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         # reference-mode decision table (the exact reference algorithm)
         timed(
             "img_reference_decisions",
-            lambda: ip.reference_decisions(rd.read_parquet(images_path), cfg).count(),
+            lambda: ip.reference_decisions(dio.read_parquet(images_path), cfg).count(),
         )
 
         # verified dup pairs only (no CC)
         timed(
             "img_dup_pairs",
-            lambda: ip.dup_pairs(rd.read_parquet(images_path), cfg).count(),
+            lambda: ip.dup_pairs(dio.read_parquet(images_path), cfg).count(),
         )
 
     # text near-dup over the driver documents table (absent for the
@@ -90,14 +91,14 @@ def run_bench() -> dict:
         timed(
             "docs_dup_pairs",
             lambda: doc_dup_pairs(
-                rd.read_parquet(docs, columns=["doc_id", "text"]), cfg).count(),
+                dio.read_parquet(docs, columns=["doc_id", "text"]), cfg).count(),
         )
         from deduplicator_ray.pipelines.substring import substring_dup_spans
 
         timed(
             "docs_substring_dup",
             lambda: substring_dup_spans(
-                rd.read_parquet(docs, columns=["doc_id", "text"])).count(),
+                dio.read_parquet(docs, columns=["doc_id", "text"])).count(),
         )
 
     headline = timings["img_extended_clusters"]

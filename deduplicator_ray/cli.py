@@ -29,6 +29,7 @@ import argparse
 import json
 import os
 import time
+from deduplicator_ray import io as dio
 
 import ray
 
@@ -73,7 +74,7 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     else:
         import ray.data as rd
 
-        fp = ip.fingerprints(rd.read_parquet(input_dir), cfg)
+        fp = ip.fingerprints(dio.read_parquet(input_dir), cfg)
     if cfg.files_exempt:
         # --files-exempt substring drop (S2, dedupc.py:687-691).  Applied
         # post-fingerprint so the shard CHECKPOINT stays exempt-independent

@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from deduplicator_ray import io as dio
+
 
 def embeddings_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     """(n, d) float32 matrix from a list<float> column, zero-copy-ish."""
@@ -213,7 +215,7 @@ def ivf_search(
     files, _total = probed_files(index_dir, np.unique(probes))
     if not files:
         return pd.DataFrame({"query_id": [], "rank": [], "vec_id": [], "cos": []})
-    ds = rd.read_parquet(files, columns=[id_col, vec_col, "bucket"])
+    ds = dio.read_parquet(files, columns=[id_col, vec_col, "bucket"])
     q_ref = ray.put((qn, np.asarray(query_ids), probes))
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,65 @@
+"""Metadata-stripped parquet reads.
+
+``pyarrow.Schema.__hash__`` raises ``TypeError: unhashable type: 'dict'``
+when the schema carries key-value metadata (pandas writes a ``b'pandas'``
+blob into every file footer).  Ray Data's ``unify_schemas`` dedups schemas
+with ``set(schemas)`` before unifying and logs a spurious
+``Failed to hash the schemas (for deduplication)`` warning per block merge
+when that hash fails — on every read of the driver-generated testdata.
+Passing an explicit metadata-free schema to ``read_parquet`` restores the
+O(1) dedup path and silences the noise at the source.  The schema comes
+from the first file's footer (no data read), so this costs one metadata
+fetch that Ray would do anyway for schema inference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _first_parquet_file(path: str) -> str | None:
+    if os.path.isdir(path):
+        for root, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+        return None
+    return path
+
+
+def clean_schema(schema: pa.Schema) -> pa.Schema:
+    """Schema with all schema- and field-level metadata removed (hashable)."""
+    return pa.schema([f.remove_metadata() for f in schema])
+
+
+def read_parquet(paths, *, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """``ray.data.read_parquet`` with a metadata-free explicit schema.
+
+    Accepts a file path, a directory, or a list of either (first entry is
+    probed for the footer schema).  ``columns=`` still projects: Ray prunes
+    the read to the subset even when the full schema is supplied.
+    """
+    from deduplicator_ray import tuning
+
+    tuning.tune()  # every pipeline reads through here: one tuning chokepoint
+    if "schema" not in kw:
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        f = _first_parquet_file(first)
+        if f is not None:
+            try:
+                full = clean_schema(pq.read_schema(f))
+                if columns is not None:
+                    # fragments emit projected columns in the REQUESTED
+                    # order; the schema passed to Ray must match exactly
+                    full = pa.schema([full.field(c) for c in columns])
+                kw["schema"] = full
+            except Exception:
+                pass  # unreadable footer: fall back to Ray's own inference
+    if columns is not None:
+        kw["columns"] = columns
+    return rd.read_parquet(paths, **kw)

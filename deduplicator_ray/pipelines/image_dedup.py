@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from deduplicator_ray import io as dio
+
 from deduplicator_ray import fixtures, tuning
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.stages.banding import make_banding
@@ -48,7 +50,7 @@ def load_images(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset
     /root/reference/dedupc.py:687-691: drop any path containing an exempt
     substring) — vectorized, applied before the bytes leave the read stage."""
     tuning.tune()
-    ds = rd.read_parquet(fixtures.images_path(sf_dir, cfg.hash_size))
+    ds = dio.read_parquet(fixtures.images_path(sf_dir, cfg.hash_size))
     if cfg.files_exempt:
         ds = apply_exempt(ds, cfg.files_exempt)
     return ds

@@ -306,4 +306,10 @@ def montage_pipeline(images: rd.Dataset, clusters: rd.Dataset,
     return partitioned_groupby(
         joined, ["cluster_id"], MontageImages(tile=tile, cols=cols),
         num_parts=num_partitions,
+        out_schema=pa.schema([("cluster_id", pa.string()),
+                              ("bytes", pa.binary()),
+                              ("w", pa.int64()), ("h", pa.int64()),
+                              ("fmt", pa.string()),
+                              ("n_members", pa.int64()),
+                              ("status", pa.string())]),
     )

@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from deduplicator_ray import io as dio
+
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
@@ -42,7 +44,7 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Money is carried as exact integer cents (the testdata values are
     2-decimal) so distributed summation order can't perturb the value hash
     — floating sums are NOT order-stable across partitionings."""
-    ds = rd.read_parquet(
+    ds = dio.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -108,7 +110,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     lookup_ref = ray.put((cust["c_custkey"].combine_chunks(),
                           cust["c_name"].combine_chunks()))
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = dio.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -160,7 +162,7 @@ LIMIT 10
 
 
 def events_window(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    ds = dio.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def add_window(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())
@@ -205,7 +207,7 @@ ORDER BY event_type, window_start
 def exact_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
     from deduplicator_ray.pipelines.doc_dedup import exact_dedup
 
-    ds = rd.read_parquet(
+    ds = dio.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_quantity"]
     )
     # the testdata lineitem has duplicate (orderkey, linenumber) keys, so the
@@ -233,7 +235,7 @@ ORDER BY l_orderkey
 def docs_dedup_bucket(sf_dir: str) -> pd.DataFrame:
     from deduplicator_ray.pipelines.doc_dedup import exact_dedup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
     out = exact_dedup(ds, ["lang", "n_chars"], ["doc_id"]).to_pandas()
     return out.sort_values(["lang", "n_chars"]).reset_index(drop=True)[
         ["lang", "n_chars", "doc_id"]
@@ -255,7 +257,7 @@ ORDER BY lang, n_chars
 def docs_text_stats(sf_dir: str) -> pd.DataFrame:
     from deduplicator_ray.pipelines.doc_dedup import text_features
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = text_features(ds).select_columns(
         ["doc_id", "n_tokens", "punct_cnt", "stopword_cnt"]
     ).to_pandas()
@@ -281,7 +283,7 @@ ORDER BY doc_id
 def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     from deduplicator_ray.pipelines.doc_dedup import text_features
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = text_features(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -339,7 +341,7 @@ def ann_cosine_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     qdf = qtbl.to_pandas()
     qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy())
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=k)
     out["cos_e6"] = _cos_e6(out["cos"].to_numpy())
     return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
@@ -366,7 +368,7 @@ ORDER BY query_id, rank
 
 
 def part_brand_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
-    li = rd.read_parquet(
+    li = dio.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
@@ -379,7 +381,7 @@ def part_brand_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
         )
 
     li = li.map_batches(rev, batch_format="pyarrow", batch_size=65536)
-    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    part = dio.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     joined = li.join(
         part, join_type="inner", num_partitions=num_partitions,
         on=("l_partkey",), right_on=("p_partkey",),
@@ -414,7 +416,7 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
     nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     lookup_ref = ray.put((nat["n_nationkey"].combine_chunks(),
                           nat["n_name"].combine_chunks()))
-    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    ds = dio.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
 
     def to_cents(t: pa.Table) -> pa.Table:
         c = np.floor(t["s_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
@@ -473,7 +475,7 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
                         cust["c_nationkey"].combine_chunks()))
     nation_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
 
-    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li = dio.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -488,7 +490,7 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     li_agg = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536) \
         .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = dio.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
     joined = li_agg.join(orders, join_type="inner", num_partitions=num_partitions,
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -532,7 +534,7 @@ ORDER BY c_nationkey
 
 
 def orders_topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = dio.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -585,7 +587,7 @@ ORDER BY o_orderpriority, rank
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     from deduplicator_ray.stages.partitioned import partitioned_groupby
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = dio.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
     gap_us = gap_minutes * 60_000_000
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
@@ -634,7 +636,7 @@ ORDER BY user_id
 
 
 def lineitem_shipdate_head(sf_dir: str, n: int = 100) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = dio.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_shipdate", "l_orderkey", "l_linenumber"])
     out = ds.sort(["l_shipdate", "l_orderkey", "l_linenumber"]).limit(n).to_pandas()
     return out[["l_shipdate", "l_orderkey", "l_linenumber"]]
@@ -667,7 +669,7 @@ def emb_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put((ids_all, mat))
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def pairs(t: pa.Table) -> pa.Table:
         all_ids, m = ray.get(mat_ref)
@@ -727,7 +729,7 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     all_sh = [_shingle_set(str(t)) for t in tbl["text"].to_pylist()]
     ref = ray.put((all_ids, all_sh))
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def pairs(t: pa.Table) -> pa.Table:
         ids_all, sh_all = ray.get(ref)
@@ -786,7 +788,7 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     li_keys = pq.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
     keys_ref = ray.put(li_keys["l_orderkey"].unique())
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = dio.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderstatus"])
 
     def anti(t: pa.Table) -> pa.Table:
@@ -821,7 +823,7 @@ def docs_purge_semijoin(sf_dir: str) -> pd.DataFrame:
     keep_ref = ray.put(
         wl.filter(pc.equal(wl["lang"], "en"))["doc_id"].unique())
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"),
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "source", "n_chars"])
 
     def semi(t: pa.Table) -> pa.Table:
@@ -856,7 +858,7 @@ SUBSTRING_K = 8
 def docs_substring_dup(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
     from deduplicator_ray.pipelines.substring import substring_dup_spans
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = substring_dup_spans(ds, k=k).to_pandas()
     return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 

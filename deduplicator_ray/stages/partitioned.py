@@ -85,21 +85,49 @@ def partitioned_groupby(
         part = (_hash_cols(t, keys) % np.uint64(fine_parts)).astype(np.int32)
         return t.append_column("__part", pa.array(part))
 
-    def apply(g: pd.DataFrame):
-        out = fn(g.drop(columns="__part"))
+    # sort + whole-block map_batches is exactly what Dataset.map_groups is
+    # built from (grouped_data.py sorts, then slices group runs per block
+    # with batch_size=None), re-expressed here for two reasons:
+    #   1. an EMPTY sort range never calls the UDF, so Ray emits a
+    #      schema-LESS empty block ("RefBundle with a different schema ...
+    #      new schema: ." executor warnings, CORRECTNESS_r01) — here empty
+    #      input yields a TYPED empty table when out_schema is known;
+    #   2. one pandas groupby per BLOCK (usually many partitions) replaces
+    #      one Python call per group slice.
+    # Ray's own map_groups already relies on sort never splitting key-equal
+    # rows across range boundaries, so this co-location contract is the
+    # same one the stock API uses.
+    empty_out = (pa.Table.from_batches([], schema=out_schema)
+                 if out_schema is not None else None)
+
+    def apply_blocks(df: pd.DataFrame):
+        outs = []
+        if len(df):
+            for _, g in df.groupby("__part", sort=False):
+                out = fn(g.drop(columns="__part"))
+                if len(out):
+                    outs.append(out)
+        if not outs:
+            if empty_out is not None:
+                yield empty_out
+            return
+        res = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
         if out_schema is not None:
-            # from_pandas metadata is stripped: a schema carrying the
-            # b'pandas' blob is unhashable (pyarrow hashes the metadata
-            # dict) and trips Ray's schema-dedup on every concat
-            return pa.Table.from_pandas(
-                out, schema=out_schema, preserve_index=False
+            yield pa.Table.from_pandas(
+                res, schema=out_schema, preserve_index=False
             ).replace_schema_metadata(None)
-        return out
+        else:
+            # metadata stripped: a schema carrying the b'pandas' blob is
+            # unhashable (pyarrow hashes the metadata dict) and trips
+            # Ray's schema-dedup on every concat
+            yield pa.Table.from_pandas(
+                res.reset_index(drop=True), preserve_index=False
+            ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(apply, batch_format="pandas")
+        .sort("__part")
+        .map_batches(apply_blocks, batch_size=None, batch_format="pandas")
     )
 
 
@@ -142,19 +170,32 @@ def partitioned_merge_str(
 
         return f
 
-    def merge(g: pd.DataFrame):
-        l = g.loc[g["__side"] == "l", left_cols]
-        r = g.loc[g["__side"] == "r", right_cols]
-        out = l.merge(r, how=how, left_on=left_on, right_on=right_on)
-        return pa.Table.from_pandas(
-            out[out_cols] if set(out_cols) <= set(out.columns) else out,
-            schema=out_schema, preserve_index=False,
+    empty_out = pa.Table.from_batches([], schema=out_schema)
+
+    def merge_blocks(df: pd.DataFrame):
+        # see partitioned_groupby: sort + block map with typed empties
+        outs = []
+        if len(df):
+            for _, g in df.groupby("__part", sort=False):
+                l = g.loc[g["__side"] == "l", left_cols]
+                r = g.loc[g["__side"] == "r", right_cols]
+                out = l.merge(r, how=how, left_on=left_on, right_on=right_on)
+                if len(out):
+                    outs.append(out[out_cols]
+                                if set(out_cols) <= set(out.columns) else out)
+        if not outs:
+            yield empty_out
+            return
+        res = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+        yield pa.Table.from_pandas(
+            res, schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
 
     u = left.map_batches(tag("l", left_on, left_cols), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_on, right_cols), batch_format="pyarrow")
     )
-    return u.groupby("__part").map_groups(merge, batch_format="pandas")
+    return u.sort("__part").map_batches(
+        merge_blocks, batch_size=None, batch_format="pandas")
 
 
 def drop_duplicates(ds: rd.Dataset, keys: list[str], num_parts: int = 64) -> rd.Dataset:

@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from deduplicator_ray import io as dio
+
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.stages.banding import make_banding
 from deduplicator_ray.stages.candidates import make_partition_verify
@@ -130,7 +132,7 @@ def checkpoint_verified_edges(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         edges.write_parquet(tmp)
-        back = rd.read_parquet(tmp)
+        back = dio.read_parquet(tmp)
         n_rows = back.count()
         n_over = back.map_batches(
             lambda t: t.filter(pc.equal(t["src"], "")), batch_format="pyarrow"
@@ -161,7 +163,7 @@ def checkpoint_verified_edges(
             "(downstream clusters would silently be incomplete)")
     files = sorted(f for d in done_dirs
                    for f in glob.glob(os.path.join(d, "*.parquet")))
-    return rd.read_parquet(files)
+    return dio.read_parquet(files)
 
 
 def completed_partitions(ckpt_dir: str) -> list[dict]:

@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from deduplicator_ray import io as dio
+
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.stages.decode_hash import make_decode_hash
 
@@ -107,15 +109,15 @@ def checkpoint_fingerprints(
         if max_shards is not None and processed >= max_shards:
             continue
         t0 = time.time()
-        ds = rd.read_parquet(shard).map_batches(
+        ds = dio.read_parquet(shard).map_batches(
             decode, batch_format="pyarrow", batch_size=cfg.decode_batch_size
         )
         tmp = out_dir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         ds.write_parquet(tmp)
-        n_rows = rd.read_parquet(tmp).count()
-        n_err = rd.read_parquet(tmp).map_batches(
+        n_rows = dio.read_parquet(tmp).count()
+        n_err = dio.read_parquet(tmp).map_batches(
             lambda t: t.filter(pc.equal(t["status"], "error")), batch_format="pyarrow"
         ).count()
         if os.path.exists(out_dir):
@@ -145,7 +147,7 @@ def checkpoint_fingerprints(
     files = sorted(
         f for d in out_dirs for f in glob.glob(os.path.join(d, "*.parquet"))
     )
-    return rd.read_parquet(files)
+    return dio.read_parquet(files)
 
 
 def write_stage_manifest(out_dir: str, stage: str, cfg: PipelineConfig,

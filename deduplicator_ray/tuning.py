@@ -24,7 +24,27 @@ cluster with hundreds of cores the formula reproduces Ray's default.
 
 from __future__ import annotations
 
+import logging
+
 import ray
+
+
+class _EmptyBundleSchemaFilter(logging.Filter):
+    """Drop ONLY the ``new schema: .`` variant of the executor's
+    schema-drift warning.
+
+    An all-to-all shuffle (Sort / Aggregate / hash repartition) whose
+    sampled range or hash partition receives zero rows emits a schema-LESS
+    empty block from inside Ray — no user code runs for an empty range, so
+    it cannot be typed from a UDF (verified against grouped_data.py's
+    ``_apply_udf_to_groups``, which never calls the UDF on an empty block).
+    Every drift OUR stages could cause is already eliminated by typed empty
+    tables (stages/partitioned.py ``out_schema``); what remains is this one
+    Ray-internal artifact, matched exactly so that REAL schema drift
+    (two non-empty differing schemas) still warns."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        return "new schema: . This may lead" not in record.getMessage()
 
 
 def tune() -> None:
@@ -40,3 +60,8 @@ def tune() -> None:
         cores = 8
     ctx.read_op_min_num_blocks = max(8, min(200, 2 * cores))
     ctx.op_resource_reservation_enabled = False
+
+    log = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptyBundleSchemaFilter) for f in log.filters):
+        log.addFilter(_EmptyBundleSchemaFilter())

@@ -321,16 +321,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _fixture_mirrors() -> dict[str, str]:
     """DuckDB mirrors for image-corpus queries, over the engine-generated
     fixture parquet (the driver compares at sf=0.01; the paths resolve —
-    and the fixture builds if absent — at composition time).  These check
-    engine DECODE/VALIDATE behavior against the generator's ground truth:
-    dead letters == corrupt rows, phash drift == stale-phash rows, resize
-    ok/error == decodable-format × non-corrupt."""
-    from deduplicator_ray import fixtures
+    and the fixtures build if absent — at composition time).
+
+    Two fixture families back these:
+
+    * ``truth`` — the generator's ground truth (dead letters == corrupt
+      rows, phash drift == stale-phash rows, resize ok/error ==
+      decodable-format × non-corrupt).
+    * ``hashes`` — a single-process Ray-free ORACLE recomputation of each
+      image's fingerprint + LSH band keys (fixtures.hashes_path).  The
+      clustering / decision / extended-CC mirrors re-derive the engine's
+      grouping, thresholding, keeper election, rename plan and near-dup
+      connected components in pure DuckDB SQL over that table — the decode
+      KERNEL is the one thing SQL cannot express, so it ships as data
+      (see deduplicator_ray/mirrors.py)."""
+    from deduplicator_ray import fixtures, mirrors
 
     sf = "/root/testdata/sf0.01"
     images = fixtures.images_path(sf) + "/*.parquet"
     truth = fixtures.truth_path(sf) + "/*.parquet"
+    hashes = fixtures.hashes_path(sf) + "/*.parquet"
+    hashes12 = fixtures.hashes_path(sf, 12) + "/*.parquet"
+    cfg = _cfg()
+    kw = dict(images=images, shingle_k=cfg.shingle_k,
+              jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
     return {
+        "img_reference_clusters": mirrors.compose(
+            mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes, **kw),
+        "img_reference_clusters_h12": mirrors.compose(
+            mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes12, **kw),
+        "img_reference_decisions": mirrors.compose(
+            mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
+        "img_extended_clusters": mirrors.compose(
+            mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_dead_letter": f"""
             SELECT image_id, 'error' AS status
             FROM '{truth}' WHERE kind = 'corrupt'

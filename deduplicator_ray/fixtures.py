@@ -449,3 +449,96 @@ def images_path(sf_dir: str, hash_size: int = 8) -> str:
 
 def truth_path(sf_dir: str, hash_size: int = 8) -> str:
     return os.path.join(ensure_fixture(sf_dir, hash_size), "truth")
+
+
+# ---------------------------------------------------------------------------
+# oracle-recomputed hash table (for the driver's DuckDB mirrors)
+
+HASHES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("status", pa.string()),
+        ("proc_hash", pa.string()),
+        ("dhash", pa.int64()),
+        ("crc32", pa.string()),
+        # per-image MinHash LSH band keys (cfg.bands values) — lets the SQL
+        # mirror reproduce the ENGINE's candidate generation exactly: a
+        # caption pair is a candidate iff the two rows share ≥1 band key.
+        # MinHash banding is probabilistic (P[detect jac=0.8] ≈ 0.947 at
+        # 16 bands × 8 rows), so an exact all-pairs-Jaccard mirror would
+        # diverge from the engine on pairs the LSH legitimately misses.
+        ("cap_bands", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _write_hash_shard(args) -> None:
+    src, dst, hash_size = args
+    from deduplicator_ray import oracle
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.functions import text as textfn
+
+    cfg = PipelineConfig(hash_size=hash_size)
+    rows = oracle.compute_rows(pq.read_table(src), cfg)
+    imgs = pq.read_table(src, columns=["image_id", "bytes"])
+    crc = {i: hashing.crc32_hex(b)
+           for i, b in zip(imgs["image_id"].to_pylist(), imgs["bytes"].to_pylist())}
+    caps = [str(r["caption"] or "") for r in rows]
+    sigs = textfn.minhash_batch(caps, cfg.shingle_k, cfg.num_perm)
+    bands = textfn.band_keys(sigs, cfg.bands, cfg.rows_per_band).view(np.int64)
+    out = pa.Table.from_pylist(
+        [
+            {
+                "image_id": r["image_id"],
+                "status": r["status"],
+                "proc_hash": r["proc_hash"] or "",
+                "dhash": r["dhash"] if r["dhash"] is not None else 0,
+                "crc32": crc[r["image_id"]],
+                "cap_bands": bands[i].tolist(),
+            }
+            for i, r in enumerate(rows)
+        ],
+        schema=HASHES_SCHEMA,
+    )
+    pq.write_table(out, dst)
+
+
+def hashes_path(sf_dir: str, hash_size: int = 8) -> str:
+    """Single-process ORACLE recomputation of every image's fingerprint
+    (status, proc_hash, dhash, crc32) as a DuckDB-joinable parquet table.
+
+    The driver's SQL mirrors for the image pipelines run over this table:
+    they value-check the DISTRIBUTED engine's grouping / thresholding /
+    keeper-election / pair-verification orchestration against an
+    independent, Ray-free recomputation.  The hash KERNEL itself is shared
+    library code (oracle.compute_rows uses the same codecs/hashing modules
+    the engine does) — kernel correctness is pinned separately by the
+    property and golden tests; what the mirror cannot re-derive in SQL is
+    exactly the per-image decode, so that part ships as data."""
+    base = ensure_fixture(sf_dir, hash_size)
+    out = os.path.join(base, f"hashes_h{hash_size}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    img_dir = os.path.join(base, "images")
+    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size)
+            for f in shards]
+    if len(jobs) > 4 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(24, os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_hash_shard, jobs, chunksize=1))
+    else:
+        for j in jobs:
+            _write_hash_shard(j)
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

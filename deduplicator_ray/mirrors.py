@@ -1,0 +1,209 @@
+"""DuckDB SQL mirrors for the IMAGE-corpus pipelines.
+
+Each template is ANSI-ish DuckDB SQL over two fixture parquet tables:
+
+* ``images``  — the deterministic synthetic corpus (fixtures.images_path)
+* ``hashes``  — a single-process ORACLE recomputation of every image's
+  fingerprint: status, unified ``getProcHash`` key, packed dHash, crc32 and
+  the MinHash LSH band keys (fixtures.hashes_path)
+
+What these mirrors value-check is the DISTRIBUTED engine's orchestration —
+banding shuffle, bucket thresholding, owner-band edge dedup, connected
+components, keeper election, rename formatting — against an independent
+Ray-free recomputation in a different engine (DuckDB).  The per-image
+decode/hash KERNEL is shared library code (oracle.compute_rows), pinned
+separately by golden and property tests; SQL cannot decode pixels, so that
+one stage ships as data.
+
+Semantics mirrored (reference files cited for parity):
+
+* live set: status ∈ {ok, md5_only} — strict-mode media join the same
+  keyspace by content md5 (/root/reference/dupedb.py:82-101) — minus the
+  all-zero poison hash (/root/reference/dupedb.py:96-99).
+* reference clusters: proc_hash buckets of size ≥ threshold
+  (/root/reference/dupedb.py:253-257,331).
+* decisions: quality/dir/name sort-tuple keeper election and the
+  ``{hash}[_{CRC32}].{ext}`` rename plan (/root/reference/dedupc.py:61-106,
+  169-246).
+* extended clusters: image channel = Hamming ≤ hamming_max between
+  decodable rows; caption channel = LSH-co-banded pairs (share ≥ 1 MinHash
+  band key — the PROBABILISTIC candidate set the engine itself uses, which
+  is why band keys ship in the hashes table) verified by exact
+  character-shingle Jaccard ≥ jaccard_min; hash-exact groups contracted to
+  one representative before the recursive-CTE connected components (the
+  same contraction the engine's star rounds perform on proc_hash groups).
+"""
+
+from __future__ import annotations
+
+# bucket membership, unified keyspace, threshold ≥ 2
+REFERENCE_CLUSTERS_SQL = """
+SELECT proc_hash, image_id FROM '{HASHES}'
+WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')
+QUALIFY count(*) OVER (PARTITION BY proc_hash) >= 2
+ORDER BY proc_hash, image_id
+"""
+
+# keeper election + rename/dest plan per bucket
+REFERENCE_DECISIONS_SQL = """
+WITH live AS (
+  SELECT h.image_id, h.proc_hash, h.crc32,
+         i.w * i.h AS pixels, octet_length(i.bytes) AS filesize
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only') AND NOT regexp_matches(h.proc_hash, '^0+$')
+),
+feat AS (
+  SELECT *,
+    CASE WHEN strpos(image_id, '/') > 0
+         THEN length(regexp_replace(image_id, '/[^/]*$', ''))
+         ELSE length(image_id) - 1 END AS dir_len,
+    CASE WHEN strpos(image_id, '/') > 0
+         THEN regexp_replace(image_id, '/[^/]*$', '') ELSE '' END AS dirp,
+    lower(regexp_extract(image_id, '[^/]*$')) AS name,
+    regexp_extract(image_id, '[^/]*$') AS name_raw,
+    CAST(filesize AS DOUBLE) / greatest(pixels, 1) AS density
+  FROM live
+),
+feat2 AS (
+  SELECT *,
+    CASE WHEN regexp_matches(name, '^[0-9a-f]{36}\\.') THEN 1 ELSE 0 END AS name_hex,
+    length(name) - length(regexp_replace(name, '[-_ +]', '', 'g')) AS name_punct,
+    CASE WHEN regexp_matches(name, ' \\(\\d+\\)\\.') THEN 1 ELSE 0 END AS name_series
+  FROM feat
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY proc_hash) AS bsize FROM feat2
+  QUALIFY bsize >= 2
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY proc_hash
+      ORDER BY pixels DESC, filesize DESC, density DESC, image_id) AS q_rank,
+    row_number() OVER (PARTITION BY proc_hash
+      ORDER BY dir_len DESC, image_id) AS d_rank,
+    row_number() OVER (PARTITION BY proc_hash
+      ORDER BY name_hex ASC, name_punct DESC, name_series ASC, image_id) AS n_rank
+  FROM sized
+),
+per AS (
+  SELECT k.proc_hash,
+         k.dirp AS k_dir, k.name_raw AS k_name,
+         regexp_extract(k.image_id, '[^.]*$') AS k_ext,
+         k.dir_len AS k_dir_len,
+         k.name_hex AS k_nh, k.name_punct AS k_np, k.name_series AS k_ns,
+         d.dirp AS b_dir0, d.dir_len AS b_dir_len,
+         n.name_raw AS b_name0,
+         n.name_hex AS b_nh, n.name_punct AS b_np, n.name_series AS b_ns
+  FROM ranked k
+  JOIN ranked d ON d.proc_hash = k.proc_hash AND d.d_rank = 1
+  JOIN ranked n ON n.proc_hash = k.proc_hash AND n.n_rank = 1
+  WHERE k.q_rank = 1
+),
+dest AS (
+  SELECT proc_hash,
+    CASE WHEN k_dir_len = b_dir_len AND k_dir != b_dir0 THEN k_dir ELSE b_dir0 END AS b_dir,
+    CASE WHEN (k_nh, k_np, k_ns) = (b_nh, b_np, b_ns) AND k_name != b_name0
+         THEN k_name ELSE b_name0 END AS b_name,
+    k_ext
+  FROM per
+),
+destf AS (
+  SELECT proc_hash,
+    (CASE WHEN b_dir != '' THEN b_dir || '/' ELSE '' END)
+      || regexp_replace(b_name, '\\.[^.]*$', '') || '.' || k_ext AS dest_path
+  FROM dest
+)
+SELECT r.proc_hash AS cluster_id,
+       r.image_id,
+       CASE WHEN r.q_rank = 1 THEN 'keep' ELSE 'delete' END AS action,
+       CASE WHEN r.q_rank = 1 AND strpos(r.image_id, '!') = 0
+            THEN r.proc_hash
+                 || CASE WHEN r.bsize > 1 THEN '_' || r.crc32 ELSE '' END
+                 || '.'
+                 || CASE WHEN strpos(r.image_id, '.') > 0
+                         THEN regexp_extract(r.image_id, '[^.]*$') ELSE '' END
+            ELSE '' END AS rename_to,
+       CASE WHEN r.q_rank = 1 THEN df.dest_path ELSE '' END AS dest_path
+FROM ranked r JOIN destf df USING (proc_hash)
+ORDER BY cluster_id, image_id
+"""
+
+# near-dup components: img Hamming channel ∪ LSH-banded caption channel,
+# hash-group contraction, recursive-CTE min-label CC
+EXTENDED_CLUSTERS_SQL = """
+WITH RECURSIVE live AS (
+  SELECT h.image_id, h.status, h.proc_hash, h.dhash, h.cap_bands, i.caption
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only') AND NOT regexp_matches(h.proc_hash, '^0+$')
+),
+grp AS (
+  SELECT proc_hash, min(image_id) AS rep, any_value(dhash) AS dh,
+         any_value(status) AS status, count(*) AS gsize
+  FROM live GROUP BY proc_hash
+),
+member AS MATERIALIZED (
+  SELECT l.image_id, g.rep, g.gsize FROM live l JOIN grp g USING (proc_hash)
+),
+banded AS (
+  SELECT image_id, generate_subscripts(cap_bands, 1) AS bi, unnest(cap_bands) AS bk
+  FROM live
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS src, b.image_id AS dst
+  FROM banded a JOIN banded b
+    ON a.bi = b.bi AND a.bk = b.bk AND a.image_id < b.image_id
+),
+sets AS (
+  SELECT image_id, list_distinct([substr(caption, j, {SHINGLE_K})
+          FOR j IN range(1, greatest(len(caption) - {SHINGLE_K} + 2, 2))]) AS sh
+  FROM live
+),
+cap_pairs AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+    FROM cand c JOIN sets a ON a.image_id = c.src
+                JOIN sets b ON b.image_id = c.dst
+  ) WHERE (na = 0 AND nb = 0) OR i::DOUBLE / (na + nb - i) >= {JACCARD_MIN}
+),
+rep_edges AS MATERIALIZED (
+  SELECT a.rep AS u, b.rep AS v
+  FROM grp a JOIN grp b
+    ON a.rep < b.rep AND a.status = 'ok' AND b.status = 'ok'
+   AND bit_count(xor(a.dh, b.dh)) <= {HAMMING_MAX}
+  UNION
+  SELECT least(ma.rep, mb.rep), greatest(ma.rep, mb.rep)
+  FROM cap_pairs p
+  JOIN member ma ON ma.image_id = p.src
+  JOIN member mb ON mb.image_id = p.dst
+  WHERE ma.rep != mb.rep
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM rep_edges UNION SELECT v, u FROM rep_edges
+),
+r(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node WHERE r.lbl < e.u
+),
+rep_lbl AS (
+  SELECT node AS rep, min(lbl) AS lbl FROM r GROUP BY node
+)
+SELECT m.image_id, coalesce(rl.lbl, m.rep) AS cluster_id
+FROM member m LEFT JOIN rep_lbl rl USING (rep)
+WHERE rl.rep IS NOT NULL OR m.gsize >= 2
+ORDER BY image_id
+"""
+
+
+def compose(template: str, *, hashes: str, images: str = "",
+            shingle_k: int = 5, jaccard_min: float = 0.8,
+            hamming_max: int = 4) -> str:
+    """Fill a mirror template.  Plain ``str.replace`` — the templates
+    contain regex braces (``{36}``) that ``str.format`` would eat."""
+    return (template
+            .replace("{HASHES}", hashes)
+            .replace("{IMAGES}", images)
+            .replace("{SHINGLE_K}", str(shingle_k))
+            .replace("{JACCARD_MIN}", repr(jaccard_min))
+            .replace("{HAMMING_MAX}", str(hamming_max)))

@@ -160,10 +160,15 @@ def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
             di = dh_py[i]
             for j in range(i + 1, k):
                 dj = dh_py[j]
-                if img_active and (di or dj) and (di ^ dj).bit_count() <= hmax:
-                    continue  # image channel owns Hamming-verified pairs
-                    # (0-0 pairs have no image owner: poison hash in the
-                    # image pipeline, dhash=0 for text-only docs)
+                if img_active and di and dj and (di ^ dj).bit_count() <= hmax:
+                    continue  # image channel owns Hamming-verified pairs:
+                    # both dhashes nonzero ⇒ both rows are in the image
+                    # banding keyspace, and ham ≤ hmax ≤ slices-1 pigeonholes
+                    # them into a shared slice band.  Pairs with ANY zero
+                    # dhash (md5-keyed media, poison hash, text-only docs)
+                    # have no image owner — Hamming against 0 is just
+                    # popcount, which can be ≤ hmax for near-black images —
+                    # so those must be Jaccard-verified here, not delegated.
                 si = sh[i]
                 if si is None:
                     si = sh[i] = cache.sh(caps[i])

@@ -337,6 +337,35 @@ def test_hot_caption_bucket_collapse_policy():
     assert (("a000", "b0") in pairs) == expect_link
 
 
+def test_caption_pair_with_one_zero_dhash_not_delegated():
+    """A caption-verified pair where exactly ONE member has dhash=0 (md5-keyed
+    media, poison hash) has NO image-channel owner: Hamming against 0 is just
+    popcount, so a near-black image (popcount ≤ hamming_max) used to trip the
+    image-owned skip and the pair was silently dropped.  The skip may only
+    delegate when BOTH dhashes are nonzero (both rows then provably co-bucket
+    in a shared dHash slice band by pigeonhole)."""
+    import pandas as pd
+
+    from deduplicator_ray.stages.candidates import make_partition_verify
+
+    cap = "sunset harbor mountain forest river canyon meadow lantern window"
+    rows = {
+        "band": [100, 100],          # caption band 0 (identical captions
+        "key": [555, 555],           # collide in every band; 0 is the owner)
+        "image_id": ["img_dark", "vid_md5"],
+        "dhash": [3, 0],             # popcount(3)=2 <= hamming_max, vs zero
+        "caption": [cap, cap],
+    }
+    out = make_partition_verify(CFG)(pd.DataFrame(rows))
+    pairs = set(zip(out[out["src"] != ""]["src"], out[out["src"] != ""]["dst"]))
+    assert ("img_dark", "vid_md5") in pairs
+    # control: BOTH nonzero within hamming_max stays delegated to the image
+    # channel (no caption-band emission)
+    rows["dhash"] = [3, 1]
+    out2 = make_partition_verify(CFG)(pd.DataFrame(rows))
+    assert (out2["src"] != "").sum() == 0
+
+
 def test_md5_media_cluster_in_decisions(images_ds, truth, oracle_rows):
     """Strict-mode media (stub jpg/mp4 payloads) enter the SAME proc-hash
     keyspace as images (getProcHash, /root/reference/dupedb.py:68-101):

@@ -1,0 +1,64 @@
+"""The DuckDB mirrors (deduplicator_ray/mirrors.py) must reproduce the
+engine's image-pipeline outputs VALUE-exactly — same rows, same labels,
+same dtypes — at sf-small.  The driver runs the same comparison at sf0.01;
+this pins the mirror SQL itself (threshold semantics, keeper ordering,
+LSH-banded candidate set, recursive-CTE CC) so a mirror regression can't
+masquerade as an engine bug."""
+
+import duckdb
+import pytest
+
+from deduplicator_ray import fixtures, mirrors
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.pipelines import image_dedup as ip
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def paths(sf_small):
+    return {
+        "hashes": fixtures.hashes_path(sf_small, CFG.hash_size) + "/*.parquet",
+        "images": fixtures.images_path(sf_small, CFG.hash_size) + "/*.parquet",
+    }
+
+
+def _compose(template, paths):
+    return mirrors.compose(
+        template, hashes=paths["hashes"], images=paths["images"],
+        shingle_k=CFG.shingle_k, jaccard_min=CFG.jaccard_min,
+        hamming_max=CFG.hamming_max)
+
+
+def _assert_frame_equal(eng, orc):
+    assert list(eng.columns) == list(orc.columns)
+    assert len(eng) == len(orc)
+    cols = list(eng.columns)
+    a = eng.sort_values(cols).reset_index(drop=True)
+    b = orc.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), "value mismatch between engine and mirror"
+
+
+def test_reference_clusters_mirror(sf_small, paths):
+    eng = (ip.reference_clusters(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas())
+    orc = duckdb.sql(_compose(mirrors.REFERENCE_CLUSTERS_SQL, paths)).df()
+    _assert_frame_equal(eng[["proc_hash", "image_id"]], orc)
+
+
+def test_reference_decisions_mirror(sf_small, paths):
+    eng = (ip.reference_decisions(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas())
+    orc = duckdb.sql(_compose(mirrors.REFERENCE_DECISIONS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+
+
+def test_extended_clusters_mirror(sf_small, paths):
+    """The caption candidate set in the mirror is the LSH band join (share
+    ≥1 MinHash band key), NOT exact all-pairs Jaccard — banding at 16×8 has
+    ≈0.947 detection probability at jac=0.8, so only the band-join mirror
+    can match the engine hash-exactly."""
+    eng = (ip.extended_clusters(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas())
+    orc = duckdb.sql(_compose(mirrors.EXTENDED_CLUSTERS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)

@@ -222,11 +222,14 @@ def _mm_frame_sample(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
     from deduplicator_ray.pipelines.multimodal import FrameSample
 
-    head = ip.load_images(sf_dir, _cfg()).limit(64).to_pandas()
+    # deterministic 64-id sample (first 64 in id order — a read-order
+    # limit(64) would tie the check to block arrival order)
+    ids = sorted(r["image_id"] for r in ip.load_images(sf_dir, _cfg())
+                 .select_columns(["image_id"]).take_all())[:64]
     vids = pa.Table.from_pydict({
-        "image_id": head["image_id"].tolist(),
-        "bytes": [b""] * len(head),
-        "fmt": ["mp4"] * len(head),
+        "image_id": ids,
+        "bytes": [b""] * len(ids),
+        "fmt": ["mp4"] * len(ids),
     })
     out = rd.from_arrow(vids).map_batches(
         FrameSample, fn_constructor_kwargs={"n_frames": 2, "fake": True},
@@ -342,6 +345,8 @@ def _fixture_mirrors() -> dict[str, str]:
     truth = fixtures.truth_path(sf) + "/*.parquet"
     hashes = fixtures.hashes_path(sf) + "/*.parquet"
     hashes12 = fixtures.hashes_path(sf, 12) + "/*.parquet"
+    docfeat = fixtures.doc_features_path(sf) + "/*.parquet"
+    ivf = fixtures.ivf_sidecar_path(sf)
     cfg = _cfg()
     kw = dict(images=images, shingle_k=cfg.shingle_k,
               jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
@@ -354,6 +359,66 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         "img_extended_clusters": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
+        "img_decisions_explain": mirrors.compose(
+            mirrors.DECISIONS_EXPLAIN_SQL, hashes=hashes, **kw),
+        "mm_montage": mirrors.compose(mirrors.MONTAGE_SQL, hashes=hashes, **kw),
+        # visual features: the kernel output ships in the hashes sidecar
+        # (same Ray-free recomputation pattern); the mirror is a projection
+        "mm_features": f"""
+            SELECT image_id, edge_e3, feat_status FROM '{hashes}'
+            ORDER BY image_id
+        """,
+        # fake-decoder frame fan-out: n_frames rows per sampled video id,
+        # fixed 16×16 png frames — the mirror pins the fan-out shape
+        "mm_frame_sample": f"""
+            SELECT image_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+                   CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+                   'png' AS fmt, 'ok_fake' AS status
+            FROM (SELECT image_id FROM '{images}' ORDER BY image_id LIMIT 64)
+            CROSS JOIN (VALUES (0), (1)) f(frame_idx)
+            ORDER BY image_id, frame_idx
+        """,
+        # per-doc text kernels (SimHash / winnowing / BPE-ish counts) ship
+        # as a Ray-free sidecar recomputation; banding at 4×16 bits is
+        # pigeonhole-LOSSLESS for Hamming ≤ 3, so the engine's banded pair
+        # set equals this plain cross-join — no probabilistic caveat here
+        "docs_simhash_pairs": f"""
+            SELECT CAST(a.doc_id AS VARCHAR) AS src,
+                   CAST(b.doc_id AS VARCHAR) AS dst
+            FROM '{docfeat}' a JOIN '{docfeat}' b
+              -- the engine orients pairs by STRING id order (ids pass
+              -- through the generic string band/verify stage)
+              ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+             AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY src, dst
+        """,
+        "docs_fingerprints": f"""
+            SELECT doc_id, fingerprint, n_tokens_bpe FROM '{docfeat}'
+            ORDER BY doc_id
+        """,
+        # IVF's discrete decisions (vec→bucket, query→probed buckets) ship
+        # as a sidecar replay of the same seeded k-means; the mirror is then
+        # exact cosine top-k restricted to each query's probed buckets
+        "ann_ivf_topk": f"""
+            SELECT query_id, rank, vec_id, cos_e6 FROM (
+              SELECT p.query_id, e.vec_id,
+                     CAST(floor(list_cosine_similarity(
+                       q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 1e6 + 0.5)
+                       AS BIGINT) AS cos_e6,
+                     row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(
+                         q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                         e.vec_id
+                     ) AS rank
+              FROM '{ivf}/assign.parquet' a
+              JOIN '{ivf}/probes.parquet' p USING (bucket)
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              JOIN embeddings q ON q.vec_id = p.query_id
+              WHERE e.vec_id != p.query_id)
+            WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
         "img_dead_letter": f"""
             SELECT image_id, 'error' AS status
             FROM '{truth}' WHERE kind = 'corrupt'

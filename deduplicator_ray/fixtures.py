@@ -468,6 +468,10 @@ HASHES_SCHEMA = pa.schema(
         # 16 bands × 8 rows), so an exact all-pairs-Jaccard mirror would
         # diverge from the engine on pairs the LSH legitimately misses.
         ("cap_bands", pa.list_(pa.int64())),
+        # visual-feature kernel outputs (ImageFeatures, Ray-free here) so
+        # the mm_features mirror is a plain projection
+        ("edge_e3", pa.int64()),
+        ("feat_status", pa.string()),
     ]
 )
 
@@ -486,6 +490,15 @@ def _write_hash_shard(args) -> None:
     caps = [str(r["caption"] or "") for r in rows]
     sigs = textfn.minhash_batch(caps, cfg.shingle_k, cfg.num_perm)
     bands = textfn.band_keys(sigs, cfg.bands, cfg.rows_per_band).view(np.int64)
+    from deduplicator_ray.pipelines.multimodal import ImageFeatures
+
+    feats = ImageFeatures()(pq.read_table(
+        src, columns=["image_id", "bytes", "w", "h", "fmt"]))
+    # float32 arithmetic, same expression as the mm_features projection —
+    # a float64 detour could round differently at .5 boundaries
+    edge = np.floor(feats["edge_density"].to_numpy(zero_copy_only=False)
+                    * 1e3 + 0.5).astype(np.int64)
+    fstat = feats["feat_status"].to_pylist()
     out = pa.Table.from_pylist(
         [
             {
@@ -495,6 +508,8 @@ def _write_hash_shard(args) -> None:
                 "dhash": r["dhash"] if r["dhash"] is not None else 0,
                 "crc32": crc[r["image_id"]],
                 "cap_bands": bands[i].tolist(),
+                "edge_e3": int(edge[i]),
+                "feat_status": fstat[i],
             }
             for i, r in enumerate(rows)
         ],
@@ -534,6 +549,122 @@ def hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     else:
         for j in jobs:
             _write_hash_shard(j)
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-doc text-kernel sidecar (for the docs DuckDB mirrors)
+
+DOC_FEATURES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),   # matches documents.parquet's key dtype
+        ("simhash", pa.int64()),
+        ("fingerprint", pa.int64()),
+        ("n_tokens_bpe", pa.int64()),
+    ]
+)
+
+
+def doc_features_path(sf_dir: str) -> str:
+    """Ray-free single-process recomputation of the per-doc text kernels
+    (SimHash, winnowing fingerprint, BPE-ish token count) over the driver's
+    ``documents.parquet`` — the non-SQL kernels ship as data so the DuckDB
+    mirrors can value-check the DISTRIBUTED pipelines: ``docs_simhash_pairs``
+    becomes a pure Hamming cross-join over this table, ``docs_fingerprints``
+    a projection (same pattern as ``hashes_path`` for images)."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.functions import text as textfn
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"docfeat_{os.path.basename(os.path.normpath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    texts = [str(x) for x in src["text"].to_pylist()]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pc.cast(src["doc_id"].combine_chunks(), pa.int64()),
+            "simhash": pa.array(textfn.simhash_batch(texts).view(np.int64)),
+            "fingerprint": pa.array(
+                np.fromiter((textfn.rolling_fingerprint(s) for s in texts),
+                            np.int64, count=len(texts))),
+            "n_tokens_bpe": pa.array(
+                np.fromiter((textfn.token_count_bpe(s) for s in texts),
+                            np.int64, count=len(texts))),
+        },
+        schema=DOC_FEATURES_SCHEMA,
+    )
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF sidecar (bucket assignment + probe lists) for the ann_ivf_topk mirror
+
+
+def ivf_sidecar_path(sf_dir: str, n_centroids: int = 16, nprobe: int = 4,
+                     n_queries: int = 4) -> str:
+    """Ray-free recomputation of the IVF index's DISCRETE decisions — which
+    bucket each vector lands in, which buckets each query probes — written
+    as two parquet tables (``assign``: vec_id→bucket; ``probes``:
+    query_id→bucket).  k-means training and assignment reuse the engine's
+    own deterministic kernels (functions.vector, seeds fixed), so the SQL
+    mirror reduces ann_ivf_topk to exact cosine top-k WITHIN the probed
+    buckets — checking the distributed index build + pruned search against
+    a single-process replay of the same math."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.functions import vector as vfn
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"ivf_{os.path.basename(os.path.normpath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
+    sample = x[:65536]  # engine cap: sample_rows_absolute(..., 65536)
+    cents = vfn.train_centroids(sample, n_centroids)
+    xn = vfn._normalize(x)
+    assign = np.argmax(xn @ cents.T, axis=1).astype(np.int64)
+    qmask = ids < n_queries
+    probes = np.argsort(-(xn[qmask] @ cents.T), axis=1)[:, :nprobe]
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"vec_id": ids, "bucket": assign}),
+        os.path.join(tmp, "assign.parquet"))
+    pq.write_table(
+        pa.table({
+            "query_id": np.repeat(ids[qmask], probes.shape[1]),
+            "bucket": probes.reshape(-1).astype(np.int64),
+        }),
+        os.path.join(tmp, "probes.parquet"))
     if os.path.exists(out):
         import shutil
 

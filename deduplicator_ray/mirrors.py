@@ -128,9 +128,39 @@ FROM ranked r JOIN destf df USING (proc_hash)
 ORDER BY cluster_id, image_id
 """
 
+# explainSort projection: the keeper row carries the bucket's ranking
+# explanation — one header line + one line per member, so the driver-checked
+# ``explain_lines`` ("\n" count) is exactly the bucket size on keeper rows
+# and 0 on deletions (/root/reference/dedupc.py:99-106,182-184)
+DECISIONS_EXPLAIN_SQL = """
+WITH live AS (
+  SELECT h.image_id, h.proc_hash,
+         i.w * i.h AS pixels, octet_length(i.bytes) AS filesize,
+         CAST(octet_length(i.bytes) AS DOUBLE) / greatest(i.w * i.h, 1) AS density
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only') AND NOT regexp_matches(h.proc_hash, '^0+$')
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY proc_hash) AS bsize FROM live
+  QUALIFY bsize >= 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY proc_hash
+      ORDER BY pixels DESC, filesize DESC, density DESC, image_id) AS q_rank
+  FROM sized
+)
+SELECT proc_hash AS cluster_id, image_id,
+       CASE WHEN q_rank = 1 THEN 'keep' ELSE 'delete' END AS action,
+       CAST(CASE WHEN q_rank = 1 THEN bsize ELSE 0 END AS BIGINT) AS explain_lines
+FROM ranked
+ORDER BY cluster_id, image_id
+"""
+
 # near-dup components: img Hamming channel ∪ LSH-banded caption channel,
-# hash-group contraction, recursive-CTE min-label CC
-EXTENDED_CLUSTERS_SQL = """
+# hash-group contraction, recursive-CTE min-label CC.  The CTE body is
+# shared by EXTENDED_CLUSTERS_SQL and MONTAGE_SQL (montage = per-cluster
+# layout stats over the same component assignment).
+_EXTENDED_CTE = """
 WITH RECURSIVE live AS (
   SELECT h.image_id, h.status, h.proc_hash, h.dhash, h.cap_bands, i.caption
   FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
@@ -188,11 +218,40 @@ r(node, lbl) AS (
 ),
 rep_lbl AS (
   SELECT node AS rep, min(lbl) AS lbl FROM r GROUP BY node
+),
+assigned AS (
+  SELECT m.image_id, coalesce(rl.lbl, m.rep) AS cluster_id
+  FROM member m LEFT JOIN rep_lbl rl USING (rep)
+  WHERE rl.rep IS NOT NULL OR m.gsize >= 2
 )
-SELECT m.image_id, coalesce(rl.lbl, m.rep) AS cluster_id
-FROM member m LEFT JOIN rep_lbl rl USING (rep)
-WHERE rl.rep IS NOT NULL OR m.gsize >= 2
-ORDER BY image_id
+"""
+
+EXTENDED_CLUSTERS_SQL = _EXTENDED_CTE + """
+SELECT image_id, cluster_id FROM assigned ORDER BY image_id
+"""
+
+# montage-sink layout stats (S7, /root/reference/dedupc.py:109-154): per
+# near-dup cluster, the first ≤16 members (string id order) tile into a
+# 4-wide 32-px grid; an undecodable member (strict-mode md5 media) leaves a
+# black tile and flags the montage 'partial'
+MONTAGE_SQL = _EXTENDED_CTE + """,
+mem AS (
+  SELECT a.cluster_id, a.image_id, l.status,
+         row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.image_id) AS rn
+  FROM assigned a JOIN live l USING (image_id)
+),
+agg AS (
+  SELECT cluster_id, count(*) AS n,
+         max(CASE WHEN status != 'ok' THEN 1 ELSE 0 END) AS any_bad
+  FROM mem WHERE rn <= 16 GROUP BY cluster_id
+)
+SELECT cluster_id,
+       CAST(least(4, n) * 32 AS BIGINT) AS w,
+       CAST(CAST(ceil(n / least(4, n)::DOUBLE) AS BIGINT) * 32 AS BIGINT) AS h,
+       'png' AS fmt,
+       CAST(n AS BIGINT) AS n_members,
+       CASE WHEN any_bad = 1 THEN 'partial' ELSE 'ok' END AS status
+FROM agg ORDER BY cluster_id
 """
 
 

@@ -88,6 +88,27 @@ def _img_decisions_explain(sf_dir: str):
     return df[["cluster_id", "image_id", "action", "explain_lines"]]
 
 
+def _img_series_alt_pairs(sf_dir: str):
+    """J4 corpus-scale series-base self-join (findBaseFileForPath without
+    broadcast or filesystem glob) — reads ONLY the id column.  The corpus's
+    random directories almost never co-locate a series member with its
+    base, so the id universe is corpus ∪ the deterministic alt-namespace
+    fixture (directory-coherent series/alt families + negative controls) —
+    the mirror reads the same union."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.stages.alts import series_alt_pairs
+
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(fixtures.images_path(sf_dir) + "/*.parquet")
+        + _glob.glob(fixtures.alt_namespace_path(sf_dir) + "/*.parquet"))
+    ids = dio.read_parquet(files, columns=["image_id"])
+    out = series_alt_pairs(ids)
+    return out.to_pandas().sort_values("alt_id").reset_index(drop=True)
+
+
 def _img_dup_pairs(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -303,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
         "img_dup_pairs": _img_dup_pairs,
+        "img_series_alt_pairs": _img_series_alt_pairs,
         "img_extended_clusters": _img_extended_clusters,
         "img_dead_letter": _img_dead_letter,
         "img_validate_phash": _img_validate_phash,
@@ -346,6 +368,7 @@ def _fixture_mirrors() -> dict[str, str]:
     hashes = fixtures.hashes_path(sf) + "/*.parquet"
     hashes12 = fixtures.hashes_path(sf, 12) + "/*.parquet"
     docfeat = fixtures.doc_features_path(sf) + "/*.parquet"
+    altns = fixtures.alt_namespace_path(sf) + "/*.parquet"
     ivf = fixtures.ivf_sidecar_path(sf)
     cfg = _cfg()
     kw = dict(images=images, shingle_k=cfg.shingle_k,
@@ -362,6 +385,8 @@ def _fixture_mirrors() -> dict[str, str]:
         "img_decisions_explain": mirrors.compose(
             mirrors.DECISIONS_EXPLAIN_SQL, hashes=hashes, **kw),
         "mm_montage": mirrors.compose(mirrors.MONTAGE_SQL, hashes=hashes, **kw),
+        "img_series_alt_pairs": mirrors.compose(
+            mirrors.SERIES_ALT_SQL, hashes=hashes, altns=altns, **kw),
         # visual features: the kernel output ships in the hashes sidecar
         # (same Ray-free recomputation pattern); the mirror is a projection
         "mm_features": f"""

@@ -673,3 +673,67 @@ def ivf_sidecar_path(sf_dir: str, n_centroids: int = 16, nprobe: int = 4,
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# alt-namespace table for the series-base self-join (J4)
+
+
+def alt_namespace_path(sf_dir: str) -> str:
+    """Deterministic id-only table exercising every probe branch of
+    ``series_alt_pairs`` — the synthetic corpus's random dirs almost never
+    co-locate a series member with its base, so this namespace supplies
+    directory-coherent families: series runs across each numbering style,
+    ``-alt``/`` edit``/`` otm``/`` otn`` variants, multi-extension bases,
+    plus negative controls (orphan members, cross-directory bases, indices
+    over the reference's 1000 cap).  The engine query and the DuckDB
+    mirror both read corpus ∪ namespace, so the pair set is non-degenerate
+    at every sf."""
+    sfn = sf_name(sf_dir)
+    n_fam = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000}.get(sfn, 120)
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"altns_{sfn}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    ids: list[str] = []
+    for fid in range(n_fam):
+        rng = np.random.default_rng([SEED, 77, fid])
+        d = "altns/" + str(rng.choice(_DIRS))
+        w = str(rng.choice(_WORDS))
+        stem = f"{d}/{w}_f{fid:05d}"
+        kind = fid % 10
+        if kind == 0:      # " (n)" series
+            ids += [f"{stem} (1).png", f"{stem} (2).png", f"{stem} (3).jpg"]
+        elif kind == 1:    # "_n" series
+            ids += [f"{stem}_1.png", f"{stem}_2.png"]
+        elif kind == 2:    # "_pn" pages
+            ids += [f"{stem}_p1.gif", f"{stem}_p2.png"]
+        elif kind == 3:    # "-imgn"
+            ids += [f"{stem}-img1.webm", f"{stem}-img2.png"]
+        elif kind == 4:    # "-alt" + base (common-base prefix family)
+            ids += [f"{stem}.png", f"{stem}-alt.png"]
+        elif kind == 5:    # " edit" / " otm" variants
+            ids += [f"{stem}.png", f"{stem} edit.png", f"{stem} otm.png"]
+        elif kind == 6:    # trailing-digit series "x1"/"x2"
+            ids += [f"{stem}x1.png", f"{stem}x2.png"]
+        elif kind == 7:    # orphan: series member with no previous-in-series
+            ids += [f"{stem} (5).png"]
+        elif kind == 8:    # cross-dir: base exists only in ANOTHER directory
+            ids += [f"{stem}-alt.png", f"altns/elsewhere/{w}_f{fid:05d}.png"]
+        else:              # index over the reference's 1000 cap → no series
+            ids += [f"{stem}_2000.png", f"{stem}_1999.png"]
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.table({"image_id": pa.array(sorted(ids), pa.string())}),
+                   os.path.join(tmp, "part-0.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

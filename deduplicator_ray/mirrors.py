@@ -255,7 +255,7 @@ FROM agg ORDER BY cluster_id
 """
 
 
-def compose(template: str, *, hashes: str, images: str = "",
+def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             shingle_k: int = 5, jaccard_min: float = 0.8,
             hamming_max: int = 4) -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
@@ -263,6 +263,111 @@ def compose(template: str, *, hashes: str, images: str = "",
     return (template
             .replace("{HASHES}", hashes)
             .replace("{IMAGES}", images)
+            .replace("{ALTNS}", altns)
             .replace("{SHINGLE_K}", str(shingle_k))
             .replace("{JACCARD_MIN}", repr(jaccard_min))
             .replace("{HAMMING_MAX}", str(hamming_max)))
+
+
+# J4 series-base self-join (findBaseFileForPath as relational algebra,
+# /root/reference/compare.py:77-105,136-173): eq channel = previous-in-series
+# id existence; prefix channel = same-directory glob-prefix groups (>1 match,
+# lexicographic-first base — count includes the alt itself).  Pattern
+# priority and the i<=1000 fall-through reproduce getSeriesInfo's
+# first-valid-wins loop.  The reference's final common-base pattern
+# (backslash-delimited '-pn_' Windows paths) cannot match '/'-keyed ids and
+# is omitted here (the engine carries it at prio 15).  The lookbehind
+# (?<=[a-zA-Z])(\d)$ is rewritten RE2-safe as ([a-zA-Z])(\d)$ with a \1
+# backreference in the replacement.
+SERIES_ALT_SQL = r"""
+WITH ids AS (
+  SELECT image_id,
+         CASE WHEN strpos(image_id, '/') > 0
+              THEN regexp_replace(image_id, '/[^/]*$', '') ELSE '' END AS dir,
+         regexp_replace(image_id, '\.[^./]*$', '') AS stem
+  FROM (SELECT image_id FROM '{IMAGES}'
+        UNION ALL SELECT image_id FROM '{ALTNS}')
+),
+ser AS (
+  SELECT image_id, dir, stem,
+    list_filter([
+      CASE WHEN regexp_matches(stem, '_(\d+)$')
+                AND CAST(regexp_extract(stem, '_(\d+)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, '_(\d+)$', '') || '_'
+                || CAST(CAST(regexp_extract(stem, '_(\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, '-(\d+)$')
+                AND CAST(regexp_extract(stem, '-(\d+)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, '-(\d+)$', '') || '-'
+                || CAST(CAST(regexp_extract(stem, '-(\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, ' (\d+)$')
+                AND CAST(regexp_extract(stem, ' (\d+)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, ' (\d+)$', '') || ' '
+                || CAST(CAST(regexp_extract(stem, ' (\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, '\((\d+)\)$')
+                AND CAST(regexp_extract(stem, '\((\d+)\)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, '\((\d+)\)$', '') || '('
+                || CAST(CAST(regexp_extract(stem, '\((\d+)\)$', 1) AS BIGINT) - 1 AS VARCHAR) || ')' END,
+      CASE WHEN regexp_matches(stem, '_p(\d+)$')
+                AND CAST(regexp_extract(stem, '_p(\d+)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, '_p(\d+)$', '') || '_p'
+                || CAST(CAST(regexp_extract(stem, '_p(\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, '_img(\d+)$')
+                AND CAST(regexp_extract(stem, '_img(\d+)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, '_img(\d+)$', '') || '_img'
+                || CAST(CAST(regexp_extract(stem, '_img(\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, '-img(\d+)$')
+                AND CAST(regexp_extract(stem, '-img(\d+)$', 1) AS BIGINT) <= 1000
+           THEN regexp_replace(stem, '-img(\d+)$', '') || '-img'
+                || CAST(CAST(regexp_extract(stem, '-img(\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, '-alt(\d*)$')
+           THEN regexp_replace(stem, '-alt(\d*)$', '') || '-alt'
+                || CAST(CASE WHEN regexp_extract(stem, '-alt(\d*)$', 1) = ''
+                             THEN 1 ELSE CAST(regexp_extract(stem, '-alt(\d*)$', 1) AS BIGINT) END - 1 AS VARCHAR) END,
+      CASE WHEN regexp_matches(stem, ' edit$') THEN stem || '0' END,
+      CASE WHEN regexp_matches(stem, '[a-zA-Z]\d$')
+           THEN regexp_replace(stem, '([a-zA-Z])(\d)$', '\1')
+                || CAST(CAST(regexp_extract(stem, '([a-zA-Z])(\d)$', 2) AS BIGINT) - 1 AS VARCHAR) END
+    ], x -> x IS NOT NULL) AS prevs
+  FROM ids
+),
+eq_hits AS (
+  SELECT s.image_id AS alt_id, e.prio, i.image_id AS base_id
+  FROM ser s
+  CROSS JOIN (VALUES (1, '.jpg'), (2, '.gif'), (3, '.webm'), (4, '.png')) e(prio, ext)
+  JOIN ids i ON i.image_id = s.prevs[1] || e.ext
+  WHERE len(s.prevs) >= 1 AND s.prevs[1] != s.stem
+),
+prep AS (
+  SELECT image_id AS alt_id, dir, u.prio, u.pre
+  FROM (
+    SELECT image_id, dir, unnest(list_filter([
+        CASE WHEN regexp_matches(stem, '[-_ ][0-9+]$')
+             THEN {'prio': 10, 'pre': regexp_replace(stem, '[-_ ][0-9+]$', '')} END,
+        CASE WHEN regexp_matches(stem, '[-_ ]alt$')
+             THEN {'prio': 11, 'pre': regexp_replace(stem, '[-_ ]alt$', '')} END,
+        CASE WHEN regexp_matches(stem, '[-_ ]edit$')
+             THEN {'prio': 12, 'pre': regexp_replace(stem, '[-_ ]edit$', '')} END,
+        CASE WHEN regexp_matches(stem, ' otm$')
+             THEN {'prio': 13, 'pre': regexp_replace(stem, ' otm$', '')} END,
+        CASE WHEN regexp_matches(stem, ' otn$')
+             THEN {'prio': 14, 'pre': regexp_replace(stem, ' otn$', '')} END
+      ], x -> x IS NOT NULL)) AS u
+    FROM ids)
+),
+pre_hits AS (
+  SELECT p.alt_id, p.prio, min(i.image_id) AS base_id
+  FROM prep p
+  JOIN ids i ON i.dir = p.dir AND starts_with(i.image_id, p.pre)
+  GROUP BY p.alt_id, p.prio, p.pre
+  HAVING count(*) > 1
+),
+best AS (
+  SELECT alt_id, prio, base_id,
+         row_number() OVER (PARTITION BY alt_id ORDER BY prio, base_id) AS rn
+  FROM (SELECT * FROM eq_hits UNION ALL SELECT * FROM pre_hits)
+)
+SELECT alt_id, base_id,
+       CASE WHEN prio < 10 THEN 'series_prev' ELSE 'common_base' END AS method
+FROM best WHERE rn = 1
+ORDER BY alt_id
+"""

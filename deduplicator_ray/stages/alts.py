@@ -94,3 +94,173 @@ def suppress_alt_members(filelist: list[str],
         if base in out:
             out.remove(filename)
     return out
+
+
+# ---------------------------------------------------------------------------
+# J4 — the corpus-scale series-base SELF-JOIN (the 10^12-row path promised in
+# the module notes above: no broadcast, no live-filesystem glob)
+
+_PRIO_SERIES = 1    # + MATCH_EXTS index        (series_prev probes)
+_PRIO_PREFIX = 10   # + _COMMON_BASE_PATTERNS index (common-base probes)
+
+
+def derive_probes(image_id: str) -> tuple[list[tuple[int, str]],
+                                          list[tuple[int, str]]]:
+    """Per-id probe derivation for ``series_alt_pairs`` — the pure string
+    kernel of ``findBaseFileForPath`` (/root/reference/compare.py:136-173),
+    restated as join keys:
+
+    * eq probes: the previous-in-series id ``style.replace('<#>', i-1)`` +
+      each known extension — an EQUALITY join key against the corpus.
+      (Intended semantics: the probe matches a full id.  The reference's
+      stem-vs-path bug that makes this branch a no-op is preserved verbatim
+      in ``find_base_for_path`` above; this operator implements the lookup
+      the reference meant to do.)
+    * prefix probes: each common-base glob pattern's prefix (every sub ends
+      with ``*``) — a PREFIX match against ids in the same directory (the
+      reference globs the filesystem, and glob's ``*`` does not cross /).
+
+    Returns ([(prio, full_id_key)], [(prio, prefix)]); lower prio wins,
+    mirroring the reference's first-success-wins probe order.
+    """
+    stem = os.path.splitext(image_id)[0]
+    eq: list[tuple[int, str]] = []
+    pre: list[tuple[int, str]] = []
+    info = series_info(stem)
+    if info:
+        i, style = info
+        prev = style.replace("<#>", str(i - 1))
+        if prev != stem:
+            for e_idx, ext in enumerate(MATCH_EXTS):
+                eq.append((_PRIO_SERIES + e_idx, prev + ext))
+    for p_idx, (pattern, sub) in enumerate(_COMMON_BASE_PATTERNS):
+        if re.search(pattern, stem):
+            pat = re.sub(pattern, sub, stem)
+            if pat.endswith("*"):
+                pre.append((_PRIO_PREFIX + p_idx, pat[:-1]))
+    return eq, pre
+
+
+def series_alt_pairs(ids_ds, num_partitions: int = 64):
+    """(alt_id, base_id, method) for every id whose series base EXISTS in
+    the corpus — ``findBaseFileForPath`` as a distributed self-join.
+
+    Shape (all stages shuffle on ONE key each, no broadcast state):
+      P1 map_batches: derive eq/prefix probe rows (pure string kernel).
+      P2 eq channel:  probes ∪ ids hash-partitioned on the PROBED id —
+                      a partitioned semi-join (probe hits where the probed
+                      previous-in-series id exists).
+      P3 prefix channel: probes ∪ ids hash-partitioned on DIRNAME — within
+                      a directory partition, sorted-array prefix ranges
+                      (np.searchsorted) find glob matches; >1 match ⇒ base
+                      is the lexicographic first (the reference's sorted
+                      glob pick; count includes the alt itself).
+      P4 resolve:     hash-partition on alt_id, keep the min-prio probe.
+
+    Partitioning assumption (documented per the graft brief): common-base
+    matches share the alt's directory — glob ``*`` does not cross ``/`` —
+    so dirname is a complete co-location key for the prefix channel; a
+    directory's listing must fit one partition (same skew envelope as the
+    reference's per-directory glob).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    probe_schema = pa.schema([
+        ("key", pa.string()), ("dir", pa.string()), ("alt_id", pa.string()),
+        ("prio", pa.int32()), ("role", pa.string()),
+    ])
+
+    def emit_probes(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        key, dirc, alt, prio, role = [], [], [], [], []
+        for iid in ids:
+            d = iid[:iid.rfind("/")] if "/" in iid else ""
+            eq, pre = derive_probes(iid)
+            for p, k in eq:
+                key.append(k); dirc.append(d); alt.append(iid)
+                prio.append(p); role.append("eq")
+            for p, pref in pre:
+                key.append(pref); dirc.append(d); alt.append(iid)
+                prio.append(p); role.append("pre")
+            # every id is also namespace for both channels
+            key.append(iid); dirc.append(d); alt.append("")
+            prio.append(0); role.append("ns")
+        return pa.Table.from_pydict(
+            {"key": key, "dir": dirc, "alt_id": alt,
+             "prio": np.asarray(prio, np.int32), "role": role},
+            schema=probe_schema)
+
+    probes = ids_ds.map_batches(
+        emit_probes, batch_format="pyarrow").materialize()
+
+    hit_schema = pa.schema([
+        ("alt_id", pa.string()), ("base_id", pa.string()),
+        ("prio", pa.int32()),
+    ])
+
+    def eq_match(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.loc[df["role"] == "ns", "key"].unique()
+        pr = df[df["role"] == "eq"]
+        hit = pr[pr["key"].isin(ns)]
+        return pd.DataFrame({
+            "alt_id": hit["alt_id"].astype(str),
+            "base_id": hit["key"].astype(str),
+            "prio": hit["prio"].astype("int32"),
+        })
+
+    eq_hits = partitioned_groupby(
+        probes.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t["role"], value_set=pa.array(["ns", "eq"]))),
+            batch_format="pyarrow"),
+        ["key"], eq_match, num_parts=num_partitions, out_schema=hit_schema)
+
+    def prefix_match(df: pd.DataFrame) -> pd.DataFrame:
+        out_alt, out_base, out_prio = [], [], []
+        for _, g in df.groupby("dir", sort=False):
+            ns = np.sort(g.loc[g["role"] == "ns", "key"].to_numpy(str))
+            pr = g[g["role"] == "pre"]
+            if not len(pr) or not len(ns):
+                continue
+            lo = np.searchsorted(ns, pr["key"].to_numpy(str), "left")
+            hi = np.searchsorted(
+                ns, (pr["key"] + "\U0010ffff").to_numpy(str), "left")
+            ok = (hi - lo) > 1
+            out_alt.extend(pr.loc[ok, "alt_id"].tolist())
+            out_base.extend(ns[lo[ok]].tolist())
+            out_prio.extend(pr.loc[ok, "prio"].tolist())
+        return pd.DataFrame({
+            "alt_id": pd.Series(out_alt, dtype=str),
+            "base_id": pd.Series(out_base, dtype=str),
+            "prio": pd.Series(out_prio, dtype="int32"),
+        })
+
+    pre_hits = partitioned_groupby(
+        probes.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t["role"], value_set=pa.array(["ns", "pre"]))),
+            batch_format="pyarrow"),
+        ["dir"], prefix_match, num_parts=num_partitions, out_schema=hit_schema)
+
+    out_schema = pa.schema([
+        ("alt_id", pa.string()), ("base_id", pa.string()),
+        ("method", pa.string()),
+    ])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        best = (df.sort_values(["alt_id", "prio", "base_id"], kind="mergesort")
+                  .drop_duplicates("alt_id"))
+        return pd.DataFrame({
+            "alt_id": best["alt_id"].astype(str),
+            "base_id": best["base_id"].astype(str),
+            "method": np.where(best["prio"] < _PRIO_PREFIX,
+                               "series_prev", "common_base"),
+        })
+
+    return partitioned_groupby(eq_hits.union(pre_hits), ["alt_id"], resolve,
+                               num_parts=num_partitions,
+                               out_schema=out_schema)

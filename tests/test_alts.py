@@ -152,3 +152,55 @@ def test_exempt_filter(sf_small):
     assert all("temp" not in i and "cache" not in i for i in ids)
     plain = ip.load_images(sf_small, CFG).count()
     assert len(ids) < plain
+
+
+# --- J4: series-base self-join at corpus scale ------------------------------
+
+def test_series_alt_pairs_matches_brute_force():
+    """Every probe branch vs a per-id brute force over the same namespace:
+    series across extensions (ext priority), page/img numbering, the
+    trailing-digit pattern, common-base prefix families (count includes the
+    alt itself; lexicographic-first base), precedence of series over
+    common-base, and the negative controls (cross-dir, orphan)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.stages import alts
+
+    ids = [
+        "a/pic (1).jpg", "a/pic (1).png", "a/pic (2).png",
+        "b/doc_p2.png", "b/doc_p1.gif",
+        "c/img-alt.png", "c/img.png",
+        "d/v_3.png", "d/v.png",
+        "e/w-alt.png", "f/w.png",          # cross-dir: no pair
+        "g/pagex2.png", "g/pagex1.png",
+        "h/shot-img2.png", "h/shot-img1.webm",
+        "i/lone (5).png",                  # orphan: no pair
+    ]
+    ns_set = set(ids)
+    by_dir: dict[str, list[str]] = {}
+    for i in ids:
+        by_dir.setdefault(i[: i.rfind("/")], []).append(i)
+    for d in by_dir:
+        by_dir[d].sort()
+    want = {}
+    for iid in ids:
+        eq, pre = alts.derive_probes(iid)
+        d = iid[: iid.rfind("/")]
+        cands = [(p, k) for p, k in eq if k in ns_set]
+        for p, pref in pre:
+            m = [x for x in by_dir[d] if x.startswith(pref)]
+            if len(m) > 1:
+                cands.append((p, m[0]))
+        if cands:
+            p, b = min(cands)
+            want[iid] = (b, "series_prev" if p < alts._PRIO_PREFIX
+                         else "common_base")
+    assert len(want) == 6  # the directed families above
+    out = alts.series_alt_pairs(
+        rd.from_arrow(pa.table({"image_id": ids}))).to_pandas()
+    got = {r.alt_id: (r.base_id, r.method) for r in out.itertuples()}
+    assert got == want
+    # reference quirk preserved: the sorted-glob base may be the alt itself
+    assert got["c/img-alt.png"] == ("c/img-alt.png", "common_base")

@@ -99,12 +99,9 @@ def _img_series_alt_pairs(sf_dir: str):
     from deduplicator_ray import io as dio
     from deduplicator_ray.stages.alts import series_alt_pairs
 
-    import glob as _glob
-
-    files = sorted(
-        _glob.glob(fixtures.images_path(sf_dir) + "/*.parquet")
-        + _glob.glob(fixtures.alt_namespace_path(sf_dir) + "/*.parquet"))
-    ids = dio.read_parquet(files, columns=["image_id"])
+    ids = dio.read_parquet(
+        [fixtures.images_path(sf_dir), fixtures.alt_namespace_path(sf_dir)],
+        columns=["image_id"])
     out = series_alt_pairs(ids)
     return out.to_pandas().sort_values("alt_id").reset_index(drop=True)
 

@@ -47,6 +47,21 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kw) -> rd.Dataset
     from deduplicator_ray import tuning
 
     tuning.tune()  # every pipeline reads through here: one tuning chokepoint
+    if isinstance(paths, (list, tuple)) and len(paths) > 1:
+        # Ray's parquet datasource rejects a MIXED list once a schema is
+        # supplied (directories error as unreadable files) — expand each
+        # directory entry to its parquet files so multi-source unions
+        # (e.g. corpus ∪ alt-namespace) read through one datasource.
+        flat: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                for root, dirs, files in sorted(os.walk(p)):
+                    dirs.sort()
+                    flat.extend(os.path.join(root, f) for f in sorted(files)
+                                if f.endswith(".parquet"))
+            else:
+                flat.append(p)
+        paths = flat
     if "schema" not in kw:
         first = paths[0] if isinstance(paths, (list, tuple)) else paths
         f = _first_parquet_file(first)

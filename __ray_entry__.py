@@ -67,7 +67,16 @@ def _img_reference_decisions(sf_dir: str):
 
 
 def _img_clusters_hidealts(sf_dir: str):
-    """GUI hide-alts bucket filter (D4, compare.py:519-560)."""
+    """GUI hide-alts bucket filter (D4, compare.py:519-560).
+
+    Deliberately rows-only (no oracle_sql mirror): the reference's
+    suppression loop mutates the bucket WHILE iterating — each removal
+    changes later members' stub checks and base-membership tests — so the
+    result is defined by sequential order, not by a relation; a faithful
+    SQL mirror would have to simulate the iteration in a recursive CTE.
+    The semantics are pinned instead by tests/test_alts.py against
+    hand-computed cases and by the value-checked `img_series_alt_pairs`
+    mirror, which covers the same probe kernel relationally."""
     from deduplicator_ray.pipelines import image_dedup as ip
 
     out = ip.reference_clusters_hidealts(ip.load_images(sf_dir, _cfg()), _cfg())
@@ -117,6 +126,19 @@ def _img_extended_clusters(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
     out = ip.extended_clusters(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def _img_extended_clusters_h12(sf_dir: str):
+    """Extended (LSH+CC) near-dup at the reference's DEFAULT hash size 12:
+    the img channel bands hex-slice keys of the 144-bit fingerprint
+    (banding.img_slices) and verifies Hamming on the unpacked bit matrix."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), hash_size=12)
+    out = ip.extended_clusters(ip.load_images(sf_dir, cfg), cfg)
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
 
 
@@ -323,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_dup_pairs": _img_dup_pairs,
         "img_series_alt_pairs": _img_series_alt_pairs,
         "img_extended_clusters": _img_extended_clusters,
+        "img_extended_clusters_h12": _img_extended_clusters_h12,
         "img_dead_letter": _img_dead_letter,
         "img_validate_phash": _img_validate_phash,
         # multimodal plumbing stages (actor pools; decode stubs documented)
@@ -364,6 +387,7 @@ def _fixture_mirrors() -> dict[str, str]:
     truth = fixtures.truth_path(sf) + "/*.parquet"
     hashes = fixtures.hashes_path(sf) + "/*.parquet"
     hashes12 = fixtures.hashes_path(sf, 12) + "/*.parquet"
+    images12 = fixtures.images_path(sf, 12) + "/*.parquet"
     docfeat = fixtures.doc_features_path(sf) + "/*.parquet"
     altns = fixtures.alt_namespace_path(sf) + "/*.parquet"
     ivf = fixtures.ivf_sidecar_path(sf)
@@ -379,6 +403,19 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         "img_extended_clusters": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
+        # img_dup_pairs has NO sf0.01 mirror by design: this corpus holds a
+        # 233-member identical-hash clique whose slice bucket tops
+        # band_group_cap, so the engine switches to spanning-forest emission
+        # (cluster-exact, pair-sampled) while SQL would enumerate all
+        # C(233,2) pairs.  mirrors.DUP_PAIRS_SQL value-checks the pair set
+        # below the cap (tests/test_mirrors.py::test_dup_pairs_mirror), and
+        # the recall/precision gate + the extended-clusters mirror cover the
+        # above-cap behavior.
+        # 144-bit fingerprint: Hamming as 3×48-bit chunked xor+bit_count
+        "img_extended_clusters_h12": mirrors.compose(
+            mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes12,
+            img_ham_expr=mirrors.wide_ham_expr(36),
+            **{**kw, "images": images12}),
         "img_decisions_explain": mirrors.compose(
             mirrors.DECISIONS_EXPLAIN_SQL, hashes=hashes, **kw),
         "mm_montage": mirrors.compose(mirrors.MONTAGE_SQL, hashes=hashes, **kw),

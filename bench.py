@@ -146,8 +146,21 @@ def run_scaling() -> dict:
     # the 8→32 pair under-reports what a real 4×-node cluster — 4× memory
     # buses — would deliver; it is reported alongside, raw and
     # contention-adjusted (see BASELINE.md).
-    lo4, hi16 = one(4), one(16)
-    lo, hi = one(8), one(32)
+    #
+    # The sandbox VM suffers variable host CPU steal (/proc/stat steal
+    # counter; measured ±40% wall swings on the IDENTICAL leg interleaved
+    # A/B) — each leg therefore runs GRAFT_SCALING_REPEATS times (default 2)
+    # INTERLEAVED across cpu counts, and the per-leg wall is the MIN over
+    # repeats: external steal only ever adds time, so min is the unbiased
+    # estimator of the undisturbed leg.  All raw runs ship in `leg_runs_sec`.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    cpus = (4, 16, 8, 32)
+    runs: dict[int, list[dict]] = {c: [] for c in cpus}
+    for _ in range(repeats):
+        for c in cpus:  # interleaved: a steal spike hits one round, not one leg
+            runs[c].append(one(c))
+    best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
+    lo4, hi16, lo, hi = best[4], best[16], best[8], best[32]
     eff416 = (lo4["value"] / hi16["value"]) / 4
     eff = (lo["value"] / hi["value"]) / 4
     return {
@@ -162,6 +175,8 @@ def run_scaling() -> dict:
         "images_per_sec_32": hi["images_per_sec"],
         "scaling_efficiency": round(eff416, 3),
         "scaling_efficiency_8_32_raw": round(eff, 3),
+        "scaling_repeats": repeats,
+        "leg_runs_sec": {str(c): [r["value"] for r in runs[c]] for c in cpus},
         "sf": lo["sf"],
         "n_images": lo["n_images"],
     }

@@ -70,11 +70,12 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     ckpt = os.path.join(output_dir, "fingerprints")
     t0 = time.time()
     if resume:
+        # shard-granular parquet checkpointing; a Lance corpus would shard
+        # by fragment instead (io.read_corpus) — not wired here because the
+        # sandbox lacks the lance package to test it against
         fp = manifests.checkpoint_fingerprints(input_dir, ckpt, cfg)
     else:
-        import ray.data as rd
-
-        fp = ip.fingerprints(dio.read_parquet(input_dir), cfg)
+        fp = ip.fingerprints(dio.read_corpus(input_dir), cfg)
     if cfg.files_exempt:
         # --files-exempt substring drop (S2, dedupc.py:687-691).  Applied
         # post-fingerprint so the shard CHECKPOINT stays exempt-independent

@@ -78,3 +78,38 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kw) -> rd.Dataset
     if columns is not None:
         kw["columns"] = columns
     return rd.read_parquet(paths, **kw)
+
+
+def is_lance_dataset(path: str) -> bool:
+    """A Lance dataset is a directory with a ``_versions`` manifest dir
+    (or the conventional ``.lance`` suffix)."""
+    return (isinstance(path, str)
+            and (path.rstrip("/").endswith(".lance")
+                 or os.path.isdir(os.path.join(path, "_versions"))))
+
+
+def read_corpus(path, *, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """Read the image+caption corpus table (input_hint schema: image_id,
+    bytes, w, h, fmt, caption, phash) from either storage format.
+
+    The north-star corpus is a LANCE table — ``ray.data.read_lance`` gives
+    the same streaming, column-pruned Arrow scan as the parquet path (Lance
+    is itself an Arrow-native columnar format, so every downstream
+    ``map_batches(batch_format='pyarrow')`` stage is format-agnostic).  The
+    ``lance`` package is not installed in this sandbox, so that branch is
+    import-gated and the fixtures/testdata exercise the parquet branch;
+    the dispatch and the error contract are what this function pins.
+    """
+    if is_lance_dataset(path):
+        try:
+            import lance  # noqa: F401  (ray.data.read_lance requires it)
+        except ImportError as e:
+            raise ImportError(
+                "reading a Lance corpus requires the 'lance' package "
+                "(pip install pylance); unavailable in this sandbox — "
+                "see io.read_corpus docstring") from e
+        from deduplicator_ray import tuning
+
+        tuning.tune()
+        return rd.read_lance(path, columns=columns, **kw)
+    return read_parquet(path, columns=columns, **kw)

@@ -200,7 +200,7 @@ rep_edges AS MATERIALIZED (
   SELECT a.rep AS u, b.rep AS v
   FROM grp a JOIN grp b
     ON a.rep < b.rep AND a.status = 'ok' AND b.status = 'ok'
-   AND bit_count(xor(a.dh, b.dh)) <= {HAMMING_MAX}
+   AND {IMG_HAM_EXPR} <= {HAMMING_MAX}
   UNION
   SELECT least(ma.rep, mb.rep), greatest(ma.rep, mb.rep)
   FROM cap_pairs p
@@ -255,9 +255,92 @@ FROM agg ORDER BY cluster_id
 """
 
 
+# member-level verified dup pairs (the recall-gate artifact of
+# pipelines/image_dedup.dup_pairs).  Union of the three verify channels,
+# exactly as candidates._verify_members emits them in non-hot buckets:
+#
+# * img: ALL decodable pairs at Hamming ≤ hamming_max — the 5-slice
+#   pigeonhole makes banding's candidate set complete at ≤ 4, so the
+#   engine's owner-band dedup changes WHICH band emits, never the set;
+# * md5: strict-mode media star edges, lexicographic-min member per
+#   identical full-md5 group (candidates.py MD5_BAND branch);
+# * cap: LSH-co-banded pairs at exact Jaccard ≥ jaccard_min.  The engine
+#   skips pairs the img channel owns (both dhashes nonzero, ham ≤ max) —
+#   invisible under the channel UNION, so no delegation filter here.
+#
+# Valid while no bucket exceeds band_group_cap (hot buckets switch to
+# spanning-forest emission, a deliberate subset) — so this mirror is pinned
+# at sf-small (tests/test_mirrors.py) and NOT registered for the sf0.01
+# driver check, where a 233-member identical-hash clique tops the cap.
+DUP_PAIRS_SQL = """
+WITH live AS (
+  SELECT h.image_id, h.status, h.proc_hash, h.dhash, h.cap_bands, i.caption
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only') AND NOT regexp_matches(h.proc_hash, '^0+$')
+),
+img_pairs AS (
+  SELECT a.image_id AS src, b.image_id AS dst
+  FROM live a JOIN live b
+    ON a.image_id < b.image_id AND a.status = 'ok' AND b.status = 'ok'
+   AND bit_count(xor(a.dhash, b.dhash)) <= {HAMMING_MAX}
+),
+md5_pairs AS (
+  SELECT src, dst FROM (
+    SELECT min(image_id) OVER (PARTITION BY proc_hash) AS src,
+           image_id AS dst
+    FROM live WHERE status = 'md5_only')
+  WHERE src != dst
+),
+banded AS (
+  SELECT image_id, generate_subscripts(cap_bands, 1) AS bi, unnest(cap_bands) AS bk
+  FROM live
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS src, b.image_id AS dst
+  FROM banded a JOIN banded b
+    ON a.bi = b.bi AND a.bk = b.bk AND a.image_id < b.image_id
+),
+sets AS (
+  SELECT image_id, list_distinct([substr(caption, j, {SHINGLE_K})
+          FOR j IN range(1, greatest(len(caption) - {SHINGLE_K} + 2, 2))]) AS sh
+  FROM live
+),
+cap_pairs AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+    FROM cand c JOIN sets a ON a.image_id = c.src
+                JOIN sets b ON b.image_id = c.dst
+  ) WHERE (na = 0 AND nb = 0) OR i::DOUBLE / (na + nb - i) >= {JACCARD_MIN}
+)
+SELECT DISTINCT src, dst FROM (
+  SELECT * FROM img_pairs
+  UNION ALL SELECT * FROM md5_pairs
+  UNION ALL SELECT * FROM cap_pairs
+) ORDER BY src, dst
+"""
+
+
+def wide_ham_expr(n_hex: int, a: str = "a.proc_hash", b: str = "b.proc_hash") -> str:
+    """Hamming distance over an n_hex-char hex fingerprint as DuckDB SQL:
+    the hex splits into ≤12-char (48-bit) chunks, each cast via the '0x'
+    string form to BIGINT, xor'd and bit_counted — 144-bit wide hashes
+    (the reference's default hash_size 12) need no 128-bit types."""
+    terms = []
+    for s in range(0, n_hex, 12):
+        w = min(12, n_hex - s)
+        # bit_count returns TINYINT — cast before summing or 3×48-bit
+        # chunks overflow at distance > 127
+        terms.append(
+            f"CAST(bit_count(xor(CAST(concat('0x', substr({a}, {s + 1}, {w})) AS BIGINT), "
+            f"CAST(concat('0x', substr({b}, {s + 1}, {w})) AS BIGINT))) AS INTEGER)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             shingle_k: int = 5, jaccard_min: float = 0.8,
-            hamming_max: int = 4) -> str:
+            hamming_max: int = 4,
+            img_ham_expr: str = "bit_count(xor(a.dh, b.dh))") -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
     contain regex braces (``{36}``) that ``str.format`` would eat."""
     return (template
@@ -266,6 +349,7 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             .replace("{ALTNS}", altns)
             .replace("{SHINGLE_K}", str(shingle_k))
             .replace("{JACCARD_MIN}", repr(jaccard_min))
+            .replace("{IMG_HAM_EXPR}", img_ham_expr)
             .replace("{HAMMING_MAX}", str(hamming_max)))
 
 

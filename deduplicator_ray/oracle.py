@@ -110,11 +110,21 @@ def verified_pairs(rows: list[dict], cfg: PipelineConfig) -> set[tuple[str, str]
     ids = [r["image_id"] for r in ok]
     decodable = np.array([r["status"] == "ok" for r in ok], dtype=bool)
     md5s = [r["md5"] for r in ok]
-    dh = np.array([hashing.i64_to_u64(r["dhash"]) for r in ok], dtype=np.uint64)
+    wide = cfg.hash_size != 8
+    if wide:
+        # hash_size != 8: the int64 dhash is a 0 sentinel; Hamming runs on
+        # the hex fingerprint as an arbitrary-precision int (oracle scale)
+        hv = [int(r["proc_hash"], 16) if r["status"] == "ok" else 0
+              for r in ok]
+    else:
+        dh = np.array([hashing.i64_to_u64(r["dhash"]) for r in ok], dtype=np.uint64)
     shingles = [textfn.char_shingle_hashes(str(r["caption"] or ""), cfg.shingle_k) for r in ok]
     pairs: set[tuple[str, str]] = set()
     for i in range(n):
-        if decodable[i]:
+        if decodable[i] and wide:
+            cand = {j for j in range(i + 1, n) if decodable[j]
+                    and (hv[i] ^ hv[j]).bit_count() <= cfg.hamming_max}
+        elif decodable[i]:
             ham = hashing.hamming_u64(
                 np.full(n - i - 1, dh[i], dtype=np.uint64).view(np.int64),
                 dh[i + 1 :].view(np.int64),

@@ -40,6 +40,54 @@ from deduplicator_ray.stages.signatures import minhash_from_column
 # dHash bit slices: 5 bands cover hamming_max=4 by pigeonhole
 _IMG_SLICES = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
 
+
+def img_slices(nbits: int) -> list[tuple[int, int]]:
+    """5 disjoint covering bit slices of an nbits-wide perceptual hash —
+    pigeonhole-lossless for Hamming ≤ 4 at ANY width (the reference's
+    default --hashsize is 12 → 144 bits, /root/reference/dedupc.py:586).
+
+    64-bit keeps the committed LSB-based layout; wide hashes slice the
+    MSB-first bit matrix (see ``wide_hash_bits``) into near-equal runs.
+    Each slice must fit an int64 band key → nbits ≤ 315 (hash_size ≤ 17)."""
+    if nbits == 64:
+        return _IMG_SLICES
+    n_slices = len(_IMG_SLICES)
+    base, extra = divmod(nbits, n_slices)
+    if base + 1 > 63:
+        raise ValueError(
+            f"{nbits}-bit hash: slice width {base + 1} exceeds the int64 "
+            "band key (hash_size > 17 unsupported)")
+    out, start = [], 0
+    for i in range(n_slices):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def wide_hash_bits(hexes: list[str], nbits: int) -> np.ndarray:
+    """(n, nbits) uint8 bit matrix, MSB-first, from fixed-width hex strings
+    (``hashing.bits_to_hex`` output).  Vectorized: one bytes.fromhex over
+    the concatenated batch + one unpackbits."""
+    n = len(hexes)
+    if n == 0:
+        return np.zeros((0, nbits), np.uint8)
+    width = len(hexes[0])
+    pad = width % 2  # odd hex width (e.g. 81 bits → 21 chars) → byte-align
+    blob = bytes.fromhex("".join(("0" + h if pad else h) for h in hexes))
+    u8 = np.frombuffer(blob, np.uint8).reshape(n, (width + pad) // 2)
+    return np.unpackbits(u8, axis=1)[:, -nbits:]
+
+
+def wide_slice_keys(bits: np.ndarray, slices: list[tuple[int, int]]) -> np.ndarray:
+    """(n, n_slices) int64 band keys from an MSB-first bit matrix."""
+    n = bits.shape[0]
+    keys = np.zeros((n, len(slices)), np.int64)
+    for i, (start, w) in enumerate(slices):
+        pw = (1 << np.arange(w - 1, -1, -1, dtype=np.uint64))
+        keys[:, i] = (bits[:, start:start + w].astype(np.uint64) @ pw).view(np.int64)
+    return keys
+
 BAND_SCHEMA = pa.schema(
     [
         ("band", pa.int32()),
@@ -83,7 +131,8 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
         dh_out: list[np.ndarray] = []
         cap_out: list[list] = []
 
-        if "img" in channels:
+        wide_nbits = 0 if cfg.hash_size == 8 else cfg.hash_size * cfg.hash_size
+        if "img" in channels and not wide_nbits:
             # decodable rows only: md5_only rows all carry dhash=0 and would
             # collapse into one mega-bucket per slice
             ids = ids_all[ok_mask].tolist()
@@ -96,6 +145,26 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
                 ids_out.append(ids)
                 dh_out.append(dh.view(np.int64))
                 cap_out.append([""] * n)
+        elif "img" in channels:
+            # WIDE hash (hash_size != 8): the int64 dhash column is a 0
+            # sentinel, so slice the hex fingerprint instead and ship the
+            # hex as the verify payload (same pattern as the md5 band) —
+            # without this branch every wide row would land in one
+            # key-0 mega-bucket and Hamming(0,0)=0 would link the corpus.
+            ids = ids_all[ok_mask].tolist()
+            hexes = [h for h, ok in
+                     zip(batch["dhash_hex"].to_pylist(), ok_mask) if ok]
+            n = len(ids)
+            bits = wide_hash_bits(hexes, wide_nbits)
+            keys = wide_slice_keys(bits, img_slices(wide_nbits))
+            zeros = np.zeros(n, np.int64)
+            for bi in range(keys.shape[1]):
+                bands_out.append(np.full(n, bi, np.int32))
+                keys_out.append(keys[:, bi].copy())
+                ids_out.append(ids)
+                dh_out.append(zeros)
+                cap_out.append(hexes)
+        if "img" in channels:
             if not ok_mask.all() and "content_md5" in batch.column_names:
                 md5s = [m for m, ok in
                         zip(batch["content_md5"].to_pylist(), ok_mask) if not ok]

@@ -116,19 +116,34 @@ class _SigCache:
 
 
 def _verify_members(ids, dh, caps, band_idx, is_img, cfg,
-                    cache: _SigCache, img_active: bool = True) -> list[tuple[str, str]]:
+                    cache: _SigCache, img_active: bool = True,
+                    wide_nbits: int = 0) -> list[tuple[str, str]]:
     """All-pairs verify within one (sub-)bucket; emits only owner-band pairs.
     k bounded by the cap.  ``img_active``: whether the image channel is
     banding this dataset — the caption channel may only delegate
     Hamming-verified pairs to the image channel when it actually exists,
-    else those pairs would be silently dropped."""
+    else those pairs would be silently dropped.  ``wide_nbits``: nonzero for
+    hash_size != 8 — img-bucket members then carry the hex fingerprint in
+    the payload (``caps``) column and Hamming/owner-slice run on the
+    unpacked bit matrix instead of the int64 ``dh``."""
     k = len(ids)
     edges = []
     dh_u = np.asarray(dh, np.int64)
     if is_img:
-        keys = _img_slice_keys(dh_u)
+        from deduplicator_ray.stages.banding import (img_slices,
+                                                     wide_hash_bits,
+                                                     wide_slice_keys)
+
+        if wide_nbits:
+            bits = wide_hash_bits(list(caps), wide_nbits)      # (k, nbits)
+            keys = wide_slice_keys(bits, img_slices(wide_nbits))
+        else:
+            keys = _img_slice_keys(dh_u)
         for i in range(k - 1):
-            ham = hamming_u64(np.full(k - 1 - i, dh_u[i], np.int64), dh_u[i + 1:])
+            if wide_nbits:
+                ham = (bits[i + 1:] != bits[i][None, :]).sum(axis=1)
+            else:
+                ham = hamming_u64(np.full(k - 1 - i, dh_u[i], np.int64), dh_u[i + 1:])
             hits = np.where(ham <= cfg.hamming_max)[0]
             if len(hits) == 0:
                 continue
@@ -223,8 +238,8 @@ class _LocalUF:
         return True
 
 
-def _collapse_verify(ids, dh, band_idx: int,
-                     cfg: PipelineConfig) -> list[tuple[str, str]]:
+def _collapse_verify(ids, dh, band_idx: int, cfg: PipelineConfig,
+                     caps=None, wide_nbits: int = 0) -> list[tuple[str, str]]:
     """Hot image bucket: exact-dhash collapse + capped representative verify.
 
     Identical-hash groups (Hamming 0, all slices equal → owner slice 0)
@@ -233,13 +248,16 @@ def _collapse_verify(ids, dh, band_idx: int,
     per distinct hash (spanning-forest emission); above ``img_rep_cap``
     distinct hashes the region is low-information and clusters by exact
     hash only (see inline note)."""
-    dh_u = np.asarray(dh, np.int64)
-    groups: dict[int, list[str]] = {}
-    for idx, h in enumerate(dh_u.tolist()):
+    if wide_nbits:
+        hash_keys = list(caps)  # hex payload IS the exact-hash group key
+    else:
+        hash_keys = np.asarray(dh, np.int64).tolist()
+    groups: dict[object, list[str]] = {}
+    for idx, h in enumerate(hash_keys):
         groups.setdefault(h, []).append(ids[idx])
     edges: list[tuple[str, str]] = []
     rep_ids: list[str] = []
-    rep_hash: list[int] = []
+    rep_hash: list = []
     for h, members in groups.items():
         members.sort()
         rep_ids.append(members[0])
@@ -248,7 +266,9 @@ def _collapse_verify(ids, dh, band_idx: int,
             edges.extend((members[0], m) for m in members[1:])
     order = sorted(range(len(rep_ids)), key=lambda i: rep_ids[i])
     rep_ids = [rep_ids[i] for i in order]
-    rep_h = np.asarray([rep_hash[i] for i in order], np.int64)
+    rep_hash = [rep_hash[i] for i in order]
+    rep_h = (np.zeros(len(rep_ids), np.int64) if wide_nbits
+             else np.asarray(rep_hash, np.int64))
 
     m = len(rep_ids)
     if m > cfg.img_rep_cap:
@@ -265,8 +285,10 @@ def _collapse_verify(ids, dh, band_idx: int,
     # have O(m²) verified pairs but CC only needs a spanning subgraph
     cache = _SigCache(cfg)
     uf = _LocalUF()
-    for a, b in sorted(_verify_members(rep_ids, rep_h, [""] * m, band_idx,
-                                       True, cfg, cache)):
+    rep_payload = rep_hash if wide_nbits else [""] * m
+    for a, b in sorted(_verify_members(rep_ids, rep_h, rep_payload, band_idx,
+                                       True, cfg, cache,
+                                       wide_nbits=wide_nbits)):
         if uf.union(a, b):
             edges.append((a, b))
     return edges
@@ -287,6 +309,9 @@ def make_partition_verify(cfg: PipelineConfig,
         raise ValueError(
             f"hamming_max={cfg.hamming_max} exceeds the pigeonhole capacity "
             f"of {len(_IMG_SLICES)} dHash slices (max {len(_IMG_SLICES) - 1})")
+    # hash_size != 8: img-band rows carry the hex fingerprint as payload
+    # and Hamming runs on the unpacked bit matrix (see banding.img_slices)
+    wide_nbits = 0 if cfg.hash_size == 8 else cfg.hash_size * cfg.hash_size
 
     def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -342,7 +367,8 @@ def make_partition_verify(cfg: PipelineConfig,
             k = len(ids)
             if k <= cap_n:
                 edges = _verify_members(ids, dh, caps, band_idx, is_img, cfg,
-                                        cache, img_active)
+                                        cache, img_active,
+                                        wide_nbits=wide_nbits if is_img else 0)
             elif is_img:
                 # hot image bucket: exact-hash collapse (the reference's own
                 # grouping semantics, dupedb.py:253-257).  Measured skew at
@@ -354,7 +380,8 @@ def make_partition_verify(cfg: PipelineConfig,
                 # emitting one linking edge per verified rep pair —
                 # cluster-exact, pair-sampled (logged as overflow).
                 overflow.append(k)
-                edges = _collapse_verify(ids, dh, band_idx, cfg)
+                edges = _collapse_verify(ids, dh, band_idx, cfg,
+                                         caps=caps, wide_nbits=wide_nbits)
             else:
                 # hot caption bucket: exact-caption collapse.  Identical
                 # captions are Jaccard-1 groups → star edges to the group

@@ -433,6 +433,67 @@ def test_reference_clusters_hash_size_12(sf_small):
     assert {k: sorted(v) for k, v in ray_map.items()} == oc
 
 
+def test_extended_mode_hash_size_12(sf_small):
+    """Extended (LSH+CC) near-dup at the reference's DEFAULT hash size: the
+    wide-hash img channel must band on hex-slice keys (banding.img_slices) —
+    not the int64 0-sentinel, which would mega-bucket the corpus and glue
+    everything at Hamming(0,0)=0 — and must reproduce the all-pairs oracle's
+    connected components exactly (pairs recall AND precision 1.0 on the
+    fixture: 144-bit Hamming ∪ caption Jaccard)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    cfg = dataclasses.replace(CFG, hash_size=12)
+    corpus12 = pq.read_table(fixtures.images_path(sf_small, cfg.hash_size))
+    rows12 = oracle.compute_rows(corpus12, cfg)
+    op = oracle.verified_pairs(rows12, cfg)
+    assert op, "oracle must find near-dup pairs at hash_size=12"
+    ds = ip.load_images(sf_small, cfg)
+
+    pairs = ip.dup_pairs(ds, cfg).to_pandas()
+    rp = set(zip(pairs["src"], pairs["dst"]))
+    inter = rp & op
+    assert len(inter) / max(1, len(op)) >= 0.99      # recall
+    assert len(inter) / max(1, len(rp)) >= 0.99      # precision
+
+    occ = oracle.connected_components(op)
+    cl = ip.extended_clusters(ds, cfg).to_pandas()
+    assert dict(zip(cl["image_id"], cl["cluster_id"])) == occ
+
+
+def test_wide_slice_keys_pigeonhole():
+    """Unit pin for the wide-hash banding kernels: slices cover all bits
+    disjointly, keys match direct bit-slice arithmetic, and any two values
+    within Hamming ≤ 4 share at least one slice key (pigeonhole)."""
+    import random
+
+    from deduplicator_ray.stages.banding import (img_slices, wide_hash_bits,
+                                                 wide_slice_keys)
+
+    nbits = 144  # hash_size 12
+    slices = img_slices(nbits)
+    assert [w for _, w in slices] == [29, 29, 29, 29, 28]
+    assert sum(w for _, w in slices) == nbits
+    rng = random.Random(7)
+    vals = [rng.getrandbits(nbits) for _ in range(64)]
+    hexes = [format(v, "036x") for v in vals]
+    bits = wide_hash_bits(hexes, nbits)
+    keys = wide_slice_keys(bits, slices)
+    for r, v in enumerate(vals):
+        for si, (start, w) in enumerate(slices):
+            expect = (v >> (nbits - start - w)) & ((1 << w) - 1)
+            assert int(keys[r, si]) == expect
+    # pigeonhole: flip ≤4 random bits → some slice key survives
+    for v in vals[:16]:
+        flipped = v
+        for pos in rng.sample(range(nbits), 4):
+            flipped ^= 1 << pos
+        kv = wide_slice_keys(wide_hash_bits([format(v, '036x')], nbits), slices)
+        kf = wide_slice_keys(wide_hash_bits([format(flipped, '036x')], nbits), slices)
+        assert (kv == kf).any()
+
+
 def test_phash_mode_clusters(sf_small):
     """Pluggable hash_fn='phash' (SURVEY §2.10): byte/pixel-identical dups
     still cluster (same pixels → same pHash), distinct lookalikes do not,

@@ -53,6 +53,16 @@ def test_reference_decisions_mirror(sf_small, paths):
     _assert_frame_equal(eng, orc)
 
 
+def test_dup_pairs_mirror(sf_small, paths):
+    """Member-level verified pairs: img Hamming ∪ md5 star ∪ cap Jaccard.
+    Valid while no bucket exceeds band_group_cap (hot buckets switch to
+    spanning emission) — the small fixture stays under the cap."""
+    eng = (ip.dup_pairs(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.DUP_PAIRS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+
+
 def test_extended_clusters_mirror(sf_small, paths):
     """The caption candidate set in the mirror is the LSH band join (share
     ≥1 MinHash band key), NOT exact all-pairs Jaccard — banding at 16×8 has

@@ -122,6 +122,23 @@ def _img_dup_pairs(sf_dir: str):
     return out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _img_dup_pairs_exact(sf_dir: str):
+    """dup_pairs with the hot-bucket cap lifted: every bucket stays below
+    ``band_group_cap``, so no bucket switches to spanning-forest emission
+    and the verified pair set is relation-defined — value-checked against
+    mirrors.DUP_PAIRS_SQL (img Hamming ∪ md5 star ∪ cap Jaccard).  The
+    capped `img_dup_pairs` above is the production path; this variant
+    value-checks the same verify math through the sf0.01 corpus's
+    233-member identical-hash clique."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), band_group_cap=1_000_000)
+    out = ip.dup_pairs(ip.load_images(sf_dir, cfg), cfg)
+    return out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _img_extended_clusters(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -343,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
         "img_dup_pairs": _img_dup_pairs,
+        "img_dup_pairs_exact": _img_dup_pairs_exact,
         "img_series_alt_pairs": _img_series_alt_pairs,
         "img_extended_clusters": _img_extended_clusters,
         "img_extended_clusters_h12": _img_extended_clusters_h12,
@@ -407,10 +425,12 @@ def _fixture_mirrors() -> dict[str, str]:
         # 233-member identical-hash clique whose slice bucket tops
         # band_group_cap, so the engine switches to spanning-forest emission
         # (cluster-exact, pair-sampled) while SQL would enumerate all
-        # C(233,2) pairs.  mirrors.DUP_PAIRS_SQL value-checks the pair set
-        # below the cap (tests/test_mirrors.py::test_dup_pairs_mirror), and
-        # the recall/precision gate + the extended-clusters mirror cover the
-        # above-cap behavior.
+        # C(233,2) pairs.  img_dup_pairs_exact lifts the cap so the pair
+        # set IS relation-defined and value-checks the verify math through
+        # that clique; the recall/precision gate + the extended-clusters
+        # mirror cover the capped production behavior.
+        "img_dup_pairs_exact": mirrors.compose(
+            mirrors.DUP_PAIRS_SQL, hashes=hashes, **kw),
         # 144-bit fingerprint: Hamming as 3×48-bit chunked xor+bit_count
         "img_extended_clusters_h12": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes12,

@@ -69,14 +69,16 @@ def _img_reference_decisions(sf_dir: str):
 def _img_clusters_hidealts(sf_dir: str):
     """GUI hide-alts bucket filter (D4, compare.py:519-560).
 
-    Deliberately rows-only (no oracle_sql mirror): the reference's
-    suppression loop mutates the bucket WHILE iterating — each removal
-    changes later members' stub checks and base-membership tests — so the
-    result is defined by sequential order, not by a relation; a faithful
-    SQL mirror would have to simulate the iteration in a recursive CTE.
-    The semantics are pinned instead by tests/test_alts.py against
-    hand-computed cases and by the value-checked `img_series_alt_pairs`
-    mirror, which covers the same probe kernel relationally."""
+    The reference's suppression loop mutates the bucket WHILE iterating —
+    each removal changes later members' stub checks and base-membership
+    tests — so the removal set is defined by sequential order, not by a
+    relation.  The mirror therefore ships those removal DECISIONS as data
+    (fixtures.alt_suppressed_path, a single-process replay in the same
+    sorted-member order — the IVF assign/probe sidecar pattern) and
+    re-derives bucketing + re-thresholding relationally
+    (mirrors.CLUSTERS_HIDEALTS_SQL).  The suppression kernel itself is
+    pinned by tests/test_alts.py hand-computed cases and the value-checked
+    `img_series_alt_pairs` mirror covers the probe kernel relationally."""
     from deduplicator_ray.pipelines import image_dedup as ip
 
     out = ip.reference_clusters_hidealts(ip.load_images(sf_dir, _cfg()), _cfg())
@@ -353,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems": q.orders_without_lineitems,
         "docs_purge_semijoin": q.docs_purge_semijoin,
         "docs_substring_dup": q.docs_substring_dup,
+        "docs_substring_dup_shuffle": q.docs_substring_dup_shuffle,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
@@ -431,6 +434,11 @@ def _fixture_mirrors() -> dict[str, str]:
         # mirror cover the capped production behavior.
         "img_dup_pairs_exact": mirrors.compose(
             mirrors.DUP_PAIRS_SQL, hashes=hashes, **kw),
+        # hide-alts: the sequential suppression decisions ship as a sidecar
+        # (fixtures.alt_suppressed_path); SQL re-derives bucket + threshold
+        "img_clusters_hidealts": mirrors.compose(
+            mirrors.CLUSTERS_HIDEALTS_SQL, hashes=hashes,
+            supp=fixtures.alt_suppressed_path(sf), **kw),
         # 144-bit fingerprint: Hamming as 3×48-bit chunked xor+bit_count
         "img_extended_clusters_h12": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes12,
@@ -544,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
         "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,
+        "docs_substring_dup_shuffle": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -676,6 +676,57 @@ def ivf_sidecar_path(sf_dir: str, n_centroids: int = 16, nprobe: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# hide-alts suppression decisions for the img_clusters_hidealts mirror
+
+
+def alt_suppressed_path(sf_dir: str) -> str:
+    """The GUI hide-alts loop's sequential DECISIONS as data: which bucket
+    members the suppression pass removes (compare.py:527-548 mutates the
+    bucket while iterating, so the removal set is defined by sequential
+    order, not by a relation — SQL cannot re-derive it, but it CAN consume
+    it).  Single-process Ray-free replay of ``suppress_alt_members`` over
+    the oracle hashes table, per proc-hash bucket in the same
+    sorted-member order the engine uses; one parquet of
+    (proc_hash, image_id) removed rows.  The driver mirror re-derives
+    bucketing and re-thresholding relationally on top."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.alts import suppress_alt_members
+
+    base = ensure_fixture(sf_dir, 8)
+    out = os.path.join(base, "alt_suppressed.parquet")
+    if os.path.exists(out):
+        return out
+    cfg = PipelineConfig()
+    hdir = hashes_path(sf_dir)
+    shards = sorted(f for f in os.listdir(hdir) if f.endswith(".parquet"))
+    t = pa.concat_tables(
+        pq.read_table(os.path.join(hdir, f),
+                      columns=["proc_hash", "image_id", "status"])
+        for f in shards)
+    buckets: dict[str, list[str]] = {}
+    for h, iid, st in zip(t["proc_hash"].to_pylist(), t["image_id"].to_pylist(),
+                          t["status"].to_pylist()):
+        if st in ("ok", "md5_only") and h.strip("0"):
+            buckets.setdefault(h, []).append(iid)
+    rows_h, rows_id = [], []
+    for h, ids in buckets.items():
+        if len(ids) < cfg.threshold:
+            continue
+        members = sorted(ids)
+        kept = set(suppress_alt_members(members))
+        for iid in members:
+            if iid not in kept:
+                rows_h.append(h)
+                rows_id.append(iid)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table({"proc_hash": pa.array(rows_h, pa.string()),
+                  "image_id": pa.array(rows_id, pa.string())}), tmp)
+    os.replace(tmp, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # alt-namespace table for the series-base self-join (J4)
 
 

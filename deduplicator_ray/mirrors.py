@@ -44,6 +44,33 @@ QUALIFY count(*) OVER (PARTITION BY proc_hash) >= 2
 ORDER BY proc_hash, image_id
 """
 
+# hide-alts clustering (compare.py:519-560): a bucket survives iff its
+# alt-SUPPRESSED member list still meets the threshold, but a surviving
+# bucket reports FULL membership (the reference stores ``filelist``).  The
+# suppression loop mutates the bucket while iterating, so its removal set
+# is sequential, not relational — it ships as data
+# (fixtures.alt_suppressed_path, same sidecar pattern as the IVF
+# assign/probe tables); bucketing and re-thresholding are re-derived here.
+CLUSTERS_HIDEALTS_SQL = """
+WITH mem AS (
+  SELECT proc_hash, image_id FROM '{HASHES}'
+  WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')
+  QUALIFY count(*) OVER (PARTITION BY proc_hash) >= 2
+),
+surv AS (
+  SELECT m.proc_hash, count(*) AS n_surv
+  FROM mem m
+  WHERE NOT EXISTS (SELECT 1 FROM '{SUPP}' s
+                    WHERE s.proc_hash = m.proc_hash
+                      AND s.image_id = m.image_id)
+  GROUP BY m.proc_hash
+)
+SELECT m.proc_hash, m.image_id
+FROM mem m JOIN surv USING (proc_hash)
+WHERE n_surv >= 2
+ORDER BY proc_hash, image_id
+"""
+
 # keeper election + rename/dest plan per bucket
 REFERENCE_DECISIONS_SQL = """
 WITH live AS (
@@ -338,7 +365,7 @@ def wide_ham_expr(n_hex: int, a: str = "a.proc_hash", b: str = "b.proc_hash") ->
 
 
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
-            shingle_k: int = 5, jaccard_min: float = 0.8,
+            supp: str = "", shingle_k: int = 5, jaccard_min: float = 0.8,
             hamming_max: int = 4,
             img_ham_expr: str = "bit_count(xor(a.dh, b.dh))") -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
@@ -347,6 +374,7 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             .replace("{HASHES}", hashes)
             .replace("{IMAGES}", images)
             .replace("{ALTNS}", altns)
+            .replace("{SUPP}", supp)
             .replace("{SHINGLE_K}", str(shingle_k))
             .replace("{JACCARD_MIN}", repr(jaccard_min))
             .replace("{IMG_HAM_EXPR}", img_ham_expr)

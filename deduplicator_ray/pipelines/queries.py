@@ -863,6 +863,17 @@ def docs_substring_dup(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
     return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
+def docs_substring_dup_shuffle(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
+    """Same spans via the NO-BROADCAST strategy (substring.py P2-shuffle):
+    the dup-hash set never materializes on any single node — the 10^12-row
+    path — so the driver value-checks both strategies against one mirror."""
+    from deduplicator_ray.pipelines.substring import substring_dup_spans
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = substring_dup_spans(ds, k=k, strategy="shuffle").to_pandas()
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 DOCS_SUBSTRING_DUP_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

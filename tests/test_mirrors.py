@@ -72,3 +72,17 @@ def test_extended_clusters_mirror(sf_small, paths):
            .to_pandas())
     orc = duckdb.sql(_compose(mirrors.EXTENDED_CLUSTERS_SQL, paths)).df()
     _assert_frame_equal(eng, orc)
+
+
+def test_clusters_hidealts_mirror(sf_small, paths):
+    """Hide-alts survival: the sequential suppression decisions ship as the
+    alt_suppressed sidecar; the mirror re-derives bucketing and
+    re-thresholding relationally and must equal the engine value-exactly."""
+    eng = (ip.reference_clusters_hidealts(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values(["proc_hash", "image_id"])
+           .reset_index(drop=True))
+    sql = mirrors.compose(
+        mirrors.CLUSTERS_HIDEALTS_SQL, hashes=paths["hashes"],
+        supp=fixtures.alt_suppressed_path(sf_small))
+    orc = duckdb.sql(sql).df()
+    _assert_frame_equal(eng, orc)

@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
+        "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "orders_without_lineitems": q.orders_without_lineitems,
         "docs_purge_semijoin": q.docs_purge_semijoin,
@@ -505,6 +506,35 @@ def _fixture_mirrors() -> dict[str, str]:
               WHERE e.vec_id != p.query_id)
             WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        # SemDeDup: bucket assignment replayed from the IVF sidecar; pairs
+        # + components + keeper re-derived relationally (min-label CTE)
+        "emb_semdedup": f"""
+            WITH RECURSIVE a AS (
+              SELECT s.vec_id, s.bucket, e.embedding::DOUBLE[] AS emb
+              FROM '{ivf}/assign.parquet' s JOIN embeddings e USING (vec_id)
+            ),
+            edges AS MATERIALIZED (
+              SELECT x.vec_id AS u, y.vec_id AS v
+              FROM a x JOIN a y
+                ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.emb, y.emb) >= 0.35
+            ),
+            e AS MATERIALIZED (
+              SELECT u, v FROM edges UNION SELECT v, u FROM edges
+            ),
+            r(node, lbl) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+              WHERE r.lbl < e.u
+            ),
+            lbl AS (
+              SELECT node AS vec_id, min(lbl) AS cluster_id FROM r GROUP BY node
+            )
+            SELECT vec_id, cluster_id,
+                   CASE WHEN vec_id = cluster_id THEN 'keep' ELSE 'drop' END AS action
+            FROM lbl ORDER BY vec_id
         """,
         "img_dead_letter": f"""
             SELECT image_id, 'error' AS status

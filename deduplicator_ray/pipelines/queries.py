@@ -956,3 +956,66 @@ r(node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id
 FROM r GROUP BY node ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_emb_semdedup — SemDeDup-shaped embedding dedup (Abbas et al. 2023,
+# arXiv:2303.09540 — public): k-means buckets scope the pairwise cosine to
+# WITHIN-bucket (the semantic approximation SemDeDup itself makes), in-bucket
+# pairs ≥ threshold feed the distributed CC, and each component keeps its
+# min-id member.  Scale shape: the bucket assignment is the same
+# deterministic kernel the IVF index uses (broadcast centroids, one
+# map_batches); pair generation shuffles (bucket, vec_id, embedding) rows
+# once via partitioned_groupby — no O(n²) across buckets; at 10^12 rows
+# n_centroids grows to keep per-bucket membership bounded, and hot buckets
+# are the same skew problem the LSH band stages already cap.  The mirror
+# replays the assignment from the IVF sidecar (fixtures.ivf_sidecar_path)
+# and re-derives pairs + components relationally (recursive min-label CTE).
+
+
+def emb_semdedup(sf_dir: str, threshold: float = 0.35,
+                 n_centroids: int = 16) -> pd.DataFrame:
+    from deduplicator_ray.functions import vector as vfn
+    from deduplicator_ray.stages.components import connected_components
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    sample = vfn.sample_rows_absolute(ds, 65536)
+    cents = vfn.train_centroids(sample, n_centroids)
+    assigned = vfn.assign_buckets(ds, cents)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series([], dtype=str),
+                              "dst": pd.Series([], dtype=str)})
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for _, g in df.groupby("ivf_bucket", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            iu, ju = np.nonzero(np.triu(m @ m.T >= threshold, 1))
+            a = np.minimum(ids[iu], ids[ju])
+            b = np.maximum(ids[iu], ids[ju])
+            srcs.extend(f"{v:012d}" for v in a)
+            dsts.extend(f"{v:012d}" for v in b)
+        if not srcs:
+            return empty
+        return pd.DataFrame({"src": srcs, "dst": dsts})
+
+    edges = partitioned_groupby(
+        assigned, ["ivf_bucket"], bucket_pairs,
+        out_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]))
+    cc = connected_components(edges).to_pandas()
+    if cc.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64"),
+                             "action": pd.Series([], dtype=str)})
+    out = pd.DataFrame({
+        "vec_id": cc["image_id"].astype("int64"),
+        "cluster_id": cc["cluster_id"].astype("int64"),
+    })
+    out["action"] = np.where(out["vec_id"] == out["cluster_id"], "keep", "drop")
+    return out.sort_values("vec_id").reset_index(drop=True)

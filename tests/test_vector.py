@@ -69,3 +69,39 @@ def test_ivf_full_probe_matches_brute_force(ray_session):
     want = brute_force_topk(ds, queries, qids, k=5)
     assert got[["query_id", "rank", "vec_id"]].values.tolist() == \
         want[["query_id", "rank", "vec_id"]].values.tolist()
+
+
+def test_emb_semdedup_matches_naive_reference(ray_session):
+    """SemDeDup decision table == a naive single-process replay: same
+    k-means assignment (deterministic kernels), brute-force in-bucket
+    cosine pairs, union-find, min-id keeper."""
+    from deduplicator_ray.functions.vector import (_normalize,
+                                                   train_centroids)
+    from deduplicator_ray.pipelines.queries import emb_semdedup
+
+    got = emb_semdedup(SF, threshold=0.35)
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet")).to_pandas()
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    x = _normalize(np.stack(t["embedding"].to_numpy()).astype(np.float64))
+    cents = train_centroids(x[:65536], 16)
+    bucket = np.argmax(x @ cents.T, axis=1)
+    parent: dict[int, int] = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for b in np.unique(bucket):
+        sel = np.nonzero(bucket == b)[0]
+        s = x[sel] @ x[sel].T
+        for i, j in zip(*np.nonzero(np.triu(s >= 0.35, 1))):
+            ra, rb = find(int(ids[sel[i]])), find(int(ids[sel[j]]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((v, find(v)) for v in parent)
+    assert [(r.vec_id, r.cluster_id) for r in got.itertuples()] == want
+    assert (got["action"] == np.where(
+        got["vec_id"] == got["cluster_id"], "keep", "drop")).all()

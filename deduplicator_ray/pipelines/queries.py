@@ -1019,3 +1019,171 @@ def emb_semdedup(sf_dir: str, threshold: float = 0.35,
     })
     out["action"] = np.where(out["vec_id"] == out["cluster_id"], "keep", "drop")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_docs_curation — the composed end-to-end training-data curation decision
+# table, the pipeline a corpus owner actually runs: language gate → quality
+# gate → near-dup keeper election → substring-trim accounting.  Every stage
+# is an already-value-checked operator (docs_lang_id, docs_text_stats,
+# docs_clusters, docs_substring_dup); this query exercises their COMPOSITION
+# end-to-end under one driver value hash.  Scale shape: the per-doc feature
+# pass streams; the dup-cluster and dup-span tables are the *duplicated
+# fraction* only, broadcast once via ray.put and looked up vectorized
+# (np.isin / searchsorted) inside map_batches — no extra shuffle.
+
+
+def docs_curation(sf_dir: str, lang: str = "en",
+                  min_tokens: int = 20) -> pd.DataFrame:
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import doc_clusters, text_features
+    from deduplicator_ray.pipelines.substring import substring_dup_spans
+
+    cfg = PipelineConfig()
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    cl = doc_clusters(docs, cfg).to_pandas()
+    dup_drop = np.sort(np.asarray(
+        [int(n) for n, l in zip(cl["image_id"], cl["cluster_id"]) if n != l],
+        dtype=np.int64))
+    spans = substring_dup_spans(docs, k=SUBSTRING_K).to_pandas()
+    if len(spans):
+        st = spans.assign(tok=spans["span_end"] - spans["span_start"]) \
+                  .groupby("doc_id", as_index=False)["tok"].sum()
+        span_ids = st["doc_id"].to_numpy(dtype=np.int64)
+        span_tok = st["tok"].to_numpy(dtype=np.int64)
+        order = np.argsort(span_ids)
+        span_ids, span_tok = span_ids[order], span_tok[order]
+    else:
+        span_ids = np.zeros(0, np.int64)
+        span_tok = np.zeros(0, np.int64)
+    refs = ray.put((dup_drop, span_ids, span_tok))
+
+    feats = text_features(docs).select_columns(
+        ["doc_id", "lang_pred", "n_tokens", "stopword_cnt"])
+
+    def decide(t: pa.Table) -> pa.Table:
+        dd, sids, stok = ray.get(refs)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = np.asarray(t["lang_pred"].to_pylist())
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stop = t["stopword_cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_dup = np.isin(ids, dd, assume_unique=False)
+        action = np.where(
+            lp != lang, "drop_lang",
+            np.where((ntok < min_tokens) | (stop == 0), "drop_quality",
+                     np.where(is_dup, "drop_dup", "keep")))
+        pos = np.searchsorted(sids, ids)
+        pos[pos == len(sids)] = 0
+        dup_toks = np.where(
+            (len(sids) > 0) & (sids[pos] == ids), stok[pos], 0)
+        kept = np.where(action == "keep",
+                        np.maximum(ntok - dup_toks, 0), 0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(action, pa.string()),
+             pa.array(kept, pa.int64())],
+            names=["doc_id", "action", "n_tokens_kept"])
+
+    out = feats.map_batches(decide, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_CURATION_SQL = f"""
+WITH RECURSIVE feats AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','a','to','in','is','on','for','with'))) AS stopword_cnt
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM documents),
+lang AS (
+  SELECT doc_id,
+       CASE
+         WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+         ELSE 'en'
+       END AS lang_pred
+  FROM scores),
+d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM documents
+),
+e AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
+  FROM d a JOIN d b ON a.doc_id != b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+r(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+),
+dupdrop AS (
+  SELECT CAST(node AS BIGINT) AS doc_id
+  FROM (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node)
+  WHERE node != cluster_id
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(t[u.i:u.i + {SUBSTRING_K - 1}], ' ') AS win
+  FROM toks, UNNEST(range(1, greatest(len(t) - {SUBSTRING_K} + 2, 1))) u(i)
+),
+dup AS (
+  SELECT win FROM wins GROUP BY win HAVING count(*) > 1
+),
+occ AS (
+  SELECT w.doc_id, w.pos,
+         row_number() OVER (PARTITION BY w.win ORDER BY w.doc_id, w.pos) AS rn
+  FROM wins w JOIN dup USING (win)
+),
+dup_occ AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+gaps AS (
+  SELECT doc_id, pos,
+         lag(pos, 1, -1000000) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM dup_occ
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev_pos <= {SUBSTRING_K} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM gaps
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {SUBSTRING_K} AS span_end
+  FROM islands GROUP BY doc_id, isl
+),
+span_tok AS (
+  SELECT doc_id, sum(span_end - span_start) AS dup_toks
+  FROM spans GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CASE WHEN l.lang_pred != 'en' THEN 'drop_lang'
+            WHEN f.n_tokens < 20 OR f.stopword_cnt = 0 THEN 'drop_quality'
+            WHEN dd.doc_id IS NOT NULL THEN 'drop_dup'
+            ELSE 'keep' END AS action,
+       CAST(CASE WHEN l.lang_pred = 'en' AND f.n_tokens >= 20
+                  AND f.stopword_cnt > 0 AND dd.doc_id IS NULL
+                 THEN greatest(f.n_tokens - coalesce(st.dup_toks, 0), 0)
+                 ELSE 0 END AS BIGINT) AS n_tokens_kept
+FROM feats f
+JOIN lang l USING (doc_id)
+LEFT JOIN dupdrop dd ON dd.doc_id = f.doc_id
+LEFT JOIN span_tok st ON st.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""

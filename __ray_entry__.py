@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dup": q.docs_substring_dup,
         "docs_substring_dup_shuffle": q.docs_substring_dup_shuffle,
         "docs_curation": q.docs_curation,
+        "docs_incremental_dedup": q.docs_incremental_dedup,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
@@ -585,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_substring_dup_shuffle": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_curation": q.DOCS_CURATION_SQL,
+        "docs_incremental_dedup": q.DOCS_INCREMENTAL_DEDUP_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -1187,3 +1187,66 @@ LEFT JOIN dupdrop dd ON dd.doc_id = f.doc_id
 LEFT JOIN span_tok st ON st.doc_id = f.doc_id
 ORDER BY f.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_incremental_dedup — incremental dedup of a "new crawl" against a
+# persisted known-corpus snapshot via the partitioned Bloom index
+# (state/bloomstore.py — the scale analog of the reference's persistent
+# hash→paths store, /root/reference/dupedb.py:31-66).  The known side is
+# read ONCE to build compact per-partition filters; the new side streams
+# through a shuffle-free probe (per-partition bitmap ObjectRefs, node-local
+# after first fetch) and an actor-pool exact verify that loads digest blobs
+# only for partitions that produced candidates.  Content key here is the
+# dedup bucket key (lang|n_chars — the docs_dedup_bucket keyspace, which
+# actually collides across the split); the same machinery takes md5(text)
+# for byte-exact incremental dedup.
+
+
+def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    import shutil
+    import tempfile
+
+    from deduplicator_ray.state import bloomstore
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "lang", "n_chars"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pa.array([f"{l}|{c}" for l, c in
+                        zip(t["lang"].to_pylist(), t["n_chars"].to_pylist())])
+        return pa.Table.from_arrays([t["doc_id"], key], names=["doc_id", "key"])
+
+    def split(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if new_side else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    idx_dir = tempfile.mkdtemp(prefix="bloomidx_", dir="/tmp")
+    try:
+        bloomstore.build_bloom_index(
+            keyed.map_batches(split(False), batch_format="pyarrow"),
+            "key", idx_dir, num_parts=32)
+        out = bloomstore.probe_bloom_index(
+            keyed.map_batches(split(True), batch_format="pyarrow"),
+            idx_dir, "key", num_parts=32).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "status"]]
+
+
+DOCS_INCREMENTAL_DEDUP_SQL = """
+WITH newdocs AS (
+  SELECT doc_id, md5(concat(lang, '|', CAST(n_chars AS VARCHAR))) AS h
+  FROM documents WHERE doc_id % 5 = 0),
+known AS (
+  SELECT DISTINCT md5(concat(lang, '|', CAST(n_chars AS VARCHAR))) AS h
+  FROM documents WHERE doc_id % 5 != 0)
+SELECT n.doc_id,
+       CASE WHEN k.h IS NOT NULL THEN 'dup_known' ELSE 'new' END AS status
+FROM newdocs n LEFT JOIN known k USING (h)
+ORDER BY n.doc_id
+"""

@@ -117,6 +117,50 @@ def _img_series_alt_pairs(sf_dir: str):
     return out.to_pandas().sort_values("alt_id").reset_index(drop=True)
 
 
+def _img_incremental_dedup(sf_dir: str):
+    """Incremental scan vs a known-corpus snapshot in the flagship image
+    domain — the reference's persistent hash-store loop
+    (/root/reference/dupedb.py:31-66) via the partitioned Bloom index
+    (state/bloomstore.py).  Known/new split on md5(image_id) (first hex
+    nibble, SQL-expressible); index over the known side's unified
+    ``proc_hash`` keyspace; the new side streams through the shuffle-free
+    probe + actor-pool exact verify."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bloomstore
+
+    cfg = _cfg()
+
+    def live_split(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["image_id"].to_pylist()
+            isnew = np.fromiter(
+                (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                 for s in ids), bool, count=len(ids))
+            return t.select(["image_id", "proc_hash"]).filter(
+                pa.array(isnew if new_side else ~isnew))
+
+        live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg), cfg)
+        return live.map_batches(f, batch_format="pyarrow")
+
+    idx_dir = tempfile.mkdtemp(prefix="imgbloom_", dir="/tmp")
+    try:
+        bloomstore.build_bloom_index(live_split(False), "proc_hash", idx_dir,
+                                     num_parts=32)
+        out = bloomstore.probe_bloom_index(live_split(True), idx_dir,
+                                           "proc_hash", num_parts=32).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out.sort_values("image_id").reset_index(drop=True)[
+        ["image_id", "status"]]
+
+
 def _img_dup_pairs(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -360,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation": q.docs_curation,
         "docs_incremental_dedup": q.docs_incremental_dedup,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
+        "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_decisions": _img_reference_decisions,
@@ -419,6 +464,8 @@ def _fixture_mirrors() -> dict[str, str]:
     kw = dict(images=images, shingle_k=cfg.shingle_k,
               jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
     return {
+        "img_incremental_dedup": mirrors.compose(
+            mirrors.INCREMENTAL_DEDUP_SQL, hashes=hashes, **kw),
         "img_reference_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_reference_clusters_h12": mirrors.compose(

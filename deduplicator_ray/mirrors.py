@@ -44,6 +44,28 @@ QUALIFY count(*) OVER (PARTITION BY proc_hash) >= 2
 ORDER BY proc_hash, image_id
 """
 
+# incremental scan vs a known snapshot (the persistent hash-store loop,
+# dupedb.py:31-66): the engine's Bloom index + exact verify must agree with
+# the plain relational anti-join on the unified proc_hash keyspace.  The
+# known/new split (first md5(image_id) nibble) matches
+# __ray_entry__._img_incremental_dedup.
+INCREMENTAL_DEDUP_SQL = """
+WITH live AS (
+  SELECT image_id, proc_hash FROM '{HASHES}'
+  WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')),
+newside AS (
+  SELECT image_id, proc_hash FROM live
+  WHERE substr(md5(image_id), 1, 1) IN ('0','1','2','3')),
+known AS (
+  SELECT DISTINCT proc_hash FROM live
+  WHERE substr(md5(image_id), 1, 1) NOT IN ('0','1','2','3'))
+SELECT n.image_id,
+       CASE WHEN k.proc_hash IS NOT NULL THEN 'dup_known' ELSE 'new' END
+         AS status
+FROM newside n LEFT JOIN known k USING (proc_hash)
+ORDER BY n.image_id
+"""
+
 # hide-alts clustering (compare.py:519-560): a bucket survives iff its
 # alt-SUPPRESSED member list still meets the threshold, but a surviving
 # bucket reports FULL membership (the reference stores ``filelist``).  The

@@ -403,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dup_shuffle": q.docs_substring_dup_shuffle,
         "docs_curation": q.docs_curation,
         "docs_incremental_dedup": q.docs_incremental_dedup,
+        "docs_sample_stratified": q.docs_sample_stratified,
+        "docs_repetition_stats": q.docs_repetition_stats,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -634,6 +636,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_substring_dup_shuffle": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_curation": q.DOCS_CURATION_SQL,
         "docs_incremental_dedup": q.DOCS_INCREMENTAL_DEDUP_SQL,
+        "docs_sample_stratified": q.DOCS_SAMPLE_STRATIFIED_SQL,
+        "docs_repetition_stats": q.DOCS_REPETITION_STATS_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -1250,3 +1250,128 @@ SELECT n.doc_id,
 FROM newdocs n LEFT JOIN known k USING (h)
 ORDER BY n.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_sample_stratified — deterministic stratified sampling / corpus
+# mixing: per-language keep rates applied via a content-derived uniform
+# (first 4 hex chars of md5(doc_id) compared against a hex threshold — hex
+# string order IS numeric order for fixed-length lowercase hex, so no int
+# parsing is needed on either engine).  Scale shape: a pure map_batches
+# filter — no shuffle, no state, reproducible across runs and engines;
+# the standard way to hit a target language mix when assembling a
+# training corpus from a larger pool.
+
+_STRAT_RATES = {  # lang -> keep threshold on the md5 nibble-4 uniform
+    "en": "c000",  # 0.75
+    "de": "8000",  # 0.50
+    "fr": "8000",  # 0.50
+    "es": "4000",  # 0.25
+    "zh": "4000",  # 0.25
+}
+_STRAT_DEFAULT = "2000"  # 0.125 for any unlisted language
+
+
+def docs_sample_stratified(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:4]
+            < _STRAT_RATES.get(l, _STRAT_DEFAULT)
+            for i, l in zip(ids, langs)
+        ]
+        return t.filter(pa.array(keep))
+
+    out = docs.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN 'c000'
+                WHEN 'de' THEN '8000'
+                WHEN 'fr' THEN '8000'
+                WHEN 'es' THEN '4000'
+                WHEN 'zh' THEN '4000'
+                ELSE '2000' END
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_repetition_stats — Gopher-style repetition quality signals (Rae et
+# al. 2021 §A1.1): duplicate-token fraction and the most-common-bigram mass
+# per document.  Vectorized: one Arrow split per batch, tokens exploded to
+# a flat frame, pandas C-level groupbys for the distinct/top counts — no
+# per-document Python loop.
+
+
+def docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        toks = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        cc = toks.combine_chunks()
+        offsets = np.asarray(cc.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(n), counts)
+        df = pd.DataFrame({"d": doc_idx, "tok": flat})
+        n_distinct = (
+            df.groupby("d")["tok"].nunique()
+            .reindex(range(n), fill_value=0).to_numpy(dtype=np.int64))
+        # bigram (tok, next-tok-in-same-doc): mask out each doc's last token
+        last = np.zeros(len(flat), bool)
+        if len(flat):
+            last[offsets[1:][counts > 0] - 1] = True
+            nxt = np.empty_like(flat)
+            nxt[:-1] = flat[1:]
+            nxt[-1] = ""
+        top_c = np.zeros(n, np.int64)
+        tot_c = np.zeros(n, np.int64)
+        if len(flat) and (~last).any():
+            bg = pd.DataFrame({"d": doc_idx[~last], "a": flat[~last],
+                               "b": nxt[~last]})
+            per = bg.groupby(["d", "a", "b"], sort=False).size()
+            agg = per.groupby(level=0).agg(["max", "sum"])
+            top_c[agg.index.to_numpy()] = agg["max"].to_numpy()
+            tot_c[agg.index.to_numpy()] = agg["sum"].to_numpy()
+        n_tokens = counts.astype(np.int64)
+        dup_frac = (n_tokens - n_distinct) / np.maximum(n_tokens, 1)
+        top_frac = np.where(tot_c > 0, top_c / np.maximum(tot_c, 1), 0.0)
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(n_tokens), pa.array(dup_frac, pa.float64()),
+             pa.array(top_frac, pa.float64())],
+            names=["doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"])
+
+    out = docs.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+  FROM toks),
+bg AS (
+  SELECT doc_id, t[u.i] AS a, t[u.i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) u(i)),
+bgc AS (SELECT doc_id, a, b, count(*) AS c FROM bg GROUP BY doc_id, a, b),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens
+         AS dup_token_frac,
+       coalesce(CAST(t.top_c AS DOUBLE) / t.tot, 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY b.doc_id
+"""

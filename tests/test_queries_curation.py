@@ -1,0 +1,59 @@
+"""Regression pins for the round-2 curation-surface queries: each engine
+result must VALUE-match its DuckDB mirror at sf-small (the driver runs the
+same comparison at sf0.01 — these keep a mirror or engine regression from
+reaching it)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from deduplicator_ray.pipelines import queries as q
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')")
+    return c
+
+
+def _match(eng: pd.DataFrame, orc: pd.DataFrame):
+    assert sorted(eng.columns) == sorted(orc.columns)
+    cols = sorted(eng.columns)
+    a = eng[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in cols:
+        assert a[col].dtype == b[col].dtype, f"{col}: {a[col].dtype} != {b[col].dtype}"
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_dedup_mirror(sf_small, con):
+    eng = q.docs_incremental_dedup(sf_small)
+    orc = con.execute(q.DOCS_INCREMENTAL_DEDUP_SQL).df()
+    _match(eng, orc)
+    assert (eng["status"] == "dup_known").any()  # split must be non-vacuous
+
+
+def test_sample_stratified_mirror(sf_small, con):
+    eng = q.docs_sample_stratified(sf_small)
+    orc = con.execute(q.DOCS_SAMPLE_STRATIFIED_SQL).df()
+    _match(eng, orc)
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(eng) < total  # a real sample: non-empty, below the corpus
+
+
+def test_repetition_stats_mirror(sf_small, con):
+    eng = q.docs_repetition_stats(sf_small)
+    orc = con.execute(q.DOCS_REPETITION_STATS_SQL).df()
+    _match(eng, orc)
+    assert (eng["dup_token_frac"] > 0).any()
+
+
+def test_curation_mirror(sf_small, con):
+    eng = q.docs_curation(sf_small)
+    orc = con.execute(q.DOCS_CURATION_SQL).df()
+    _match(eng, orc)
+    assert set(eng["action"]) >= {"keep", "drop_lang"}

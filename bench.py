@@ -84,6 +84,43 @@ def run_bench() -> dict:
             lambda: ip.dup_pairs(dio.read_parquet(images_path), cfg).count(),
         )
 
+        # incremental scan vs a known snapshot (Bloom index build + probe
+        # + exact verify over the unified proc_hash keyspace)
+        def _incremental():
+            import shutil
+            import tempfile
+
+            import numpy as _np
+            import pyarrow as _pa
+
+            from deduplicator_ray.state import bloomstore
+
+            def live_hash(new_side):
+                import hashlib
+
+                def f(t):
+                    ids = t["image_id"].to_pylist()
+                    isnew = _np.fromiter(
+                        (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                         for s in ids), bool, count=len(ids))
+                    return t.select(["image_id", "proc_hash"]).filter(
+                        _pa.array(isnew if new_side else ~isnew))
+
+                live = ip._live(
+                    ip.fingerprints(dio.read_parquet(images_path), cfg), cfg)
+                return live.map_batches(f, batch_format="pyarrow")
+
+            idx = tempfile.mkdtemp(prefix="benchbloom_", dir="/tmp")
+            try:
+                bloomstore.build_bloom_index(live_hash(False), "proc_hash",
+                                             idx, num_parts=64)
+                return bloomstore.probe_bloom_index(
+                    live_hash(True), idx, "proc_hash", num_parts=64).count()
+            finally:
+                shutil.rmtree(idx, ignore_errors=True)
+
+        timed("img_incremental_dedup", _incremental)
+
     # text near-dup over the driver documents table (absent for the
     # dedicated scaling corpus, which is images-only)
     docs = os.path.join(SF_DIR, "documents.parquet")

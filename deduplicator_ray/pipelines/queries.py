@@ -1375,3 +1375,65 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN top t USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_chunking — context-window packing: split every document into
+# fixed-token chunks (window C, stride C) — the standard pre-tokenization
+# step before sequence packing.  A pure per-row flat expansion inside
+# map_batches (rows out ≥ rows in, no shuffle, no state): at 100 TB this
+# streams block-by-block and the output is written partitioned like any
+# other map stage.
+
+CHUNK_TOKENS = 32
+
+
+def docs_chunking(sf_dir: str) -> pd.DataFrame:
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        cc = toks.combine_chunks()
+        offsets = np.asarray(cc.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        flat = pc.list_flatten(toks).to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum((counts + CHUNK_TOKENS - 1) // CHUNK_TOKENS, 1)
+        out_ids, out_cids, out_ntok, out_text = [], [], [], []
+        for d in range(t.num_rows):
+            base = offsets[d]
+            for c in range(int(n_chunks[d])):
+                lo = c * CHUNK_TOKENS
+                hi = min(lo + CHUNK_TOKENS, int(counts[d]))
+                out_ids.append(int(ids[d]))
+                out_cids.append(c)
+                out_ntok.append(hi - lo)
+                out_text.append(" ".join(flat[base + lo:base + hi]))
+        return pa.Table.from_arrays(
+            [pa.array(out_ids, pa.int64()), pa.array(out_cids, pa.int64()),
+             pa.array(out_ntok, pa.int64()), pa.array(out_text, pa.string())],
+            names=["doc_id", "chunk_id", "n_tokens_chunk", "chunk_text"])
+
+    out = docs.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+DOCS_CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(u.c AS BIGINT) AS chunk_id,
+         array_to_string(
+           t[u.c * {CHUNK_TOKENS} + 1 :
+             least((u.c + 1) * {CHUNK_TOKENS}, len(t))], ' ') AS chunk_text,
+         least((u.c + 1) * {CHUNK_TOKENS}, len(t)) - u.c * {CHUNK_TOKENS}
+           AS n_tokens_chunk
+  FROM toks,
+       UNNEST(range(0, greatest((len(t) + {CHUNK_TOKENS} - 1)
+                                 // {CHUNK_TOKENS}, 1))) u(c))
+SELECT doc_id, chunk_id, CAST(n_tokens_chunk AS BIGINT) AS n_tokens_chunk,
+       chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""

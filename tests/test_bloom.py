@@ -83,6 +83,16 @@ def test_empty_new_side(tmp_path):
     assert len(out) == 0
 
 
+def test_empty_new_side_shuffle_mode(tmp_path):
+    known = rd.from_pandas(pd.DataFrame({"key": ["a", "b", "c"]}))
+    idx_dir = str(tmp_path / "idx5")
+    bloomstore.build_bloom_index(known, "key", idx_dir, num_parts=4)
+    new = rd.from_pandas(pd.DataFrame({"key": pd.Series([], dtype=str)}))
+    out = bloomstore.probe_bloom_index(new, idx_dir, "key", num_parts=4,
+                                       shuffle=True).to_pandas()
+    assert len(out) == 0
+
+
 def test_empty_known_side(tmp_path):
     known = rd.from_pandas(pd.DataFrame({"key": pd.Series([], dtype=str)}))
     idx_dir = str(tmp_path / "idx4")

@@ -1437,3 +1437,114 @@ SELECT doc_id, chunk_id, CAST(n_tokens_chunk AS BIGINT) AS n_tokens_chunk,
 FROM chunks
 ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_token_budget — quality-ranked corpus selection under a global token
+# budget: keep the best documents (by stopword ratio, doc_id tiebreak) whose
+# INCLUSIVE running token total stays within budget — "fill 1T tokens with
+# the best of the pool".  Scale shape: NOT a global sort + scan.  A
+# per-batch combiner pre-aggregates (quality → token-sum) inside
+# map_batches, a small groupby merges the histogram, the driver walks the
+# sorted histogram to find the boundary quality (bounded by DISTINCT
+# quality values — quantize the score to bound it at petabyte scale), and
+# only the boundary group's docs are pulled for the exact in-group
+# doc_id-order cumsum.  The final pass is a broadcast-lookup map_batches —
+# two streaming passes over the narrow feature table, zero all-to-all.
+
+TOKEN_BUDGET = 20_000
+
+
+def docs_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET) -> pd.DataFrame:
+    from deduplicator_ray.pipelines.doc_dedup import text_features
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    feats = text_features(docs).select_columns(
+        ["doc_id", "n_tokens", "stopword_cnt"])
+
+    def with_q(t: pa.Table) -> pa.Table:
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        stop = t["stopword_cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q_ = stop / np.maximum(ntok, 1.0)
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["n_tokens"], pa.array(q_, pa.float64())],
+            names=["doc_id", "n_tokens", "q"])
+
+    scored = feats.map_batches(with_q, batch_format="pyarrow")
+
+    # pass 1 — histogram: per-batch combiner, then a tiny global groupby
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"q": t["q"].to_numpy(zero_copy_only=False),
+                           "tok": t["n_tokens"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("q", as_index=False)["tok"].sum()
+        return pa.Table.from_pydict(
+            {"q": g["q"].to_numpy(np.float64), "tok": g["tok"].to_numpy(np.int64)},
+            schema=pa.schema([("q", pa.float64()), ("tok", pa.int64())]))
+
+    hist = (scored.map_batches(combine, batch_format="pyarrow")
+            .groupby("q").sum("tok").to_pandas())
+    tok_col = [c for c in hist.columns if c != "q"][0]
+    hist = hist.sort_values("q", ascending=False).reset_index(drop=True)
+    cum = hist[tok_col].cumsum()
+    full = cum <= budget
+    q_floor = hist.loc[full, "q"].min() if full.any() else np.inf
+    spent = int(cum[full].max()) if full.any() else 0
+    boundary_q = None
+    overflow = hist[~full]
+    if len(overflow) and spent < budget:
+        boundary_q = float(overflow.iloc[0]["q"])
+
+    # boundary refinement: exact doc_id-order cumsum WITHIN the one
+    # overflowing quality group (pulled to the driver — one group, not the
+    # corpus; at extreme skew quantization keeps it bounded)
+    boundary_ids = np.zeros(0, np.int64)
+    if boundary_q is not None:
+        bq = boundary_q
+
+        def only_boundary(t: pa.Table) -> pa.Table:
+            m = t["q"].to_numpy(zero_copy_only=False) == bq
+            return t.filter(pa.array(m))
+
+        bdf = (scored.map_batches(only_boundary, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id"))
+        bcum = bdf["n_tokens"].cumsum()
+        boundary_ids = bdf.loc[bcum <= budget - spent, "doc_id"] \
+            .to_numpy(np.int64)
+    bref = ray.put(np.sort(boundary_ids))
+    floor = q_floor if np.isfinite(q_floor) else np.inf
+
+    # pass 2 — broadcast-lookup decide
+    def decide(t: pa.Table) -> pa.Table:
+        bids = ray.get(bref)
+        q_ = t["q"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (q_ >= floor) if np.isfinite(floor) else np.zeros(len(q_), bool)
+        keep |= np.isin(ids, bids)
+        sel = np.where(keep, "keep", "skip")
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["n_tokens"], pa.array(sel, pa.string())],
+            names=["doc_id", "n_tokens", "selected"])
+
+    out = scored.map_batches(decide, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_TOKEN_BUDGET_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','and','of','a','to','in','is','on','for','with')))
+              AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1) AS q
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN cum <= {TOKEN_BUDGET} THEN 'keep' ELSE 'skip' END AS selected
+FROM c
+ORDER BY doc_id
+"""

@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_chunking": q.docs_chunking,
         "docs_token_budget": q.docs_token_budget,
+        "docs_decontaminate": q.docs_decontaminate,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -642,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition_stats": q.DOCS_REPETITION_STATS_SQL,
         "docs_chunking": q.DOCS_CHUNKING_SQL,
         "docs_token_budget": q.DOCS_TOKEN_BUDGET_SQL,
+        "docs_decontaminate": q.DOCS_DECONTAMINATE_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -1548,3 +1548,97 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM c
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_decontaminate — benchmark decontamination: flag corpus documents
+# that share ANY k-token window with an eval/benchmark set (the standard
+# n-gram-overlap contamination check run before training).  Scale shape:
+# the benchmark side is small by definition (an eval set, not a corpus) —
+# its distinct windows are collected once and broadcast via ray.put; the
+# corpus side streams through one map_batches pass where windows are built
+# by vectorized shifted-concat over the flattened token stream and matched
+# with a C-level hash-table isin.  No shuffle, no state.
+
+DECON_K = 8          # window length (tokens)
+DECON_BENCH_MOD = 10  # doc_id % MOD == 0 → benchmark split
+
+
+def _window_strings(texts: pa.ChunkedArray | pa.Array,
+                    k: int) -> tuple[pd.Series, np.ndarray, np.ndarray]:
+    """All k-token windows over a batch: returns (windows, doc_index,
+    valid_mask) where windows[i] spans positions i..i+k-1 of the flattened
+    token stream and valid_mask marks windows fully inside one doc."""
+    toks = pc.split_pattern(pc.cast(texts, pa.string()), " ")
+    cc = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = np.asarray(cc.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    flat = pd.Series(pc.list_flatten(toks).to_pylist(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    w = flat.copy()
+    for j in range(1, k):
+        w = w + " " + flat.shift(-j)
+    pos_in_doc = np.arange(len(flat)) - np.repeat(offsets[:-1], counts)
+    valid = pos_in_doc + k <= np.repeat(counts, counts)
+    return w, doc_idx, valid
+
+
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % DECON_BENCH_MOD == 0)
+            return t.filter(pa.array(m if bench else ~m))
+        return f
+
+    # benchmark windows: small by definition — one bounded driver collect
+    bench_df = docs.map_batches(split(True), batch_format="pyarrow").to_pandas()
+    if len(bench_df):
+        bw, _, bv = _window_strings(pa.array(bench_df["text"]), DECON_K)
+        bench_windows = pd.unique(bw[bv])
+    else:
+        bench_windows = np.array([], dtype=object)
+    bref = ray.put(bench_windows)
+
+    def decide(t: pa.Table) -> pa.Table:
+        bws = ray.get(bref)
+        w, doc_idx, valid = _window_strings(t["text"], DECON_K)
+        hit = w.isin(bws).to_numpy() & valid
+        n_hits = np.zeros(t.num_rows, np.int64)
+        if hit.any():
+            np.add.at(n_hits, doc_idx[hit], 1)
+        status = np.where(n_hits > 0, "contaminated", "clean")
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(n_hits),
+             pa.array(status, pa.string())],
+            names=["doc_id", "n_contaminated_windows", "status"])
+
+    out = (docs.map_batches(split(False), batch_format="pyarrow")
+           .map_batches(decide, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH b AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} = 0),
+bw AS (
+  SELECT DISTINCT array_to_string(t[u.i:u.i + {DECON_K - 1}], ' ') AS w
+  FROM b, UNNEST(range(1, greatest(len(t) - {DECON_K - 2}, 1))) u(i)),
+corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} != 0),
+cw AS (
+  SELECT doc_id, array_to_string(t[u.i:u.i + {DECON_K - 1}], ' ') AS w
+  FROM corpus, UNNEST(range(1, greatest(len(t) - {DECON_K - 2}, 1))) u(i)),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM cw JOIN bw USING (w) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_windows,
+       CASE WHEN h.doc_id IS NOT NULL THEN 'contaminated' ELSE 'clean' END
+         AS status
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+ORDER BY c.doc_id
+"""

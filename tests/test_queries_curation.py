@@ -52,6 +52,29 @@ def test_repetition_stats_mirror(sf_small, con):
     assert (eng["dup_token_frac"] > 0).any()
 
 
+def test_chunking_mirror(sf_small, con):
+    eng = q.docs_chunking(sf_small)
+    orc = con.execute(q.DOCS_CHUNKING_SQL).df()
+    _match(eng, orc)
+    assert (eng.groupby("doc_id")["chunk_id"].count() > 1).any()
+
+
+def test_token_budget_mirror(sf_small, con):
+    eng = q.docs_token_budget(sf_small)
+    orc = con.execute(q.DOCS_TOKEN_BUDGET_SQL).df()
+    _match(eng, orc)
+    kept = eng[eng["selected"] == "keep"]
+    assert 0 < len(kept) < len(eng)  # budget binds: a real prefix
+    assert kept["n_tokens"].sum() <= q.TOKEN_BUDGET
+
+
+def test_decontaminate_mirror(sf_small, con):
+    eng = q.docs_decontaminate(sf_small)
+    orc = con.execute(q.DOCS_DECONTAMINATE_SQL).df()
+    _match(eng, orc)
+    assert (eng["status"] == "contaminated").any()
+
+
 def test_curation_mirror(sf_small, con):
     eng = q.docs_curation(sf_small)
     orc = con.execute(q.DOCS_CURATION_SQL).df()

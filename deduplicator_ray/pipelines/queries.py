@@ -1450,7 +1450,8 @@ ORDER BY doc_id, chunk_id
 # quality values — quantize the score to bound it at petabyte scale), and
 # only the boundary group's docs are pulled for the exact in-group
 # doc_id-order cumsum.  The final pass is a broadcast-lookup map_batches —
-# two streaming passes over the narrow feature table, zero all-to-all.
+# two streaming passes over the narrow feature table (plus one boundary-
+# group filter pass when the budget splits a group), zero all-to-all.
 
 TOKEN_BUDGET = 20_000
 

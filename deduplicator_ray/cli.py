@@ -132,11 +132,49 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     return metrics
 
 
+def run_bloom_build(input_dir: str, index_dir: str, key_col: str,
+                    num_parts: int) -> dict:
+    """Build the persistent known-corpus Bloom index (the reference's
+    hash-store snapshot — state/bloomstore.py)."""
+    _ensure_ray()
+    from deduplicator_ray.state import bloomstore
+
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=[key_col])
+    bloomstore.build_bloom_index(ds, key_col, index_dir, num_parts=num_parts)
+    return {"mode": "bloom-build", "index": index_dir,
+            "num_parts": num_parts, "wall_s": round(time.time() - t0, 3)}
+
+
+def run_bloom_probe(input_dir: str, index_dir: str, key_col: str,
+                    output_dir: str, shuffle: bool = False) -> dict:
+    """Probe a new increment against a built index; writes the labeled
+    rows (input columns + ``status``) as partitioned parquet."""
+    _ensure_ray()
+    import pyarrow.dataset as pads
+
+    from deduplicator_ray.state import bloomstore
+
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir)
+    out = bloomstore.probe_bloom_index(ds, index_dir, key_col,
+                                       shuffle=shuffle)
+    out.write_parquet(output_dir)
+    status = pads.dataset(output_dir, format="parquet") \
+        .to_table(columns=["status"])["status"].to_pylist()
+    return {"mode": "bloom-probe", "output": output_dir,
+            "n_rows": len(status),
+            "n_dup_known": sum(1 for s in status if s == "dup_known"),
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
-    p.add_argument("mode", choices=["reference", "extended"])
+    p.add_argument("mode", choices=["reference", "extended",
+                                    "bloom-build", "bloom-probe"])
     p.add_argument("--input", required=True, help="directory of input parquet shards")
-    p.add_argument("--output", required=True, help="output directory for artifacts")
+    p.add_argument("--output", help="output directory for artifacts "
+                   "(required for all modes except bloom-build)")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute everything (skip shard checkpoints)")
     p.add_argument("--hash-size", type=int, default=8,
@@ -151,7 +189,26 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bad-dirs", action="append", default=[])
     p.add_argument("--good-names", action="append", default=[])
     p.add_argument("--bad-names", action="append", default=[])
+    p.add_argument("--index", help="Bloom index directory (bloom-* modes)")
+    p.add_argument("--key-col", default="proc_hash",
+                   help="content-key column for bloom-* modes")
+    p.add_argument("--num-parts", type=int, default=64,
+                   help="index partition count (bloom-build)")
+    p.add_argument("--bloom-shuffle", action="store_true",
+                   help="hash-partition the probe side (oversize filters)")
     a = p.parse_args(argv)
+    if a.mode in ("bloom-build", "bloom-probe") and not a.index:
+        p.error(f"{a.mode} requires --index")
+    if a.mode != "bloom-build" and not a.output:
+        p.error(f"{a.mode} requires --output")
+    if a.mode == "bloom-build":
+        print(json.dumps(run_bloom_build(a.input, a.index, a.key_col,
+                                         a.num_parts)))
+        return
+    if a.mode == "bloom-probe":
+        print(json.dumps(run_bloom_probe(a.input, a.index, a.key_col,
+                                         a.output, shuffle=a.bloom_shuffle)))
+        return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),
             threshold=a.threshold, explain=a.explain,

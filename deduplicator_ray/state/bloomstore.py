@@ -149,6 +149,27 @@ def build_bloom_index(
                                 num_parts=max(1, num_parts // 8),
                                 out_schema=_INDEX_SCHEMA)
     index.write_parquet(out_dir)
+    # build params travel WITH the index — a probe with a different
+    # num_parts would route keys to the wrong bitmaps and silently lose
+    # every duplicate
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_bloom_meta.json"), "w") as f:
+        json.dump({"num_parts": num_parts, "bits_per_key": bits_per_key,
+                   "k_hashes": k_hashes}, f)
+
+
+def read_bloom_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_dir, "_bloom_meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def _load_index_columns(index_dir: str, columns: list[str],
@@ -224,8 +245,8 @@ def probe_bloom_index(
     new: rd.Dataset,
     index_dir: str,
     key_col: str,
-    num_parts: int = 64,
-    k_hashes: int = 4,
+    num_parts: int | None = None,
+    k_hashes: int | None = None,
     shuffle: bool = False,
     verify_concurrency: int = 4,
 ) -> rd.Dataset:
@@ -233,7 +254,16 @@ def probe_bloom_index(
 
     Both labels are EXACT: Bloom candidates are re-verified against the
     stored digests, and a Bloom miss has no false negatives.  Single
-    streaming pass — no driver-side materialization of the new side."""
+    streaming pass — no driver-side materialization of the new side.
+
+    ``num_parts``/``k_hashes`` default to the values persisted at build
+    time (``_bloom_meta.json``); passing mismatched ones would silently
+    route keys to the wrong bitmaps."""
+    meta = read_bloom_meta(index_dir)
+    if num_parts is None:
+        num_parts = int(meta.get("num_parts", 64))
+    if k_hashes is None:
+        k_hashes = int(meta.get("k_hashes", 4))
     bitmaps = _load_index_columns(index_dir, ["partition", "m_bits", "bitmap"])
     refs = {
         int(p): ray.put((int(m), np.frombuffer(b, np.uint8)))

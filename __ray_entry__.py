@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunking": q.docs_chunking,
         "docs_token_budget": q.docs_token_budget,
         "docs_decontaminate": q.docs_decontaminate,
+        "events_asof_orders": q.events_asof_orders,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -644,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunking": q.DOCS_CHUNKING_SQL,
         "docs_token_budget": q.DOCS_TOKEN_BUDGET_SQL,
         "docs_decontaminate": q.DOCS_DECONTAMINATE_SQL,
+        "events_asof_orders": q.EVENTS_ASOF_ORDERS_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -1643,3 +1643,100 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN hits h USING (doc_id)
 ORDER BY c.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_asof_orders — AS-OF JOIN, the classic operator Ray Data lacks
+# natively: for every event, the latest order of the same customer at or
+# before the event time.  Composition (per the partitioning playbook): both
+# sides are normalized to one (key, side, ts, ...) schema and UNIONed, one
+# hash-partition-on-key groupby co-locates each key's events AND orders,
+# and inside every partition a C-level ``pd.merge_asof(by=key)`` does the
+# backward time match.  Only the pruned join columns cross the shuffle.
+# Partitioning assumption: all rows of one key fit one partition (knob:
+# num_parts); time-ordering is local to the partition, never global.
+
+
+def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ev = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_id", "ts", "user_id"])
+    od = dio.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    union_schema = pa.schema([
+        ("key", pa.int64()), ("side", pa.int8()), ("ts", pa.timestamp("us")),
+        ("event_id", pa.int64()), ("o_orderkey", pa.int64()),
+    ])
+
+    def norm_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t["user_id"].cast(pa.int64()),
+             pa.array(np.ones(n, np.int8)),
+             t["ts"].cast(pa.timestamp("us")),
+             t["event_id"].cast(pa.int64()),
+             pa.nulls(n, pa.int64())],
+            schema=union_schema)
+
+    def norm_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t["o_custkey"].cast(pa.int64()),
+             pa.array(np.zeros(n, np.int8)),
+             t["o_orderdate"].cast(pa.timestamp("us")),
+             pa.nulls(n, pa.int64()),
+             t["o_orderkey"].cast(pa.int64())],
+            schema=union_schema)
+
+    u = ev.map_batches(norm_events, batch_format="pyarrow").union(
+        od.map_batches(norm_orders, batch_format="pyarrow"))
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("asof_orderkey", pa.int64()),
+        ("asof_orderdate", pa.timestamp("us")),
+    ])
+
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 1]
+        right = df[df["side"] == 0]
+        if not len(left) or not len(right):
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        # merge_asof keeps the LAST right row at equal (ts): sorting by
+        # (ts, o_orderkey) makes the tie-break = max orderkey, matching the
+        # mirror's ORDER BY o_orderdate DESC, o_orderkey DESC
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["ts", "o_orderkey"])
+        right = right.assign(asof_orderdate=right["ts"])
+        m = pd.merge_asof(left[["key", "ts", "event_id"]],
+                          right[["key", "ts", "o_orderkey", "asof_orderdate"]],
+                          on="ts", by="key", direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype(np.int64),
+            "user_id": m["key"].astype(np.int64),
+            "ts": m["ts"],
+            "asof_orderkey": m["o_orderkey"].astype(np.int64),
+            "asof_orderdate": m["asof_orderdate"],
+        })
+
+    out = partitioned_groupby(u, ["key"], asof_part, num_parts=32,
+                              out_schema=out_schema).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ASOF_ORDERS_SQL = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, ts,
+       o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+FROM j WHERE rn = 1
+ORDER BY event_id
+"""

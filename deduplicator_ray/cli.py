@@ -160,11 +160,14 @@ def run_bloom_probe(input_dir: str, index_dir: str, key_col: str,
     out = bloomstore.probe_bloom_index(ds, index_dir, key_col,
                                        shuffle=shuffle)
     out.write_parquet(output_dir)
+    import pyarrow.compute as pc
+
     status = pads.dataset(output_dir, format="parquet") \
-        .to_table(columns=["status"])["status"].to_pylist()
+        .to_table(columns=["status"])["status"]
     return {"mode": "bloom-probe", "output": output_dir,
             "n_rows": len(status),
-            "n_dup_known": sum(1 for s in status if s == "dup_known"),
+            "n_dup_known": int(pc.sum(
+                pc.equal(status, "dup_known").cast("int64")).as_py() or 0),
             "wall_s": round(time.time() - t0, 3)}
 
 

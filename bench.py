@@ -85,8 +85,12 @@ def run_bench() -> dict:
         )
 
         # incremental scan vs a known snapshot (Bloom index build + probe
-        # + exact verify over the unified proc_hash keyspace)
+        # + exact verify over the unified proc_hash keyspace).  Fingerprints
+        # are scanned ONCE into a parquet sidecar — the production flow,
+        # where the fingerprint table is a persisted artifact (cli writes
+        # fingerprints/) and build/probe read the narrow hash columns.
         def _incremental():
+            import hashlib
             import shutil
             import tempfile
 
@@ -95,29 +99,36 @@ def run_bench() -> dict:
 
             from deduplicator_ray.state import bloomstore
 
-            def live_hash(new_side):
-                import hashlib
-
-                def f(t):
-                    ids = t["image_id"].to_pylist()
-                    isnew = _np.fromiter(
-                        (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
-                         for s in ids), bool, count=len(ids))
-                    return t.select(["image_id", "proc_hash"]).filter(
-                        _pa.array(isnew if new_side else ~isnew))
-
+            work = tempfile.mkdtemp(prefix="benchbloom_", dir="/tmp")
+            try:
                 live = ip._live(
                     ip.fingerprints(dio.read_parquet(images_path), cfg), cfg)
-                return live.map_batches(f, batch_format="pyarrow")
+                live.map_batches(
+                    lambda t: t.select(["image_id", "proc_hash"]),
+                    batch_format="pyarrow",
+                ).write_parquet(os.path.join(work, "hashes"))
 
-            idx = tempfile.mkdtemp(prefix="benchbloom_", dir="/tmp")
-            try:
-                bloomstore.build_bloom_index(live_hash(False), "proc_hash",
-                                             idx, num_parts=64)
+                def side(new_side):
+                    def f(t):
+                        ids = t["image_id"].to_pylist()
+                        isnew = _np.fromiter(
+                            (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                             for s in ids), bool, count=len(ids))
+                        return t.filter(
+                            _pa.array(isnew if new_side else ~isnew))
+
+                    return dio.read_parquet(
+                        os.path.join(work, "hashes")).map_batches(
+                            f, batch_format="pyarrow")
+
+                bloomstore.build_bloom_index(side(False), "proc_hash",
+                                             os.path.join(work, "idx"),
+                                             num_parts=64)
                 return bloomstore.probe_bloom_index(
-                    live_hash(True), idx, "proc_hash", num_parts=64).count()
+                    side(True), os.path.join(work, "idx"),
+                    "proc_hash").count()
             finally:
-                shutil.rmtree(idx, ignore_errors=True)
+                shutil.rmtree(work, ignore_errors=True)
 
         timed("img_incremental_dedup", _incremental)
 

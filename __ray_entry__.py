@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget": q.docs_token_budget,
         "docs_decontaminate": q.docs_decontaminate,
         "events_asof_orders": q.events_asof_orders,
+        "events_range_join": q.events_range_join,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -646,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_budget": q.DOCS_TOKEN_BUDGET_SQL,
         "docs_decontaminate": q.DOCS_DECONTAMINATE_SQL,
         "events_asof_orders": q.EVENTS_ASOF_ORDERS_SQL,
+        "events_range_join": q.EVENTS_RANGE_JOIN_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

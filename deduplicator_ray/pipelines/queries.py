@@ -1740,3 +1740,134 @@ SELECT event_id, user_id, ts,
 FROM j WHERE rn = 1
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_range_join — RANGE (interval-containment) JOIN, the second
+# operator family Ray Data lacks natively: assign every event to the
+# session interval [s_start, s_end] of the same user that contains its
+# timestamp.  The interval table is derived first (sessionize semantics:
+# >30 min gap opens a session), then the two tables are normalized, UNIONed
+# and co-located per user by ONE hash-partition groupby; inside each
+# partition the intervals are sorted by start and each event binary-searches
+# its candidate (np.searchsorted) with an end-bound check — per-key interval
+# join without any all-pairs expansion.  Partitioning assumption: one key's
+# events+intervals fit one partition; intervals per key are disjoint.
+
+
+def events_range_join(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ev = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_id", "user_id", "ts"])
+    gap_us = gap_minutes * 60_000_000
+
+    # stage 1 — derive the interval table (user_id, session_id, s_start,
+    # s_end) in int64 microseconds
+    iv_schema = pa.schema([
+        ("user_id", pa.int64()), ("session_id", pa.int64()),
+        ("s_start", pa.int64()), ("s_end", pa.int64()),
+    ])
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        ts = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        starts = np.empty(len(df), bool)
+        starts[0:1] = True
+        starts[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(starts) - 1  # global ordinal within partition
+        out = pd.DataFrame({"user_id": uid, "sid": sid, "ts": ts})
+        g = out.groupby(["user_id", "sid"], as_index=False).agg(
+            s_start=("ts", "min"), s_end=("ts", "max"))
+        # per-user ordinal session id (0-based, in time order)
+        g["session_id"] = g.groupby("user_id").cumcount().astype(np.int64)
+        return g[["user_id", "session_id", "s_start", "s_end"]]
+
+    iv = partitioned_groupby(
+        ev.map_batches(lambda t: t.select(["user_id", "ts"]),
+                       batch_format="pyarrow"),
+        ["user_id"], intervals, num_parts=16, out_schema=iv_schema)
+
+    # stage 2 — normalize, union, partition by key, per-key binary search
+    union_schema = pa.schema([
+        ("user_id", pa.int64()), ("side", pa.int8()), ("t0", pa.int64()),
+        ("t1", pa.int64()), ("event_id", pa.int64()),
+        ("session_id", pa.int64()),
+    ])
+
+    def norm_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t["user_id"].cast(pa.int64()),
+             pa.array(np.ones(n, np.int8)), ts_us, pa.nulls(n, pa.int64()),
+             t["event_id"].cast(pa.int64()), pa.nulls(n, pa.int64())],
+            schema=union_schema)
+
+    def norm_intervals(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t["user_id"], pa.array(np.zeros(n, np.int8)), t["s_start"],
+             t["s_end"], pa.nulls(n, pa.int64()), t["session_id"]],
+            schema=union_schema)
+
+    u = ev.map_batches(norm_events, batch_format="pyarrow").union(
+        iv.map_batches(norm_intervals, batch_format="pyarrow"))
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+    ])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid_val, g in df.groupby("user_id", sort=False):
+            evg = g[g["side"] == 1]
+            ivg = g[g["side"] == 0].sort_values("t0")
+            if not len(evg) or not len(ivg):
+                continue
+            s0 = ivg["t0"].to_numpy(np.int64)
+            s1 = ivg["t1"].to_numpy(np.int64)
+            sid = ivg["session_id"].to_numpy(np.int64)
+            ts = evg["t0"].to_numpy(np.int64)
+            idx = np.searchsorted(s0, ts, side="right") - 1
+            ok = (idx >= 0) & (ts <= s1[np.maximum(idx, 0)])
+            if not ok.any():
+                continue
+            outs.append(pd.DataFrame({
+                "event_id": evg["event_id"].to_numpy(np.int64)[ok],
+                "user_id": np.full(int(ok.sum()), uid_val, np.int64),
+                "session_id": sid[idx[ok]],
+            }))
+        if not outs:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        return pd.concat(outs, ignore_index=True)
+
+    out = partitioned_groupby(u, ["user_id"], assign, num_parts=16,
+                              out_schema=out_schema).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked),
+intervals AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id)
+SELECT e.event_id, e.user_id, CAST(i.session_id AS BIGINT) AS session_id
+FROM events e
+JOIN intervals i
+  ON i.user_id = e.user_id AND e.ts BETWEEN i.s_start AND i.s_end
+ORDER BY e.event_id
+"""

@@ -1,0 +1,56 @@
+"""Mirror pins for the two join operators Ray Data lacks natively — the
+as-of join (latest order at-or-before each event) and the range /
+interval-containment join (event → containing session interval).  Both are
+built as union + ONE hash-partition groupby + per-key vectorized match
+(queries.events_asof_orders / events_range_join); each must VALUE-match
+its DuckDB mirror at sf-small, the same comparison the driver runs at
+sf0.01."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from deduplicator_ray.pipelines import queries as q
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    c = duckdb.connect()
+    for t in ("events", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{sf_small}/{t}.parquet')")
+    return c
+
+
+def _match(eng: pd.DataFrame, orc: pd.DataFrame):
+    assert sorted(eng.columns) == sorted(orc.columns)
+    cols = sorted(eng.columns)
+    a = eng[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in cols:
+        assert a[col].dtype == b[col].dtype, \
+            f"{col}: {a[col].dtype} != {b[col].dtype}"
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_mirror(sf_small, con):
+    eng = q.events_asof_orders(sf_small)
+    orc = con.execute(q.EVENTS_ASOF_ORDERS_SQL).df()
+    _match(eng, orc)
+    # non-vacuous: every matched event's order precedes-or-equals its ts
+    assert (eng["asof_orderdate"] <= eng["ts"]).all()
+    assert len(eng) > 0
+
+
+def test_range_join_mirror(sf_small, con):
+    eng = q.events_range_join(sf_small)
+    orc = con.execute(q.EVENTS_RANGE_JOIN_SQL).df()
+    _match(eng, orc)
+    # every event lands in exactly one session (intervals are disjoint and
+    # cover every event timestamp by construction)
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert len(eng) == n_events
+    assert eng["event_id"].is_unique
+    # multi-session users exist, else the interval search is vacuous
+    assert (eng.groupby("user_id")["session_id"].max() > 0).any()

@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q.docs_decontaminate,
         "events_asof_orders": q.events_asof_orders,
         "events_range_join": q.events_range_join,
+        "events_hopping_window": q.events_hopping_window,
+        "events_distinct_users": q.events_distinct_users,
+        "orders_price_quantiles": q.orders_price_quantiles,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -648,6 +651,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": q.DOCS_DECONTAMINATE_SQL,
         "events_asof_orders": q.EVENTS_ASOF_ORDERS_SQL,
         "events_range_join": q.EVENTS_RANGE_JOIN_SQL,
+        "events_hopping_window": q.EVENTS_HOPPING_WINDOW_SQL,
+        "events_distinct_users": q.EVENTS_DISTINCT_USERS_SQL,
+        "orders_price_quantiles": q.ORDERS_PRICE_QUANTILES_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -1871,3 +1871,216 @@ JOIN intervals i
   ON i.user_id = e.user_id AND e.ts BETWEEN i.s_start AND i.s_end
 ORDER BY e.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_hopping_window — HOPPING (sliding) window aggregate: 1-hour
+# windows advancing every 30 minutes, so every event lands in exactly
+# window/hop = 2 windows.  Streaming-only concept in the reference survey
+# (§2.9); the batch shape is a vectorized flat-expansion inside map_batches
+# (np.repeat by the constant fan-out — NO per-row loop, NO self-join)
+# followed by ONE groupby on (event_type, window_start).  At 100 TB the
+# expansion multiplies rows by window/hop before the shuffle — the combiner
+# (groupby inside the same batch) collapses them back to one partial row
+# per (type, window) per batch, so only aggregates cross the wire.
+
+_HOP_US = 1_800_000_000          # 30 min
+_WINDOW_HOPS = 2                 # 1-hour window = 2 hops
+
+
+def events_hopping_window(sf_dir: str) -> pd.DataFrame:
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["ts", "event_type", "value"])
+
+    def expand_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = us // _HOP_US
+        vc = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                      ).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        n = len(us)
+        # window starts: bucket*hop and (bucket-1)*hop — both contain ts
+        starts = np.concatenate(
+            [bucket * _HOP_US, (bucket - 1) * _HOP_US])
+        df = pd.DataFrame({
+            "event_type": np.tile(et, _WINDOW_HOPS),
+            "window_us": starts,
+            "n_events": np.ones(n * _WINDOW_HOPS, np.int64),
+            "sum_value_c": np.tile(vc, _WINDOW_HOPS),
+        })
+        g = df.groupby(["event_type", "window_us"], as_index=False).sum()
+        return pa.Table.from_pydict(
+            {"event_type": g["event_type"].astype(str).to_numpy(),
+             "window_us": g["window_us"].to_numpy(np.int64),
+             "n_events": g["n_events"].to_numpy(np.int64),
+             "sum_value_c": g["sum_value_c"].to_numpy(np.int64)},
+            schema=pa.schema([
+                ("event_type", pa.string()), ("window_us", pa.int64()),
+                ("n_events", pa.int64()), ("sum_value_c", pa.int64())]))
+
+    out = (ds.map_batches(expand_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(["event_type", "window_us"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value_c", alias_name="sum_value_c"))
+           .to_pandas())
+    out["window_start"] = pd.to_datetime(out["window_us"], unit="us") \
+        .astype("datetime64[us]")
+    out = out[["event_type", "window_start", "n_events", "sum_value_c"]]
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
+    return out.sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+
+
+EVENTS_HOPPING_WINDOW_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL 30 MINUTE, ts) - o.k * INTERVAL 30 MINUTE
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_distinct_users — exact COUNT(DISTINCT) per group, the canonical
+# "combiner before the shuffle" aggregate: a per-batch (day, type, user)
+# drop_duplicates combiner collapses repeat actives BEFORE anything crosses
+# the wire, then ONE hash-partition groupby on (day, type) counts uniques
+# per partition group vectorized (pandas nunique over complete key groups).
+# At 100 TB the combiner bounds shuffle volume by (distinct triples per
+# batch), not raw rows — the standard exact-distinct shape; an approximate
+# HLL sketch would replace the partition fn, nothing else.
+
+
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["ts", "event_type", "user_id"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day_us = (us // 86_400_000_000) * 86_400_000_000
+        df = pd.DataFrame({
+            "day_us": day_us,
+            "event_type": np.asarray(t["event_type"].to_pylist(), object),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        }).drop_duplicates()
+        return pa.Table.from_pydict(
+            {"day_us": df["day_us"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str).to_numpy(),
+             "user_id": df["user_id"].to_numpy(np.int64)},
+            schema=pa.schema([("day_us", pa.int64()),
+                              ("event_type", pa.string()),
+                              ("user_id", pa.int64())]))
+
+    out_schema = pa.schema([
+        ("day_us", pa.int64()), ("event_type", pa.string()),
+        ("n_users", pa.int64())])
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["day_us", "event_type"], as_index=False)["user_id"]
+             .nunique().rename(columns={"user_id": "n_users"}))
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    out = partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["day_us", "event_type"], per_group, num_parts=16,
+        out_schema=out_schema).to_pandas()
+    out["day"] = pd.to_datetime(out["day_us"], unit="us") \
+        .astype("datetime64[us]")
+    out = out[["day", "event_type", "n_users"]]
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_orders_price_quantiles — EXACT global quantiles without a global sort:
+# pass 1 builds a coarse fixed-width histogram ($100 bins) via per-batch
+# value-count combiner + tiny groupby; the driver walks the cumulative
+# histogram to find each target rank's bin; pass 2 re-scans with a filter
+# that keeps ONLY rows in those boundary bins (a vanishing fraction — the
+# only rows ever pulled to the driver) and resolves the exact rank value
+# inside each bin.  Same two-pass histogram-refinement shape as
+# docs_token_budget; rank definition rn = ceil(p·n), 1-indexed, over
+# ascending price — pinned identically in the mirror.
+
+_QUANTILES = (0.5, 0.9, 0.99)
+_QBIN_C = 10_000  # $100 bins over integer cents
+
+
+def orders_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    ds = dio.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        pc_ = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                       * 100 + 0.5).astype(np.int64)
+        bins, cnts = np.unique(pc_ // _QBIN_C, return_counts=True)
+        return pa.Table.from_pydict(
+            {"bin": bins, "cnt": cnts.astype(np.int64)},
+            schema=pa.schema([("bin", pa.int64()), ("cnt", pa.int64())]))
+
+    hist = (ds.map_batches(bin_counts, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bin").sum("cnt").to_pandas())
+    cnt_col = [c for c in hist.columns if c != "bin"][0]
+    hist = hist.sort_values("bin").reset_index(drop=True)
+    cum = hist[cnt_col].cumsum().to_numpy(np.int64)
+    n = int(cum[-1])
+    ranks = np.array([int(np.ceil(p * n)) for p in _QUANTILES], np.int64)
+    bin_idx = np.searchsorted(cum, ranks, side="left")
+    target_bins = hist["bin"].to_numpy(np.int64)[bin_idx]
+    # rank offset within each target bin (1-indexed)
+    below = np.where(bin_idx > 0, cum[bin_idx - 1], 0)
+    offsets = ranks - below
+    tb = np.unique(target_bins)
+
+    def only_target(t: pa.Table) -> pa.Table:
+        pc_ = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                       * 100 + 0.5).astype(np.int64)
+        m = np.isin(pc_ // _QBIN_C, tb)
+        return pa.Table.from_pydict(
+            {"price_c": pc_[m]},
+            schema=pa.schema([("price_c", pa.int64())]))
+
+    boundary = (ds.map_batches(only_target, batch_format="pyarrow",
+                               batch_size=65536).to_pandas())
+    vals = np.sort(boundary["price_c"].to_numpy(np.int64))
+    vbins = vals // _QBIN_C
+    out_vals = []
+    for b, off in zip(target_bins, offsets):
+        inbin = vals[vbins == b]
+        out_vals.append(int(inbin[off - 1]))
+    return pd.DataFrame({
+        "q": np.asarray(_QUANTILES, np.float64),
+        "price_c": np.asarray(out_vals, np.int64)})
+
+
+ORDERS_PRICE_QUANTILES_SQL = """
+WITH s AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders),
+r AS (
+  SELECT price_c, row_number() OVER (ORDER BY price_c) AS rn,
+         count(*) OVER () AS n
+  FROM s)
+SELECT CAST(v.q AS DOUBLE) AS q, r.price_c
+FROM (VALUES (0.5), (0.9), (0.99)) v(q)
+JOIN r ON r.rn = CAST(ceil(v.q * r.n) AS BIGINT)
+ORDER BY q
+"""

@@ -54,3 +54,34 @@ def test_range_join_mirror(sf_small, con):
     assert eng["event_id"].is_unique
     # multi-session users exist, else the interval search is vacuous
     assert (eng.groupby("user_id")["session_id"].max() > 0).any()
+
+
+# --- windowed / aggregate scale patterns (same events/orders fixtures) ---
+
+
+def test_hopping_window_mirror(sf_small, con):
+    eng = q.events_hopping_window(sf_small)
+    orc = con.execute(q.EVENTS_HOPPING_WINDOW_SQL).df()
+    _match(eng, orc)
+    # every event contributes to exactly 2 windows
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(eng["n_events"].sum()) == 2 * n_events
+
+
+def test_distinct_users_mirror(sf_small, con):
+    eng = q.events_distinct_users(sf_small)
+    orc = con.execute(q.EVENTS_DISTINCT_USERS_SQL).df()
+    _match(eng, orc)
+    # distinct < raw activity somewhere, else the combiner is vacuous
+    raw = con.execute(
+        "SELECT count(*) FROM (SELECT date_trunc('day', ts) d, event_type, "
+        "user_id FROM events)").fetchone()[0]
+    assert int(eng["n_users"].sum()) < raw
+
+
+def test_price_quantiles_mirror(sf_small, con):
+    eng = q.orders_price_quantiles(sf_small)
+    orc = con.execute(q.ORDERS_PRICE_QUANTILES_SQL).df()
+    _match(eng, orc)
+    assert list(eng["q"]) == [0.5, 0.9, 0.99]
+    assert eng["price_c"].is_monotonic_increasing

@@ -677,15 +677,12 @@ def emb_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
         vecs = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = vecs @ m.T
-        rows_a, rows_b, rows_c = [], [], []
-        for i in range(len(ids)):
-            mask = (sims[i] >= threshold) & (all_ids > ids[i])
-            js = np.nonzero(mask)[0]
-            rows_a.extend([int(ids[i])] * len(js))
-            rows_b.extend(all_ids[js].tolist())
-            rows_c.extend(np.floor(sims[i][js] * 1e6 + 0.5).astype(np.int64).tolist())
+        mask = (sims >= threshold) & (all_ids[None, :] > ids[:, None])
+        ii, jj = np.nonzero(mask)
         return pa.Table.from_pydict(
-            {"va": rows_a, "vb": rows_b, "cos_e6": rows_c},
+            {"va": ids[ii],
+             "vb": all_ids[jj],
+             "cos_e6": np.floor(sims[ii, jj] * 1e6 + 0.5).astype(np.int64)},
             schema=pa.schema([("va", pa.int64()), ("vb", pa.int64()),
                               ("cos_e6", pa.int64())]))
 

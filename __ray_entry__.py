@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q.events_hopping_window,
         "events_distinct_users": q.events_distinct_users,
         "orders_price_quantiles": q.orders_price_quantiles,
+        "docs_top_tokens": q.docs_top_tokens,
+        "events_funnel": q.events_funnel,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -654,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": q.EVENTS_HOPPING_WINDOW_SQL,
         "events_distinct_users": q.EVENTS_DISTINCT_USERS_SQL,
         "orders_price_quantiles": q.ORDERS_PRICE_QUANTILES_SQL,
+        "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
+        "events_funnel": q.EVENTS_FUNNEL_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -2081,3 +2081,145 @@ FROM (VALUES (0.5), (0.9), (0.99)) v(q)
 JOIN r ON r.rn = CAST(ceil(v.q * r.n) AS BIGINT)
 ORDER BY q
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_top_tokens — exact distributed heavy hitters (top-k frequent
+# tokens).  Canonical map-reduce: per-batch value_counts combiner (the only
+# thing that crosses the wire is one (token, cnt) partial per DISTINCT
+# token per batch), ONE hash-partition groupby on token, per-partition
+# local top-k, driver merges the ≤ k×P candidates.  Exact because each
+# token's total count lives entirely in one partition — the global top-k is
+# a subset of the union of per-partition top-ks.  Tie-break pinned to
+# (cnt DESC, token ASC) in both engine and mirror so the rank-k boundary
+# is deterministic.
+
+_TOPK_TOKENS = 20
+
+
+def docs_top_tokens(sf_dir: str, k: int = _TOPK_TOKENS) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        # split semantics pinned to DuckDB string_split(text, ' '):
+        # consecutive separators yield empty strings, filtered on both sides
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pd.Series(toks.to_pandas()).value_counts()
+        return pa.Table.from_pydict(
+            {"token": vc.index.astype(str).to_numpy(),
+             "cnt": vc.to_numpy(np.int64)},
+            schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())]))
+
+    out_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "token"], ascending=[False, True])
+        return g.head(k).astype({"cnt": np.int64})
+
+    cand = partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["token"], local_topk, num_parts=16, out_schema=out_schema
+    ).to_pandas()
+    cand = cand.sort_values(["cnt", "token"], ascending=[False, True])
+    return cand.head(k).reset_index(drop=True)
+
+
+DOCS_TOP_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM t WHERE token != '' GROUP BY token)
+SELECT token, cnt FROM c
+ORDER BY cnt DESC, token
+LIMIT {_TOPK_TOKENS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_funnel — ordered sequence match (funnel analysis): per user, how
+# far through view → click → purchase did they get, each stage strictly
+# AFTER the previous one?  Scale shape: ONE hash-partition groupby on
+# user_id (only (user_id, ts, event_type) cross the shuffle, rows
+# pre-filtered to the funnel's event types); inside each partition the
+# three stage times resolve as vectorized groupby-mins — t1 = min view
+# time, t2 = min click time > t1, t3 = min purchase time > t2 — no per-user
+# Python loop, no self-join.
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_type"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(list(_FUNNEL)))
+        t = t.filter(m)
+        return pa.Table.from_arrays(
+            [t["user_id"].cast(pa.int64()),
+             t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+             t["event_type"]],
+            names=["user_id", "ts_us", "event_type"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("funnel_stage", pa.int64())])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": df["user_id"].unique()})
+        t1 = (df[df["event_type"] == _FUNNEL[0]]
+              .groupby("user_id")["ts_us"].min().rename("t1"))
+        out = users.merge(t1, on="user_id", how="left")
+        d2 = df[df["event_type"] == _FUNNEL[1]].merge(
+            out[["user_id", "t1"]], on="user_id")
+        t2 = (d2[d2["ts_us"] > d2["t1"]]
+              .groupby("user_id")["ts_us"].min().rename("t2"))
+        out = out.merge(t2, on="user_id", how="left")
+        d3 = df[df["event_type"] == _FUNNEL[2]].merge(
+            out[["user_id", "t2"]], on="user_id")
+        t3 = (d3[d3["ts_us"] > d3["t2"]]
+              .groupby("user_id")["ts_us"].min().rename("t3"))
+        out = out.merge(t3, on="user_id", how="left")
+        stage = (out["t1"].notna().astype(np.int64)
+                 + out["t2"].notna().astype(np.int64)
+                 + out["t3"].notna().astype(np.int64))
+        return pd.DataFrame({"user_id": out["user_id"].to_numpy(np.int64),
+                             "funnel_stage": stage.to_numpy(np.int64)})
+
+    out = partitioned_groupby(
+        ds.map_batches(prefilter, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], per_user, num_parts=16, out_schema=out_schema
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_FUNNEL_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""

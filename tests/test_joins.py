@@ -85,3 +85,29 @@ def test_price_quantiles_mirror(sf_small, con):
     _match(eng, orc)
     assert list(eng["q"]) == [0.5, 0.9, 0.99]
     assert eng["price_c"].is_monotonic_increasing
+
+
+@pytest.fixture(scope="module")
+def con_docs(sf_small):
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{sf_small}/documents.parquet')")
+    return c
+
+
+def test_top_tokens_mirror(sf_small, con_docs):
+    eng = q.docs_top_tokens(sf_small)
+    orc = con_docs.execute(q.DOCS_TOP_TOKENS_SQL).df()
+    _match(eng, orc)
+    # engine output is already rank-ordered (cnt DESC, token ASC)
+    assert eng["cnt"].is_monotonic_decreasing or (
+        eng.sort_values(["cnt", "token"], ascending=[False, True])
+        .reset_index(drop=True).equals(eng))
+
+
+def test_funnel_mirror(sf_small, con):
+    eng = q.events_funnel(sf_small)
+    orc = con.execute(q.EVENTS_FUNNEL_SQL).df()
+    _match(eng, orc)
+    # non-vacuous: at least one user reaches each of stages 1..3
+    assert set(eng["funnel_stage"]) >= {1, 2, 3} or len(eng) < 20

@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": q.orders_price_quantiles,
         "docs_top_tokens": q.docs_top_tokens,
         "events_funnel": q.events_funnel,
+        "events_props_stats": q.events_props_stats,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -658,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_quantiles": q.ORDERS_PRICE_QUANTILES_SQL,
         "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
         "events_funnel": q.EVENTS_FUNNEL_SQL,
+        "events_props_stats": q.EVENTS_PROPS_STATS_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

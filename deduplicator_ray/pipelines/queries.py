@@ -2223,3 +2223,63 @@ FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
        LEFT JOIN s3 USING (user_id)
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_props_stats — semi-structured (JSON) column extraction + rollup,
+# the parser/extractor family (SURVEY §2.2) over the events.props payload.
+# Extraction is one C-level compiled-regex pass per batch
+# (pd.Series.str.extract — no per-row json.loads; the mirror pins the
+# semantics to DuckDB's json_extract), then the usual combiner-style
+# groupby.  Rows whose props lack the key fall out as NULL on both sides
+# (sum skips, n_with_k counts non-null).
+
+_PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_type", "props"])
+
+    def extract_partial(t: pa.Table) -> pa.Table:
+        props = pd.Series(t["props"].to_pylist(), dtype=str)
+        k = props.str.extract(_PROPS_K_RE, expand=False).astype("Int64")
+        df = pd.DataFrame({
+            "event_type": np.asarray(t["event_type"].to_pylist(), object),
+            "k": k,
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), n_with_k=("k", "count"),
+            sum_k=("k", "sum"))
+        return pa.Table.from_pydict(
+            {"event_type": g["event_type"].astype(str).to_numpy(),
+             "n_events": g["n_events"].to_numpy(np.int64),
+             "n_with_k": g["n_with_k"].to_numpy(np.int64),
+             "sum_k": g["sum_k"].astype(np.int64).to_numpy()},
+            schema=pa.schema([
+                ("event_type", pa.string()), ("n_events", pa.int64()),
+                ("n_with_k", pa.int64()), ("sum_k", pa.int64())]))
+
+    out = (ds.map_batches(extract_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_with_k", alias_name="n_with_k"),
+                      Sum("sum_k", alias_name="sum_k"))
+           .to_pandas())
+    for c in ("n_events", "n_with_k", "sum_k"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_with_k,
+       CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0)
+         AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -111,3 +111,10 @@ def test_funnel_mirror(sf_small, con):
     _match(eng, orc)
     # non-vacuous: at least one user reaches each of stages 1..3
     assert set(eng["funnel_stage"]) >= {1, 2, 3} or len(eng) < 20
+
+
+def test_props_stats_mirror(sf_small, con):
+    eng = q.events_props_stats(sf_small)
+    orc = con.execute(q.EVENTS_PROPS_STATS_SQL).df()
+    _match(eng, orc)
+    assert (eng["n_with_k"] > 0).all()  # extraction actually hit

@@ -528,3 +528,44 @@ def test_phash_mode_clusters(sf_small):
                 if assign.get(d) is not None
                 and assign.get(d) == assign.get(bases.get(by_gid[d])))
     assert wrong == 0
+
+
+def test_mega_bucket_end_to_end(corpus):
+    """Skew integration test (the tools/bench_skew.py property at test
+    scale): append 2,000 byte-identical clones of one image to the sf-small
+    corpus and run the FULL extended pipeline — the hot proc_hash bucket
+    must come out as ONE complete component (exact-hash collapse → rep
+    verify → spanning-forest emission → CC absorbs the star), and every
+    baseline row must still be clustered exactly as before."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_hot = 2000
+    one = corpus.slice(0, 1)
+    cols = {}
+    for name in one.schema.names:
+        if name == "image_id":
+            cols[name] = pa.array([f"hot/clone_{i:05d}.png" for i in range(n_hot)])
+        else:
+            cols[name] = pa.array([one[name][0].as_py()] * n_hot,
+                                  type=one.schema.field(name).type)
+    hot = pa.Table.from_arrays([cols[n] for n in one.schema.names],
+                               schema=one.schema)
+    skewed = pa.concat_tables([corpus, hot])
+
+    base = ip.extended_clusters(rd.from_arrow(corpus), CFG).to_pandas()
+    out = ip.extended_clusters(rd.from_arrow(skewed), CFG).to_pandas()
+
+    sizes = out["cluster_id"].value_counts()
+    assert int(sizes.max()) >= n_hot  # the mega-cluster is complete
+
+    # baseline rows keep their co-membership structure: same number of
+    # clustered rows outside the hot cluster's members
+    hot_cluster = out.loc[out["image_id"].str.startswith("hot/"),
+                          "cluster_id"].iloc[0]
+    rest = out[out["cluster_id"] != hot_cluster]
+    donor = one["image_id"][0].as_py()
+    base_rest = base[base["cluster_id"] != base.loc[
+        base["image_id"] == donor, "cluster_id"].iloc[0]] \
+        if donor in set(base["image_id"]) else base
+    assert len(rest) == len(base_rest)

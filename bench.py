@@ -65,11 +65,20 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # headline: extended dedup through CC, consumed to a count
-    n_clustered = timed(
-        "img_extended_clusters",
-        lambda: ip.extended_clusters(dio.read_parquet(images_path), cfg).count(),
-    )
+    # headline: extended dedup through CC, consumed to a count.  The leg
+    # runs GRAFT_BENCH_REPEATS times (default 2) and keeps the MIN wall —
+    # this host's CPU steal adds ±40% to a single run (BASELINE.md), and
+    # steal only ever ADDS time, so min estimates the undisturbed leg.
+    headline_runs = []
+    n_clustered = 0
+    for _ in range(max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))):
+        n_clustered = timed(
+            "img_extended_clusters",
+            lambda: ip.extended_clusters(
+                dio.read_parquet(images_path), cfg).count(),
+        )
+        headline_runs.append(timings["img_extended_clusters"])
+    timings["img_extended_clusters"] = min(headline_runs)
 
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         # reference-mode decision table (the exact reference algorithm)
@@ -160,6 +169,7 @@ def run_bench() -> dict:
         "n_images": int(n_images),
         "images_per_sec": round(n_images / headline, 1) if headline else None,
         "n_clustered": int(n_clustered),
+        "headline_runs_sec": headline_runs,
     }
     ray.shutdown()
     return result

@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": q.docs_top_tokens,
         "events_funnel": q.events_funnel,
         "events_props_stats": q.events_props_stats,
+        "events_moving_sum": q.events_moving_sum,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -660,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
         "events_funnel": q.EVENTS_FUNNEL_SQL,
         "events_props_stats": q.EVENTS_PROPS_STATS_SQL,
+        "events_moving_sum": q.EVENTS_MOVING_SUM_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

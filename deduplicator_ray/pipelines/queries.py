@@ -2283,3 +2283,76 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_moving_sum — ordered per-key window function (ROWS 2 PRECEDING):
+# for every event, the sum of value over the user's last 3 events in time
+# order.  Unlike the tumbling/hopping buckets above, this is an ORDER-
+# dependent running aggregate — the family that needs each key's full
+# ordered history co-located.  Scale shape: ONE hash-partition groupby on
+# user_id; inside the partition the rolling sum is a cumsum-difference over
+# the (user, ts)-sorted frame with group-boundary masking — no per-user
+# loop, no pandas .rolling.  Ordering pinned to (ts, event_id) on both
+# sides so ties are deterministic.
+
+_MOVWIN = 3
+
+
+def events_moving_sum(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        vc = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                      ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t["event_id"].cast(pa.int64()), t["user_id"].cast(pa.int64()),
+             t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+             pa.array(vc)],
+            names=["event_id", "user_id", "ts_us", "value_c"])
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("moving_sum_c", pa.int64())])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        v = df["value_c"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        n = len(v)
+        idx = np.arange(n)
+        # first row index of each user's run (runs are contiguous)
+        run_start = np.zeros(n, np.int64)
+        new_run = np.empty(n, bool)
+        new_run[0:1] = True
+        new_run[1:] = uid[1:] != uid[:-1]
+        run_start[new_run] = idx[new_run]
+        run_start = np.maximum.accumulate(run_start)
+        lo = np.maximum(idx - (_MOVWIN - 1), run_start)
+        mov = cs[idx + 1] - cs[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "moving_sum_c": mov})
+
+    out = partitioned_groupby(
+        ds.map_batches(to_cents, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], per_key, num_parts=16, out_schema=out_schema
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_MOVING_SUM_SQL = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {_MOVWIN - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS moving_sum_c
+FROM events
+ORDER BY event_id
+"""

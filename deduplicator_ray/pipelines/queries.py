@@ -2356,3 +2356,67 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_orders_median_by_priority — exact per-GROUP order statistic (lower
+# median), the complement of the global-histogram quantiles above: when the
+# quantile is per group, hash-partitioning on the group key co-locates each
+# group's full value set, and the median is a direct vectorized order
+# statistic inside the partition (sort once, pick rank ceil(n/2) per group
+# via group-offset arithmetic — no histogram, no second pass, no per-group
+# loop).  Rank definition pinned identically in the mirror.
+
+
+def orders_median_by_priority(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        vc = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 100 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t["o_orderpriority"], pa.array(vc)],
+            names=["o_orderpriority", "price_c"])
+
+    out_schema = pa.schema([
+        ("o_orderpriority", pa.string()), ("median_price_c", pa.int64()),
+        ("n_orders", pa.int64())])
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["o_orderpriority", "price_c"],
+                           kind="mergesort").reset_index(drop=True)
+        grp = s.groupby("o_orderpriority", sort=False)["price_c"]
+        sizes = grp.size()
+        starts = np.concatenate([[0], np.cumsum(sizes.to_numpy())[:-1]])
+        ranks = starts + np.ceil(sizes.to_numpy() / 2).astype(np.int64) - 1
+        return pd.DataFrame({
+            "o_orderpriority": sizes.index.to_numpy(object),
+            "median_price_c": s["price_c"].to_numpy(np.int64)[ranks],
+            "n_orders": sizes.to_numpy(np.int64)})
+
+    out = partitioned_groupby(
+        ds.map_batches(to_cents, batch_format="pyarrow", batch_size=65536),
+        ["o_orderpriority"], per_group, num_parts=8, out_schema=out_schema
+    ).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_MEDIAN_BY_PRIORITY_SQL = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, price_c,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY price_c) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM s)
+SELECT o_orderpriority, price_c AS median_price_c,
+       CAST(n AS BIGINT) AS n_orders
+FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+ORDER BY o_orderpriority
+"""

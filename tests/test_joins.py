@@ -127,3 +127,18 @@ def test_moving_sum_mirror(sf_small, con):
     # window actually accumulates: some rows exceed their own value
     n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert len(eng) == n_events
+
+
+@pytest.fixture(scope="module")
+def con_orders(sf_small):
+    c = duckdb.connect()
+    c.execute("CREATE VIEW orders AS SELECT * FROM "
+              f"read_parquet('{sf_small}/orders.parquet')")
+    return c
+
+
+def test_median_by_priority_mirror(sf_small, con_orders):
+    eng = q.orders_median_by_priority(sf_small)
+    orc = con_orders.execute(q.ORDERS_MEDIAN_BY_PRIORITY_SQL).df()
+    _match(eng, orc)
+    assert len(eng) == 5  # one row per priority class

@@ -187,8 +187,12 @@ def run_scaling() -> dict:
     scale_dir = os.environ.get("GRAFT_SCALE_DIR", "sfimg")
 
     def one(ncpu: int) -> dict:
+        # GRAFT_BENCH_REPEATS=1: the scaling protocol repeats whole LEGS
+        # (fresh sessions, interleaved) — in-session headline repeats would
+        # mix warm-session minima into the cold-leg numbers and double the
+        # wall, breaking comparability with the recorded tables
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir,
-                   GRAFT_HEADLINE_ONLY="1")
+                   GRAFT_HEADLINE_ONLY="1", GRAFT_BENCH_REPEATS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

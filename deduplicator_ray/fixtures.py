@@ -788,3 +788,19 @@ def alt_namespace_path(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+def clone_rows(one: pa.Table, n: int, id_prefix: str = "hot/clone") -> pa.Table:
+    """n byte-identical clones of ``one``'s first row with fresh image_ids —
+    the mega-bucket builder shared by tools/bench_skew.py and the
+    end-to-end skew test (one proc_hash bucket of n members)."""
+    one = one.slice(0, 1)
+    cols = {}
+    for name in one.schema.names:
+        if name == "image_id":
+            cols[name] = pa.array([f"{id_prefix}_{i:07d}.png" for i in range(n)])
+        else:
+            cols[name] = pa.array([one[name][0].as_py()] * n,
+                                  type=one.schema.field(name).type)
+    return pa.Table.from_arrays([cols[n_] for n_ in one.schema.names],
+                                schema=one.schema)

@@ -2098,6 +2098,9 @@ _TOPK_TOKENS = 20
 
 
 def docs_top_tokens(sf_dir: str, k: int = _TOPK_TOKENS) -> pd.DataFrame:
+    # the static mirror DOCS_TOP_TOKENS_SQL is pinned to the default k —
+    # callers overriding k get a correct engine result but must build
+    # their own mirror
     from deduplicator_ray.stages.partitioned import partitioned_groupby
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["text"])
@@ -2234,6 +2237,10 @@ ORDER BY user_id
 # groupby.  Rows whose props lack the key fall out as NULL on both sides
 # (sum skips, n_with_k counts non-null).
 
+# NB: regex-vs-json_extract parity holds for FLAT one-level objects (the
+# fixture shape, verified non-vacuously in tests) — a nested payload or a
+# '"k":' inside a string value would diverge; swap in a real JSON kernel
+# at the map_batches boundary if the corpus ever grows such rows.
 _PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
 
 

@@ -542,27 +542,18 @@ def test_mega_bucket_end_to_end(corpus):
 
     n_hot = 2000
     one = corpus.slice(0, 1)
-    cols = {}
-    for name in one.schema.names:
-        if name == "image_id":
-            cols[name] = pa.array([f"hot/clone_{i:05d}.png" for i in range(n_hot)])
-        else:
-            cols[name] = pa.array([one[name][0].as_py()] * n_hot,
-                                  type=one.schema.field(name).type)
-    hot = pa.Table.from_arrays([cols[n] for n in one.schema.names],
-                               schema=one.schema)
+    hot = fixtures.clone_rows(corpus, n_hot)
     skewed = pa.concat_tables([corpus, hot])
 
     base = ip.extended_clusters(rd.from_arrow(corpus), CFG).to_pandas()
     out = ip.extended_clusters(rd.from_arrow(skewed), CFG).to_pandas()
 
-    sizes = out["cluster_id"].value_counts()
-    assert int(sizes.max()) >= n_hot  # the mega-cluster is complete
-
-    # baseline rows keep their co-membership structure: same number of
-    # clustered rows outside the hot cluster's members
+    # the CLONE cluster (resolved through a clone id — the corpus has its
+    # own large media cluster, global max would test the wrong one) is
+    # complete
     hot_cluster = out.loc[out["image_id"].str.startswith("hot/"),
                           "cluster_id"].iloc[0]
+    assert int((out["cluster_id"] == hot_cluster).sum()) >= n_hot
     rest = out[out["cluster_id"] != hot_cluster]
     donor = one["image_id"][0].as_py()
     base_rest = base[base["cluster_id"] != base.loc[

@@ -2427,3 +2427,89 @@ SELECT o_orderpriority, price_c AS median_price_c,
 FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# q_integrity_audit — referential-integrity audit over every FK edge of the
+# corpus star schema, the data-quality gate a 100-TB ingest runs before
+# anything else: for each child→parent edge, count child rows and orphans
+# (child keys with no parent).  Scale shape per edge: the PARENT key set is
+# the small side (dimensions, or a pre-aggregated key column) — broadcast
+# once via ray.put as a sorted int64 array — and the child streams through
+# one map_batches doing a vectorized np.isin partial count; a tiny
+# one-row-per-batch groupby sums the partials.  No shuffle touches child
+# rows.  For a child whose parent is NOT small (lineitem→orders), the
+# parent key column alone (int64, ~1.5 MB per 190k keys at sf0.01, still
+# broadcastable orders of magnitude beyond this corpus) is what ships —
+# the full-table join is never materialized.
+
+_FK_EDGES = (
+    # child table, child key, parent table, parent key
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def integrity_audit(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for child, ck, parent, pk in _FK_EDGES:
+        pkeys = np.unique(
+            pq.read_table(_t(sf_dir, parent), columns=[pk])[pk]
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+        pref = ray.put(pkeys)
+        ds = dio.read_parquet(_t(sf_dir, child), columns=[ck])
+
+        def partial(t: pa.Table, _ck=ck) -> pa.Table:
+            keys = ray.get(pref)
+            cv = t[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_orph = int((~np.isin(cv, keys)).sum())
+            return pa.Table.from_pydict(
+                {"n_rows": [len(cv)], "n_orphans": [n_orph]},
+                schema=pa.schema([("n_rows", pa.int64()),
+                                  ("n_orphans", pa.int64())]))
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .sum(["n_rows", "n_orphans"]))
+        rows.append({
+            "edge": f"{child}.{ck}->{parent}.{pk}",
+            "n_rows": int(agg["sum(n_rows)"]),
+            "n_orphans": int(agg["sum(n_orphans)"]),
+        })
+    out = pd.DataFrame(rows)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_orphans"] = out["n_orphans"].astype(np.int64)
+    return out.sort_values("edge").reset_index(drop=True)
+
+
+INTEGRITY_AUDIT_SQL = """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS edge,
+         count(*) AS n_rows,
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey', count(*),
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey', count(*),
+         sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation.n_nationkey', count(*),
+         sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region.r_regionkey', count(*),
+         sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT edge, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans
+FROM e ORDER BY edge
+"""

@@ -142,3 +142,34 @@ def test_median_by_priority_mirror(sf_small, con_orders):
     orc = con_orders.execute(q.ORDERS_MEDIAN_BY_PRIORITY_SQL).df()
     _match(eng, orc)
     assert len(eng) == 5  # one row per priority class
+
+
+def test_integrity_audit_mirror(sf_small, tmp_path):
+    """The testdata is referentially clean (all-zero orphans would leave the
+    detection path untested), so audit a CORRUPTED copy: drop half the
+    customer rows so orders gain orphan custkeys — engine and mirror must
+    agree on the non-zero counts."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    work = tmp_path / "corrupt"
+    work.mkdir()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region"):
+        shutil.copy(f"{sf_small}/{t}.parquet", work / f"{t}.parquet")
+    cust = pq_.read_table(work / "customer.parquet")
+    pq_.write_table(cust.slice(0, cust.num_rows // 2),
+                    work / "customer.parquet")
+
+    eng = q.integrity_audit(str(work))
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{work}/{t}.parquet')")
+    orc = c.execute(q.INTEGRITY_AUDIT_SQL).df()
+    _match(eng, orc)
+    edge = "orders.o_custkey->customer.c_custkey"
+    assert int(eng.loc[eng["edge"] == edge, "n_orphans"].iloc[0]) > 0
+    assert int(eng.loc[eng["edge"] != edge, "n_orphans"].sum()) == 0

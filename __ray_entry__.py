@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": q.events_moving_sum,
         "orders_median_by_priority": q.orders_median_by_priority,
         "integrity_audit": q.integrity_audit,
+        "events_pivot_dow": q.events_pivot_dow,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -666,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_sum": q.EVENTS_MOVING_SUM_SQL,
         "orders_median_by_priority": q.ORDERS_MEDIAN_BY_PRIORITY_SQL,
         "integrity_audit": q.INTEGRITY_AUDIT_SQL,
+        "events_pivot_dow": q.EVENTS_PIVOT_DOW_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -2513,3 +2513,61 @@ SELECT edge, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_orphans AS BIGINT) AS n_orphans
 FROM e ORDER BY edge
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_pivot_dow — pivot / crosstab reshape: event_type × day-of-week
+# counts as a WIDE table (one n_dow{0..6} column per weekday).  Scale
+# shape: the heavy side stays LONG — per-batch (type, dow) count partials →
+# one tiny groupby — and only the aggregated (|types| × 7)-cell result is
+# reshaped wide on the driver; a pivot that widened before aggregating
+# would ship one sparse column per category through the shuffle.  Weekday
+# convention pinned to DuckDB's dayofweek (0 = Sunday): epoch day 0
+# (1970-01-01) was a Thursday → dow = (days + 4) % 7.
+
+_DOW_COLS = [f"n_dow{d}" for d in range(7)]
+
+
+def events_pivot_dow(sf_dir: str) -> pd.DataFrame:
+    ds = dio.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        df = pd.DataFrame({
+            "event_type": np.asarray(t["event_type"].to_pylist(), object),
+            "dow": dow.astype(np.int64)})
+        g = df.groupby(["event_type", "dow"], as_index=False).size()
+        return pa.Table.from_pydict(
+            {"event_type": g["event_type"].astype(str).to_numpy(),
+             "dow": g["dow"].to_numpy(np.int64),
+             "n": g["size"].to_numpy(np.int64)},
+            schema=pa.schema([("event_type", pa.string()),
+                              ("dow", pa.int64()), ("n", pa.int64())]))
+
+    long = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    wide = long.pivot_table(index="event_type", columns="dow", values="n",
+                            aggfunc="sum", fill_value=0)
+    wide = wide.reindex(columns=range(7), fill_value=0)
+    wide.columns = _DOW_COLS
+    wide = wide.reset_index().astype({c: np.int64 for c in _DOW_COLS})
+    wide["event_type"] = wide["event_type"].astype(str)
+    return wide.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PIVOT_DOW_SQL = """
+SELECT event_type,
+       CAST(count(*) FILTER (dayofweek(ts) = 0) AS BIGINT) AS n_dow0,
+       CAST(count(*) FILTER (dayofweek(ts) = 1) AS BIGINT) AS n_dow1,
+       CAST(count(*) FILTER (dayofweek(ts) = 2) AS BIGINT) AS n_dow2,
+       CAST(count(*) FILTER (dayofweek(ts) = 3) AS BIGINT) AS n_dow3,
+       CAST(count(*) FILTER (dayofweek(ts) = 4) AS BIGINT) AS n_dow4,
+       CAST(count(*) FILTER (dayofweek(ts) = 5) AS BIGINT) AS n_dow5,
+       CAST(count(*) FILTER (dayofweek(ts) = 6) AS BIGINT) AS n_dow6
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -173,3 +173,13 @@ def test_integrity_audit_mirror(sf_small, tmp_path):
     edge = "orders.o_custkey->customer.c_custkey"
     assert int(eng.loc[eng["edge"] == edge, "n_orphans"].iloc[0]) > 0
     assert int(eng.loc[eng["edge"] != edge, "n_orphans"].sum()) == 0
+
+
+def test_pivot_dow_mirror(sf_small, con):
+    eng = q.events_pivot_dow(sf_small)
+    orc = con.execute(q.EVENTS_PIVOT_DOW_SQL).df()
+    _match(eng, orc)
+    # the wide cells account for every event
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(eng[[c for c in eng.columns if c.startswith("n_dow")]]
+               .to_numpy().sum()) == n_events

@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_median_by_priority": q.orders_median_by_priority,
         "integrity_audit": q.integrity_audit,
         "events_pivot_dow": q.events_pivot_dow,
+        "orders_rollup": q.orders_rollup,
+        "docs_snapshot_diff": q.docs_snapshot_diff,
+        "orders_price_ntile": q.orders_price_ntile,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -668,6 +671,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_median_by_priority": q.ORDERS_MEDIAN_BY_PRIORITY_SQL,
         "integrity_audit": q.INTEGRITY_AUDIT_SQL,
         "events_pivot_dow": q.EVENTS_PIVOT_DOW_SQL,
+        "orders_rollup": q.ORDERS_ROLLUP_SQL,
+        "docs_snapshot_diff": q.DOCS_SNAPSHOT_DIFF_SQL,
+        "orders_price_ntile": q.ORDERS_PRICE_NTILE_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -2021,7 +2021,10 @@ _QUANTILES = (0.5, 0.9, 0.99)
 _QBIN_C = 10_000  # $100 bins over integer cents
 
 
-def orders_price_quantiles(sf_dir: str) -> pd.DataFrame:
+def _exact_price_quantiles(sf_dir: str, qs: tuple[float, ...]) -> np.ndarray:
+    """Exact rank-``ceil(q·n)`` order-statistic values of integer-cent
+    o_totalprice, via the two-pass histogram refinement described above.
+    Returns one int64 cent value per q."""
     ds = dio.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
 
     def bin_counts(t: pa.Table) -> pa.Table:
@@ -2039,7 +2042,7 @@ def orders_price_quantiles(sf_dir: str) -> pd.DataFrame:
     hist = hist.sort_values("bin").reset_index(drop=True)
     cum = hist[cnt_col].cumsum().to_numpy(np.int64)
     n = int(cum[-1])
-    ranks = np.array([int(np.ceil(p * n)) for p in _QUANTILES], np.int64)
+    ranks = np.array([int(np.ceil(p * n)) for p in qs], np.int64)
     bin_idx = np.searchsorted(cum, ranks, side="left")
     target_bins = hist["bin"].to_numpy(np.int64)[bin_idx]
     # rank offset within each target bin (1-indexed)
@@ -2063,9 +2066,13 @@ def orders_price_quantiles(sf_dir: str) -> pd.DataFrame:
     for b, off in zip(target_bins, offsets):
         inbin = vals[vbins == b]
         out_vals.append(int(inbin[off - 1]))
+    return np.asarray(out_vals, np.int64)
+
+
+def orders_price_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "q": np.asarray(_QUANTILES, np.float64),
-        "price_c": np.asarray(out_vals, np.int64)})
+        "price_c": _exact_price_quantiles(sf_dir, _QUANTILES)})
 
 
 ORDERS_PRICE_QUANTILES_SQL = """
@@ -2570,4 +2577,223 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_orders_rollup — hierarchical aggregate (GROUP BY ROLLUP shape): order
+# count + revenue at three grains — (priority, status), (priority), grand
+# total — from ONE pass over the fact table.  Scale shape: the per-batch
+# combiner aggregates at the FINEST grain only; one tiny groupby merges the
+# partials; the coarser levels are rolled up on the driver from the
+# finest-grain result (≤ |priorities|×|statuses| rows) — rollup levels
+# never re-scan the big table and never widen the shuffle.  Rolled-up key
+# columns carry the sentinel 'ALL' (COALESCE'd identically in the mirror)
+# so the driver's value-hash sees no NULLs.
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    ds = dio.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    out_schema = pa.schema([
+        ("o_orderpriority", pa.string()), ("o_orderstatus", pa.string()),
+        ("n_orders", pa.int64()), ("sum_price_c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                           * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderpriority": np.asarray(
+                t["o_orderpriority"].to_pylist(), object),
+            "o_orderstatus": np.asarray(
+                t["o_orderstatus"].to_pylist(), object),
+            "price_c": price_c})
+        g = df.groupby(["o_orderpriority", "o_orderstatus"],
+                       as_index=False, sort=False).agg(
+            n_orders=("price_c", "size"), sum_price_c=("price_c", "sum"))
+        return pa.Table.from_pandas(
+            g, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("sum_price_c", alias_name="sum_price_c"))
+            .to_pandas())
+    lvl1 = fine.groupby("o_orderpriority", as_index=False)[
+        ["n_orders", "sum_price_c"]].sum()
+    lvl1["o_orderstatus"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()],
+        "sum_price_c": [fine["sum_price_c"].sum()]})
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_price_c"] = out["sum_price_c"].astype(np.int64)
+    return (out[["o_orderpriority", "o_orderstatus", "n_orders",
+                 "sum_price_c"]]
+            .sort_values(["o_orderpriority", "o_orderstatus"])
+            .reset_index(drop=True))
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_snapshot_diff — snapshot diff (dataset-versioning audit): classify
+# every key across two corpus versions as added / removed / changed.  The
+# v2 snapshot is derived deterministically from documents via the md5(id)
+# nibble (nibble 0/1 rows dropped, nibble 2 rows edited, nibble f rows
+# cloned as brand-new ids) so engine and mirror see the same two tables
+# without external data.  Scale shape: each side maps to (key, 16-hex
+# payload digest, side) — the TEXT never crosses the wire — then union +
+# ONE hash-partition groupby on the key classifies each group vectorized.
+# The same diff would run over two 100-TB snapshots moving 24 bytes/row.
+
+_DIFF_ADD_OFFSET = 10_000_000
+
+
+def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+
+    def digest_side(t: pa.Table, side: int, as_v2: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        if as_v2:
+            nib = np.fromiter(
+                (hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids),
+                dtype="U1", count=len(ids))
+            keep = ~np.isin(nib, ("0", "1"))
+            edited = [tx + " [edited]" if nb == "2" else tx
+                      for tx, nb in zip(texts, nib)]
+            out_ids = ids[keep]
+            out_tx = [tx for tx, k in zip(edited, keep) if k]
+            newm = nib == "f"
+            out_ids = np.concatenate(
+                [out_ids, ids[newm] + _DIFF_ADD_OFFSET])
+            out_tx += ["new: " + tx for tx, m in zip(texts, newm) if m]
+        else:
+            out_ids, out_tx = ids, texts
+        dig = [hashlib.md5(tx.encode()).hexdigest()[:16] for tx in out_tx]
+        return pa.Table.from_pydict(
+            {"doc_id": out_ids, "dig": dig,
+             "side": np.full(len(out_ids), side, np.int64)},
+            schema=pa.schema([("doc_id", pa.int64()), ("dig", pa.string()),
+                              ("side", pa.int64())]))
+
+    old = docs.map_batches(lambda t: digest_side(t, 0, False),
+                           batch_format="pyarrow", batch_size=8192)
+    new = docs.map_batches(lambda t: digest_side(t, 1, True),
+                           batch_format="pyarrow", batch_size=8192)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("change", pa.string())])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        d0 = df[df["side"] == 0].set_index("doc_id")["dig"]
+        d1 = df[df["side"] == 1].set_index("doc_id")["dig"]
+        j = d0.to_frame("d0").join(d1.to_frame("d1"), how="outer")
+        change = np.where(
+            j["d0"].isna(), "added",
+            np.where(j["d1"].isna(), "removed",
+                     np.where(j["d0"] != j["d1"], "changed", "same")))
+        out = pd.DataFrame({"doc_id": j.index.to_numpy(np.int64),
+                            "change": change})
+        return out[out["change"] != "same"]
+
+    out = partitioned_groupby(old.union(new), ["doc_id"], classify,
+                              num_parts=16, out_schema=out_schema).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_SNAPSHOT_DIFF_SQL = f"""
+WITH nib AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nb
+  FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN nb = '2' THEN text || ' [edited]' ELSE text END AS text
+  FROM nib WHERE nb NOT IN ('0', '1')
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET}, 'new: ' || text
+  FROM nib WHERE nb = 'f')
+SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text != n.text
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_orders_price_ntile — decile assignment over the whole fact table (the
+# per-row complement of orders_price_quantiles): compute the 9 exact decile
+# boundary values with the two-pass histogram refinement, broadcast them
+# (9 ints), and classify every row in one streaming map_batches — a global
+# NTILE without a global sort.  Value-defined (decile = 1 + #boundaries
+# strictly below the row's price, boundaries at rank ceil(k·n/10)) so ties
+# share a decile deterministically — unlike SQL NTILE's arbitrary-order
+# tie-split, which cannot be value-matched across engines.
+
+_NTILE_QS = tuple(k / 10 for k in range(1, 10))
+
+
+def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
+    bounds = _exact_price_quantiles(sf_dir, _NTILE_QS)
+    ds = dio.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_totalprice"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        price_c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                           * 100 + 0.5).astype(np.int64)
+        dec = 1 + np.searchsorted(bounds, price_c, side="left").astype(np.int64)
+        return pa.Table.from_pydict(
+            {"o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+             "price_c": price_c, "decile": dec},
+            schema=pa.schema([("o_orderkey", pa.int64()),
+                              ("price_c", pa.int64()),
+                              ("decile", pa.int64())]))
+
+    out = ds.map_batches(assign, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_PRICE_NTILE_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders),
+r AS (
+  SELECT price_c, row_number() OVER (ORDER BY price_c) AS rn,
+         count(*) OVER () AS n
+  FROM s),
+b AS (
+  SELECT r.price_c AS bnd
+  FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)) v(k)
+  JOIN r ON r.rn = CAST(ceil(v.k * r.n / 10.0) AS BIGINT))
+SELECT s.o_orderkey, s.price_c,
+       CAST(1 + (SELECT count(*) FROM b WHERE b.bnd < s.price_c) AS BIGINT)
+         AS decile
+FROM s
+ORDER BY s.o_orderkey
 """

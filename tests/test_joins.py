@@ -183,3 +183,46 @@ def test_pivot_dow_mirror(sf_small, con):
     n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert int(eng[[c for c in eng.columns if c.startswith("n_dow")]]
                .to_numpy().sum()) == n_events
+
+
+def test_orders_rollup_mirror(sf_small, con_orders):
+    eng = q.orders_rollup(sf_small)
+    orc = con_orders.execute(q.ORDERS_ROLLUP_SQL).df()
+    _match(eng, orc)
+    # 5 priorities × statuses + 5 priority subtotals + 1 grand total; each
+    # level's totals reconcile to the grand total
+    gt = eng[(eng["o_orderpriority"] == "ALL")]
+    assert len(gt) == 1
+    fine = eng[(eng["o_orderpriority"] != "ALL")
+               & (eng["o_orderstatus"] != "ALL")]
+    sub = eng[(eng["o_orderpriority"] != "ALL")
+              & (eng["o_orderstatus"] == "ALL")]
+    for col in ("n_orders", "sum_price_c"):
+        assert int(fine[col].sum()) == int(gt[col].iloc[0])
+        assert int(sub[col].sum()) == int(gt[col].iloc[0])
+
+
+def test_snapshot_diff_mirror(sf_small, con_docs):
+    eng = q.docs_snapshot_diff(sf_small)
+    orc = con_docs.execute(q.DOCS_SNAPSHOT_DIFF_SQL).df()
+    _match(eng, orc)
+    # all three change classes occur, and no key is classified twice
+    assert set(eng["change"]) == {"added", "removed", "changed"}
+    assert eng["doc_id"].is_unique
+    # added keys live in the offset namespace, removed/changed in the base
+    assert (eng.loc[eng["change"] == "added", "doc_id"]
+            >= q._DIFF_ADD_OFFSET).all()
+    assert (eng.loc[eng["change"] != "added", "doc_id"]
+            < q._DIFF_ADD_OFFSET).all()
+
+
+def test_price_ntile_mirror(sf_small, con_orders):
+    eng = q.orders_price_ntile(sf_small)
+    orc = con_orders.execute(q.ORDERS_PRICE_NTILE_SQL).df()
+    _match(eng, orc)
+    # every order is assigned, deciles span 1..10 and are value-monotone
+    n = con_orders.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert len(eng) == n
+    assert eng["decile"].min() == 1 and eng["decile"].max() == 10
+    s = eng.sort_values("price_c")
+    assert s["decile"].is_monotonic_increasing

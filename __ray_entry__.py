@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q.orders_rollup,
         "docs_snapshot_diff": q.docs_snapshot_diff,
         "orders_price_ntile": q.orders_price_ntile,
+        "docs_cross_dedup": q.docs_cross_dedup,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -674,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": q.ORDERS_ROLLUP_SQL,
         "docs_snapshot_diff": q.DOCS_SNAPSHOT_DIFF_SQL,
         "orders_price_ntile": q.ORDERS_PRICE_NTILE_SQL,
+        "docs_cross_dedup": q.DOCS_CROSS_DEDUP_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

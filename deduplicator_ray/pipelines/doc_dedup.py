@@ -248,3 +248,108 @@ def text_features(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return out
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dedup: match a NEW corpus against a KNOWN corpus at
+# MinHash/Jaccard level (the near-dup generalization of the reference's
+# known-paths incremental skip, /root/reference/dupedb.py:190-194 — "is
+# this new document a near-copy of anything we already hold?").
+
+
+def cross_dup_min_match(new_ds: rd.Dataset, known_ds: rd.Dataset,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """(doc_id:int64, matched:int64): for each new-side doc that near-dups
+    the known corpus (exact char-shingle Jaccard ≥ ``cfg.jaccard_min``),
+    the SMALLEST matching known-side id.  Non-matching new docs are absent
+    (the caller left-joins them back as 'keep').
+
+    Scale shape: both sides band their MinHash signatures (shared
+    ``doc_band_rows`` stage) with a 1-byte side tag; ONE (band, key)
+    partition groupby then verifies CROSS-side pairs only — known×known
+    and new×new pairs are never formed.  Within a bucket each side first
+    collapses to UNIQUE captions (an identical-text mega-bucket costs
+    |uniq_A|×|uniq_B| = 1×1 verifies, the text analog of the image
+    channel's exact-hash collapse), shingle arrays are cached per distinct
+    caption, and the length-ratio bound prunes before any set
+    intersection.  Duplicate emissions of the same doc across bands are
+    idempotent under the final ``min`` aggregate, so no owner-band
+    bookkeeping is needed — the one extra shuffle is a tiny
+    (doc_id, matched) table."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8)))
+
+        return f
+
+    rows = (
+        doc_band_rows(known_ds, cfg, id_col, text_col)
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(doc_band_rows(new_ds, cfg, id_col, text_col)
+               .map_batches(tag(1), batch_format="pyarrow")))
+
+    jmin = cfg.jaccard_min
+    shingle_k = cfg.shingle_k
+    out_schema = pa.schema([("doc_id", pa.int64()), ("matched", pa.int64())])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        res_ids: list[int] = []
+        res_match: list[int] = []
+        sh_cache: dict[str, np.ndarray] = {}
+
+        def sh(c: str) -> np.ndarray:
+            s = sh_cache.get(c)
+            if s is None:
+                s = textfn.char_shingle_hashes(c, shingle_k)
+                sh_cache[c] = s
+            return s
+
+        for _, g in df.groupby(["band", "key"], sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            amin: dict[str, int] = {}
+            for i, c in zip(a["image_id"], a["caption"]):
+                ii = int(i)
+                if c not in amin or ii < amin[c]:
+                    amin[c] = ii
+            bgroups: dict[str, list[int]] = {}
+            for i, c in zip(b["image_id"], b["caption"]):
+                bgroups.setdefault(c, []).append(int(i))
+            for cb, members in bgroups.items():
+                shb = sh(cb)
+                lb = len(shb)
+                best = -1
+                for ca, mid in amin.items():
+                    if best != -1 and mid >= best:
+                        continue  # can't improve the min
+                    if ca == cb:
+                        best = mid
+                        continue
+                    sha = sh(ca)
+                    la = len(sha)
+                    if la == 0 and lb == 0:
+                        jac = 1.0
+                    else:
+                        lo, hi = (la, lb) if la < lb else (lb, la)
+                        if lo < jmin * hi:
+                            continue  # jac ≤ lo/hi < threshold
+                        inter = len(np.intersect1d(sha, shb,
+                                                   assume_unique=True))
+                        jac = inter / (la + lb - inter)
+                    if jac >= jmin:
+                        best = mid
+                if best != -1:
+                    res_ids.extend(members)
+                    res_match.extend([best] * len(members))
+        return pd.DataFrame({"doc_id": np.asarray(res_ids, np.int64),
+                             "matched": np.asarray(res_match, np.int64)})
+
+    matches = partitioned_groupby(rows, ["band", "key"], verify,
+                                  out_schema=out_schema)
+    return matches.groupby("doc_id").min("matched")

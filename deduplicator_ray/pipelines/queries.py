@@ -2778,6 +2778,79 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# q_docs_cross_dedup — cross-corpus near-dedup: dedup a NEW crawl against a
+# KNOWN corpus at MinHash/Jaccard level (the near-dup generalization of the
+# incremental exact scan `docs_incremental_dedup`).  Sides derive
+# deterministically from the md5(id) nibble.  Scale shape: both sides band
+# signatures with a side tag, ONE (band, key) groupby verifies CROSS-side
+# pairs only with per-bucket unique-caption collapse (see
+# doc_dedup.cross_dup_min_match); the per-doc verdict re-attaches via a
+# broadcast of the (small) matched table — swap for a partitioned left
+# join when the match table outgrows broadcast.
+
+
+def docs_cross_dedup(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import cross_dup_min_match
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+
+    def side_filter(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            isknown = np.fromiter(
+                (hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
+                 for i in ids), bool, count=len(ids))
+            return t.filter(pa.array(~isknown if new_side else isknown))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    m = cross_dup_min_match(side_filter(True), side_filter(False),
+                            PipelineConfig()).to_pandas()
+    mcol = [c for c in m.columns if c != "doc_id"][0]
+    new_ids = (side_filter(True).select_columns(["doc_id"]).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    out = new_ids.merge(m.rename(columns={mcol: "matched_known"}),
+                        on="doc_id", how="left")
+    out["action"] = np.where(out["matched_known"].isna(), "keep", "drop")
+    out["matched_known"] = (out["matched_known"].fillna(-1)
+                            .astype(np.int64))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "matched_known", "action"]]
+
+
+DOCS_CROSS_DEDUP_SQL = """
+WITH nib AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nb
+  FROM documents),
+d AS (
+  SELECT doc_id, nb,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM nib),
+known AS (SELECT * FROM d
+          WHERE nb IN ('0','1','2','3','4','5','6','7')),
+newd AS (SELECT * FROM d
+         WHERE nb NOT IN ('0','1','2','3','4','5','6','7')),
+m AS (
+  SELECT n.doc_id, min(k.doc_id) AS matched_known
+  FROM newd n JOIN known k
+    ON len(list_intersect(n.sh, k.sh))::DOUBLE /
+       (len(n.sh) + len(k.sh) - len(list_intersect(n.sh, k.sh))) >= 0.8
+  GROUP BY n.doc_id)
+SELECT n.doc_id,
+       CAST(COALESCE(m.matched_known, -1) AS BIGINT) AS matched_known,
+       CASE WHEN m.matched_known IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM newd n LEFT JOIN m USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
 ORDERS_PRICE_NTILE_SQL = """
 WITH s AS (
   SELECT o_orderkey,

@@ -226,3 +226,18 @@ def test_price_ntile_mirror(sf_small, con_orders):
     assert eng["decile"].min() == 1 and eng["decile"].max() == 10
     s = eng.sort_values("price_c")
     assert s["decile"].is_monotonic_increasing
+
+
+def test_cross_dedup_mirror(sf_small, con_docs):
+    eng = q.docs_cross_dedup(sf_small)
+    orc = con_docs.execute(q.DOCS_CROSS_DEDUP_SQL).df()
+    _match(eng, orc)
+    # non-vacuous: both verdicts occur; drops point at a known-side id
+    assert set(eng["action"]) == {"keep", "drop"}
+    drops = eng[eng["action"] == "drop"]
+    assert (drops["matched_known"] >= 0).all()
+    assert (eng.loc[eng["action"] == "keep", "matched_known"] == -1).all()
+    # matched ids really are known-side (md5 nibble 0-7), never new-side
+    import hashlib
+    assert all(hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
+               for i in drops["matched_known"])

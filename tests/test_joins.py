@@ -241,3 +241,76 @@ def test_cross_dedup_mirror(sf_small, con_docs):
     import hashlib
     assert all(hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
                for i in drops["matched_known"])
+
+
+def test_cross_dedup_matches_bruteforce():
+    """cross_dup_min_match == single-process brute-force min-match on a
+    constructed corpus: exact copies, near-identical edits (Jaccard ≈ 1,
+    so LSH banding collides deterministically-in-practice), and unrelated
+    docs on both sides."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.functions import text as textfn
+    from deduplicator_ray.pipelines.doc_dedup import cross_dup_min_match
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+
+    def mk(n_words):
+        return " ".join(rng.choice(vocab, n_words))
+
+    known_ids, known_tx = [], []
+    for i in range(20):
+        known_ids.append(100 + i)
+        known_tx.append(mk(60))
+    new_ids, new_tx = [], []
+    # exact copies of known docs (including two new docs copying the SAME
+    # known doc — both must match it)
+    new_ids += [500, 501, 502]
+    new_tx += [known_tx[3], known_tx[3], known_tx[7]]
+    # near-identical edit (append one word)
+    new_ids += [510]
+    new_tx += [known_tx[5] + " zulu"]
+    # unrelated
+    for i in range(10):
+        new_ids.append(600 + i)
+        new_tx.append(mk(55))
+    # duplicate texts WITHIN known: min id must win
+    known_ids.append(90)
+    known_tx.append(known_tx[3])
+
+    cfg = PipelineConfig()
+    known = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": pa.array(known_ids, pa.int64()),
+         "text": pa.array(known_tx, pa.string())}))
+    new = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": pa.array(new_ids, pa.int64()),
+         "text": pa.array(new_tx, pa.string())}))
+    eng = (cross_dup_min_match(new, known, cfg).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    mcol = [c for c in eng.columns if c != "doc_id"][0]
+
+    # brute force over exact shingle Jaccard
+    def jac(a, b):
+        sa = textfn.char_shingle_hashes(a, cfg.shingle_k)
+        sb = textfn.char_shingle_hashes(b, cfg.shingle_k)
+        if len(sa) == 0 and len(sb) == 0:
+            return 1.0
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        return inter / (len(sa) + len(sb) - inter)
+
+    want = {}
+    for ni, nt in zip(new_ids, new_tx):
+        ms = [ki for ki, kt in zip(known_ids, known_tx)
+              if jac(nt, kt) >= cfg.jaccard_min]
+        if ms:
+            want[ni] = min(ms)
+    got = dict(zip(eng["doc_id"], eng[mcol]))
+    assert got == want
+    # the intended structure actually occurred
+    assert want[500] == 90 and want[501] == 90  # min-id known copy wins
+    assert 510 in want  # near-identical edit found

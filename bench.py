@@ -158,6 +158,34 @@ def run_bench() -> dict:
                 dio.read_parquet(docs, columns=["doc_id", "text"])).count(),
         )
 
+        # cross-corpus near-dedup (new crawl vs known corpus), sides split
+        # on the md5(id) nibble as in the driver query
+        def _cross():
+            import hashlib
+
+            import numpy as _np
+            import pyarrow as _pa
+
+            from deduplicator_ray.pipelines.doc_dedup import (
+                cross_dup_min_match,
+            )
+
+            def side(new_side):
+                def f(t):
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                    known = _np.fromiter(
+                        (hashlib.md5(str(i).encode()).hexdigest()[0]
+                         in "01234567" for i in ids), bool, count=len(ids))
+                    return t.filter(_pa.array(~known if new_side else known))
+
+                return dio.read_parquet(
+                    docs, columns=["doc_id", "text"]).map_batches(
+                        f, batch_format="pyarrow")
+
+            return cross_dup_min_match(side(True), side(False), cfg).count()
+
+        timed("docs_cross_dedup", _cross)
+
     headline = timings["img_extended_clusters"]
     result = {
         "metric": "end-to-end extended image dedup wall-clock (decode+hash+LSH+verify+CC)",

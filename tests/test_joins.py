@@ -314,3 +314,56 @@ def test_cross_dedup_matches_bruteforce():
     # the intended structure actually occurred
     assert want[500] == 90 and want[501] == 90  # min-id known copy wins
     assert 510 in want  # near-identical edit found
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_snapshot_diff_classify_fuzz(seed):
+    """The distributed diff classification equals set logic on randomized
+    two-sided tables (keys only in old → removed, only in new → added,
+    digest drift → changed, identical → absent)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    rng = np.random.default_rng(seed)
+    keys = rng.choice(10_000, size=200, replace=False)
+    old_keys = keys[:150]
+    new_keys = np.concatenate([keys[50:150], keys[150:]])  # 100 shared
+    digs = {int(k): f"d{k}" for k in keys}
+    # drift ~30% of the shared keys
+    shared = set(map(int, old_keys)) & set(map(int, new_keys))
+    drifted = {k for k in shared if rng.random() < 0.3}
+
+    def tbl(ks, side):
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(np.asarray(ks, np.int64)),
+            "dig": pa.array([digs[int(k)] + ("'" if side == 1 and int(k) in drifted
+                                             else "") for k in ks]),
+            "side": pa.array(np.full(len(ks), side, np.int64))})
+
+    ds = rd.from_arrow(tbl(old_keys, 0)).union(rd.from_arrow(tbl(new_keys, 1)))
+
+    import pandas as pd
+
+    def classify(df):
+        d0 = df[df["side"] == 0].set_index("doc_id")["dig"]
+        d1 = df[df["side"] == 1].set_index("doc_id")["dig"]
+        j = d0.to_frame("d0").join(d1.to_frame("d1"), how="outer")
+        ch = np.where(j["d0"].isna(), "added",
+                      np.where(j["d1"].isna(), "removed",
+                               np.where(j["d0"] != j["d1"], "changed", "same")))
+        out = pd.DataFrame({"doc_id": j.index.to_numpy(np.int64), "change": ch})
+        return out[out["change"] != "same"]
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("change", pa.string())])
+    got = partitioned_groupby(ds, ["doc_id"], classify, num_parts=8,
+                              out_schema=out_schema).to_pandas()
+    got = dict(zip(got["doc_id"], got["change"]))
+
+    old_set, new_set = set(map(int, old_keys)), set(map(int, new_keys))
+    want = {k: "removed" for k in old_set - new_set}
+    want |= {k: "added" for k in new_set - old_set}
+    want |= {k: "changed" for k in drifted}
+    assert got == want

@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_diff": q.docs_snapshot_diff,
         "orders_price_ntile": q.orders_price_ntile,
         "docs_cross_dedup": q.docs_cross_dedup,
+        "events_user_paths": q.events_user_paths,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -676,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_snapshot_diff": q.DOCS_SNAPSHOT_DIFF_SQL,
         "orders_price_ntile": q.ORDERS_PRICE_NTILE_SQL,
         "docs_cross_dedup": q.DOCS_CROSS_DEDUP_SQL,
+        "events_user_paths": q.EVENTS_USER_PATHS_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

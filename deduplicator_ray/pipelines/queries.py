@@ -35,6 +35,17 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _typed(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
+    """Re-type a materialized result against its Arrow schema.  A fully
+    EMPTY dataset materializes as a zero-COLUMN frame (no blocks survive,
+    so even ``out_schema``-typed stages lose their columns at
+    ``to_pandas``); downstream sorts/projections then KeyError.  Returns
+    the typed empty frame in that case, the input otherwise."""
+    if len(df.columns) == 0:
+        return schema.empty_table().to_pandas()
+    return df
+
+
 # ---------------------------------------------------------------------------
 # q_pricing_summary — TPC-H Q1 shape: grouped aggregate with partial
 # pre-aggregation inside map_batches (combiner), tiny final groupby.
@@ -2716,8 +2727,10 @@ def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
                             "change": change})
         return out[out["change"] != "same"]
 
-    out = partitioned_groupby(old.union(new), ["doc_id"], classify,
-                              num_parts=16, out_schema=out_schema).to_pandas()
+    out = _typed(partitioned_groupby(old.union(new), ["doc_id"], classify,
+                                     num_parts=16,
+                                     out_schema=out_schema).to_pandas(),
+                 out_schema)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2776,6 +2789,63 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(assign, batch_format="pyarrow",
                          batch_size=65536).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_events_user_paths — ordered per-key collect (the string_agg /
+# array_agg ORDER BY family): each user's event-type journey as a
+# '>'-joined string, capped to the first PATH_PREFIX_K events by
+# (ts, event_id) so the output row stays bounded no matter how active the
+# user — an UNCAPPED ordered collect is an unbounded-row hazard at 100 TB.
+# Scale shape: prune to 4 columns at the read, co-locate each user with
+# ONE key-partition groupby, in-partition vectorized sort + cumcount mask,
+# one Python join per GROUP (not per row).
+
+PATH_PREFIX_K = 12
+
+
+def events_user_paths(sf_dir: str, k: int = PATH_PREFIX_K) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_id", "event_type"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("path_prefix", pa.string())])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True)
+        g = s.groupby("user_id", sort=False)
+        sizes = g.size()
+        rn = g.cumcount()
+        paths = (s[rn < k].groupby("user_id", sort=False)["event_type"]
+                 .agg(">".join))
+        return pd.DataFrame({
+            "user_id": paths.index.to_numpy(np.int64),
+            "n_events": sizes.loc[paths.index].to_numpy(np.int64),
+            "path_prefix": paths.to_numpy(object)})
+
+    out = _typed(partitioned_groupby(ds, ["user_id"], per_part, num_parts=8,
+                                     out_schema=out_schema).to_pandas(),
+                 out_schema)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USER_PATHS_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY rn) AS path_prefix
+FROM r WHERE rn <= {PATH_PREFIX_K}
+GROUP BY user_id
+ORDER BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------

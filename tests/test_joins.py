@@ -367,3 +367,17 @@ def test_snapshot_diff_classify_fuzz(seed):
     want |= {k: "added" for k in new_set - old_set}
     want |= {k: "changed" for k in drifted}
     assert got == want
+
+
+def test_user_paths_mirror(sf_small, con):
+    eng = q.events_user_paths(sf_small)
+    orc = con.execute(q.EVENTS_USER_PATHS_SQL).df()
+    _match(eng, orc)
+    # prefix cap binds: active users exist whose path stops at K events
+    import re
+    seg = eng["path_prefix"].str.count(">") + 1
+    assert (seg <= q.PATH_PREFIX_K).all()
+    assert ((eng["n_events"] > q.PATH_PREFIX_K) & (seg == q.PATH_PREFIX_K)).any()
+    # every user appears exactly once
+    n_users = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(eng) == n_users and eng["user_id"].is_unique

@@ -944,22 +944,32 @@ ORDER BY src, dst
 """
 
 DOCS_CLUSTERS_SQL = """
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([substr(text, i, 5)
                         FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
   FROM documents
 ),
-e AS (
-  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
-  FROM d a JOIN d b ON a.doc_id != b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+e0 AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: without it DuckDB re-evaluates this
+  -- O(n²) list_intersect join on EVERY recursion round (measured 240 s
+  -- vs ~25 s at sf0.01); '<' halves the pair count and the projected
+  -- subquery evaluates the intersect once per pair
+  SELECT u, v FROM (
+    SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v,
+           len(list_intersect(a.sh, b.sh)) AS i,
+           len(a.sh) AS la, len(b.sh) AS lb
+    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+  WHERE i::DOUBLE / (la + lb - i) >= 0.8
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
 ),
 r(node, lbl) AS (
   SELECT u, u FROM e
   UNION
   SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+  WHERE r.lbl < e.u
 )
 SELECT node AS doc_id, min(lbl) AS cluster_id
 FROM r GROUP BY node ORDER BY doc_id
@@ -1122,22 +1132,31 @@ lang AS (
          ELSE 'en'
        END AS lang_pred
   FROM scores),
-d AS (
+d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([substr(text, i, 5)
                         FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
   FROM documents
 ),
-e AS (
-  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
-  FROM d a JOIN d b ON a.doc_id != b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+e0 AS MATERIALIZED (
+  -- MATERIALIZED + the lbl < u recursion guard below: without them DuckDB
+  -- re-evaluates the O(n²) join per recursion round; '<' halves the pair
+  -- count and the projected subquery evaluates the intersect once
+  SELECT u, v FROM (
+    SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v,
+           len(list_intersect(a.sh, b.sh)) AS i,
+           len(a.sh) AS la, len(b.sh) AS lb
+    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+  WHERE i::DOUBLE / (la + lb - i) >= 0.8
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
 ),
 r(node, lbl) AS (
   SELECT u, u FROM e
   UNION
   SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+  WHERE r.lbl < e.u
 ),
 dupdrop AS (
   SELECT CAST(node AS BIGINT) AS doc_id

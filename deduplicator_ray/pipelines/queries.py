@@ -771,13 +771,14 @@ WITH d AS (
                         FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
   FROM documents
 )
-SELECT a.doc_id AS va, b.doc_id AS vb,
-       CAST(floor(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                  * 1e6 + 0.5) AS BIGINT) AS jac_e6
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+SELECT va, vb,
+       CAST(floor(i::DOUBLE / (la + lb - i) * 1e6 + 0.5) AS BIGINT) AS jac_e6
+FROM (
+  SELECT a.doc_id AS va, b.doc_id AS vb,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) AS la, len(b.sh) AS lb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+WHERE i::DOUBLE / (la + lb - i) >= 0.8
 ORDER BY va, vb
 """
 
@@ -935,11 +936,13 @@ WITH d AS (
                         FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
   FROM documents
 )
-SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(b.doc_id AS VARCHAR) AS dst
-FROM d a JOIN d b
-  ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+SELECT src, dst FROM (
+  SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(b.doc_id AS VARCHAR) AS dst,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) AS la, len(b.sh) AS lb
+  FROM d a JOIN d b
+    ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR))
+WHERE i::DOUBLE / (la + lb - i) >= 0.8
 ORDER BY src, dst
 """
 

@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_ntile": q.orders_price_ntile,
         "docs_cross_dedup": q.docs_cross_dedup,
         "events_user_paths": q.events_user_paths,
+        "emb_lang_centroids": q.emb_lang_centroids,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -678,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_ntile": q.ORDERS_PRICE_NTILE_SQL,
         "docs_cross_dedup": q.DOCS_CROSS_DEDUP_SQL,
         "events_user_paths": q.EVENTS_USER_PATHS_SQL,
+        "emb_lang_centroids": q.EMB_LANG_CENTROIDS_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -2814,6 +2814,86 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_emb_lang_centroids — grouped dense-vector mean (the reduction behind
+# k-means assignment / class prototypes / SemDeDup centroids): per-language
+# centroid of the document embeddings, emitted LONG (lang, dim,
+# centroid_e6) so the mirror stays relational.  Scale shape: per-batch
+# combiner sums fixed-point vectors per group (only |langs|×64 partial
+# rows leave each batch), one tiny groupby merges partials, the driver
+# divides.  Exactness: embedding components quantize to e6 fixed-point
+# PER ROW before any sum, so the reduction is integer — float sum order
+# (Ray's arbitrary partial order vs DuckDB's scan order) can never flip a
+# rounded digit.  The doc_id→lang side is a broadcast dimension lookup
+# here; at a scale where documents outgrow broadcast, swap for a
+# partitioned join on the id — the combiner is unchanged.
+
+
+def emb_lang_centroids(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    langs_tbl = pq.read_table(_t(sf_dir, "documents"),
+                              columns=["doc_id", "lang"])
+    lang_ref = ray.put((langs_tbl["doc_id"].combine_chunks(),
+                        langs_tbl["lang"].combine_chunks()))
+
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, langs = ray.get(lang_ref)
+        idx = pc.index_in(t["vec_id"].cast(keys.type), value_set=keys)
+        lg = np.asarray(pc.take(langs, idx).to_pylist(), object)
+        # float32 storage must quantize through float64 exactly as the
+        # mirror does (DuckDB promotes to DOUBLE before the arithmetic)
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)
+                       ).astype(np.float64)
+        e6 = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        ndim = e6.shape[1]
+        out_lang, out_dim, out_s, out_n = [], [], [], []
+        for lv in np.unique(lg):
+            m = lg == lv
+            out_lang.extend([lv] * ndim)
+            out_dim.extend(range(ndim))
+            out_s.extend(e6[m].sum(axis=0).tolist())
+            out_n.extend([int(m.sum())] * ndim)
+        return pa.Table.from_pydict(
+            {"lang": out_lang, "dim": np.asarray(out_dim, np.int64),
+             "s_e6": np.asarray(out_s, np.int64),
+             "n_vecs": np.asarray(out_n, np.int64)},
+            schema=pa.schema([("lang", pa.string()), ("dim", pa.int64()),
+                              ("s_e6", pa.int64()), ("n_vecs", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby(["lang", "dim"])
+           .aggregate(Sum("s_e6", alias_name="s_e6"),
+                      Sum("n_vecs", alias_name="n_vecs"))
+           .to_pandas())
+    agg["centroid_e6"] = np.floor(
+        agg["s_e6"].to_numpy(np.int64).astype(np.float64)
+        / agg["n_vecs"].to_numpy(np.int64) + 0.5).astype(np.int64)
+    agg["n_vecs"] = agg["n_vecs"].astype(np.int64)
+    return (agg[["lang", "dim", "centroid_e6", "n_vecs"]]
+            .sort_values(["lang", "dim"]).reset_index(drop=True))
+
+
+EMB_LANG_CENTROIDS_SQL = """
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+u AS (
+  SELECT lang, CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(floor(embedding[t.i] * 1e6 + 0.5) AS BIGINT) AS xe6
+  FROM j, range(1, 65) t(i))
+SELECT lang, dim,
+       CAST(floor(sum(xe6)::DOUBLE / count(*) + 0.5) AS BIGINT)
+         AS centroid_e6,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM u GROUP BY lang, dim
+ORDER BY lang, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_events_user_paths — ordered per-key collect (the string_agg /
 # array_agg ORDER BY family): each user's event-type journey as a
 # '>'-joined string, capped to the first PATH_PREFIX_K events by

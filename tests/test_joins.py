@@ -381,3 +381,20 @@ def test_user_paths_mirror(sf_small, con):
     # every user appears exactly once
     n_users = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert len(eng) == n_users and eng["user_id"].is_unique
+
+
+def test_lang_centroids_mirror(sf_small):
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{sf_small}/{t}.parquet')")
+    eng = q.emb_lang_centroids(sf_small)
+    orc = c.execute(q.EMB_LANG_CENTROIDS_SQL).df()
+    _match(eng, orc)
+    # one row per (lang, dim); counts are constant across a lang's dims
+    # and account for every embedding
+    assert not eng.duplicated(["lang", "dim"]).any()
+    per_lang = eng.groupby("lang")["n_vecs"].nunique()
+    assert (per_lang == 1).all()
+    n_emb = c.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert int(eng.drop_duplicates("lang")["n_vecs"].sum()) == n_emb

@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cross_dedup": q.docs_cross_dedup,
         "events_user_paths": q.events_user_paths,
         "emb_lang_centroids": q.emb_lang_centroids,
+        "events_debounce": q.events_debounce,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -680,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cross_dedup": q.DOCS_CROSS_DEDUP_SQL,
         "events_user_paths": q.EVENTS_USER_PATHS_SQL,
         "emb_lang_centroids": q.EMB_LANG_CENTROIDS_SQL,
+        "events_debounce": q.EVENTS_DEBOUNCE_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

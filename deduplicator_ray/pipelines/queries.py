@@ -2814,6 +2814,69 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_events_debounce — stream-style per-key duplicate suppression (the
+# event-log analog of exact dedup): keep an event only if the SAME
+# (user_id, event_type) did not fire within the last DEBOUNCE_MIN minutes
+# (lag semantics — measured against the previous event, pinned identically
+# in the mirror's lag() window).  Scale shape: prune to 4 columns, ONE
+# user-partition groupby co-locates each key, then a vectorized
+# sort + shift + run-boundary mask decides every row — no per-key loop,
+# no second shuffle.
+
+DEBOUNCE_MIN = 10
+
+
+def events_debounce(sf_dir: str, minutes: int = DEBOUNCE_MIN) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_id", "ts", "user_id", "event_type"])
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("event_type", pa.string())])
+    gap_us = np.int64(minutes) * 60_000_000
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True)
+        ts = s["ts"].to_numpy("datetime64[us]").view(np.int64)
+        run_start = np.ones(len(s), bool)
+        if len(s) > 1:
+            same = ((s["user_id"].to_numpy()[1:]
+                     == s["user_id"].to_numpy()[:-1])
+                    & (s["event_type"].to_numpy()[1:]
+                       == s["event_type"].to_numpy()[:-1]))
+            run_start[1:] = ~same
+        gap_ok = np.ones(len(s), bool)
+        if len(s) > 1:
+            gap_ok[1:] = (ts[1:] - ts[:-1]) > gap_us
+        keep = run_start | gap_ok
+        k = s[keep]
+        return pd.DataFrame({
+            "event_id": k["event_id"].to_numpy(np.int64),
+            "user_id": k["user_id"].to_numpy(np.int64),
+            "event_type": k["event_type"].to_numpy(object)})
+
+    out = _typed(partitioned_groupby(ds, ["user_id"], per_part, num_parts=8,
+                                     out_schema=out_schema).to_pandas(),
+                 out_schema)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_DEBOUNCE_SQL = f"""
+WITH r AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM r WHERE pts IS NULL OR ts - pts > INTERVAL {DEBOUNCE_MIN} MINUTE
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_emb_lang_centroids — grouped dense-vector mean (the reduction behind
 # k-means assignment / class prototypes / SemDeDup centroids): per-language
 # centroid of the document embeddings, emitted LONG (lang, dim,

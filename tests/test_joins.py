@@ -398,3 +398,23 @@ def test_lang_centroids_mirror(sf_small):
     assert (per_lang == 1).all()
     n_emb = c.execute("SELECT count(*) FROM embeddings").fetchone()[0]
     assert int(eng.drop_duplicates("lang")["n_vecs"].sum()) == n_emb
+
+
+def test_debounce_mirror(sf_small, con):
+    eng = q.events_debounce(sf_small)
+    orc = con.execute(q.EVENTS_DEBOUNCE_SQL).df()
+    _match(eng, orc)
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    # something was actually debounced, and kept ids are unique
+    assert 0 < len(eng) < n_events
+    assert eng["event_id"].is_unique
+    # every dropped event has a same-key predecessor within the window
+    dropped = con.execute(f"""
+        WITH r AS (
+          SELECT event_id, lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id) AS pts, ts
+          FROM events)
+        SELECT count(*) FROM r
+        WHERE pts IS NOT NULL AND ts - pts <= INTERVAL {q.DEBOUNCE_MIN} MINUTE
+    """).fetchone()[0]
+    assert len(eng) == n_events - dropped

@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": q.events_user_paths,
         "emb_lang_centroids": q.emb_lang_centroids,
         "events_debounce": q.events_debounce,
+        "orders_price_minmax": q.orders_price_minmax,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -682,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_paths": q.EVENTS_USER_PATHS_SQL,
         "emb_lang_centroids": q.EMB_LANG_CENTROIDS_SQL,
         "events_debounce": q.EVENTS_DEBOUNCE_SQL,
+        "orders_price_minmax": q.ORDERS_PRICE_MINMAX_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -2814,6 +2814,92 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_orders_price_minmax — grouped feature normalization (the ML-prep
+# min-max scaling transform): each order's price rescaled to [0, 1] within
+# its priority group.  Two-pass shape shared with ntile: pass 1 is a
+# per-batch grouped min/max combiner + one tiny groupby (|groups| rows);
+# pass 2 broadcasts the bounds and rescales every row in one streaming
+# map_batches.  Exactness: bounds are integer cents and the scale is one
+# double division of two int64s — identical IEEE result in numpy and
+# DuckDB, so the e6 rounding can't diverge.
+
+
+def orders_price_minmax(sf_dir: str) -> pd.DataFrame:
+    ds = dio.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_orderpriority",
+                                   "o_totalprice"])
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        price_c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                           * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderpriority": np.asarray(
+                t["o_orderpriority"].to_pylist(), object),
+            "price_c": price_c})
+        g = df.groupby("o_orderpriority", as_index=False)["price_c"].agg(
+            ["min", "max"])
+        return pa.Table.from_pydict(
+            {"o_orderpriority": g["o_orderpriority"].to_numpy(object),
+             "lo": g["min"].to_numpy(np.int64),
+             "hi": g["max"].to_numpy(np.int64)},
+            schema=pa.schema([("o_orderpriority", pa.string()),
+                              ("lo", pa.int64()), ("hi", pa.int64())]))
+
+    bounds = (ds.map_batches(bounds_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("o_orderpriority")
+              .aggregate(Min("lo", alias_name="lo"),
+                         Max("hi", alias_name="hi")).to_pandas())
+    lo = dict(zip(bounds["o_orderpriority"], bounds["lo"].astype(np.int64)))
+    hi = dict(zip(bounds["o_orderpriority"], bounds["hi"].astype(np.int64)))
+    lo_ref, hi_ref = ray.put(lo), ray.put(hi)
+
+    def rescale(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(lo_ref), ray.get(hi_ref)
+        prio = t["o_orderpriority"].to_pylist()
+        price_c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                           * 100 + 0.5).astype(np.int64)
+        lo_v = np.fromiter((lo_m[p] for p in prio), np.int64,
+                           count=len(prio))
+        hi_v = np.fromiter((hi_m[p] for p in prio), np.int64,
+                           count=len(prio))
+        span = hi_v - lo_v
+        scaled = np.where(
+            span == 0, 0.0,
+            (price_c - lo_v).astype(np.float64)
+            / np.where(span == 0, 1, span).astype(np.float64))
+        return pa.Table.from_pydict(
+            {"o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+             "o_orderpriority": pa.array(prio, pa.string()),
+             "scaled_e6": np.floor(scaled * 1e6 + 0.5).astype(np.int64)},
+            schema=pa.schema([("o_orderkey", pa.int64()),
+                              ("o_orderpriority", pa.string()),
+                              ("scaled_e6", pa.int64())]))
+
+    out = ds.map_batches(rescale, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_PRICE_MINMAX_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders),
+b AS (
+  SELECT o_orderpriority, min(price_c) AS lo, max(price_c) AS hi
+  FROM s GROUP BY o_orderpriority)
+SELECT s.o_orderkey, s.o_orderpriority,
+       CAST(floor(CASE WHEN b.hi = b.lo THEN 0.0
+                       ELSE (s.price_c - b.lo)::DOUBLE / (b.hi - b.lo)
+                  END * 1e6 + 0.5) AS BIGINT) AS scaled_e6
+FROM s JOIN b USING (o_orderpriority)
+ORDER BY s.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_events_debounce — stream-style per-key duplicate suppression (the
 # event-log analog of exact dedup): keep an event only if the SAME
 # (user_id, event_type) did not fire within the last DEBOUNCE_MIN minutes

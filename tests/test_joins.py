@@ -418,3 +418,14 @@ def test_debounce_mirror(sf_small, con):
         WHERE pts IS NOT NULL AND ts - pts <= INTERVAL {q.DEBOUNCE_MIN} MINUTE
     """).fetchone()[0]
     assert len(eng) == n_events - dropped
+
+
+def test_price_minmax_mirror(sf_small, con_orders):
+    eng = q.orders_price_minmax(sf_small)
+    orc = con_orders.execute(q.ORDERS_PRICE_MINMAX_SQL).df()
+    _match(eng, orc)
+    n = con_orders.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert len(eng) == n
+    # each group's scale actually spans [0, 1e6]
+    g = eng.groupby("o_orderpriority")["scaled_e6"]
+    assert (g.min() == 0).all() and (g.max() == 1_000_000).all()

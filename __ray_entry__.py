@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lang_centroids": q.emb_lang_centroids,
         "events_debounce": q.events_debounce,
         "orders_price_minmax": q.orders_price_minmax,
+        "events_retention": q.events_retention,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -684,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lang_centroids": q.EMB_LANG_CENTROIDS_SQL,
         "events_debounce": q.EVENTS_DEBOUNCE_SQL,
         "orders_price_minmax": q.ORDERS_PRICE_MINMAX_SQL,
+        "events_retention": q.EVENTS_RETENTION_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -2814,6 +2814,76 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_events_retention — cohort retention analysis: users grouped by their
+# first-activity week (the cohort), counted per week offset they return.
+# Scale shape: per-batch distinct-(user, week) combiner shrinks the stream
+# to at most one row per user-week per batch; ONE user-partition groupby
+# co-locates each user's weeks so cohort (min week) and offsets derive
+# exactly in-partition; per-partition (cohort, offset) count partials then
+# merge through a tiny final groupby.  Week index pinned to
+# floor(epoch_seconds / 604800) in both engine and mirror.
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    wk_us = np.int64(604_800) * 1_000_000
+
+    def distinct_uw(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "wk": us // wk_us}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=pa.schema([
+                                        ("user_id", pa.int64()),
+                                        ("wk", pa.int64())]))
+
+    out_schema = pa.schema([("cohort_week", pa.int64()),
+                            ("week_offset", pa.int64()),
+                            ("n", pa.int64())])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "wk"])
+        cohort = d.groupby("user_id")["wk"].transform("min")
+        g = (pd.DataFrame({"cohort_week": cohort.to_numpy(np.int64),
+                           "week_offset": (d["wk"] - cohort)
+                           .to_numpy(np.int64)})
+             .groupby(["cohort_week", "week_offset"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (partitioned_groupby(
+        ds.map_batches(distinct_uw, batch_format="pyarrow",
+                       batch_size=65536),
+        ["user_id"], per_part, num_parts=8, out_schema=out_schema)
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users")).to_pandas())
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    return (agg.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+EVENTS_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events),
+c AS (
+  SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week,
+       uw.wk - c.cohort AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_orders_price_minmax — grouped feature normalization (the ML-prep
 # min-max scaling transform): each order's price rescaled to [0, 1] within
 # its priority group.  Two-pass shape shared with ntile: pass 1 is a

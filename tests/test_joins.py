@@ -429,3 +429,46 @@ def test_price_minmax_mirror(sf_small, con_orders):
     # each group's scale actually spans [0, 1e6]
     g = eng.groupby("o_orderpriority")["scaled_e6"]
     assert (g.min() == 0).all() and (g.max() == 1_000_000).all()
+
+
+def test_retention_mirror(sf_small, con, tmp_path):
+    # driver table (degenerate: one dense cohort) must still value-match
+    eng = q.events_retention(sf_small)
+    orc = con.execute(q.EVENTS_RETENTION_SQL).df()
+    _match(eng, orc)
+
+    # crafted non-degenerate cohorts: staggered starts, churn, a returner
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rows = []
+    wk = 7 * 86_400_000_000  # a week in microseconds
+    for uid, weeks in enumerate(
+            [(0, 1, 2), (0, 2), (0,), (1, 2, 5), (1,), (2, 3), (2,)]):
+        for w in weeks:
+            rows.append((uid, w * wk + uid * 1_000_000))
+    t = pa.Table.from_pydict({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+    })
+    work = tmp_path / "ret"
+    work.mkdir()
+    pq_.write_table(t, work / "events.parquet")
+    eng2 = q.events_retention(str(work))
+    c2 = duckdb.connect()
+    c2.execute(f"CREATE VIEW events AS SELECT * FROM "
+               f"read_parquet('{work}/events.parquet')")
+    orc2 = c2.execute(q.EVENTS_RETENTION_SQL).df()
+    _match(eng2, orc2)
+    assert eng2["cohort_week"].nunique() == 3          # staggered cohorts
+    base = eng2[eng2["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    later = eng2[eng2["week_offset"] > 0]
+    # churn: every later offset retains fewer-or-equal users than its base
+    assert (later["n_users"].to_numpy()
+            <= base.loc[later["cohort_week"]].to_numpy()).all()
+    # the gap-returner shows up at offset 4 for cohort week 1's cohort
+    ck = sorted(eng2["cohort_week"].unique())[1]
+    assert ((later["cohort_week"] == ck) & (later["week_offset"] == 4)).any()

@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q.events_debounce,
         "orders_price_minmax": q.orders_price_minmax,
         "events_retention": q.events_retention,
+        "events_cooccurrence": q.events_cooccurrence,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_reference_clusters": _img_reference_clusters,
@@ -686,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "events_debounce": q.EVENTS_DEBOUNCE_SQL,
         "orders_price_minmax": q.ORDERS_PRICE_MINMAX_SQL,
         "events_retention": q.EVENTS_RETENTION_SQL,
+        "events_cooccurrence": q.EVENTS_COOCCURRENCE_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

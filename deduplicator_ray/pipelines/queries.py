@@ -2814,6 +2814,77 @@ def orders_price_ntile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_events_cooccurrence — association / market-basket mining: how often
+# does each PAIR of event types co-occur within the same user-day basket?
+# Scale shape: per-batch distinct-(user, day, type) combiner shrinks the
+# stream to basket membership rows; ONE user-partition groupby co-locates
+# every user's baskets, where pair expansion is a vectorized self-merge on
+# (user, day) — per-basket cost is C(k,2) with k bounded by the type
+# vocabulary, never by event volume — and per-partition (a, b) count
+# partials merge through a tiny final groupby.
+
+
+def events_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_type"])
+    day_us = np.int64(86_400) * 1_000_000
+
+    def distinct_udt(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "day": us // day_us,
+            "event_type": np.asarray(t["event_type"].to_pylist(), object),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=pa.schema([
+                                        ("user_id", pa.int64()),
+                                        ("day", pa.int64()),
+                                        ("event_type", pa.string())]))
+
+    out_schema = pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                            ("n", pa.int64())])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day", "event_type"])
+        m = d.merge(d, on=["user_id", "day"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+             .size().rename(columns={"event_type_x": "type_a",
+                                     "event_type_y": "type_b",
+                                     "size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (partitioned_groupby(
+        ds.map_batches(distinct_udt, batch_format="pyarrow",
+                       batch_size=65536),
+        ["user_id"], per_part, num_parts=8, out_schema=out_schema)
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_baskets")).to_pandas())
+    agg["n_baskets"] = agg["n_baskets"].astype(np.int64)
+    return (agg.sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+EVENTS_COOCCURRENCE_SQL = """
+WITH udt AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type
+  FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_baskets
+FROM udt a JOIN udt b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_events_retention — cohort retention analysis: users grouped by their
 # first-activity week (the cohort), counted per week offset they return.
 # Scale shape: per-batch distinct-(user, week) combiner shrinks the stream
@@ -3066,6 +3137,9 @@ def emb_lang_centroids(sf_dir: str) -> pd.DataFrame:
         # mirror does (DuckDB promotes to DOUBLE before the arithmetic)
         emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)
                        ).astype(np.float64)
+        matched = np.asarray([v is not None for v in lg], bool)
+        if not matched.all():  # inner-join semantics: drop unmatched ids
+            lg, emb = lg[matched], emb[matched]
         e6 = np.floor(emb * 1e6 + 0.5).astype(np.int64)
         ndim = e6.shape[1]
         out_lang, out_dim, out_s, out_n = [], [], [], []

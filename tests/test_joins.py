@@ -472,3 +472,16 @@ def test_retention_mirror(sf_small, con, tmp_path):
     # the gap-returner shows up at offset 4 for cohort week 1's cohort
     ck = sorted(eng2["cohort_week"].unique())[1]
     assert ((later["cohort_week"] == ck) & (later["week_offset"] == 4)).any()
+
+
+def test_cooccurrence_mirror(sf_small, con):
+    eng = q.events_cooccurrence(sf_small)
+    orc = con.execute(q.EVENTS_COOCCURRENCE_SQL).df()
+    _match(eng, orc)
+    # pairs are canonical (a < b) and unique; counts bounded by basket count
+    assert (eng["type_a"] < eng["type_b"]).all()
+    assert not eng.duplicated(["type_a", "type_b"]).any()
+    n_baskets = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT user_id, "
+        "CAST(floor(epoch(ts)/86400) AS BIGINT) FROM events)").fetchone()[0]
+    assert (eng["n_baskets"] <= n_baskets).all() and len(eng) > 0

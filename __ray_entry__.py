@@ -161,6 +161,45 @@ def _img_incremental_dedup(sf_dir: str):
         ["image_id", "status"]]
 
 
+def _img_cross_dedup(sf_dir: str):
+    """Cross-corpus image near-dedup: the corpus split into a KNOWN side
+    and a NEW side on the md5(image_id) nibble (the img_incremental
+    convention); each new image reports the smallest known near-duplicate
+    (Hamming ≤ hamming_max, or byte-exact for md5-keyed media) or 'keep'.
+    Engine: image_dedup.img_cross_min_match (side-tagged slice/md5 bands,
+    cross-side-only verify, distinct-hash collapse per bucket)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = _cfg()
+    live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg), cfg)
+    cols = ["image_id", "dhash", "dhash_hex", "status", "content_md5"]
+
+    def side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["image_id"].to_pylist()
+            isnew = np.fromiter(
+                (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                 for s in ids), bool, count=len(ids))
+            return t.select(cols).filter(
+                pa.array(isnew if new_side else ~isnew))
+
+        return live.map_batches(f, batch_format="pyarrow")
+
+    m = ip.img_cross_min_match(side(True), side(False), cfg).to_pandas()
+    new_ids = (side(True).select_columns(["image_id"]).to_pandas()
+               .sort_values("image_id").reset_index(drop=True))
+    out = new_ids.merge(m.rename(columns={"matched": "matched_known"}),
+                        on="image_id", how="left")
+    out["action"] = np.where(out["matched_known"].isna(), "keep", "drop")
+    out["matched_known"] = out["matched_known"].fillna("")
+    return out[["image_id", "matched_known", "action"]]
+
+
 def _img_dup_pairs(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -432,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccurrence": q.events_cooccurrence,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
+        "img_cross_dedup": _img_cross_dedup,
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_decisions": _img_reference_decisions,
@@ -493,6 +533,8 @@ def _fixture_mirrors() -> dict[str, str]:
     return {
         "img_incremental_dedup": mirrors.compose(
             mirrors.INCREMENTAL_DEDUP_SQL, hashes=hashes, **kw),
+        "img_cross_dedup": mirrors.compose(
+            mirrors.CROSS_DEDUP_SQL, hashes=hashes, **kw),
         "img_reference_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_reference_clusters_h12": mirrors.compose(

@@ -66,6 +66,35 @@ FROM newside n LEFT JOIN known k USING (proc_hash)
 ORDER BY n.image_id
 """
 
+# cross-corpus image near-dedup: new side (md5(id) nibble 0-3) matched
+# against the known side over the unified proc_hash keyspace — Hamming ≤
+# HAMMING_MAX between decodable rows, byte-exact proc_hash between
+# strict-mode media (proc_hash IS the content md5 for md5_only rows,
+# dupedb.py:82-101).  The engine's slice banding is pigeonhole-lossless at
+# this radius, so this plain cross join is the exact same relation.
+CROSS_DEDUP_SQL = """
+WITH live AS (
+  SELECT image_id, status, proc_hash, dhash,
+         substr(md5(image_id), 1, 1) AS nb
+  FROM '{HASHES}'
+  WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')),
+known AS (SELECT * FROM live WHERE nb NOT IN ('0','1','2','3')),
+newd AS (SELECT * FROM live WHERE nb IN ('0','1','2','3')),
+m AS (
+  SELECT n.image_id, min(k.image_id) AS matched_known
+  FROM newd n JOIN known k
+    ON (n.status = 'ok' AND k.status = 'ok'
+        AND bit_count(xor(n.dhash, k.dhash)) <= {HAMMING_MAX})
+    OR (n.status = 'md5_only' AND k.status = 'md5_only'
+        AND n.proc_hash = k.proc_hash)
+  GROUP BY n.image_id)
+SELECT n.image_id,
+       COALESCE(m.matched_known, '') AS matched_known,
+       CASE WHEN m.matched_known IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM newd n LEFT JOIN m USING (image_id)
+ORDER BY n.image_id
+"""
+
 # hide-alts clustering (compare.py:519-560): a bucket survives iff its
 # alt-SUPPRESSED member list still meets the threshold, but a surviving
 # bucket reports FULL membership (the reference stores ``filelist``).  The

@@ -310,3 +310,104 @@ def extended_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
         make_partition_resolve(cfg, cluster_col="cluster_id", with_superstate=True),
         out_schema=decision_schema(cfg),
     )
+
+
+def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
+                        cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Cross-corpus image near-dedup — "does this new image near-duplicate
+    the corpus we already hold?", the production question of an incremental
+    10^12-image ingest.  Returns (image_id, matched): for each NEW-side
+    live fingerprint that matches the KNOWN side — Hamming ≤
+    ``cfg.hamming_max`` between decodable rows, byte-exact md5 between
+    strict-mode media (the unified ``getProcHash`` keyspace,
+    /root/reference/dupedb.py:68-101) — the lexicographically smallest
+    matching known id.
+
+    Scale shape (the image analog of ``doc_dedup.cross_dup_min_match``):
+    both sides run the SAME slice/md5 banding (pigeonhole-lossless for the
+    Hamming radius, so this is EXACT, not probabilistic) with a 1-byte side
+    tag; ONE (band, key) groupby verifies CROSS-side pairs only, each
+    bucket first collapsing to DISTINCT hashes (an identical-hash
+    mega-bucket costs one comparison); emissions are idempotent under the
+    final per-id ``min``, so no owner-band bookkeeping is needed."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.stages.banding import MD5_BAND
+
+    band = make_banding(cfg, channels=("img",))
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8)))
+
+        return f
+
+    def band_rows(fp: rd.Dataset, side: int) -> rd.Dataset:
+        return (fp.map_batches(band, batch_format="pyarrow",
+                               batch_size=cfg.text_batch_size)
+                .map_batches(tag(side), batch_format="pyarrow"))
+
+    rows = band_rows(known_fp, 0).union(band_rows(new_fp, 1))
+    hmax = cfg.hamming_max
+    out_schema = pa.schema([("image_id", pa.string()),
+                            ("matched", pa.string())])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids: list[str] = []
+        out_m: list[str] = []
+        for (b, _), g in df.groupby(["band", "key"], sort=False):
+            a = g[g["side"] == 0]
+            nb = g[g["side"] == 1]
+            if not len(a) or not len(nb):
+                continue
+            if b == MD5_BAND:
+                # byte-exact: full md5 hex rides in the payload column
+                amin: dict = {}
+                for i, p in zip(a["image_id"], a["caption"]):
+                    if p not in amin or i < amin[p]:
+                        amin[p] = i
+                for i, p in zip(nb["image_id"], nb["caption"]):
+                    m = amin.get(p)
+                    if m is not None:
+                        out_ids.append(i)
+                        out_m.append(m)
+            else:
+                # fingerprint = int64 dhash (hash_size 8) or the hex
+                # payload (wide hashes) — Hamming on Python ints covers both
+                def fps(gg):
+                    dh = gg["dhash"].to_numpy()
+                    pay = gg["caption"].to_numpy(object)
+                    return [int(p, 16) if p else int(d) & 0xFFFFFFFFFFFFFFFF
+                            for d, p in zip(dh, pay)]
+
+                amin = {}
+                for i, d in zip(a["image_id"], fps(a)):
+                    if d not in amin or i < amin[d]:
+                        amin[d] = i
+                bgrp: dict = {}
+                for i, d in zip(nb["image_id"], fps(nb)):
+                    bgrp.setdefault(d, []).append(i)
+                akeys = list(amin.items())
+                for db, members in bgrp.items():
+                    best = None
+                    for da, mid in akeys:
+                        if best is not None and mid >= best:
+                            continue  # can't improve the min
+                        if (da ^ db).bit_count() <= hmax:
+                            best = mid
+                    if best is not None:
+                        out_ids.extend(members)
+                        out_m.extend([best] * len(members))
+        return pd.DataFrame({"image_id": np.asarray(out_ids, object),
+                             "matched": np.asarray(out_m, object)})
+
+    matches = partitioned_groupby(rows, ["band", "key"], verify,
+                                  out_schema=out_schema)
+
+    def minpart(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("image_id", as_index=False)["matched"].min()
+
+    return partitioned_groupby(matches, ["image_id"], minpart, num_parts=8,
+                               out_schema=out_schema)

@@ -86,3 +86,53 @@ def test_clusters_hidealts_mirror(sf_small, paths):
         supp=fixtures.alt_suppressed_path(sf_small))
     orc = duckdb.sql(sql).df()
     _assert_frame_equal(eng, orc)
+
+
+def test_cross_dedup_mirror(sf_small, paths):
+    """Cross-corpus image near-dedup (img_cross_min_match) — slice/md5
+    banding is pigeonhole-lossless, so the engine's banded cross-match
+    must equal the mirror's plain cross join EXACTLY, keep rows included."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def side(new_side):
+        def f(t):
+            ids = t["image_id"].to_pylist()
+            isnew = np.fromiter(
+                (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                 for s in ids), bool, count=len(ids))
+            return t.select(["image_id", "dhash", "dhash_hex", "status",
+                             "content_md5"]).filter(
+                pa.array(isnew if new_side else ~isnew))
+
+        live = ip._live(
+            ip.fingerprints(ip.load_images(sf_small, CFG), CFG), CFG)
+        return live.map_batches(f, batch_format="pyarrow")
+
+    m = ip.img_cross_min_match(side(True), side(False), CFG).to_pandas()
+    new_ids = (side(True).select_columns(["image_id"]).to_pandas()
+               .sort_values("image_id").reset_index(drop=True))
+    eng = new_ids.merge(m.rename(columns={"matched": "matched_known"}),
+                        on="image_id", how="left")
+    eng["action"] = ["keep" if pd_isna else "drop"
+                     for pd_isna in eng["matched_known"].isna()]
+    eng["matched_known"] = eng["matched_known"].fillna("")
+
+    orc = duckdb.sql(_compose(mirrors.CROSS_DEDUP_SQL, paths)).df()
+    _assert_frame_equal(
+        eng[["image_id", "matched_known", "action"]]
+        .sort_values("image_id").reset_index(drop=True), orc)
+    # both verdicts occur and every match points at a KNOWN-side id
+    assert set(eng["action"]) == {"keep", "drop"}
+    drops = eng.loc[eng["action"] == "drop", "matched_known"]
+    assert all(hashlib.md5(s.encode()).hexdigest()[0] not in "0123"
+               for s in drops)
+    # BOTH channels fire: some drops match byte-exact md5 media (band 99),
+    # the rest Hamming-match decodable images (slice bands)
+    status = duckdb.sql(
+        f"SELECT image_id, status FROM '{paths['hashes']}'").df() \
+        .set_index("image_id")["status"]
+    kinds = {status.get(m) for m in drops}
+    assert kinds == {"ok", "md5_only"}

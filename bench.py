@@ -141,6 +141,36 @@ def run_bench() -> dict:
 
         timed("img_incremental_dedup", _incremental)
 
+        # cross-corpus NEAR-dup ingest (Hamming/md5 over the unified
+        # keyspace) — the near-dup complement of the exact Bloom scan
+        def _cross_img():
+            import hashlib
+
+            import numpy as _np
+            import pyarrow as _pa
+
+            live = ip._live(
+                ip.fingerprints(dio.read_parquet(images_path), cfg),
+                cfg).materialize()
+            cols = ["image_id", "dhash", "dhash_hex", "status",
+                    "content_md5"]
+
+            def side(new_side):
+                def f(t):
+                    ids = t["image_id"].to_pylist()
+                    isnew = _np.fromiter(
+                        (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                         for s in ids), bool, count=len(ids))
+                    return t.select(cols).filter(
+                        _pa.array(isnew if new_side else ~isnew))
+
+                return live.map_batches(f, batch_format="pyarrow")
+
+            return ip.img_cross_min_match(side(True), side(False),
+                                          cfg).count()
+
+        timed("img_cross_dedup", _cross_img)
+
     # text near-dup over the driver documents table (absent for the
     # dedicated scaling corpus, which is images-only)
     docs = os.path.join(SF_DIR, "documents.parquet")

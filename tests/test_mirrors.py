@@ -136,3 +136,38 @@ def test_cross_dedup_mirror(sf_small, paths):
         .set_index("image_id")["status"]
     kinds = {status.get(m) for m in drops}
     assert kinds == {"ok", "md5_only"}
+
+
+def test_cross_dedup_wide_hash():
+    """img_cross_min_match's wide-fingerprint path (hash_size != 8): the
+    144-bit hex payload rides the band rows and Hamming runs on the parsed
+    integers — a 2-bit-flipped clone must match, a far hash must not."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    cfg = dataclasses.replace(CFG, hash_size=12)
+    nbits = 144
+    base = (1 << 143) | (0xABCDEF << 40) | 0x5A5A
+    near = base ^ (1 << 7) ^ (1 << 100)          # Hamming 2 → match
+    far = base ^ ((1 << 60) - 1)                 # Hamming 59 → no match
+    hexw = nbits // 4
+
+    def mk(rows):
+        return rd.from_arrow(pa.Table.from_pydict({
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "dhash": pa.array([0] * len(rows), pa.int64()),
+            "dhash_hex": pa.array([format(r[1], f"0{hexw}x")
+                                   for r in rows], pa.string()),
+            "status": pa.array(["ok"] * len(rows), pa.string()),
+            "content_md5": pa.array(["m"] * len(rows), pa.string()),
+        }))
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    known = mk([("k9", base), ("k2", base)])     # duplicate known: min wins
+    new = mk([("n1", near), ("n2", far)])
+    out = (ip.img_cross_min_match(new, known, cfg).to_pandas()
+           .sort_values("image_id"))
+    assert list(map(tuple, out.values)) == [("n1", "k2")]

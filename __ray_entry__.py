@@ -200,6 +200,53 @@ def _img_cross_dedup(sf_dir: str):
     return out[["image_id", "matched_known", "action"]]
 
 
+def _img_cross_dedup_indexed(sf_dir: str):
+    """img_cross_dedup through the PERSISTED band index
+    (state/bandstore.py): the known side is banded once into a
+    hash-partitioned parquet index; the new side probes it reading only
+    its own partitions.  Same relation, same mirror — the persisted path
+    must value-match the in-run one."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+
+    cfg = _cfg()
+    live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg),
+                    cfg).materialize()
+    cols = ["image_id", "dhash", "dhash_hex", "status", "content_md5"]
+
+    def side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["image_id"].to_pylist()
+            isnew = np.fromiter(
+                (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                 for s in ids), bool, count=len(ids))
+            return t.select(cols).filter(
+                pa.array(isnew if new_side else ~isnew))
+
+        return live.map_batches(f, batch_format="pyarrow")
+
+    work = tempfile.mkdtemp(prefix="bandidx_", dir="/tmp")
+    try:
+        bandstore.build_band_index(side(False), cfg, work, num_parts=64)
+        m = bandstore.probe_band_index(side(True), work, cfg).to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    new_ids = (side(True).select_columns(["image_id"]).to_pandas()
+               .sort_values("image_id").reset_index(drop=True))
+    out = new_ids.merge(m.rename(columns={"matched": "matched_known"}),
+                        on="image_id", how="left")
+    out["action"] = np.where(out["matched_known"].isna(), "keep", "drop")
+    out["matched_known"] = out["matched_known"].fillna("")
+    return out[["image_id", "matched_known", "action"]]
+
+
 def _img_dup_pairs(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -472,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_cross_dedup": _img_cross_dedup,
+        "img_cross_dedup_indexed": _img_cross_dedup_indexed,
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_decisions": _img_reference_decisions,
@@ -534,6 +582,9 @@ def _fixture_mirrors() -> dict[str, str]:
         "img_incremental_dedup": mirrors.compose(
             mirrors.INCREMENTAL_DEDUP_SQL, hashes=hashes, **kw),
         "img_cross_dedup": mirrors.compose(
+            mirrors.CROSS_DEDUP_SQL, hashes=hashes, **kw),
+        # the persisted-index probe is the SAME relation: shared mirror
+        "img_cross_dedup_indexed": mirrors.compose(
             mirrors.CROSS_DEDUP_SQL, hashes=hashes, **kw),
         "img_reference_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes, **kw),

@@ -331,9 +331,6 @@ def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
     mega-bucket costs one comparison); emissions are idempotent under the
     final per-id ``min``, so no owner-band bookkeeping is needed."""
     import numpy as np
-    import pandas as pd
-
-    from deduplicator_ray.stages.banding import MD5_BAND
 
     band = make_banding(cfg, channels=("img",))
 
@@ -350,9 +347,28 @@ def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
                 .map_batches(tag(side), batch_format="pyarrow"))
 
     rows = band_rows(known_fp, 0).union(band_rows(new_fp, 1))
+    return cross_min_from_band_rows(rows, cfg)
+
+
+CROSS_MATCH_SCHEMA = pa.schema([("image_id", pa.string()),
+                                ("matched", pa.string())])
+
+
+def make_cross_verify(cfg: PipelineConfig):
+    """Partition fn for side-tagged band rows: within each (band, key)
+    bucket, match side-1 (new) members against side-0 (known) members —
+    Hamming ≤ ``cfg.hamming_max`` on the fingerprint (int64 dhash or wide
+    hex payload), byte-exact md5 on the md5 band — emitting
+    (image_id, matched known id).  Each side collapses to DISTINCT
+    fingerprints first, so identical-hash mega-buckets cost one
+    comparison; multi-band re-emissions are idempotent under the caller's
+    per-id ``min``."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.stages.banding import MD5_BAND
+
     hmax = cfg.hamming_max
-    out_schema = pa.schema([("image_id", pa.string()),
-                            ("matched", pa.string())])
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         out_ids: list[str] = []
@@ -403,11 +419,21 @@ def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
         return pd.DataFrame({"image_id": np.asarray(out_ids, object),
                              "matched": np.asarray(out_m, object)})
 
-    matches = partitioned_groupby(rows, ["band", "key"], verify,
-                                  out_schema=out_schema)
+    return verify
+
+
+def cross_min_from_band_rows(rows: rd.Dataset,
+                             cfg: PipelineConfig) -> rd.Dataset:
+    """(image_id, matched) from side-tagged band rows: one (band, key)
+    groupby cross-verify, then a per-id min election."""
+    import pandas as pd
+
+    matches = partitioned_groupby(rows, ["band", "key"],
+                                  make_cross_verify(cfg),
+                                  out_schema=CROSS_MATCH_SCHEMA)
 
     def minpart(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("image_id", as_index=False)["matched"].min()
 
     return partitioned_groupby(matches, ["image_id"], minpart, num_parts=8,
-                               out_schema=out_schema)
+                               out_schema=CROSS_MATCH_SCHEMA)

@@ -1,0 +1,123 @@
+"""Persisted LSH band index for incremental NEAR-dup image ingest.
+
+The Bloom index (state/bloomstore.py) answers the EXACT form of the
+reference's incremental scan — "have we already stored this exact
+fingerprint?" (/root/reference/dupedb.py:31-66).  This module answers the
+NEAR-dup form a 10^12-image ingest actually needs: "does this new image
+near-duplicate anything in the corpus we already hold?", without
+re-banding or re-reading the known corpus on every increment.
+
+build (once per corpus snapshot)
+    known fingerprints → the SAME slice/md5 banding the in-run pipelines
+    use (pigeonhole-lossless for the Hamming radius, so the persisted
+    relation is EXACT, not probabilistic) → hash-partition on
+    (band, key) with the process-deterministic ``_hash_cols`` → one
+    hive-partitioned parquet directory per partition
+    (``part=N/``, ~45 bytes/row × ~6 band rows/image — keys + ids + the
+    small verify payload, never pixels).  ``_params.json`` pins the
+    banding config so a probe with mismatched hash_size/hamming_max fails
+    loudly instead of silently missing pairs.
+
+probe (every new increment)
+    the increment bands the same way, its (small) distinct partition set
+    is computed, and ONLY those ``part=N`` directories of the index are
+    read — the read-pruning that makes an incremental probe cheap when
+    the index holds 10^12 rows and the increment holds 10^6 (same
+    pruning pattern as ``functions/vector.ivf_search``).  Probe + pruned
+    index rows then flow through the ordinary cross-side verify
+    (image_dedup.make_cross_verify): results are IDENTICAL to the in-run
+    ``img_cross_min_match`` on the same two sides, value-checked by the
+    shared DuckDB mirror.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduplicator_ray import io as dio
+from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
+from deduplicator_ray.stages.banding import make_banding
+from deduplicator_ray.stages.partitioned import _hash_cols
+
+_PARAMS = "_params.json"
+_BAND_COLS = ["band", "key", "image_id", "dhash", "caption"]
+
+
+def _add_part(num_parts: int):
+    def f(t: pa.Table) -> pa.Table:
+        part = (_hash_cols(t, ["band", "key"])
+                % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    return f
+
+
+def build_band_index(known_fp: rd.Dataset, cfg: PipelineConfig,
+                     index_dir: str, num_parts: int = 64) -> dict:
+    """Band the known corpus and persist the band rows hash-partitioned on
+    (band, key).  Returns the persisted params."""
+    band = make_banding(cfg, channels=("img",))
+    rows = (known_fp.map_batches(band, batch_format="pyarrow",
+                                 batch_size=cfg.text_batch_size)
+            .map_batches(_add_part(num_parts), batch_format="pyarrow"))
+    rows.write_parquet(index_dir, partition_cols=["part"])
+    params = {"num_parts": num_parts, "hash_size": cfg.hash_size,
+              "hamming_max": cfg.hamming_max}
+    with open(os.path.join(index_dir, _PARAMS), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def probe_band_index(new_fp: rd.Dataset, index_dir: str,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     stats: dict | None = None) -> rd.Dataset:
+    """(image_id, matched) for every new-side fingerprint that near-dups
+    the indexed corpus — the persisted-index equivalent of
+    ``image_dedup.img_cross_min_match``.  ``stats`` (optional dict) gets
+    ``parts_read`` / ``parts_total`` so callers can assert read pruning."""
+    from deduplicator_ray.pipelines.image_dedup import (
+        CROSS_MATCH_SCHEMA,
+        cross_min_from_band_rows,
+    )
+
+    with open(os.path.join(index_dir, _PARAMS)) as f:
+        params = json.load(f)
+    for k in ("hash_size", "hamming_max"):
+        if params[k] != getattr(cfg, k):
+            raise ValueError(
+                f"band index was built with {k}={params[k]}, probe cfg has "
+                f"{getattr(cfg, k)} — matches would be silently wrong")
+    num_parts = params["num_parts"]
+
+    band = make_banding(cfg, channels=("img",))
+    probe = (new_fp.map_batches(band, batch_format="pyarrow",
+                                batch_size=cfg.text_batch_size)
+             .map_batches(_add_part(num_parts), batch_format="pyarrow")
+             .materialize())  # the increment is the SMALL side by design
+
+    parts = sorted(int(p) for p in probe.unique("part"))
+    paths = [os.path.join(index_dir, f"part={p}") for p in parts]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if stats is not None:
+        stats["parts_read"] = len(paths)
+        stats["parts_total"] = num_parts
+    if not paths:
+        return rd.from_arrow(CROSS_MATCH_SCHEMA.empty_table())
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return (t.select(_BAND_COLS).append_column(
+                "side", pa.array(np.full(len(t), side, np.int8))))
+
+        return f
+
+    idx_rows = dio.read_parquet(paths).map_batches(
+        tag(0), batch_format="pyarrow")
+    probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
+    return cross_min_from_band_rows(idx_rows.union(probe_rows), cfg)

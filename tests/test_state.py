@@ -238,3 +238,58 @@ def test_edge_checkpoint_resume_matches_direct(sharded_corpus, tmp_path):
     with pytest.raises(RuntimeError, match="no edge partitions"):
         ec.checkpoint_verified_edges(fp, ck, cfg2, n_partitions=4,
                                      input_digest=digest, max_partitions=0)
+
+
+def test_band_index_probe_equals_inrun_cross_match(sf_small, tmp_path):
+    """Persisted LSH band index (state/bandstore.py): the indexed probe
+    must be value-identical to the in-run img_cross_min_match on the same
+    sides, a tiny increment must read only a strict subset of the index
+    partitions, and a config-mismatched probe must fail loudly."""
+    import dataclasses
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+
+    cfg = PipelineConfig()
+    cols = ["image_id", "dhash", "dhash_hex", "status", "content_md5"]
+    live = ip._live(ip.fingerprints(ip.load_images(sf_small, cfg), cfg),
+                    cfg).materialize()
+
+    def side(new_side):
+        def f(t):
+            ids = t["image_id"].to_pylist()
+            isnew = np.fromiter(
+                (hashlib.md5(s.encode()).hexdigest()[0] in "0123"
+                 for s in ids), bool, count=len(ids))
+            return t.select(cols).filter(
+                pa.array(isnew if new_side else ~isnew))
+
+        return live.map_batches(f, batch_format="pyarrow")
+
+    idx = str(tmp_path / "bandidx")
+    bandstore.build_band_index(side(False), cfg, idx, num_parts=64)
+
+    got = (bandstore.probe_band_index(side(True), idx, cfg).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    want = (ip.img_cross_min_match(side(True), side(False), cfg).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+    # read pruning: a 5-image increment touches a strict partition subset
+    stats = {}
+    tiny = side(True).limit(5).materialize()
+    bandstore.probe_band_index(tiny, idx, cfg, stats=stats).to_pandas()
+    assert 0 < stats["parts_read"] < stats["parts_total"]
+
+    # config drift guard
+    with pytest.raises(ValueError, match="hamming_max"):
+        bandstore.probe_band_index(
+            tiny, idx, dataclasses.replace(cfg, hamming_max=2))

@@ -171,10 +171,54 @@ def run_bloom_probe(input_dir: str, index_dir: str, key_col: str,
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_band_build(input_dir: str, index_dir: str, num_parts: int,
+                   hash_size: int = 8) -> dict:
+    """Build the persistent NEAR-dup band index (state/bandstore.py):
+    fingerprint the corpus, band it, persist hash-partitioned band rows."""
+    _ensure_ray()
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+    from deduplicator_ray import tuning
+
+    tuning.tune()
+    cfg = PipelineConfig(hash_size=hash_size)
+    t0 = time.time()
+    fp = ip._live(ip.fingerprints(dio.read_corpus(input_dir), cfg), cfg)
+    params = bandstore.build_band_index(fp, cfg, index_dir,
+                                        num_parts=num_parts)
+    return {"mode": "band-build", "index": index_dir, **params,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_band_probe(input_dir: str, index_dir: str, output_dir: str,
+                   hash_size: int = 8) -> dict:
+    """Probe a new image increment against a built band index; writes the
+    (image_id, matched) near-dup table as parquet."""
+    _ensure_ray()
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+    from deduplicator_ray import tuning
+
+    tuning.tune()
+    cfg = PipelineConfig(hash_size=hash_size)
+    t0 = time.time()
+    fp = ip._live(ip.fingerprints(dio.read_corpus(input_dir), cfg), cfg)
+    stats: dict = {}
+    out = bandstore.probe_band_index(fp, index_dir, cfg, stats=stats)
+    out.write_parquet(output_dir)
+    n_matched = dio.read_parquet(output_dir).count()
+    return {"mode": "band-probe", "output": output_dir,
+            "n_matched": int(n_matched), **stats,
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
     p.add_argument("mode", choices=["reference", "extended",
-                                    "bloom-build", "bloom-probe"])
+                                    "bloom-build", "bloom-probe",
+                                    "band-build", "band-probe"])
     p.add_argument("--input", required=True, help="directory of input parquet shards")
     p.add_argument("--output", help="output directory for artifacts "
                    "(required for all modes except bloom-build)")
@@ -200,9 +244,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bloom-shuffle", action="store_true",
                    help="hash-partition the probe side (oversize filters)")
     a = p.parse_args(argv)
-    if a.mode in ("bloom-build", "bloom-probe") and not a.index:
+    if a.mode in ("bloom-build", "bloom-probe",
+                  "band-build", "band-probe") and not a.index:
         p.error(f"{a.mode} requires --index")
-    if a.mode != "bloom-build" and not a.output:
+    if a.mode not in ("bloom-build", "band-build") and not a.output:
         p.error(f"{a.mode} requires --output")
     if a.mode == "bloom-build":
         print(json.dumps(run_bloom_build(a.input, a.index, a.key_col,
@@ -211,6 +256,14 @@ def main(argv: list[str] | None = None) -> None:
     if a.mode == "bloom-probe":
         print(json.dumps(run_bloom_probe(a.input, a.index, a.key_col,
                                          a.output, shuffle=a.bloom_shuffle)))
+        return
+    if a.mode == "band-build":
+        print(json.dumps(run_band_build(a.input, a.index, a.num_parts,
+                                        hash_size=a.hash_size)))
+        return
+    if a.mode == "band-probe":
+        print(json.dumps(run_band_probe(a.input, a.index, a.output,
+                                        hash_size=a.hash_size)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

@@ -293,3 +293,26 @@ def test_band_index_probe_equals_inrun_cross_match(sf_small, tmp_path):
     with pytest.raises(ValueError, match="hamming_max"):
         bandstore.probe_band_index(
             tiny, idx, dataclasses.replace(cfg, hamming_max=2))
+
+
+def test_cli_band_index_modes(sharded_corpus, tmp_path):
+    """The band-build / band-probe job modes: build an index from the
+    corpus, probe the SAME corpus (every banded image must match at least
+    itself), and the summary carries the read-pruning stats."""
+    from deduplicator_ray import cli
+
+    idx = str(tmp_path / "bandidx")
+    out = str(tmp_path / "probe")
+    m1 = cli.run_band_build(sharded_corpus, idx, num_parts=16)
+    assert m1["num_parts"] == 16 and m1["hash_size"] == 8
+    m2 = cli.run_band_probe(sharded_corpus, idx, out)
+    assert m2["n_matched"] > 0
+    assert m2["parts_total"] == 16 and 0 < m2["parts_read"] <= 16
+    # self-probe: every matched id's match is ≤ itself (min election
+    # includes the image's own index entry)
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(out)
+    ids = t["image_id"].to_pylist()
+    matched = t["matched"].to_pylist()
+    assert all(m <= i for i, m in zip(ids, matched))

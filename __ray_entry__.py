@@ -516,6 +516,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_minmax": q.orders_price_minmax,
         "events_retention": q.events_retention,
         "events_cooccurrence": q.events_cooccurrence,
+        "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
+        "docs_inverted_index": q.docs_inverted_index,
+        "emb_knn_join": q.emb_knn_join,
+        "orders_monthly_growth": q.orders_monthly_growth,
+        "events_value_outliers": q.events_value_outliers,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_cross_dedup": _img_cross_dedup,
@@ -781,6 +786,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_minmax": q.ORDERS_PRICE_MINMAX_SQL,
         "events_retention": q.EVENTS_RETENTION_SQL,
         "events_cooccurrence": q.EVENTS_COOCCURRENCE_SQL,
+        "docs_tfidf_top_terms": q.DOCS_TFIDF_TOP_TERMS_SQL,
+        "docs_inverted_index": q.DOCS_INVERTED_INDEX_SQL,
+        "emb_knn_join": q.EMB_KNN_JOIN_SQL,
+        "orders_monthly_growth": q.ORDERS_MONTHLY_GROWTH_SQL,
+        "events_value_outliers": q.EVENTS_VALUE_OUTLIERS_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -3335,3 +3335,385 @@ SELECT s.o_orderkey, s.price_c,
 FROM s
 ORDER BY s.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_tfidf_top_terms — per-document top-k TF-IDF terms (classic IR
+# relevance projection over the corpus).  Two passes: (1) document
+# frequency — per-batch DISTINCT (doc, token) collapse, then ONE
+# token-partition groupby, so only (token, partial_df) rows cross the
+# wire; (2) the vocabulary-sized df map is broadcast ONCE (ray.put, read
+# per task) and each batch scores its own docs vectorized and emits its
+# local top-k — docs never span batches, so no second shuffle.  The score
+# is the LINEAR-idf variant tf·(N/df) quantized integer-exact as
+# tf·N·1e6 // df (always positive, so DuckDB's truncating // equals
+# Python's flooring //); log-idf would rank identically for df spans
+# under one decade but costs float determinism across engines.  Ties are
+# pinned (tfidf_e6 DESC, term ASC).  Scale note: the df map is
+# vocab-sized, orders of magnitude smaller than the corpus — the standard
+# TF-IDF broadcast assumption; a trillion-row corpus with an oversized
+# vocab would move pass 2 into a token-partition join instead.
+
+_TFIDF_K = 3
+
+
+def docs_tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = int(ds.count())
+
+    def _exploded(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"doc_id": np.repeat(ids, n),
+                          "term": pc.list_flatten(toks).to_pandas()})
+        return d[d["term"] != ""]
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+
+    def df_combine(t: pa.Table) -> pa.Table:
+        vc = _exploded(t).drop_duplicates()["term"].value_counts()
+        return pa.Table.from_pydict(
+            {"term": vc.index.astype(str).to_numpy(),
+             "df": vc.to_numpy(np.int64)}, schema=df_schema)
+
+    def df_sum(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("term", as_index=False)["df"].sum()
+        return g.astype({"df": np.int64})
+
+    df_tbl = partitioned_groupby(
+        ds.map_batches(df_combine, batch_format="pyarrow", batch_size=65536),
+        ["term"], df_sum, num_parts=16, out_schema=df_schema).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"],
+                              df_tbl["df"].to_numpy(np.int64))))
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+        ("df", pa.int64()), ("tfidf_e6", pa.int64())])
+
+    def topk(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        d = _exploded(t)
+        tf = (d.groupby(["doc_id", "term"], sort=False, as_index=False)
+              .size().rename(columns={"size": "tf"}))
+        dfv = tf["term"].map(dfm).to_numpy(np.int64)
+        tf["df"] = dfv
+        tf["tfidf_e6"] = (tf["tf"].to_numpy(np.int64) * n_docs
+                          * 1_000_000) // dfv
+        tf = tf.sort_values(["doc_id", "tfidf_e6", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = tf.groupby("doc_id", sort=False).head(k)
+        return pa.Table.from_pandas(out.astype(
+            {"doc_id": np.int64, "tf": np.int64}), schema=out_schema,
+            preserve_index=False)
+
+    out = _typed(ds.map_batches(topk, batch_format="pyarrow",
+                                batch_size=65536).to_pandas(), out_schema)
+    return (out.sort_values(["doc_id", "tfidf_e6", "term"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+DOCS_TFIDF_TOP_TERMS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM t WHERE term != '' GROUP BY doc_id, term),
+dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t WHERE term != '' GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         CAST(tf.tf * n.n_docs * 1000000 // dft.df AS BIGINT) AS tfidf_e6
+  FROM tf JOIN dft USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_e6 DESC, term) AS rn
+  FROM s)
+SELECT doc_id, term, tf, df, tfidf_e6
+FROM r WHERE rn <= {_TFIDF_K}
+ORDER BY doc_id, tfidf_e6 DESC, term
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_inverted_index — posting-list build (the search-index sink): for
+# every token, its document frequency and the first-K member doc_ids as a
+# CSV string.  Per-batch DISTINCT (term, doc_id) combiner, ONE
+# token-partition groupby; inside each partition df is a vectorized group
+# size and the postings string is built only over the ≤K capped survivors
+# (same bounded-output policy as events_user_paths — a stop-word token
+# with a billion postings must not produce a billion-element row).
+
+_POSTINGS_K = 8
+
+
+def docs_inverted_index(sf_dir: str, k: int = _POSTINGS_K) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    pair_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"term": pc.list_flatten(toks).to_pandas(),
+                          "doc_id": np.repeat(ids, n)})
+        d = d[d["term"] != ""].drop_duplicates()
+        return pa.Table.from_pandas(d.astype({"doc_id": np.int64}),
+                                    schema=pair_schema, preserve_index=False)
+
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def build(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates().sort_values(["term", "doc_id"],
+                                            kind="mergesort")
+        g = d.groupby("term", sort=False)
+        sizes = g.size()
+        capped = d[g.cumcount() < k]
+        posts = (capped.groupby("term", sort=False)["doc_id"]
+                 .agg(lambda s: ",".join(map(str, s))))
+        return pd.DataFrame({"term": posts.index.to_numpy(object),
+                             "df": sizes.loc[posts.index].to_numpy(np.int64),
+                             "postings": posts.to_numpy(object)})
+
+    out = _typed(partitioned_groupby(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        ["term"], build, num_parts=16, out_schema=out_schema).to_pandas(),
+        out_schema)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+DOCS_INVERTED_INDEX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+d AS (
+  SELECT DISTINCT term, doc_id FROM t WHERE term != ''),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM d)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= {_POSTINGS_K}
+                       THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY term
+ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_emb_knn_join — exact k-NN self-join over the embedding table: for every
+# vector, its k nearest neighbors by cosine (self excluded).  Baseline
+# scale shape, same as emb_near_dup: the normalized corpus matrix is
+# broadcast ONCE (ray.put), each batch does one matmul and a stable
+# argsort on the INTEGER micro-cosine (so ranking ties are broken
+# identically in both engines: cos_e6 DESC, then nn_id ASC via the
+# id-sorted column order + stable sort).  O(n²/P) flops streamed over
+# batches; at corpus scale the IVF index (functions/vector.py) replaces
+# the broadcast with bucket-pruned reads — this query is the exact
+# reference shape the approximate path is measured against.
+
+_KNN_K = 3
+
+
+def emb_knn_join(sf_dir: str, k: int = _KNN_K) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in tbl["embedding"].to_pylist()])
+    order = np.argsort(ids_all, kind="mergesort")  # id-asc column order ⇒
+    ids_all, mat = ids_all[order], mat[order]      # stable sort = id tiebreak
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids_all, mat))
+
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()), ("nn_rank", pa.int64()),
+        ("nn_id", pa.int64()), ("cos_e6", pa.int64())])
+
+    def knn(t: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mat_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        vecs = np.stack([np.asarray(v, np.float64)
+                         for v in t["embedding"].to_pylist()])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        e6 = np.floor(vecs @ m.T * 1e6 + 0.5).astype(np.int64)
+        # top (k+1) then drop self: stable argsort on -cos_e6 keeps the
+        # id-ascending column order for equal scores
+        nn = np.argsort(-e6, axis=1, kind="stable")[:, :k + 1]
+        rows_v, rows_r, rows_n, rows_c = [], [], [], []
+        for i in range(len(ids)):
+            cand = nn[i][all_ids[nn[i]] != ids[i]][:k]
+            rows_v.append(np.full(len(cand), ids[i], np.int64))
+            rows_r.append(np.arange(1, len(cand) + 1, dtype=np.int64))
+            rows_n.append(all_ids[cand])
+            rows_c.append(e6[i, cand])
+        return pa.Table.from_pydict(
+            {"vec_id": np.concatenate(rows_v), "nn_rank": np.concatenate(rows_r),
+             "nn_id": np.concatenate(rows_n), "cos_e6": np.concatenate(rows_c)},
+            schema=out_schema)
+
+    out = _typed(ds.map_batches(knn, batch_format="pyarrow",
+                                batch_size=1024).to_pandas(), out_schema)
+    return out.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+
+
+EMB_KNN_JOIN_SQL = f"""
+WITH s AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 1e6 + 0.5) AS BIGINT) AS cos_e6
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_e6 DESC, nn_id) AS rn
+  FROM s)
+SELECT vec_id, CAST(rn AS BIGINT) AS nn_rank, nn_id, cos_e6
+FROM r WHERE rn <= {_KNN_K}
+ORDER BY vec_id, nn_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_orders_monthly_growth — time-series rollup with month-over-month delta.
+# Per-batch (month, revenue-cents) combiner, ONE tiny month groupby
+# (month cardinality is bounded by the calendar, not the data), then the
+# lag/delta resolves driver-side on the ≤hundreds-row result — the classic
+# "aggregate small, window on the driver" shape.  No integer division in
+# the output (growth deltas go negative, and DuckDB's // truncates where
+# Python floors) — the delta is emitted as exact cents.
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderdate", "o_totalprice"])
+
+    m_schema = pa.schema([("month", pa.string()), ("rev_c", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t["o_orderdate"], format="%Y-%m").to_pandas()
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"month": month, "rev_c": cents})
+             .groupby("month", as_index=False)["rev_c"].sum())
+        return pa.Table.from_pandas(g.astype({"rev_c": np.int64}),
+                                    schema=m_schema, preserve_index=False)
+
+    def msum(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("month", as_index=False)["rev_c"].sum()
+        return g.astype({"rev_c": np.int64})
+
+    out = _typed(partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["month"], msum, num_parts=4, out_schema=m_schema).to_pandas(),
+        m_schema)
+    out = out.sort_values("month").reset_index(drop=True)
+    prev = out["rev_c"].shift(1).fillna(0).astype(np.int64)
+    out["prev_rev_c"] = prev
+    out["delta_c"] = out["rev_c"] - prev
+    return out[["month", "rev_c", "prev_rev_c", "delta_c"]]
+
+
+ORDERS_MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY month)
+SELECT month, rev_c,
+       CAST(COALESCE(lag(rev_c) OVER (ORDER BY month), 0) AS BIGINT)
+         AS prev_rev_c,
+       CAST(rev_c - COALESCE(lag(rev_c) OVER (ORDER BY month), 0)
+            AS BIGINT) AS delta_c
+FROM m
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_value_outliers — grouped anomaly gate: events whose value
+# exceeds 3× their event-type's mean.  Integer-exact formulation — the
+# test v > 3·mean is evaluated as v_c·n > 3·S over cents, counts and sums
+# (no float mean, no division), so the engine and the mirror agree
+# bit-for-bit at the boundary.  Per-batch (type, n, S) combiner, tiny
+# type groupby, stats broadcast once, one streaming filter pass — the
+# same two-pass broadcast shape as the curation gates.
+
+def events_value_outliers(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_id", "event_type", "value"])
+
+    s_schema = pa.schema([("event_type", pa.string()),
+                          ("n", pa.int64()), ("s_c", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "v": cents})
+             .groupby("event_type").agg(n=("v", "size"), s_c=("v", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(
+            g.astype({"n": np.int64, "s_c": np.int64}),
+            schema=s_schema, preserve_index=False)
+
+    def ssum(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("event_type", as_index=False)[["n", "s_c"]].sum()
+        return g.astype({"n": np.int64, "s_c": np.int64})
+
+    stats = _typed(partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], ssum, num_parts=4, out_schema=s_schema).to_pandas(),
+        s_schema)
+    stats_ref = ray.put({r.event_type: (int(r.n), int(r.s_c))
+                         for r in stats.itertuples()})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("value_c", pa.int64())])
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        types = t["event_type"].to_pandas()
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        n = types.map(lambda x: st[x][0]).to_numpy(np.int64)
+        s = types.map(lambda x: st[x][1]).to_numpy(np.int64)
+        keep = cents * n > 3 * s
+        return pa.Table.from_pydict(
+            {"event_id": t["event_id"].to_numpy(zero_copy_only=False)[keep],
+             "event_type": types.to_numpy(object)[keep],
+             "value_c": cents[keep]}, schema=out_schema)
+
+    out = _typed(ds.map_batches(flag, batch_format="pyarrow",
+                                batch_size=65536).to_pandas(), out_schema)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_c
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS value_c
+FROM events e JOIN s USING (event_type)
+WHERE CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n > 3 * s.s_c
+ORDER BY e.event_id
+"""

@@ -485,3 +485,88 @@ def test_cooccurrence_mirror(sf_small, con):
         "SELECT count(*) FROM (SELECT DISTINCT user_id, "
         "CAST(floor(epoch(ts)/86400) AS BIGINT) FROM events)").fetchone()[0]
     assert (eng["n_baskets"] <= n_baskets).all() and len(eng) > 0
+
+
+# --- IR / time-series / anomaly / kNN operator mirrors -------------------
+
+def test_tfidf_top_terms_mirror(sf_small):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{sf_small}/documents.parquet')")
+    eng = q.docs_tfidf_top_terms(sf_small)
+    orc = c.execute(q.DOCS_TFIDF_TOP_TERMS_SQL).df()
+    _match(eng, orc)
+    # ≤ k rows per doc, every doc with nonempty text represented
+    per_doc = eng.groupby("doc_id").size()
+    assert (per_doc <= q._TFIDF_K).all()
+    n_docs = c.execute(
+        "SELECT count(*) FROM documents WHERE text != ''").fetchone()[0]
+    assert len(per_doc) == n_docs
+    # scores are positive and the score formula holds exactly
+    assert (eng["tfidf_e6"]
+            == eng["tf"] * n_docs * 1_000_000 // eng["df"]).all()
+
+
+def test_inverted_index_mirror(sf_small):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{sf_small}/documents.parquet')")
+    eng = q.docs_inverted_index(sf_small)
+    orc = c.execute(q.DOCS_INVERTED_INDEX_SQL).df()
+    _match(eng, orc)
+    # postings are capped, ascending, and consistent with df
+    for r in eng.itertuples():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids) and len(ids) == min(r.df, q._POSTINGS_K)
+    # cap must actually bind somewhere, else the bounded-output path is
+    # untested
+    assert (eng["df"] > q._POSTINGS_K).any()
+
+
+def test_emb_knn_join_mirror(sf_small):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+              f"read_parquet('{sf_small}/embeddings.parquet')")
+    eng = q.emb_knn_join(sf_small)
+    orc = c.execute(q.EMB_KNN_JOIN_SQL).df()
+    _match(eng, orc)
+    n = c.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert len(eng) == n * q._KNN_K
+    # within a vec, ranks are 1..k and cosines are non-increasing
+    g = eng.groupby("vec_id")
+    assert (g["nn_rank"].apply(lambda s: list(s) == [1, 2, 3])).all()
+    assert (g["cos_e6"].apply(lambda s: s.is_monotonic_decreasing)).all()
+    assert (eng["vec_id"] != eng["nn_id"]).all()
+
+
+def test_monthly_growth_mirror(sf_small):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW orders AS SELECT * FROM "
+              f"read_parquet('{sf_small}/orders.parquet')")
+    eng = q.orders_monthly_growth(sf_small)
+    orc = c.execute(q.ORDERS_MONTHLY_GROWTH_SQL).df()
+    _match(eng, orc)
+    # delta telescopes: sum of deltas = last month's revenue... no — sum of
+    # deltas = last rev_c since prev of first is 0
+    assert int(eng["delta_c"].sum()) == int(eng["rev_c"].iloc[-1])
+    # revenue both grows and shrinks somewhere (non-vacuous signs)
+    assert (eng["delta_c"] > 0).any() and (eng["delta_c"] < 0).any()
+
+
+def test_value_outliers_mirror(sf_small):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{sf_small}/events.parquet')")
+    eng = q.events_value_outliers(sf_small)
+    orc = c.execute(q.EVENTS_VALUE_OUTLIERS_SQL).df()
+    _match(eng, orc)
+    assert len(eng) > 0
+    # every flagged value strictly exceeds 3× its type mean (recomputed
+    # independently here in cents)
+    st = c.execute("""
+        SELECT event_type, count(*) n,
+               sum(CAST(floor(value*100+0.5) AS BIGINT)) s
+        FROM events GROUP BY event_type""").df().set_index("event_type")
+    for r in eng.itertuples():
+        n, s = int(st.loc[r.event_type, "n"]), int(st.loc[r.event_type, "s"])
+        assert r.value_c * n > 3 * s

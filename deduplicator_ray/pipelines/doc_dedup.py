@@ -352,4 +352,13 @@ def cross_dup_min_match(new_ds: rd.Dataset, known_ds: rd.Dataset,
 
     matches = partitioned_groupby(rows, ["band", "key"], verify,
                                   out_schema=out_schema)
-    return matches.groupby("doc_id").min("matched")
+
+    # per-id min election via the same typed partitioned groupby (Ray's
+    # native .groupby().min() emits schema-LESS empty reduce blocks on
+    # sparse partitions — the last "RefBundle with a different schema"
+    # warning in BENCH_r01's tail)
+    def minpart(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["matched"].min()
+
+    return partitioned_groupby(matches, ["doc_id"], minpart, num_parts=8,
+                               out_schema=out_schema)

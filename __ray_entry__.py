@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_join": q.emb_knn_join,
         "orders_monthly_growth": q.orders_monthly_growth,
         "events_value_outliers": q.events_value_outliers,
+        "events_kmv_distinct": q.events_kmv_distinct,
         # image dedup pipelines (engine corpus; golden-tested vs oracle)
         "img_incremental_dedup": _img_incremental_dedup,
         "img_cross_dedup": _img_cross_dedup,
@@ -791,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_join": q.EMB_KNN_JOIN_SQL,
         "orders_monthly_growth": q.ORDERS_MONTHLY_GROWTH_SQL,
         "events_value_outliers": q.EVENTS_VALUE_OUTLIERS_SQL,
+        "events_kmv_distinct": q.EVENTS_KMV_DISTINCT_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
     }

@@ -3717,3 +3717,102 @@ FROM events e JOIN s USING (event_type)
 WHERE CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n > 3 * s.s_c
 ORDER BY e.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_events_kmv_distinct — approximate COUNT(DISTINCT) via a K-minimum-values
+# sketch (Bar-Yossef et al. 2002): per event_type, keep the k smallest
+# distinct 48-bit hashes of user_id; estimate = (k-1)·2^48 // h_k where
+# h_k is the k-th minimum.  The sketch is MERGEABLE — per-batch combiners
+# emit at most k (type, hash) rows each, the ONE type-partition groupby
+# merges by re-taking the k smallest distinct — so shuffle volume is
+# k·|types|·|batches| regardless of corpus size (the scale story exact
+# distinct-count can't have).  Everything is integer: the hash is the
+# first 12 hex chars of md5(str(user_id)) (identical on both engines —
+# collisions, if any, collide identically), and the estimator's division
+# is positive so DuckDB's truncating // equals Python's flooring //.
+# Exact below k (estimate = distinct count when the sketch isn't full),
+# and value-checked — the point of KMV over HyperLogLog here is that the
+# whole sketch state is SQL-expressible, so the driver hash-checks the
+# APPROXIMATE path itself, not a weaker rows-only shadow.
+
+_KMV_K = 8
+_KMV_SPACE = 1 << 48  # 12 hex chars
+
+
+def _kmv_hash(user_ids: np.ndarray) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:12], 16)
+         for u in user_ids), np.int64, count=len(user_ids))
+
+
+def events_kmv_distinct(sf_dir: str, k: int = _KMV_K) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_type", "user_id"])
+
+    sk_schema = pa.schema([("event_type", pa.string()), ("hv", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        d = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        d["hv"] = _kmv_hash(d["user_id"].to_numpy(np.int64))
+        d = d.drop_duplicates(["event_type", "hv"])  # hash space, not ids
+        d = d.sort_values(["event_type", "hv"], kind="mergesort")
+        d = d[d.groupby("event_type", sort=False).cumcount() < k]
+        return pa.Table.from_pandas(d[["event_type", "hv"]],
+                                    schema=sk_schema, preserve_index=False)
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n_sketch", pa.int64()),
+        ("kth_min", pa.int64()), ("est_distinct", pa.int64())])
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates(["event_type", "hv"]).sort_values(
+            ["event_type", "hv"], kind="mergesort")
+        d = d[d.groupby("event_type", sort=False).cumcount() < k]
+        g = d.groupby("event_type", sort=False)["hv"]
+        n = g.size()
+        kth = g.max()  # after the cap, max == k-th minimum (or the last)
+        full = n >= k
+        est = np.where(full, (k - 1) * _KMV_SPACE // np.maximum(kth, 1),
+                       n).astype(np.int64)
+        return pd.DataFrame({
+            "event_type": n.index.to_numpy(object),
+            "n_sketch": n.to_numpy(np.int64),
+            "kth_min": kth.to_numpy(np.int64),
+            "est_distinct": est})
+
+    out = _typed(partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], merge, num_parts=4, out_schema=out_schema
+    ).to_pandas(), out_schema)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_KMV_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+         CAST(max(hv) AS BIGINT) AS kth_min
+  FROM r WHERE rn <= {_KMV_K} GROUP BY event_type)
+SELECT event_type, n_sketch, kth_min,
+       CAST(CASE WHEN n_sketch >= {_KMV_K}
+                 THEN ({_KMV_K} - 1) * {_KMV_SPACE} // kth_min
+                 ELSE n_sketch END AS BIGINT) AS est_distinct
+FROM s
+ORDER BY event_type
+"""

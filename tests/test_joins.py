@@ -570,3 +570,61 @@ def test_value_outliers_mirror(sf_small):
     for r in eng.itertuples():
         n, s = int(st.loc[r.event_type, "n"]), int(st.loc[r.event_type, "s"])
         assert r.value_c * n > 3 * s
+
+
+def test_kmv_distinct_mirror(sf_small):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{sf_small}/events.parquet')")
+    eng = q.events_kmv_distinct(sf_small)
+    orc = c.execute(q.EVENTS_KMV_DISTINCT_SQL).df()
+    _match(eng, orc)
+    # the estimate is within the sketch's expected error envelope of the
+    # exact distinct count (std err ≈ 1/sqrt(k-2); assert a loose 5σ)
+    exact = c.execute("""
+        SELECT event_type, count(DISTINCT user_id) AS nd
+        FROM events GROUP BY event_type""").df().set_index("event_type")
+    import math
+    tol = 5.0 / math.sqrt(q._KMV_K - 2)
+    for r in eng.itertuples():
+        nd = int(exact.loc[r.event_type, "nd"])
+        if r.n_sketch < q._KMV_K:
+            assert r.est_distinct == nd  # exact below k
+        else:
+            assert abs(r.est_distinct - nd) <= tol * nd
+    # at least one type must exercise the FULL-sketch estimator path
+    assert (eng["n_sketch"] == q._KMV_K).any()
+
+
+def test_kmv_sketch_is_mergeable(sf_small):
+    """Split the events table in two, sketch each half through the engine,
+    merge the halves' (type, hv) rows by re-taking the k smallest — the
+    merged sketch must equal the whole-table sketch (the property that
+    makes the combiner-shuffle shape correct at any partitioning)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_small}/events.parquet",
+                      columns=["event_type", "user_id"]).to_pandas()
+    whole = q.events_kmv_distinct(sf_small)
+
+    def sketch(df):
+        d = df.drop_duplicates().copy()
+        d["hv"] = [int(hashlib.md5(str(int(u)).encode()).hexdigest()[:12], 16)
+                   for u in d["user_id"]]
+        d = d.drop_duplicates(["event_type", "hv"]).sort_values(
+            ["event_type", "hv"])
+        return d[d.groupby("event_type").cumcount() < q._KMV_K]
+
+    halves = pd.concat([sketch(t.iloc[::2]), sketch(t.iloc[1::2])])
+    merged = halves.drop_duplicates(["event_type", "hv"]).sort_values(
+        ["event_type", "hv"])
+    merged = merged[merged.groupby("event_type").cumcount() < q._KMV_K]
+    g = merged.groupby("event_type")["hv"]
+    ref = pd.DataFrame({"n_sketch": g.size(), "kth_min": g.max()})
+    got = whole.set_index("event_type")[["n_sketch", "kth_min"]]
+    pd.testing.assert_frame_equal(
+        got.sort_index(), ref.sort_index().astype(np.int64),
+        check_names=False)

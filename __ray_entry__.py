@@ -47,6 +47,21 @@ def _img_reference_clusters(sf_dir: str):
     return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _img_phash_clusters(sf_dir: str):
+    """Reference-mode clustering under the pluggable ``hash_fn='phash'``
+    kernel (imagehash.phash semantics — DCT-II median-threshold bits,
+    hashing.py:98-113): same grouping/threshold orchestration, different
+    64-bit perceptual keyspace.  Driver-value-checked against a pHash
+    oracle sidecar recomputed Ray-free by fixtures.hashes_path."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), hash_fn="phash")
+    out = ip.reference_clusters(ip.load_images(sf_dir, cfg), cfg)
+    return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
+
+
 def _img_reference_clusters_h12(sf_dir: str):
     """Reference-mode clustering at the reference's DEFAULT hash size 12
     (/root/reference/dedupc.py:586) — the 144-bit hex keyspace."""
@@ -528,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_cross_dedup_indexed": _img_cross_dedup_indexed,
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
+        "img_phash_clusters": _img_phash_clusters,
         "img_reference_decisions": _img_reference_decisions,
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
@@ -596,6 +612,11 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_reference_clusters_h12": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes12, **kw),
+        # pluggable perceptual-hash kernel: same relation over the pHash
+        # oracle sidecar (fixtures.hashes_path(sf, 8, "phash"))
+        "img_phash_clusters": mirrors.compose(
+            mirrors.REFERENCE_CLUSTERS_SQL,
+            hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),
         "img_reference_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         "img_extended_clusters": mirrors.compose(

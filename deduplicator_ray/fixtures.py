@@ -477,12 +477,12 @@ HASHES_SCHEMA = pa.schema(
 
 
 def _write_hash_shard(args) -> None:
-    src, dst, hash_size = args
+    src, dst, hash_size, hash_fn = args
     from deduplicator_ray import oracle
     from deduplicator_ray.config import PipelineConfig
     from deduplicator_ray.functions import text as textfn
 
-    cfg = PipelineConfig(hash_size=hash_size)
+    cfg = PipelineConfig(hash_size=hash_size, hash_fn=hash_fn)
     rows = oracle.compute_rows(pq.read_table(src), cfg)
     imgs = pq.read_table(src, columns=["image_id", "bytes"])
     crc = {i: hashing.crc32_hex(b)
@@ -518,7 +518,7 @@ def _write_hash_shard(args) -> None:
     pq.write_table(out, dst)
 
 
-def hashes_path(sf_dir: str, hash_size: int = 8) -> str:
+def hashes_path(sf_dir: str, hash_size: int = 8, hash_fn: str = "dhash") -> str:
     """Single-process ORACLE recomputation of every image's fingerprint
     (status, proc_hash, dhash, crc32) as a DuckDB-joinable parquet table.
 
@@ -531,7 +531,8 @@ def hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     property and golden tests; what the mirror cannot re-derive in SQL is
     exactly the per-image decode, so that part ships as data."""
     base = ensure_fixture(sf_dir, hash_size)
-    out = os.path.join(base, f"hashes_h{hash_size}")
+    suffix = "" if hash_fn == "dhash" else f"_{hash_fn}"
+    out = os.path.join(base, f"hashes_h{hash_size}{suffix}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -539,7 +540,7 @@ def hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size)
+    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size, hash_fn)
             for f in shards]
     if len(jobs) > 4 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
         import concurrent.futures as cf

@@ -45,7 +45,9 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
         }
         try:
             img = codecs.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
-            bits = hashing.dhash_bits(img, cfg.hash_size)
+            bits_fn = (hashing.dhash_bits if cfg.hash_fn == "dhash"
+                       else hashing.phash_bits)
+            bits = bits_fn(img, cfg.hash_size)
             rec["proc_hash"] = hashing.bits_to_hex(bits)
             rec["dhash"] = (hashing.u64_to_i64(hashing.pack_bits_u64(bits))
                             if cfg.hash_size == 8 else 0)

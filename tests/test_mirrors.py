@@ -171,3 +171,18 @@ def test_cross_dedup_wide_hash():
     out = (ip.img_cross_min_match(new, known, cfg).to_pandas()
            .sort_values("image_id"))
     assert list(map(tuple, out.values)) == [("n1", "k2")]
+
+
+def test_phash_clusters_mirror(sf_small, paths):
+    """Pluggable hash_fn='phash': the engine's reference-mode clustering
+    over the pHash keyspace must value-match REFERENCE_CLUSTERS_SQL over
+    the pHash oracle sidecar (fixtures.hashes_path(sf, 8, 'phash'))."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, hash_fn="phash")
+    eng = (ip.reference_clusters(ip.load_images(sf_small, cfg), cfg)
+           .to_pandas())
+    ph = {"hashes": fixtures.hashes_path(sf_small, 8, "phash") + "/*.parquet",
+          "images": paths["images"]}
+    orc = duckdb.sql(_compose(mirrors.REFERENCE_CLUSTERS_SQL, ph)).df()
+    _assert_frame_equal(eng[["proc_hash", "image_id"]], orc)

@@ -359,6 +359,24 @@ def _docs_clusters(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_keep_best(sf_dir: str):
+    import os
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines.doc_dedup import doc_keep_best
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out = doc_keep_best(ds, _cfg()).to_pandas()
+    from deduplicator_ray.pipelines import queries as q
+    import pyarrow as pa
+
+    out = q._typed(out, pa.schema([("doc_id", pa.string()),
+                                   ("cluster_id", pa.string()),
+                                   ("action", pa.string())]))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_simhash_pairs(sf_dir: str):
     import os
 
@@ -562,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_clusters": _docs_clusters,
+        "docs_keep_best": _docs_keep_best,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_fingerprints": _docs_fingerprints,
         # approximate vector search
@@ -816,4 +835,5 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": q.EVENTS_KMV_DISTINCT_SQL,
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
+        "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
     }

@@ -113,6 +113,68 @@ def doc_clusters(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dat
     return connected_components(pairs, cfg)
 
 
+def doc_keep_best(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                  num_parts: int = 64) -> rd.Dataset:
+    """Per-near-dup-cluster keeper election for documents — the doc-side
+    analog of the image pipeline's decision table (T1/A4,
+    /root/reference/dedupc.py:180,211-218): within each ``doc_clusters``
+    component keep the highest-quality member, drop the rest.  Quality =
+    text length in characters (the classic "keep the longest version"
+    policy), tie-broken by ascending doc_id string.
+
+    Scale shape: cluster labels (near-dup members only — a small fraction
+    of the corpus) union a 2-column (doc_id, qlen) projection of the full
+    corpus, then ONE hash-partitioned groupby on doc_id attaches quality
+    to each label row and a second on cluster_id runs the election — both
+    vectorized per partition, no broadcast of either side, no driver
+    materialization.  Output: (doc_id, cluster_id, action∈{keep,drop}),
+    clustered docs only (singletons are implicitly kept, as in the image
+    decision table)."""
+    labels = doc_clusters(ds, cfg)  # (image_id, cluster_id), both string
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "cluster_id": pa.array([""] * t.num_rows, pa.string()),
+            "qlen": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["image_id"],
+            "cluster_id": t["cluster_id"],
+            "qlen": pa.array(np.full(t.num_rows, -1, np.int64)),
+        })
+
+    mid_schema = pa.schema([("doc_id", pa.string()),
+                            ("cluster_id", pa.string()),
+                            ("qlen", pa.int64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        qmap = (df.loc[df["cluster_id"] == ""]
+                .drop_duplicates("doc_id").set_index("doc_id")["qlen"])
+        out = df.loc[df["cluster_id"] != ""].copy()
+        out["qlen"] = out["doc_id"].map(qmap).fillna(0).astype(np.int64)
+        return out
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("cluster_id", pa.string()),
+                            ("action", pa.string())])
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        q = df.sort_values(["cluster_id", "qlen", "doc_id"],
+                           ascending=[True, False, True], kind="mergesort")
+        q["action"] = np.where(~q["cluster_id"].duplicated(), "keep", "drop")
+        return q[["doc_id", "cluster_id", "action"]]
+
+    unioned = (ds.map_batches(proj, batch_format="pyarrow")
+               .union(labels.map_batches(lab, batch_format="pyarrow")))
+    joined = partitioned_groupby(unioned, ["doc_id"], attach,
+                                 num_parts=num_parts, out_schema=mid_schema)
+    return partitioned_groupby(joined, ["cluster_id"], elect,
+                               num_parts=num_parts, out_schema=out_schema)
+
+
 def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """SimHash near-dup candidate pairs: band the 64-bit simhash into

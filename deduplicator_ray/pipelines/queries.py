@@ -946,7 +946,10 @@ WHERE i::DOUBLE / (la + lb - i) >= 0.8
 ORDER BY src, dst
 """
 
-DOCS_CLUSTERS_SQL = """
+# shared CC-label CTE chain (5-gram shingles, exact Jaccard >= 0.8,
+# min-label recursive components) — the relational re-derivation of
+# doc_clusters, reused by the keeper-election mirror below
+_DOCS_CC_CTES = """
 WITH RECURSIVE d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([substr(text, i, 5)
@@ -974,8 +977,25 @@ r(node, lbl) AS (
   SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
   WHERE r.lbl < e.u
 )
+"""
+
+DOCS_CLUSTERS_SQL = _DOCS_CC_CTES + """
 SELECT node AS doc_id, min(lbl) AS cluster_id
 FROM r GROUP BY node ORDER BY doc_id
+"""
+
+# per-cluster keeper election (doc-side T1/A4 analog): keep the longest
+# member, tie-break ascending doc_id STRING (both sides order the same
+# VARCHAR-cast key, so '10' < '9' lexical order is shared)
+DOCS_KEEP_BEST_SQL = _DOCS_CC_CTES + """
+, lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node)
+SELECT l.doc_id, l.cluster_id,
+       CASE WHEN row_number() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY len(dd.text) DESC, l.doc_id) = 1
+            THEN 'keep' ELSE 'drop' END AS action
+FROM lab l JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = l.doc_id
+ORDER BY l.doc_id
 """
 
 

@@ -628,3 +628,30 @@ def test_kmv_sketch_is_mergeable(sf_small):
     pd.testing.assert_frame_equal(
         got.sort_index(), ref.sort_index().astype(np.int64),
         check_names=False)
+
+
+def test_doc_keep_best_election(ray_session):
+    """doc_keep_best: within each near-dup component the LONGEST text wins;
+    equal lengths tie-break by ascending doc_id STRING (lexical, matching
+    the mirror's VARCHAR order)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import doc_keep_best
+
+    base = "abcdefghij" * 20
+    docs = pa.table({
+        "doc_id": pa.array([9, 10, 3, 4, 77], pa.int64()),
+        "text": pa.array([base, base + "abcde",     # longer member wins
+                          "zyxwv" * 40, "zyxwv" * 40,  # tie → min id string
+                          "unique text with no twin anywhere"], pa.string()),
+    })
+    out = (doc_keep_best(rd.from_arrow(docs), PipelineConfig())
+           .to_pandas().set_index("doc_id"))
+    assert out.loc["10", "action"] == "keep"
+    assert out.loc["9", "action"] == "drop"
+    assert out.loc["3", "action"] == "keep"
+    assert out.loc["4", "action"] == "drop"
+    assert "77" not in out.index          # singleton: implicitly kept
+    assert out.loc["9", "cluster_id"] == out.loc["10", "cluster_id"]

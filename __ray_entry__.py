@@ -377,6 +377,27 @@ def _docs_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_pagerank(sf_dir: str):
+    """e6 fixed-point PageRank over the near-dup graph (5 exact integer
+    rounds) — which member of each duplicate family is most central."""
+    import os
+
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import queries as q
+    from deduplicator_ray.pipelines.doc_dedup import doc_dup_pairs
+    from deduplicator_ray.pipelines.graph import pagerank_e6
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out = pagerank_e6(doc_dup_pairs(ds, _cfg())).to_pandas()
+    out = q._typed(out, pa.schema([("node", pa.string()),
+                                   ("rank_e6", pa.int64())]))
+    out = out.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_simhash_pairs(sf_dir: str):
     import os
 
@@ -581,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_clusters": _docs_clusters,
         "docs_keep_best": _docs_keep_best,
+        "docs_pagerank": _docs_pagerank,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_fingerprints": _docs_fingerprints,
         # approximate vector search
@@ -836,4 +858,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
         "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
+        "docs_pagerank": q.DOCS_PAGERANK_SQL,
     }

@@ -1,0 +1,134 @@
+"""Iterative graph analytics over the near-dup edge set.
+
+Connected components (stages/components.py) answers "which docs are the
+same"; PageRank over the same graph answers "which member is most
+central" — a standard representative-quality signal when picking which
+near-duplicate to keep (the highest-rank member is the one most other
+variants point at).  This is the engine's second iterative-algorithm
+family: a fixed number of synchronous rounds, each one hash-partitioned
+shuffle + vectorized per-partition math, no driver-side per-row work.
+
+All arithmetic is e6 FIXED-POINT INTEGER (rank starts at 1_000_000; each
+round r' = 150_000 + (85 * Σ_in r//deg) // 100, i.e. damping 0.85) so the
+distributed result is bit-exact against a plain chained-CTE SQL mirror —
+no float summation-order drift across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+_EWD_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string()),
+                         ("dg", pa.int64()), ("r", pa.int64())])
+_RANK_SCHEMA = pa.schema([("node", pa.string()), ("rank_e6", pa.int64())])
+
+
+def pagerank_e6(edges: rd.Dataset, iters: int = 5,
+                num_parts: int = 64) -> rd.Dataset:
+    """e6 fixed-point PageRank over an undirected pair set.
+
+    ``edges``: (src, dst) string columns, one row per unique undirected
+    pair.  Returns (node, rank_e6:int64) for every node in the edge set.
+
+    Scale shape: the graph is the DERIVED near-dup edge set — orders of
+    magnitude smaller than the corpus — so materializing the
+    degree-annotated edge table once (it is consumed every round) is a
+    small-side cache, and each round is one union + two hash-partitioned
+    groupbys over graph-sized rows.  Rounds are a fixed driver loop
+    (bounded, like the CC fixpoint); per-round state is only the (node,
+    rank) table.
+    """
+
+    def sym(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = pa.concat_arrays([pc.cast(c, pa.string()).combine_chunks()
+                              for c in (t["src"], t["dst"])])
+        v = pa.concat_arrays([pc.cast(c, pa.string()).combine_chunks()
+                              for c in (t["dst"], t["src"])])
+        return pa.table({"u": u, "v": v})
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow")
+
+    deg_schema = pa.schema([("u", pa.string()), ("dg", pa.int64())])
+
+    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("u", sort=False).size().reset_index(name="dg")
+        out["dg"] = out["dg"].astype(np.int64)
+        return out
+
+    deg = partitioned_groupby(sym_edges, ["u"], count_deg,
+                              num_parts=num_parts, out_schema=deg_schema)
+
+    # degree-annotated edges, materialized ONCE (re-consumed every round)
+    def tag_edge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"u": t["u"], "v": t["v"],
+                         "dg": pa.array(np.zeros(n, np.int64)),
+                         "r": pa.array(np.full(n, -1, np.int64))})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"u": t["u"], "v": pa.array([""] * n, pa.string()),
+                         "dg": t["dg"],
+                         "r": pa.array(np.full(n, -2, np.int64))})
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = (df.loc[df["r"] == -2].drop_duplicates("u")
+                .set_index("u")["dg"])
+        out = df.loc[df["r"] == -1, ["u", "v", "r"]].copy()
+        out["dg"] = out["u"].map(dmap).astype(np.int64)
+        return out[["u", "v", "dg", "r"]]
+
+    ewd = partitioned_groupby(
+        sym_edges.map_batches(tag_edge, batch_format="pyarrow")
+        .union(deg.map_batches(tag_deg, batch_format="pyarrow")),
+        ["u"], attach_deg, num_parts=num_parts, out_schema=_EWD_SCHEMA,
+    ).materialize()
+
+    # r0 = 1e6 for every node (every node appears as some u by symmetry)
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["u"].unique(),
+                             "rank_e6": np.int64(1_000_000)})
+
+    ranks = partitioned_groupby(ewd, ["u"], init_rank,
+                                num_parts=num_parts, out_schema=_RANK_SCHEMA)
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"u": t["node"], "v": pa.array([""] * n, pa.string()),
+                         "dg": pa.array(np.zeros(n, np.int64)),
+                         "r": t["rank_e6"]})
+
+    contrib_schema = pa.schema([("v", pa.string()), ("c", pa.int64())])
+
+    def emit_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        rmap = (df.loc[df["r"] >= 0].drop_duplicates("u")
+                .set_index("u")["r"])
+        ed = df.loc[df["r"] == -1]
+        c = (ed["u"].map(rmap).to_numpy(np.int64)
+             // ed["dg"].to_numpy(np.int64))
+        return pd.DataFrame({"v": ed["v"].to_numpy(), "c": c})
+
+    def apply_round(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("v", sort=False)["c"].sum()
+        return pd.DataFrame({
+            "node": s.index.to_numpy(),
+            "rank_e6": (np.int64(150_000)
+                        + np.int64(85) * s.to_numpy(np.int64) // np.int64(100)),
+        })
+
+    for _ in range(iters):
+        contribs = partitioned_groupby(
+            ewd.union(ranks.map_batches(tag_rank, batch_format="pyarrow")),
+            ["u"], emit_contrib, num_parts=num_parts,
+            out_schema=contrib_schema)
+        ranks = partitioned_groupby(contribs, ["v"], apply_round,
+                                    num_parts=num_parts,
+                                    out_schema=_RANK_SCHEMA)
+    return ranks

@@ -949,7 +949,10 @@ ORDER BY src, dst
 # shared CC-label CTE chain (5-gram shingles, exact Jaccard >= 0.8,
 # min-label recursive components) — the relational re-derivation of
 # doc_clusters, reused by the keeper-election mirror below
-_DOCS_CC_CTES = """
+# shared near-dup EDGE derivation (5-gram shingles, exact Jaccard >= 0.8,
+# symmetric closure) — used by the CC/keeper mirrors (with the recursive
+# label CTE appended) and by the PageRank mirror (plain chained rounds)
+_DOCS_EDGE_CTES = """
 WITH RECURSIVE d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([substr(text, i, 5)
@@ -970,8 +973,11 @@ e0 AS MATERIALIZED (
 ),
 e AS MATERIALIZED (
   SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
-),
-r(node, lbl) AS (
+)
+"""
+
+_DOCS_CC_CTES = _DOCS_EDGE_CTES + """
+, r(node, lbl) AS (
   SELECT u, u FROM e
   UNION
   SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
@@ -996,6 +1002,27 @@ SELECT l.doc_id, l.cluster_id,
             THEN 'keep' ELSE 'drop' END AS action
 FROM lab l JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = l.doc_id
 ORDER BY l.doc_id
+"""
+
+# e6 fixed-point PageRank over the near-dup graph: 5 synchronous rounds,
+# ALL-INTEGER arithmetic (r0=1e6; r' = 150000 + (85·Σ r//deg)//100), so the
+# engine's hash-partitioned rounds and these chained CTEs are bit-equal —
+# no float summation-order drift.  sum(BIGINT) is DECIMAL(38,0) in DuckDB,
+# hence the inner CAST before the damping multiply (BASELINE.md, r1 lesson).
+_PR_ROUND = """
+, p{t} AS (
+  SELECT e.v AS node,
+         CAST(150000 + (85 * CAST(sum(p.r // dg.dg) AS BIGINT)) // 100
+              AS BIGINT) AS r
+  FROM e JOIN p{prev} p ON e.u = p.node JOIN dg ON dg.u = e.u
+  GROUP BY e.v)
+"""
+
+DOCS_PAGERANK_SQL = _DOCS_EDGE_CTES + """
+, dg AS (SELECT u, count(*) AS dg FROM e GROUP BY u)
+, p0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM dg)
+""" + "".join(_PR_ROUND.format(t=t, prev=t - 1) for t in range(1, 6)) + """
+SELECT node AS doc_id, r AS rank_e6 FROM p5 ORDER BY doc_id
 """
 
 

@@ -655,3 +655,34 @@ def test_doc_keep_best_election(ray_session):
     assert out.loc["4", "action"] == "drop"
     assert "77" not in out.index          # singleton: implicitly kept
     assert out.loc["9", "cluster_id"] == out.loc["10", "cluster_id"]
+
+
+def test_pagerank_e6_exact(ray_session):
+    """pagerank_e6 equals a driver-side integer reference on a small graph
+    (path + triangle): all-integer e6 rounds make the check bit-exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.graph import pagerank_e6
+
+    pairs = [("a", "b"), ("b", "c"),            # path
+             ("x", "y"), ("y", "z"), ("x", "z")]  # triangle
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string()),
+    }))
+    got = (pagerank_e6(edges, iters=5).to_pandas()
+           .set_index("node")["rank_e6"].to_dict())
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    r = {n: 1_000_000 for n in adj}
+    for _ in range(5):
+        r = {n: 150_000 + 85 * sum(r[m] // len(adj[m]) for m in adj[n]) // 100
+             for n in adj}
+    assert got == r
+    # triangle is symmetric; path endpoints symmetric
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] == got["c"] != got["b"]

@@ -286,6 +286,29 @@ def _img_dup_pairs_exact(sf_dir: str):
     return out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _img_pagerank(sf_dir: str):
+    """e6 fixed-point PageRank over the image near-dup graph: which member
+    of each duplicate family is most central.  Uses the cap-lifted config
+    (like img_dup_pairs_exact) so the edge set is relation-defined and the
+    chained-CTE mirror is bit-exact; the capped production path feeds the
+    same operator its spanning-emission edges."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines import queries as q
+    from deduplicator_ray.pipelines.graph import pagerank_e6
+
+    cfg = dataclasses.replace(_cfg(), band_group_cap=1_000_000)
+    pairs = ip.dup_pairs(ip.load_images(sf_dir, cfg), cfg)
+    out = pagerank_e6(pairs).to_pandas()
+    out = q._typed(out, pa.schema([("node", pa.string()),
+                                   ("rank_e6", pa.int64())]))
+    out = out.rename(columns={"node": "image_id"})
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _img_extended_clusters(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -588,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_decisions_explain": _img_decisions_explain,
         "img_dup_pairs": _img_dup_pairs,
         "img_dup_pairs_exact": _img_dup_pairs_exact,
+        "img_pagerank": _img_pagerank,
         "img_series_alt_pairs": _img_series_alt_pairs,
         "img_extended_clusters": _img_extended_clusters,
         "img_extended_clusters_h12": _img_extended_clusters_h12,
@@ -672,6 +696,8 @@ def _fixture_mirrors() -> dict[str, str]:
         # mirror cover the capped production behavior.
         "img_dup_pairs_exact": mirrors.compose(
             mirrors.DUP_PAIRS_SQL, hashes=hashes, **kw),
+        "img_pagerank": mirrors.compose(
+            mirrors.IMG_PAGERANK_SQL, hashes=hashes, **kw),
         # hide-alts: the sequential suppression decisions ship as a sidecar
         # (fixtures.alt_suppressed_path); SQL re-derives bucket + threshold
         "img_clusters_hidealts": mirrors.compose(

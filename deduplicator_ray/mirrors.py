@@ -350,7 +350,9 @@ FROM agg ORDER BY cluster_id
 # spanning-forest emission, a deliberate subset) — so this mirror is pinned
 # at sf-small (tests/test_mirrors.py) and NOT registered for the sf0.01
 # driver check, where a 233-member identical-hash clique tops the cap.
-DUP_PAIRS_SQL = """
+# verified-pair derivation (img Hamming ∪ md5 star ∪ cap Jaccard), shared
+# by the pair listing and the image-side PageRank mirror
+_PAIR_CTES = """
 WITH live AS (
   SELECT h.image_id, h.status, h.proc_hash, h.dhash, h.cap_bands, i.caption
   FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
@@ -391,11 +393,41 @@ cap_pairs AS (
                 JOIN sets b ON b.image_id = c.dst
   ) WHERE (na = 0 AND nb = 0) OR i::DOUBLE / (na + nb - i) >= {JACCARD_MIN}
 )
-SELECT DISTINCT src, dst FROM (
-  SELECT * FROM img_pairs
-  UNION ALL SELECT * FROM md5_pairs
-  UNION ALL SELECT * FROM cap_pairs
-) ORDER BY src, dst
+, pairs AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT * FROM img_pairs
+    UNION ALL SELECT * FROM md5_pairs
+    UNION ALL SELECT * FROM cap_pairs)
+)
+"""
+
+DUP_PAIRS_SQL = _PAIR_CTES + """
+SELECT src, dst FROM pairs ORDER BY src, dst
+"""
+
+
+def _pagerank_rounds(n: int = 5) -> str:
+    """Chained e6 integer PageRank rounds (same arithmetic as
+    queries.DOCS_PAGERANK_SQL: r' = 150000 + (85·Σ r//deg)//100; the
+    inner CAST collapses DuckDB's DECIMAL(38,0) sum back to BIGINT)."""
+    round_t = """
+, p{t} AS (
+  SELECT e.v AS node,
+         CAST(150000 + (85 * CAST(sum(p.r // dg.dg) AS BIGINT)) // 100
+              AS BIGINT) AS r
+  FROM e JOIN p{prev} p ON e.u = p.node JOIN dg ON dg.u = e.u
+  GROUP BY e.v)
+"""
+    return "".join(round_t.format(t=t, prev=t - 1) for t in range(1, n + 1))
+
+
+IMG_PAGERANK_SQL = _PAIR_CTES + """
+, e AS (SELECT src AS u, dst AS v FROM pairs
+        UNION ALL SELECT dst, src FROM pairs)
+, dg AS (SELECT u, count(*) AS dg FROM e GROUP BY u)
+, p0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM dg)
+""" + _pagerank_rounds(5) + """
+SELECT node AS image_id, r AS rank_e6 FROM p5 ORDER BY image_id
 """
 
 

@@ -186,3 +186,20 @@ def test_phash_clusters_mirror(sf_small, paths):
           "images": paths["images"]}
     orc = duckdb.sql(_compose(mirrors.REFERENCE_CLUSTERS_SQL, ph)).df()
     _assert_frame_equal(eng[["proc_hash", "image_id"]], orc)
+
+
+def test_img_pagerank_mirror(sf_small, paths):
+    """Image-side e6 PageRank: the engine's shuffled integer rounds must be
+    bit-equal to the chained-CTE mirror over the verified-pair relation
+    (cap lifted so the edge set is relation-defined)."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines.graph import pagerank_e6
+
+    cfg = dataclasses.replace(CFG, band_group_cap=1_000_000)
+    pairs = ip.dup_pairs(ip.load_images(sf_small, cfg), cfg)
+    eng = (pagerank_e6(pairs).to_pandas()
+           .rename(columns={"node": "image_id"})
+           .sort_values("image_id").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.IMG_PAGERANK_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)

@@ -421,6 +421,27 @@ def _docs_pagerank(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_triangles(sf_dir: str):
+    """Per-node triangle participation in the near-dup graph — how tightly
+    each duplicate family is interlinked (clique-ness vs chain-ness)."""
+    import os
+
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import queries as q
+    from deduplicator_ray.pipelines.doc_dedup import doc_dup_pairs
+    from deduplicator_ray.pipelines.graph import triangle_counts
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out = triangle_counts(doc_dup_pairs(ds, _cfg())).to_pandas()
+    out = q._typed(out, pa.schema([("node", pa.string()),
+                                   ("triangles", pa.int64())]))
+    out = out.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_simhash_pairs(sf_dir: str):
     import os
 
@@ -627,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clusters": _docs_clusters,
         "docs_keep_best": _docs_keep_best,
         "docs_pagerank": _docs_pagerank,
+        "docs_triangles": _docs_triangles,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_fingerprints": _docs_fingerprints,
         # approximate vector search
@@ -885,4 +907,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
         "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
         "docs_pagerank": q.DOCS_PAGERANK_SQL,
+        "docs_triangles": q.DOCS_TRIANGLES_SQL,
     }

@@ -29,6 +29,99 @@ _EWD_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string()),
 _RANK_SCHEMA = pa.schema([("node", pa.string()), ("rank_e6", pa.int64())])
 
 
+def _sym(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    u = pa.concat_arrays([pc.cast(c, pa.string()).combine_chunks()
+                          for c in (t["src"], t["dst"])])
+    v = pa.concat_arrays([pc.cast(c, pa.string()).combine_chunks()
+                          for c in (t["dst"], t["src"])])
+    return pa.table({"u": u, "v": v})
+
+
+def triangle_counts(edges: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
+    """Per-node triangle participation over an undirected pair set —
+    (node, triangles:int64) for every node in the graph, zero-filled.
+
+    Wedge-join formulation (each triangle {a,b,c} has exactly ONE wedge
+    centered at each vertex, so closed wedges centered at n == triangles
+    containing n): adjacency partitions emit lexically-normalized wedge
+    keys, one hash-partitioned join against the edge set marks the closed
+    ones, and a final groupby counts per center.  Exact integer output.
+
+    Scale note: wedge volume is Σ deg(v)² — near-dup graphs are unions of
+    small families so this is ~linear; a hub-heavy graph needs the
+    degree-orientation variant (emit wedges only from each edge's
+    lower-degree endpoint) before this stage, same downstream join."""
+    sym_edges = edges.map_batches(_sym, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
+                              ("c", pa.string()), ("tag", pa.int64())])
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        xs, ys, cs = [], [], []
+        for c, g in df.groupby("u", sort=False):
+            n = np.sort(g["v"].to_numpy())
+            if len(n) < 2:
+                continue
+            i, j = np.triu_indices(len(n), 1)
+            xs.append(n[i])
+            ys.append(n[j])
+            cs.append(np.full(i.size, c, object))
+        if not xs:
+            return pd.DataFrame({"x": [], "y": [], "c": [], "tag": []})
+        return pd.DataFrame({
+            "x": np.concatenate(xs), "y": np.concatenate(ys),
+            "c": np.concatenate(cs),
+            "tag": np.zeros(sum(a.size for a in xs), np.int64),
+        })
+
+    wedge_ds = partitioned_groupby(sym_edges, ["u"], wedges,
+                                   num_parts=num_parts,
+                                   out_schema=wedge_schema)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.cast(t["src"], pa.string())
+        d = pc.cast(t["dst"], pa.string())
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        n = t.num_rows
+        return pa.table({"x": lo, "y": hi,
+                         "c": pa.array([""] * n, pa.string()),
+                         "tag": pa.array(np.ones(n, np.int64))})
+
+    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df.loc[df["tag"] == 1, ["x", "y"]].drop_duplicates()
+        wd = df.loc[df["tag"] == 0]
+        hit = wd.merge(ed, on=["x", "y"], how="inner")
+        return pd.DataFrame({"node": hit["c"].to_numpy(),
+                             "t": np.ones(len(hit), np.int64)})
+
+    closed_schema = pa.schema([("node", pa.string()), ("t", pa.int64())])
+    closed = partitioned_groupby(
+        wedge_ds.union(edges.map_batches(edge_rows, batch_format="pyarrow")),
+        ["x", "y"], close_wedges, num_parts=num_parts,
+        out_schema=closed_schema)
+
+    # zero-fill: every node in the edge set appears, triangles or not
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["u"],
+                         "t": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    out_schema = pa.schema([("node", pa.string()),
+                            ("triangles", pa.int64())])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("node", sort=False)["t"].sum()
+        return pd.DataFrame({"node": s.index.to_numpy(),
+                             "triangles": s.to_numpy(np.int64)})
+
+    return partitioned_groupby(
+        closed.union(sym_edges.map_batches(node_rows,
+                                           batch_format="pyarrow")),
+        ["node"], count, num_parts=num_parts, out_schema=out_schema)
+
+
 def pagerank_e6(edges: rd.Dataset, iters: int = 5,
                 num_parts: int = 64) -> rd.Dataset:
     """e6 fixed-point PageRank over an undirected pair set.
@@ -45,15 +138,7 @@ def pagerank_e6(edges: rd.Dataset, iters: int = 5,
     rank) table.
     """
 
-    def sym(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        u = pa.concat_arrays([pc.cast(c, pa.string()).combine_chunks()
-                              for c in (t["src"], t["dst"])])
-        v = pa.concat_arrays([pc.cast(c, pa.string()).combine_chunks()
-                              for c in (t["dst"], t["src"])])
-        return pa.table({"u": u, "v": v})
-
-    sym_edges = edges.map_batches(sym, batch_format="pyarrow")
+    sym_edges = edges.map_batches(_sym, batch_format="pyarrow")
 
     deg_schema = pa.schema([("u", pa.string()), ("dg", pa.int64())])
 

@@ -1025,6 +1025,24 @@ DOCS_PAGERANK_SQL = _DOCS_EDGE_CTES + """
 SELECT node AS doc_id, r AS rank_e6 FROM p5 ORDER BY doc_id
 """
 
+# per-node triangle participation: each triangle has exactly one wedge
+# centered at each vertex, so closed wedges at n == triangles containing n.
+# least/greatest give the same lexical VARCHAR wedge-key normalization the
+# engine uses; counts are exact integers.
+DOCS_TRIANGLES_SQL = _DOCS_EDGE_CTES + """
+, dg AS (SELECT u, count(*) AS dg FROM e GROUP BY u)
+, wed AS (SELECT a.u AS c, a.v AS x, b.v AS y
+          FROM e a JOIN e b ON a.u = b.u AND a.v < b.v)
+, closed AS (
+  SELECT w.c, count(*) AS t
+  FROM wed w JOIN (SELECT least(u, v) AS x, greatest(u, v) AS y FROM e0) ed
+    ON ed.x = w.x AND ed.y = w.y
+  GROUP BY w.c)
+SELECT dg.u AS doc_id, CAST(coalesce(closed.t, 0) AS BIGINT) AS triangles
+FROM dg LEFT JOIN closed ON closed.c = dg.u
+ORDER BY doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # q_emb_semdedup — SemDeDup-shaped embedding dedup (Abbas et al. 2023,

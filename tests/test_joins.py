@@ -686,3 +686,27 @@ def test_pagerank_e6_exact(ray_session):
     # triangle is symmetric; path endpoints symmetric
     assert got["x"] == got["y"] == got["z"]
     assert got["a"] == got["c"] != got["b"]
+
+
+def test_triangle_counts_exact(ray_session):
+    """triangle_counts: K4 nodes sit in C(3,2)=3 triangles each, a pure
+    triangle's nodes in 1, path nodes in 0; zero-filled for all nodes."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.graph import triangle_counts
+
+    pairs = ([("a", "b"), ("b", "c")]                       # path: 0 each
+             + [("x", "y"), ("y", "z"), ("x", "z")]         # triangle: 1
+             + list(itertools.combinations("pqrs", 2)))     # K4: 3 each
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string()),
+    }))
+    got = (triangle_counts(edges).to_pandas()
+           .set_index("node")["triangles"].to_dict())
+    want = {"a": 0, "b": 0, "c": 0, "x": 1, "y": 1, "z": 1,
+            "p": 3, "q": 3, "r": 3, "s": 3}
+    assert got == want

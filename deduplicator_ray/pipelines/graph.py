@@ -12,6 +12,11 @@ All arithmetic is e6 FIXED-POINT INTEGER (rank starts at 1_000_000; each
 round r' = 150_000 + (85 * Σ_in r//deg) // 100, i.e. damping 0.85) so the
 distributed result is bit-exact against a plain chained-CTE SQL mirror —
 no float summation-order drift across partitionings.
+
+Public provenance: PageRank update rule per Page/Brin/Motwani/Winograd
+1999 (synchronous power iteration, damping 0.85); triangle counting via
+the wedge-check MapReduce formulation (Cohen 2009, "Graph Twiddling in a
+MapReduce World").
 """
 
 from __future__ import annotations

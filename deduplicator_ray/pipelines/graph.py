@@ -56,8 +56,15 @@ def triangle_counts(edges: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
     Scale note: wedge volume is Σ deg(v)² — near-dup graphs are unions of
     small families so this is ~linear; a hub-heavy graph needs the
     degree-orientation variant (emit wedges only from each edge's
-    lower-degree endpoint) before this stage, same downstream join."""
-    sym_edges = edges.map_batches(_sym, batch_format="pyarrow")
+    lower-degree endpoint) before this stage, same downstream join.
+
+    The symmetric edge set is materialized ONCE up front: it is consumed
+    by three stages (wedges, closure probes, zero-fill), and without the
+    materialization each consumption would re-execute the whole upstream
+    dedup pipeline.  Like the CC edge base case, the DERIVED graph is
+    orders of magnitude smaller than the corpus, so this is a bounded
+    small-side cache, not a corpus materialization."""
+    sym_edges = edges.map_batches(_sym, batch_format="pyarrow").materialize()
 
     wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
                               ("c", pa.string()), ("tag", pa.int64())])
@@ -84,12 +91,12 @@ def triangle_counts(edges: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
                                    num_parts=num_parts,
                                    out_schema=wedge_schema)
 
+    # closure probes come from the (already materialized) symmetric set —
+    # each undirected pair lands twice but close_wedges dedups the keys
     def edge_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        s = pc.cast(t["src"], pa.string())
-        d = pc.cast(t["dst"], pa.string())
-        lo = pc.min_element_wise(s, d)
-        hi = pc.max_element_wise(s, d)
+        lo = pc.min_element_wise(t["u"], t["v"])
+        hi = pc.max_element_wise(t["u"], t["v"])
         n = t.num_rows
         return pa.table({"x": lo, "y": hi,
                          "c": pa.array([""] * n, pa.string()),
@@ -104,7 +111,8 @@ def triangle_counts(edges: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
 
     closed_schema = pa.schema([("node", pa.string()), ("t", pa.int64())])
     closed = partitioned_groupby(
-        wedge_ds.union(edges.map_batches(edge_rows, batch_format="pyarrow")),
+        wedge_ds.union(sym_edges.map_batches(edge_rows,
+                                             batch_format="pyarrow")),
         ["x", "y"], close_wedges, num_parts=num_parts,
         out_schema=closed_schema)
 
@@ -142,8 +150,10 @@ def pagerank_e6(edges: rd.Dataset, iters: int = 5,
     (bounded, like the CC fixpoint); per-round state is only the (node,
     rank) table.
     """
-
-    sym_edges = edges.map_batches(_sym, batch_format="pyarrow")
+    # materialized: consumed by both the degree count and the edge tagging
+    # — unmaterialized, each consumption would re-execute the upstream
+    # dedup pipeline that derived the edges
+    sym_edges = edges.map_batches(_sym, batch_format="pyarrow").materialize()
 
     deg_schema = pa.schema([("u", pa.string()), ("dg", pa.int64())])
 

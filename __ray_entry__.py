@@ -442,6 +442,37 @@ def _docs_triangles(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_leakage_split(sf_dir: str):
+    """Near-dup-aware train/val split: every doc assigned, components share
+    one split (no near-dup pair straddles the boundary), md5-bucketed so
+    DuckDB re-derives the identical assignment."""
+    import os
+
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import queries as q
+    from deduplicator_ray.pipelines.doc_dedup import doc_leakage_split
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out = doc_leakage_split(ds, _cfg(),
+                            train_pct=q.LEAKAGE_TRAIN_PCT).to_pandas()
+    out = q._typed(out, pa.schema([("doc_id", pa.string()),
+                                   ("split_key", pa.string()),
+                                   ("bucket", pa.int64()),
+                                   ("split", pa.string())]))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _img_dedup_report(sf_dir: str):
+    """Operational rollup of the decision table: per action, rows /
+    clusters / payload bytes (delete bytes = storage reclaimed)."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    return ip.dedup_report(ip.load_images(sf_dir, _cfg()), _cfg())
+
+
 def _docs_simhash_pairs(sf_dir: str):
     import os
 
@@ -638,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_extended_clusters_h12": _img_extended_clusters_h12,
         "img_dead_letter": _img_dead_letter,
         "img_validate_phash": _img_validate_phash,
+        "img_dedup_report": _img_dedup_report,
         # multimodal plumbing stages (actor pools; decode stubs documented)
         "mm_resize": _mm_resize,
         "mm_features": _mm_features,
@@ -647,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_clusters": _docs_clusters,
         "docs_keep_best": _docs_keep_best,
+        "docs_leakage_split": _docs_leakage_split,
         "docs_pagerank": _docs_pagerank,
         "docs_triangles": _docs_triangles,
         "docs_simhash_pairs": _docs_simhash_pairs,
@@ -706,6 +739,9 @@ def _fixture_mirrors() -> dict[str, str]:
             hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),
         "img_reference_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
+        # per-action rollup over the same decision relation
+        "img_dedup_report": mirrors.compose(
+            mirrors.DEDUP_REPORT_SQL, hashes=hashes, **kw),
         "img_extended_clusters": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
         # img_dup_pairs has NO sf0.01 mirror by design: this corpus holds a
@@ -906,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
         "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
+        "docs_leakage_split": q.DOCS_LEAKAGE_SPLIT_SQL,
         "docs_pagerank": q.DOCS_PAGERANK_SQL,
         "docs_triangles": q.DOCS_TRIANGLES_SQL,
     }

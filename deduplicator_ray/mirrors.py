@@ -122,8 +122,10 @@ WHERE n_surv >= 2
 ORDER BY proc_hash, image_id
 """
 
-# keeper election + rename/dest plan per bucket
-REFERENCE_DECISIONS_SQL = """
+# keeper election + rename/dest plan per bucket.  The CTE chain is shared
+# with DEDUP_REPORT_SQL (the per-action operational rollup over the same
+# decision relation), so the two can never drift apart.
+_DECISIONS_CTES = """
 WITH live AS (
   SELECT h.image_id, h.proc_hash, h.crc32,
          i.w * i.h AS pixels, octet_length(i.bytes) AS filesize
@@ -190,20 +192,43 @@ destf AS (
     (CASE WHEN b_dir != '' THEN b_dir || '/' ELSE '' END)
       || regexp_replace(b_name, '\\.[^.]*$', '') || '.' || k_ext AS dest_path
   FROM dest
+),
+dec AS (
+  SELECT r.proc_hash AS cluster_id,
+         r.image_id,
+         r.filesize,
+         CASE WHEN r.q_rank = 1 THEN 'keep' ELSE 'delete' END AS action,
+         CASE WHEN r.q_rank = 1 AND strpos(r.image_id, '!') = 0
+              THEN r.proc_hash
+                   || CASE WHEN r.bsize > 1 THEN '_' || r.crc32 ELSE '' END
+                   || '.'
+                   || CASE WHEN strpos(r.image_id, '.') > 0
+                           THEN regexp_extract(r.image_id, '[^.]*$') ELSE '' END
+              ELSE '' END AS rename_to,
+         CASE WHEN r.q_rank = 1 THEN df.dest_path ELSE '' END AS dest_path
+  FROM ranked r JOIN destf df USING (proc_hash)
 )
-SELECT r.proc_hash AS cluster_id,
-       r.image_id,
-       CASE WHEN r.q_rank = 1 THEN 'keep' ELSE 'delete' END AS action,
-       CASE WHEN r.q_rank = 1 AND strpos(r.image_id, '!') = 0
-            THEN r.proc_hash
-                 || CASE WHEN r.bsize > 1 THEN '_' || r.crc32 ELSE '' END
-                 || '.'
-                 || CASE WHEN strpos(r.image_id, '.') > 0
-                         THEN regexp_extract(r.image_id, '[^.]*$') ELSE '' END
-            ELSE '' END AS rename_to,
-       CASE WHEN r.q_rank = 1 THEN df.dest_path ELSE '' END AS dest_path
-FROM ranked r JOIN destf df USING (proc_hash)
+"""
+
+REFERENCE_DECISIONS_SQL = _DECISIONS_CTES + """
+SELECT cluster_id, image_id, action, rename_to, dest_path
+FROM dec
 ORDER BY cluster_id, image_id
+"""
+
+# operational dedup report over the SAME decision relation: per action,
+# how many rows, how many clusters, how many payload bytes — 'delete'
+# total_bytes is the storage the dedup run reclaims.  The reference
+# prints these as ad-hoc log lines (/root/reference/dedupc.py:182-246);
+# here they are a first-class value-checked table.
+DEDUP_REPORT_SQL = _DECISIONS_CTES + """
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(filesize) AS BIGINT) AS total_bytes
+FROM dec
+GROUP BY action
+ORDER BY action
 """
 
 # explainSort projection: the keeper row carries the bucket's ranking

@@ -175,6 +175,64 @@ def doc_keep_best(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                                num_parts=num_parts, out_schema=out_schema)
 
 
+def doc_leakage_split(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                      train_pct: int = 90, num_parts: int = 64) -> rd.Dataset:
+    """Near-dup-aware train/validation split: every document gets a split
+    assignment, and all members of a ``doc_clusters`` component share it,
+    so no near-duplicate pair straddles the train/val boundary (the
+    benchmark-leakage failure mode of splitting a deduped-but-not-fully
+    corpus by plain row hash).  Singletons key on their own id.
+
+    The split key hashes via ``int(md5(key)[:8], 16) % 100`` — an
+    engine-independent expression DuckDB computes identically
+    (``('0x' || substr(md5(k),1,8))::BIGINT % 100``), so the assignment is
+    value-checkable and reproducible across runs and engines.
+
+    Scale shape: cluster labels (near-dup members only, a small fraction
+    of the corpus) union a 1-column id projection of the full corpus,
+    then ONE hash-partitioned groupby on doc_id resolves each row's split
+    key and hashes it — no broadcast of either side, no driver
+    materialization, output streamed.  md5 here is per-ROW but C-speed
+    and runs on the id string, not the text payload.
+
+    Output: (doc_id, split_key, bucket∈[0,100), split∈{train,val})."""
+    import hashlib
+
+    labels = doc_clusters(ds, cfg)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "cluster_id": pa.array([""] * t.num_rows, pa.string()),
+        })
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["image_id"],
+                         "cluster_id": t["cluster_id"]})
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("split_key", pa.string()),
+                            ("bucket", pa.int64()),
+                            ("split", pa.string())])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("doc_id")
+                .set_index("doc_id")["cluster_id"])
+        out = df.loc[df["cluster_id"] == "", ["doc_id"]].copy()
+        out["split_key"] = out["doc_id"].map(lmap).fillna(out["doc_id"])
+        out["bucket"] = np.fromiter(
+            (int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 100
+             for k in out["split_key"]),
+            np.int64, count=len(out))
+        out["split"] = np.where(out["bucket"] < train_pct, "train", "val")
+        return out[["doc_id", "split_key", "bucket", "split"]]
+
+    unioned = (ds.map_batches(proj, batch_format="pyarrow")
+               .union(labels.map_batches(lab, batch_format="pyarrow")))
+    return partitioned_groupby(unioned, ["doc_id"], assign,
+                               num_parts=num_parts, out_schema=out_schema)
+
+
 def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """SimHash near-dup candidate pairs: band the 64-bit simhash into

@@ -219,6 +219,68 @@ def reference_decisions_from_fp(fp: rd.Dataset,
     )
 
 
+REPORT_SCHEMA = pa.schema([("action", pa.string()), ("n", pa.int64()),
+                           ("n_clusters", pa.int64()),
+                           ("total_bytes", pa.int64())])
+
+
+def dedup_report(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Operational rollup of the reference decision table: per action
+    (keep/delete), row count, cluster count, and total payload bytes —
+    'delete' total_bytes is the storage the run reclaims.  The reference
+    emits these numbers only as ad-hoc progress prints
+    (/root/reference/dedupc.py:182-246); here they are a first-class
+    value-checked table (mirrors.DEDUP_REPORT_SQL).
+
+    Scale shape: the decision election runs per cluster-id partition
+    exactly as ``reference_decisions``; filesize attaches inside the SAME
+    partition (the fingerprint rows carrying it are already co-located),
+    and each partition emits ONE partial row per action.  Only those
+    ≤ 2×num_parts bounded partials reach the driver for the final sum —
+    the corpus itself never materializes.  Returns a pandas DataFrame
+    (action, n, n_clusters, total_bytes)."""
+    import numpy as np
+    import pandas as pd
+
+    fp = _live(fingerprints(images, cfg), cfg)
+
+    def add_cluster(t: pa.Table) -> pa.Table:
+        return t.append_column("cluster_id", pc.cast(t["proc_hash"], pa.string()))
+
+    base = make_partition_resolve(cfg, cluster_col="cluster_id",
+                                  with_superstate=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = base(df)
+        if len(dec) == 0:
+            return REPORT_SCHEMA.empty_table().to_pandas()
+        fs = (df.drop_duplicates("image_id")
+              .set_index("image_id")["filesize"])
+        dec = dec.assign(filesize=dec["image_id"].map(fs).astype(np.int64))
+        out = dec.groupby("action", as_index=False).agg(
+            n=("image_id", "size"),
+            n_clusters=("cluster_id", "nunique"),
+            total_bytes=("filesize", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        out["n_clusters"] = out["n_clusters"].astype(np.int64)
+        out["total_bytes"] = out["total_bytes"].astype(np.int64)
+        return out
+
+    partials = partitioned_groupby(
+        fp.map_batches(add_cluster, batch_format="pyarrow"),
+        ["cluster_id"], partial, out_schema=REPORT_SCHEMA)
+
+    from deduplicator_ray.pipelines.queries import _typed
+
+    pdf = _typed(partials.to_pandas(), REPORT_SCHEMA)
+    out = pdf.groupby("action", as_index=False).agg(
+        n=("n", "sum"), n_clusters=("n_clusters", "sum"),
+        total_bytes=("total_bytes", "sum"))
+    for c in ("n", "n_clusters", "total_bytes"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("action").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # extended mode (LSH + CC)
 

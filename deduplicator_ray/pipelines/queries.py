@@ -1004,6 +1004,30 @@ FROM lab l JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = l.doc_id
 ORDER BY l.doc_id
 """
 
+# near-dup-aware train/val split: the whole component shares one split
+# (split key = min-label cluster id; singletons key on their own id), so
+# no near-dup pair straddles the boundary.  Bucket = first 32 md5 bits of
+# the key mod 100 — DuckDB's hex-literal BIGINT cast computes the exact
+# same value as Python's int(md5(k)[:8], 16), so the assignment is
+# engine-independent.
+LEAKAGE_TRAIN_PCT = 90
+
+DOCS_LEAKAGE_SPLIT_SQL = _DOCS_CC_CTES + f"""
+, lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node),
+assigned AS (
+  SELECT CAST(dd.doc_id AS VARCHAR) AS doc_id,
+         coalesce(l.cluster_id, CAST(dd.doc_id AS VARCHAR)) AS split_key
+  FROM documents dd
+  LEFT JOIN lab l ON CAST(dd.doc_id AS VARCHAR) = l.doc_id)
+SELECT doc_id, split_key,
+       CAST(('0x' || substr(md5(split_key), 1, 8)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(split_key), 1, 8)) AS BIGINT) % 100
+                 < {LEAKAGE_TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM assigned
+ORDER BY doc_id
+"""
+
 # e6 fixed-point PageRank over the near-dup graph: 5 synchronous rounds,
 # ALL-INTEGER arithmetic (r0=1e6; r' = 150000 + (85·Σ r//deg)//100), so the
 # engine's hash-partitioned rounds and these chained CTEs are bit-equal —

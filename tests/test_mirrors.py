@@ -53,6 +53,21 @@ def test_reference_decisions_mirror(sf_small, paths):
     _assert_frame_equal(eng, orc)
 
 
+def test_dedup_report_mirror(sf_small, paths):
+    """Per-action operational rollup over the decision relation: row,
+    cluster, and byte totals must value-match the SQL aggregation of the
+    SAME shared CTE chain (dtype-exact — the driver hashes dtypes too)."""
+    eng = ip.dedup_report(ip.load_images(sf_small, CFG), CFG)
+    orc = duckdb.sql(_compose(mirrors.DEDUP_REPORT_SQL, paths)).df()
+    assert [str(t) for t in eng.dtypes] == [str(t) for t in orc.dtypes]
+    _assert_frame_equal(eng, orc)
+    assert set(eng["action"]) == {"keep", "delete"}
+    keep = eng.set_index("action")
+    # every cluster elects exactly one keeper and drops >= 1 member
+    assert keep.loc["keep", "n"] == keep.loc["keep", "n_clusters"]
+    assert keep.loc["delete", "n"] >= keep.loc["delete", "n_clusters"]
+
+
 def test_dup_pairs_mirror(sf_small, paths):
     """Member-level verified pairs: img Hamming ∪ md5 star ∪ cap Jaccard.
     Valid while no bucket exceeds band_group_cap (hot buckets switch to

@@ -80,3 +80,31 @@ def test_curation_mirror(sf_small, con):
     orc = con.execute(q.DOCS_CURATION_SQL).df()
     _match(eng, orc)
     assert set(eng["action"]) >= {"keep", "drop_lang"}
+
+
+def test_leakage_split_mirror(sf_small, con):
+    """Near-dup-aware train/val split: value-matches the recursive-CTE +
+    md5-bucket mirror, covers every document, and never lets a near-dup
+    component straddle the split boundary."""
+    import hashlib
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import doc_leakage_split
+
+    ds = dio.read_parquet(f"{sf_small}/documents.parquet",
+                          columns=["doc_id", "text"])
+    eng = doc_leakage_split(ds, PipelineConfig(),
+                            train_pct=q.LEAKAGE_TRAIN_PCT).to_pandas()
+    orc = con.execute(q.DOCS_LEAKAGE_SPLIT_SQL).df()
+    _match(eng, orc)
+
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(eng) == total                       # full coverage
+    assert (eng.groupby("split_key")["split"].nunique() == 1).all()
+    assert eng["bucket"].between(0, 99).all()
+    assert (eng["split"] == "train").mean() > 0.5  # 90/10 intent holds
+    # the bucket hash is the documented portable expression
+    row = eng.iloc[0]
+    assert row["bucket"] == int(
+        hashlib.md5(row["split_key"].encode()).hexdigest()[:8], 16) % 100

@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dup_shuffle": q.docs_substring_dup_shuffle,
         "docs_curation": q.docs_curation,
         "docs_incremental_dedup": q.docs_incremental_dedup,
+        "docs_cluster_update": q.docs_cluster_update,
         "docs_sample_stratified": q.docs_sample_stratified,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_chunking": q.docs_chunking,
@@ -906,6 +907,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_substring_dup_shuffle": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_curation": q.DOCS_CURATION_SQL,
         "docs_incremental_dedup": q.DOCS_INCREMENTAL_DEDUP_SQL,
+        # incremental maintenance must equal the full recompute — the
+        # clusters mirror IS its oracle (shared with docs_clusters)
+        "docs_cluster_update": q.DOCS_CLUSTERS_SQL,
         "docs_sample_stratified": q.DOCS_SAMPLE_STRATIFIED_SQL,
         "docs_repetition_stats": q.DOCS_REPETITION_STATS_SQL,
         "docs_chunking": q.DOCS_CHUNKING_SQL,

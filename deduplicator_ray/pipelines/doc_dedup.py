@@ -482,3 +482,147 @@ def cross_dup_min_match(new_ds: rd.Dataset, known_ds: rd.Dataset,
 
     return partitioned_groupby(matches, ["doc_id"], minpart, num_parts=8,
                                out_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster maintenance: fold a new increment into a persisted
+# cluster assignment without re-clustering the whole corpus (the cluster-
+# label counterpart of cross_dup_min_match's match lookup — together they
+# are the reference's mutable on-disk index loop, dupedb.py:31-66, as pure
+# checkpoint algebra).
+
+
+def doc_delta_pairs(new_ds: rd.Dataset, known_ds: rd.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> rd.Dataset:
+    """Every near-dup edge (src, dst — string ids) that TOUCHES the new
+    increment: new↔new and new↔known, never known↔known (those are already
+    reflected in the persisted assignment, because band keys are a pure
+    per-doc function — a known×known pair co-bucketed here was co-bucketed
+    when the known corpus was clustered).
+
+    Scale shape: both sides band with a 1-byte side tag (at deployment
+    scale the known side's band rows come from the persisted band index,
+    state/bandstore.py, instead of re-shingling); ONE (band, key)
+    partition groupby skips all-known buckets outright, collapses each
+    bucket to unique captions, connects new-touched identical-caption
+    groups by a min-id star, and Jaccard-verifies only the distinct-
+    caption representative pairs with a new side.  Verify cost is
+    proportional to new-touched buckets, not the corpus."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8)))
+
+        return f
+
+    rows = (
+        doc_band_rows(known_ds, cfg, id_col, text_col)
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(doc_band_rows(new_ds, cfg, id_col, text_col)
+               .map_batches(tag(1), batch_format="pyarrow")))
+
+    jmin = cfg.jaccard_min
+    shingle_k = cfg.shingle_k
+    out_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_src: list[str] = []
+        out_dst: list[str] = []
+        sh_cache: dict[str, np.ndarray] = {}
+
+        def sh(c: str) -> np.ndarray:
+            s = sh_cache.get(c)
+            if s is None:
+                s = textfn.char_shingle_hashes(c, shingle_k)
+                sh_cache[c] = s
+            return s
+
+        for _, g in df.groupby(["band", "key"], sort=False):
+            if not (g["side"].to_numpy() == 1).any():
+                continue  # all-known bucket: already in the assignment
+            groups: dict[str, list[str]] = {}
+            gnew: dict[str, bool] = {}
+            for i, c, s in zip(g["image_id"], g["caption"], g["side"]):
+                groups.setdefault(c, []).append(i)
+                if s == 1:
+                    gnew[c] = True
+            reps: list[tuple[str, str, bool]] = []
+            for c, ids in groups.items():
+                mn = min(ids)
+                has_new = gnew.get(c, False)
+                if has_new:
+                    # identical captions: star every member to the group
+                    # min (the known members' own connectivity predates
+                    # the increment, but the NEW member must bridge them)
+                    for i in set(ids):
+                        if i != mn:
+                            out_src.append(mn)
+                            out_dst.append(i)
+                reps.append((c, mn, has_new))
+            for x in range(len(reps)):
+                cx, mx, nx = reps[x]
+                shx = sh(cx)
+                lx = len(shx)
+                for y in range(x + 1, len(reps)):
+                    cy, my, ny = reps[y]
+                    if not (nx or ny):
+                        continue  # known×known: persisted
+                    shy = sh(cy)
+                    ly = len(shy)
+                    if lx == 0 and ly == 0:
+                        jac = 1.0
+                    else:
+                        lo, hi = (lx, ly) if lx < ly else (ly, lx)
+                        if lo < jmin * hi:
+                            continue
+                        inter = len(np.intersect1d(shx, shy,
+                                                   assume_unique=True))
+                        jac = inter / (lx + ly - inter)
+                    if jac >= jmin:
+                        out_src.append(mx)
+                        out_dst.append(my)
+        return pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    return partitioned_groupby(rows, ["band", "key"], verify,
+                               out_schema=out_schema)
+
+
+NEW_BUCKET_THRESHOLD = 80  # md5(doc_id) % 100 >= this ⇒ increment row
+
+
+def doc_cluster_update(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       new_threshold: int = NEW_BUCKET_THRESHOLD,
+                       num_parts: int = 32) -> rd.Dataset:
+    """End-to-end incremental clustering demo over one table: split the
+    corpus deterministically into a KNOWN part (md5-of-id bucket <
+    ``new_threshold``, standing in for yesterday's corpus whose clusters
+    are checkpointed) and a NEW increment, cluster the known part, derive
+    the increment-touched delta edges, and fold them into the assignment
+    with ``incremental_cc_update``.
+
+    The result is row-for-row equal to ``doc_clusters`` over the full
+    corpus — which is exactly how the driver value-checks it (mirror:
+    DOCS_CLUSTERS_SQL) — while no stage ever re-clusters the known side."""
+    import hashlib
+
+    from deduplicator_ray.stages.components import incremental_cc_update
+
+    def part(new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = [str(x) for x in t["doc_id"].to_pylist()]
+            mask = np.fromiter(
+                ((int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+                  >= new_threshold) == new for i in ids),
+                bool, count=len(ids))
+            return t.filter(pa.array(mask))
+
+        return f
+
+    known = ds.map_batches(part(False), batch_format="pyarrow")
+    new = ds.map_batches(part(True), batch_format="pyarrow")
+    base = doc_clusters(known, cfg)  # the "persisted" assignment
+    delta = doc_delta_pairs(new, known, cfg)
+    return incremental_cc_update(base, delta, cfg, num_parts)

@@ -1357,6 +1357,25 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "status"]]
 
 
+def docs_cluster_update(sf_dir: str) -> pd.DataFrame:
+    """Incremental cluster maintenance: cluster the 'known' 80% of the
+    corpus (stand-in for a persisted checkpoint assignment), discover only
+    the increment-touched near-dup edges, and fold them in with
+    ``incremental_cc_update`` — never re-clustering the known side.  The
+    result must equal a full-corpus recompute, so the mirror is simply
+    DOCS_CLUSTERS_SQL (shared with the ``docs_clusters`` query)."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import doc_cluster_update
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    out = doc_cluster_update(docs, PipelineConfig()).to_pandas()
+    out = out.rename(columns={"image_id": "doc_id"})
+    out = _typed(out, pa.schema([("doc_id", pa.string()),
+                                 ("cluster_id", pa.string())]))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 DOCS_INCREMENTAL_DEDUP_SQL = """
 WITH newdocs AS (
   SELECT doc_id, md5(concat(lang, '|', CAST(n_chars AS VARCHAR))) AS h

@@ -212,6 +212,122 @@ def _driver_assignment(src: list[str], dst: list[str]) -> rd.Dataset:
     ))
 
 
+def incremental_cc_update(
+    assign: rd.Dataset,
+    delta_edges: rd.Dataset,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Merge an increment's edges into a PERSISTED cluster assignment
+    without re-running connected components over the whole corpus — the
+    maintenance half of the reference's persistent hash-store loop
+    (/root/reference/dupedb.py:31-66 holds its cluster index mutable on
+    disk and folds new scans in; here the assignment is an immutable
+    checkpoint table and the fold is pure).
+
+    ``assign``: Dataset[(image_id, cluster_id)] — a prior
+    ``connected_components`` output (labels are component-min member ids,
+    the star invariant this function relies on).
+    ``delta_edges``: Dataset[(src, dst)] — every newly discovered edge
+    that touches the increment (new↔new and new↔old; old↔old pairs are
+    already reflected in ``assign`` and must not be re-fed).
+
+    Returns the updated assignment, row-for-row equal to running
+    ``connected_components`` over (star edges of ``assign``) ∪
+    ``delta_edges`` — i.e. to a full recompute, whenever the increment's
+    edge discovery has full recall on new-touched pairs.
+
+    Scale shape: the FULL assignment is never shuffled into the CC rounds.
+    One hash-partitioned groupby over (assignment 2-col projection ∪
+    delta-node probes) resolves each delta node to its persisted label;
+    the delta edges are then contracted into LABEL space (a graph bounded
+    by the increment size, not the corpus), clustered with the ordinary
+    star-contraction CC, and the resulting label→merged-label map — small
+    by the same bound — is broadcast once (``ray.put``) into a streaming
+    remap of the assignment.  Cost: one shuffle of a 2-column projection
+    + CC on the increment-sized label graph + one broadcast map pass."""
+    import ray
+
+    cfg = cfg or PipelineConfig()
+
+    E = delta_edges.materialize()
+    if E.count() == 0:
+        return assign
+
+    # -- 1. resolve every delta-edge node to its persisted label (or itself)
+    def probe_rows(b: pa.Table) -> pa.Table:
+        ids = b["src"].to_pylist() + b["dst"].to_pylist()
+        uniq = sorted(set(ids))
+        return pa.Table.from_pydict(
+            {"node": uniq, "lbl": [""] * len(uniq)},
+            schema=pa.schema([("node", pa.string()), ("lbl", pa.string())]))
+
+    def assign_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": b["image_id"].to_pylist(),
+             "lbl": b["cluster_id"].to_pylist()},
+            schema=pa.schema([("node", pa.string()), ("lbl", pa.string())]))
+
+    key_schema = pa.schema([("node", pa.string()), ("key", pa.string())])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        amap = (df.loc[df["lbl"] != ""].drop_duplicates("node")
+                .set_index("node")["lbl"])
+        q = df.loc[df["lbl"] == "", ["node"]].drop_duplicates("node").copy()
+        q["key"] = q["node"].map(amap).fillna(q["node"])
+        return q
+
+    keymap_ds = partitioned_groupby(
+        assign.map_batches(assign_rows, batch_format="pyarrow")
+        .union(E.map_batches(probe_rows, batch_format="pyarrow")),
+        ["node"], resolve, num_partitions, out_schema=key_schema)
+
+    # bounded by 2×|delta| rows — a driver dict is the broadcast side
+    key_of: dict[str, str] = {}
+    for b in keymap_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        key_of.update(zip(b["node"].to_pylist(), b["key"].to_pylist()))
+    key_ref = ray.put(key_of)
+
+    # -- 2. contract delta edges into label space and cluster that graph
+    def relabel(b: pa.Table) -> pa.Table:
+        k = ray.get(key_ref)
+        s = pd.Series(b["src"].to_pylist(), dtype=object)
+        d = pd.Series(b["dst"].to_pylist(), dtype=object)
+        src = s.map(k).fillna(s).to_numpy()
+        dst = d.map(k).fillna(d).to_numpy()
+        keep = src != dst
+        return pa.Table.from_pydict(
+            {"src": src[keep].tolist(), "dst": dst[keep].tolist()},
+            schema=_EDGE_SCHEMA)
+
+    merged = connected_components(
+        E.map_batches(relabel, batch_format="pyarrow"), cfg, num_partitions
+    ).materialize()
+
+    # label→merged-label map (small: keys ⊆ delta-node keys)
+    merge_map: dict[str, str] = {}
+    for b in merged.iter_batches(batch_size=None, batch_format="pyarrow"):
+        merge_map.update(zip(b["image_id"].to_pylist(),
+                             b["cluster_id"].to_pylist()))
+    merge_ref = ray.put(merge_map)
+
+    # -- 3. stream the old assignment through the broadcast remap, and add
+    # the merged rows themselves (covers nodes that had no prior label —
+    # new docs and old singletons joining a cluster; keys that already had
+    # assignment rows re-emit the identical row and dedup below)
+    def remap(b: pa.Table) -> pa.Table:
+        m = ray.get(merge_ref)
+        c = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        lbl = c.map(m).fillna(c).tolist()
+        return pa.Table.from_pydict(
+            {"image_id": b["image_id"].to_pylist(), "cluster_id": lbl},
+            schema=_ASSIGN_SCHEMA)
+
+    return drop_duplicates(
+        assign.map_batches(remap, batch_format="pyarrow").union(merged),
+        ["image_id"], num_partitions)
+
+
 def connected_components(
     edges: rd.Dataset,
     cfg: PipelineConfig | None = None,

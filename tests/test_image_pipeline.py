@@ -560,3 +560,58 @@ def test_mega_bucket_end_to_end(corpus):
         base["image_id"] == donor, "cluster_id"].iloc[0]] \
         if donor in set(base["image_id"]) else base
     assert len(rest) == len(base_rest)
+
+
+def test_incremental_cc_update_matches_full_recompute():
+    """incremental_cc_update over (persisted assignment, delta edges) must
+    equal CC over the union edge set — covering: a new node merging two
+    old clusters, a new node with an id SMALLER than every old label
+    (relabels whole old clusters), a brand-new new↔new cluster, an old
+    singleton pulled into a cluster, an untouched old cluster, and a delta
+    edge that is internal to one old cluster (a no-op self-loop in label
+    space)."""
+    import dataclasses
+
+    import ray.data as rd
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_update,
+    )
+
+    old_edges = [("b1", "b2"), ("b2", "b3"),      # cluster b1
+                 ("d1", "d2"),                    # cluster d1
+                 ("m1", "m2"),                    # cluster m1 (untouched)
+                 ("x1", "x2")]                    # cluster x1
+    delta = [("n5", "b2"), ("n5", "d2"),          # n5 merges b*, d*
+             ("a0", "x1"),                        # a0 < x1: relabels x*
+             ("n8", "n9"),                        # brand-new cluster
+             ("n7", "s1"),                        # old singleton s1 joins
+             ("b1", "b3")]                        # internal to cluster b1
+
+    def ds_of(pairs):
+        return rd.from_items([{"src": a, "dst": b} for a, b in pairs])
+
+    for cap in (0, 1_000_000):  # exercise shuffle rounds AND base case
+        cfg = dataclasses.replace(CFG, cc_driver_edge_cap=cap)
+        assign = connected_components(ds_of(old_edges), cfg)
+        got = incremental_cc_update(assign, ds_of(delta), cfg).to_pandas()
+        want = oracle.connected_components(
+            {(min(a, b), max(a, b)) for a, b in old_edges + delta if a != b})
+        assert dict(zip(got["image_id"], got["cluster_id"])) == want
+
+
+def test_incremental_cc_update_empty_delta_is_identity():
+    import ray.data as rd
+    import pyarrow as pa
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_update,
+    )
+
+    assign = connected_components(
+        rd.from_items([{"src": "a", "dst": "b"}]), CFG)
+    empty = rd.from_arrow(pa.Table.from_pydict(
+        {"src": [], "dst": []},
+        schema=pa.schema([("src", pa.string()), ("dst", pa.string())])))
+    out = incremental_cc_update(assign, empty, CFG).to_pandas()
+    assert dict(zip(out["image_id"], out["cluster_id"])) == {"a": "a", "b": "a"}

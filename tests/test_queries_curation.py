@@ -108,3 +108,27 @@ def test_leakage_split_mirror(sf_small, con):
     row = eng.iloc[0]
     assert row["bucket"] == int(
         hashlib.md5(row["split_key"].encode()).hexdigest()[:8], 16) % 100
+
+
+def test_cluster_update_mirror(sf_small, con):
+    """Incremental maintenance == full recompute == the clusters mirror.
+    Also pins that the deterministic known/new split is non-vacuous AND
+    that at least one delta edge crossed the boundary (otherwise the test
+    would pass with an empty increment)."""
+    import hashlib
+
+    eng = q.docs_cluster_update(sf_small)
+    orc = con.execute(q.DOCS_CLUSTERS_SQL).df()
+    _match(eng, orc)
+
+    def is_new(i: str) -> bool:
+        from deduplicator_ray.pipelines.doc_dedup import NEW_BUCKET_THRESHOLD
+        return (int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+                >= NEW_BUCKET_THRESHOLD)
+
+    sides = {is_new(d) for d in eng["doc_id"]}
+    assert sides == {True, False}  # clustered docs on both sides
+    # at least one cluster mixes known and new members
+    mixed = (eng.assign(new=[is_new(d) for d in eng["doc_id"]])
+             .groupby("cluster_id")["new"].nunique() > 1)
+    assert mixed.any()

@@ -74,6 +74,18 @@ def _img_reference_clusters_h12(sf_dir: str):
     return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _img_caption_conflicts(sf_dir: str):
+    """Duplicate-image clusters whose captions disagree (label-noise audit
+    for paired image+caption training data)."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.caption_conflicts(ip.load_images(sf_dir, _cfg()), _cfg())
+    from deduplicator_ray.pipelines.queries import _typed
+
+    pdf = _typed(out.to_pandas(), ip.CAPTION_CONFLICT_SCHEMA)
+    return pdf.sort_values("proc_hash").reset_index(drop=True)
+
+
 def _img_reference_decisions(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -659,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_phash_clusters": _img_phash_clusters,
+        "img_caption_conflicts": _img_caption_conflicts,
         "img_reference_decisions": _img_reference_decisions,
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
@@ -738,6 +751,8 @@ def _fixture_mirrors() -> dict[str, str]:
         "img_phash_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL,
             hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),
+        "img_caption_conflicts": mirrors.compose(
+            mirrors.CAPTION_CONFLICTS_SQL, hashes=hashes, **kw),
         "img_reference_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         # per-action rollup over the same decision relation

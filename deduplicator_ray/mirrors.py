@@ -472,6 +472,28 @@ def wide_ham_expr(n_hex: int, a: str = "a.proc_hash", b: str = "b.proc_hash") ->
     return "(" + " + ".join(terms) + ")"
 
 
+# caption↔image consistency audit: duplicate-image clusters (unified
+# proc_hash keyspace, threshold 2 as in REFERENCE_CLUSTERS_SQL) whose
+# members carry more than one distinct caption — the label-noise signal
+# the reference GUI shows a human side-by-side (compare.py:493-515).
+# Captions live in the images parquet; proc_hash in the oracle sidecar.
+CAPTION_CONFLICTS_SQL = """
+WITH live AS (
+  SELECT h.proc_hash, h.image_id, i.caption
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only')
+    AND NOT regexp_matches(h.proc_hash, '^0+$'))
+SELECT proc_hash,
+       count(*) AS n_members,
+       count(DISTINCT caption) AS n_captions,
+       min(caption) AS caption_min
+FROM live
+GROUP BY proc_hash
+HAVING count(*) >= 2 AND count(DISTINCT caption) > 1
+ORDER BY proc_hash
+"""
+
+
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             supp: str = "", shingle_k: int = 5, jaccard_min: float = 0.8,
             hamming_max: int = 4,

@@ -499,3 +499,53 @@ def cross_min_from_band_rows(rows: rd.Dataset,
 
     return partitioned_groupby(matches, ["image_id"], minpart, num_parts=8,
                                out_schema=CROSS_MATCH_SCHEMA)
+
+
+CAPTION_CONFLICT_SCHEMA = pa.schema([
+    ("proc_hash", pa.string()),
+    ("n_members", pa.int64()),
+    ("n_captions", pa.int64()),
+    ("caption_min", pa.string()),
+])
+
+
+def caption_conflicts(images: rd.Dataset,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Caption↔image consistency audit over the image+caption corpus: every
+    duplicate-image cluster (unified proc_hash keyspace, bucket threshold
+    as in ``reference_clusters``) whose members carry MORE THAN ONE
+    distinct caption.  Byte-identical / perceptually-identical images with
+    conflicting captions are the classic label-noise signal in paired
+    training data — one of the captions is wrong, machine-translated, or
+    spam — and the reference's GUI surfaces exactly this case to the human
+    reviewer side-by-side (/root/reference/compare.py:493-515); here it is
+    a first-class value-checked table.
+
+    Scale shape: the projection that shuffles is (proc_hash, image_id,
+    caption) — no payload bytes; ONE hash-partitioned groupby on proc_hash
+    computes size / distinct-caption count / min caption vectorized per
+    partition and emits only the conflicted clusters (a tiny fraction).
+
+    Output: (proc_hash, n_members, n_captions, caption_min) sorted by the
+    caller; ``caption_min`` anchors the cluster for review tooling."""
+    import numpy as np
+    import pandas as pd
+
+    fp = _live(fingerprints(images, cfg), cfg)
+    proj = fp.select_columns(["proc_hash", "image_id", "caption"])
+
+    threshold = cfg.threshold
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("proc_hash", sort=False).agg(
+            n_members=("image_id", "size"),
+            n_captions=("caption", "nunique"),
+            caption_min=("caption", "min"))
+        g = g[(g["n_members"] >= threshold) & (g["n_captions"] > 1)]
+        g = g.reset_index()
+        g["n_members"] = g["n_members"].astype(np.int64)
+        g["n_captions"] = g["n_captions"].astype(np.int64)
+        return g[["proc_hash", "n_members", "n_captions", "caption_min"]]
+
+    return partitioned_groupby(proj, ["proc_hash"], audit,
+                               out_schema=CAPTION_CONFLICT_SCHEMA)

@@ -218,3 +218,15 @@ def test_img_pagerank_mirror(sf_small, paths):
            .sort_values("image_id").reset_index(drop=True))
     orc = duckdb.sql(_compose(mirrors.IMG_PAGERANK_SQL, paths)).df()
     _assert_frame_equal(eng, orc)
+
+
+def test_caption_conflicts_mirror(sf_small, paths):
+    """Label-noise audit: dup-image clusters with >1 distinct caption must
+    value-match the SQL over the hashes sidecar ⋈ images parquet — and the
+    fixture must actually CONTAIN conflicted clusters (non-vacuous)."""
+    eng = (ip.caption_conflicts(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("proc_hash").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.CAPTION_CONFLICTS_SQL, paths)).df()
+    assert len(eng) > 0
+    _assert_frame_equal(eng, orc)
+    assert (eng["n_captions"] > 1).all()

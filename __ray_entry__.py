@@ -74,6 +74,18 @@ def _img_reference_clusters_h12(sf_dir: str):
     return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _img_cluster_update(sf_dir: str):
+    """Incremental image cluster maintenance: the known 80% of the corpus
+    is clustered as a stand-in persisted checkpoint; only increment-touched
+    edges are discovered and folded in (stages/components.
+    incremental_cc_update).  Must equal the full-corpus extended clusters,
+    so the mirror is EXTENDED_CLUSTERS_SQL itself."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.img_cluster_update(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_caption_conflicts(sf_dir: str):
     """Duplicate-image clusters whose captions disagree (label-noise audit
     for paired image+caption training data)."""
@@ -672,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
+        "img_cluster_update": _img_cluster_update,
         "img_reference_decisions": _img_reference_decisions,
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
@@ -753,6 +766,10 @@ def _fixture_mirrors() -> dict[str, str]:
             hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),
         "img_caption_conflicts": mirrors.compose(
             mirrors.CAPTION_CONFLICTS_SQL, hashes=hashes, **kw),
+        # incremental maintenance must equal the full recompute — the
+        # extended-clusters mirror IS its oracle
+        "img_cluster_update": mirrors.compose(
+            mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_reference_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         # per-action rollup over the same decision relation

@@ -549,3 +549,197 @@ def caption_conflicts(images: rd.Dataset,
 
     return partitioned_groupby(proj, ["proc_hash"], audit,
                                out_schema=CAPTION_CONFLICT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup cluster maintenance for IMAGES: fold a new crawl's
+# edges into a persisted extended-cluster assignment (the image counterpart
+# of doc_dedup.doc_delta_pairs + stages/components.incremental_cc_update).
+
+
+def make_img_delta_verify(cfg: PipelineConfig):
+    """Partition fn for side-tagged band rows of BOTH channels: emit every
+    verified near-dup edge that touches the NEW side, skipping known×known
+    work outright (band keys are pure per-row functions, so a known pair
+    co-bucketed here was co-bucketed when the known corpus was clustered —
+    its connectivity already lives in the persisted assignment).
+
+    Per (band, key) bucket: rows collapse to identical-fingerprint (image /
+    md5 bands) or identical-caption (cap bands) groups; NEW-touched groups
+    star every member to the group min (the new member must bridge the
+    group), and only group-representative pairs with a new side are
+    verified — Hamming ≤ hamming_max on image slices, byte-exact on the
+    md5 band, exact shingle Jaccard ≥ jaccard_min on caption bands.  Extra
+    cap edges the full pipeline would delegate to the image channel are
+    harmless: they verify the same thresholds, so they connect nodes that
+    are already co-clustered."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.functions import text as textfn
+    from deduplicator_ray.stages.banding import CAP_BAND_OFFSET, MD5_BAND
+
+    hmax = cfg.hamming_max
+    jmin = cfg.jaccard_min
+    k = cfg.shingle_k
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_s: list[str] = []
+        out_d: list[str] = []
+        sh_cache: dict[str, np.ndarray] = {}
+
+        def sh(c: str) -> np.ndarray:
+            s = sh_cache.get(c)
+            if s is None:
+                s = textfn.char_shingle_hashes(c, k)
+                sh_cache[c] = s
+            return s
+
+        def stars(groups: dict, gnew: dict) -> list:
+            reps = []
+            for v, mem in groups.items():
+                mn = min(mem)
+                hn = gnew.get(v, False)
+                if hn:
+                    for i in set(mem):
+                        if i != mn:
+                            out_s.append(mn)
+                            out_d.append(i)
+                reps.append((v, mn, hn))
+            return reps
+
+        for (b, _), g in df.groupby(["band", "key"], sort=False):
+            sides = g["side"].to_numpy()
+            if not (sides == 1).any():
+                continue  # all-known bucket: persisted
+            ids = g["image_id"].to_numpy(object)
+            pay = g["caption"].to_numpy(object)
+            if b >= CAP_BAND_OFFSET:
+                groups: dict = {}
+                gnew: dict = {}
+                for i, c, s in zip(ids, pay, sides):
+                    groups.setdefault(c, []).append(i)
+                    if s == 1:
+                        gnew[c] = True
+                reps = stars(groups, gnew)
+                for x in range(len(reps)):
+                    cx, mx, nx = reps[x]
+                    shx = sh(cx)
+                    lx = len(shx)
+                    for y in range(x + 1, len(reps)):
+                        cy, my, ny = reps[y]
+                        if not (nx or ny):
+                            continue
+                        shy = sh(cy)
+                        ly = len(shy)
+                        if lx == 0 and ly == 0:
+                            jac = 1.0
+                        else:
+                            lo, hi = (lx, ly) if lx < ly else (ly, lx)
+                            if lo < jmin * hi:
+                                continue
+                            inter = len(np.intersect1d(shx, shy,
+                                                       assume_unique=True))
+                            jac = inter / (lx + ly - inter)
+                        if jac >= jmin:
+                            out_s.append(mx)
+                            out_d.append(my)
+            else:
+                dh = g["dhash"].to_numpy()
+                vals = [int(p, 16) if p else int(d) & 0xFFFFFFFFFFFFFFFF
+                        for d, p in zip(dh, pay)]
+                groups = {}
+                gnew = {}
+                for i, v, s in zip(ids, vals, sides):
+                    groups.setdefault(v, []).append(i)
+                    if s == 1:
+                        gnew[v] = True
+                reps = stars(groups, gnew)
+                if b != MD5_BAND:  # md5 matches are identity-only
+                    for x in range(len(reps)):
+                        vx, mx, nx = reps[x]
+                        for y in range(x + 1, len(reps)):
+                            vy, my, ny = reps[y]
+                            if not (nx or ny):
+                                continue
+                            if (vx ^ vy).bit_count() <= hmax:
+                                out_s.append(mx)
+                                out_d.append(my)
+        return pd.DataFrame({"src": np.asarray(out_s, object),
+                             "dst": np.asarray(out_d, object)})
+
+    return verify
+
+
+def img_delta_edges(new_fp: rd.Dataset, known_fp: rd.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Verified near-dup edges (src, dst) touching the NEW side, over both
+    channels (image Hamming + md5 identity + caption Jaccard).  At
+    deployment scale the known side's band rows come from the persisted
+    band index (state/bandstore.py) instead of re-banding fingerprints."""
+    import numpy as np
+
+    band = make_banding(cfg, channels=("img", "cap"))
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8)))
+
+        return f
+
+    def band_rows(fp: rd.Dataset, side: int) -> rd.Dataset:
+        sig = fp.map_batches(CaptionSignatures(cfg), batch_format="pyarrow",
+                             batch_size=cfg.text_batch_size)
+        return (sig.map_batches(band, batch_format="pyarrow",
+                                batch_size=cfg.text_batch_size)
+                .map_batches(tag(side), batch_format="pyarrow"))
+
+    rows = band_rows(known_fp, 0).union(band_rows(new_fp, 1))
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    return partitioned_groupby(rows, ["band", "key"],
+                               make_img_delta_verify(cfg),
+                               out_schema=edge_schema)
+
+
+IMG_NEW_BUCKET_THRESHOLD = 80  # md5(image_id) % 100 >= this ⇒ increment
+
+
+def img_cluster_update(images: rd.Dataset,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       new_threshold: int = IMG_NEW_BUCKET_THRESHOLD) -> rd.Dataset:
+    """End-to-end incremental image clustering: split the corpus
+    deterministically into a KNOWN part (whose extended clusters stand in
+    for a persisted checkpoint) and a NEW crawl, derive only the
+    increment-touched edges, and fold them in with
+    ``incremental_cc_update`` — the known side is never re-clustered.
+    Result must equal ``extended_clusters`` over the full corpus (mirror:
+    EXTENDED_CLUSTERS_SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    from deduplicator_ray.stages.components import incremental_cc_update
+
+    def part(new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["image_id"].to_pylist()
+            mask = np.fromiter(
+                ((int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+                  >= new_threshold) == new for i in ids),
+                bool, count=len(ids))
+            return t.filter(pa.array(mask))
+
+        return f
+
+    fp = _live(fingerprints(images, cfg), cfg)
+    known_fp = fp.map_batches(part(False), batch_format="pyarrow").materialize()
+    new_fp = fp.map_batches(part(True), batch_format="pyarrow").materialize()
+
+    base_edges = verified_edges_from_fp(known_fp, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    base = connected_components(base_edges, cfg)
+    delta = img_delta_edges(new_fp, known_fp, cfg)
+    return incremental_cc_update(base, delta, cfg)

@@ -230,3 +230,25 @@ def test_caption_conflicts_mirror(sf_small, paths):
     assert len(eng) > 0
     _assert_frame_equal(eng, orc)
     assert (eng["n_captions"] > 1).all()
+
+
+def test_img_cluster_update_mirror(sf_small, paths):
+    """Incremental image-cluster maintenance == full recompute == the
+    extended-clusters mirror; the known/new split must be non-vacuous and
+    at least one cluster must mix known and new members (i.e. delta edges
+    actually crossed the boundary)."""
+    import hashlib
+
+    eng = (ip.img_cluster_update(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.EXTENDED_CLUSTERS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+
+    def is_new(i: str) -> bool:
+        return (int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+                >= ip.IMG_NEW_BUCKET_THRESHOLD)
+
+    newness = eng["image_id"].map(is_new)
+    assert set(newness) == {True, False}
+    mixed = eng.assign(new=newness).groupby("cluster_id")["new"].nunique() > 1
+    assert mixed.any()

@@ -424,6 +424,25 @@ def _docs_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_source_priority(sf_dir: str):
+    import os
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines.doc_dedup import doc_source_priority
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "source"])
+    out = doc_source_priority(ds, _cfg()).to_pandas()
+    from deduplicator_ray.pipelines import queries as q
+    import pyarrow as pa
+
+    out = q._typed(out, pa.schema([("doc_id", pa.string()),
+                                   ("cluster_id", pa.string()),
+                                   ("source", pa.string()),
+                                   ("action", pa.string())]))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_pagerank(sf_dir: str):
     """e6 fixed-point PageRank over the near-dup graph (5 exact integer
     rounds) — which member of each duplicate family is most central."""
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_clusters": _docs_clusters,
         "docs_keep_best": _docs_keep_best,
+        "docs_source_priority": _docs_source_priority,
         "docs_leakage_split": _docs_leakage_split,
         "docs_pagerank": _docs_pagerank,
         "docs_triangles": _docs_triangles,
@@ -978,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
         "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
+        "docs_source_priority": q.DOCS_SOURCE_PRIORITY_SQL,
         "docs_leakage_split": q.DOCS_LEAKAGE_SPLIT_SQL,
         "docs_pagerank": q.DOCS_PAGERANK_SQL,
         "docs_triangles": q.DOCS_TRIANGLES_SQL,

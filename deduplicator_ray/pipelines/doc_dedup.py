@@ -626,3 +626,70 @@ def doc_cluster_update(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     base = doc_clusters(known, cfg)  # the "persisted" assignment
     delta = doc_delta_pairs(new, known, cfg)
     return incremental_cc_update(base, delta, cfg, num_parts)
+
+
+def doc_source_priority(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        num_parts: int = 64) -> rd.Dataset:
+    """Cross-source near-dup resolution — the multi-corpus merge policy of
+    a training-data build: when near-duplicate documents arrive from
+    DIFFERENT sources, keep the copy from the most trusted source
+    (priority = the numeric rank encoded in ``source``, lower = better;
+    ties break on ascending doc_id string), drop the rest.  The complement
+    of ``doc_keep_best`` (longest-wins): same election shape, different
+    policy key — demonstrating the election is pluggable.
+
+    Scale shape (identical to doc_keep_best): cluster labels ∪ a 3-column
+    (doc_id, source, priority) projection, ONE doc_id-partition groupby
+    attaches source/priority to label rows, one cluster-partition groupby
+    elects — no broadcast, no driver materialization."""
+    labels = doc_clusters(ds, cfg)
+
+    def proj(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        prio = np.array([int(s[3:]) for s in src], np.int64)  # 'srcN' → N
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "cluster_id": pa.array([""] * t.num_rows, pa.string()),
+            "source": pa.array(src, pa.string()),
+            "prio": pa.array(prio),
+        })
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["image_id"],
+            "cluster_id": t["cluster_id"],
+            "source": pa.array([""] * t.num_rows, pa.string()),
+            "prio": pa.array(np.full(t.num_rows, -1, np.int64)),
+        })
+
+    mid_schema = pa.schema([("doc_id", pa.string()),
+                            ("cluster_id", pa.string()),
+                            ("source", pa.string()),
+                            ("prio", pa.int64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        feats = (df.loc[df["cluster_id"] == ""]
+                 .drop_duplicates("doc_id").set_index("doc_id"))
+        out = df.loc[df["cluster_id"] != ""].copy()
+        out["source"] = out["doc_id"].map(feats["source"]).fillna("")
+        out["prio"] = (out["doc_id"].map(feats["prio"]).fillna(0)
+                       .astype(np.int64))
+        return out
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("cluster_id", pa.string()),
+                            ("source", pa.string()),
+                            ("action", pa.string())])
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        q = df.sort_values(["cluster_id", "prio", "doc_id"],
+                           kind="mergesort")
+        q["action"] = np.where(~q["cluster_id"].duplicated(), "keep", "drop")
+        return q[["doc_id", "cluster_id", "source", "action"]]
+
+    unioned = (ds.map_batches(proj, batch_format="pyarrow")
+               .union(labels.map_batches(lab, batch_format="pyarrow")))
+    joined = partitioned_groupby(unioned, ["doc_id"], attach,
+                                 num_parts=num_parts, out_schema=mid_schema)
+    return partitioned_groupby(joined, ["cluster_id"], elect,
+                               num_parts=num_parts, out_schema=out_schema)

@@ -1004,6 +1004,21 @@ FROM lab l JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = l.doc_id
 ORDER BY l.doc_id
 """
 
+# cross-source near-dup resolution: within each near-dup component keep
+# the member from the most trusted source (numeric rank in 'srcN', lower
+# wins; ties on ascending doc_id string) — the multi-corpus merge policy,
+# same election shape as keep-best with a pluggable policy key
+DOCS_SOURCE_PRIORITY_SQL = _DOCS_CC_CTES + """
+, lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node)
+SELECT l.doc_id, l.cluster_id, dd.source,
+       CASE WHEN row_number() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY CAST(substr(dd.source, 4) AS BIGINT), l.doc_id) = 1
+            THEN 'keep' ELSE 'drop' END AS action
+FROM lab l JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = l.doc_id
+ORDER BY l.doc_id
+"""
+
 # near-dup-aware train/val split: the whole component shares one split
 # (split key = min-label cluster id; singletons key on their own id), so
 # no near-dup pair straddles the boundary.  Bucket = first 32 md5 bits of

@@ -132,3 +132,17 @@ def test_cluster_update_mirror(sf_small, con):
     mixed = (eng.assign(new=[is_new(d) for d in eng["doc_id"]])
              .groupby("cluster_id")["new"].nunique() > 1)
     assert mixed.any()
+
+
+def test_source_priority_mirror(sf_small, con):
+    """Cross-source merge election: keep the most-trusted source's copy per
+    near-dup cluster; non-vacuity = at least one cluster spans sources."""
+    import __ray_entry__ as e
+
+    eng = e.queries()["docs_source_priority"](sf_small)
+    orc = con.execute(q.DOCS_SOURCE_PRIORITY_SQL).df()
+    _match(eng, orc)
+    multi = eng.groupby("cluster_id")["source"].nunique() > 1
+    assert multi.any()
+    assert (eng.groupby("cluster_id")["action"]
+            .apply(lambda a: (a == "keep").sum() == 1)).all()

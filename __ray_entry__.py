@@ -671,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q.events_range_join,
         "events_hopping_window": q.events_hopping_window,
         "events_distinct_users": q.events_distinct_users,
+        "events_mode_type": q.events_mode_type,
+        "docs_bow_dedup": q.docs_bow_dedup,
         "orders_price_quantiles": q.orders_price_quantiles,
         "docs_top_tokens": q.docs_top_tokens,
         "events_funnel": q.events_funnel,
@@ -971,6 +973,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": q.EVENTS_RANGE_JOIN_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_WINDOW_SQL,
         "events_distinct_users": q.EVENTS_DISTINCT_USERS_SQL,
+        "events_mode_type": q.EVENTS_MODE_TYPE_SQL,
+        "docs_bow_dedup": q.DOCS_BOW_DEDUP_SQL,
         "orders_price_quantiles": q.ORDERS_PRICE_QUANTILES_SQL,
         "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
         "events_funnel": q.EVENTS_FUNNEL_SQL,

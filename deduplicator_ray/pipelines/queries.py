@@ -3939,3 +3939,142 @@ SELECT event_type, n_sketch, kth_min,
 FROM s
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group mode (most frequent value per key) — the grouped counterpart of
+# the global heavy-hitters operator, with a combiner so the shuffle carries
+# (user, type) partials, never event rows
+
+
+def events_mode_type(sf_dir: str) -> pd.DataFrame:
+    """Per-user modal event type (count desc, type asc tiebreak).  Per-batch
+    (user, type) count combiner caps shuffle traffic at |users|×|types| per
+    batch; ONE user-partition groupby sums partials and picks the mode
+    vectorized (sort + duplicated mask, no per-user loop)."""
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "events"),
+                          columns=["user_id", "event_type"])
+
+    mid_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "event_type": np.asarray(t["event_type"].to_pylist(), object),
+        }).groupby(["user_id", "event_type"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(df, schema=mid_schema,
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("mode_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g[~g["user_id"].duplicated()].rename(
+            columns={"event_type": "mode_type"})
+        top["n"] = top["n"].astype(np.int64)
+        return top[["user_id", "mode_type", "n"]]
+
+    out = partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], per_group, num_parts=16,
+        out_schema=out_schema).to_pandas()
+    out = _typed(out, out_schema)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_MODE_TYPE_SQL = """
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonicalization-keyed dedup: the bag-of-words (sorted unique tokens)
+# canonical form catches duplicates that exact hashing misses — shuffled /
+# re-ordered copies of the same content (62 of this corpus's 500 docs share
+# a bag with another doc while NO two share exact text).  The classic
+# "normalize, THEN dedup" pipeline stage, value-checked end to end.
+
+
+def docs_bow_dedup(sf_dir: str) -> pd.DataFrame:
+    """Per doc: canonical bag-of-words key (whitespace-collapsed, case-
+    folded, tokens sorted unique), emitted as md5 so no payload leaves the
+    map stage, plus the bag-group size and keep/drop under min-doc_id-wins.
+    One map_batches (compiled regex, no shuffle of text) then ONE
+    md5-partition groupby for size + election."""
+    import hashlib
+    import re
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"),
+                          columns=["doc_id", "text"])
+    ws = re.compile(r"[ \t\r\n]+")
+
+    mid_schema = pa.schema([("doc_id", pa.int64()),
+                            ("bag_md5", pa.string()),
+                            ("bag_tokens", pa.int64())])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        bags = [sorted(set(ws.sub(" ", x).strip().lower().split(" ")))
+                for x in texts]
+        return pa.Table.from_pydict({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "bag_md5": pa.array(
+                [hashlib.md5(" ".join(b).encode()).hexdigest()
+                 for b in bags]),
+            "bag_tokens": pa.array([len(b) for b in bags], pa.int64()),
+        }, schema=mid_schema)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("bag_md5", pa.string()),
+                            ("bag_tokens", pa.int64()),
+                            ("group_n", pa.int64()),
+                            ("action", pa.string())])
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["bag_md5", "doc_id"], kind="mergesort").copy()
+        df["group_n"] = (df.groupby("bag_md5", sort=False)["doc_id"]
+                         .transform("size").astype(np.int64))
+        df["action"] = np.where(~df["bag_md5"].duplicated(), "keep", "drop")
+        return df[["doc_id", "bag_md5", "bag_tokens", "group_n", "action"]]
+
+    out = partitioned_groupby(
+        ds.map_batches(f, batch_format="pyarrow"),
+        ["bag_md5"], elect, num_parts=16, out_schema=out_schema).to_pandas()
+    out = _typed(out, out_schema)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_BOW_DEDUP_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(
+           lower(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))),
+           ' '))), ' ') AS bag
+  FROM documents)
+SELECT doc_id, md5(bag) AS bag_md5,
+       CAST(len(string_split(bag, ' ')) AS BIGINT) AS bag_tokens,
+       CAST(count(*) OVER (PARTITION BY bag) AS BIGINT) AS group_n,
+       CASE WHEN row_number() OVER (PARTITION BY bag ORDER BY doc_id) = 1
+            THEN 'keep' ELSE 'drop' END AS action
+FROM b
+ORDER BY doc_id
+"""

@@ -710,3 +710,42 @@ def test_triangle_counts_exact(ray_session):
     want = {"a": 0, "b": 0, "c": 0, "x": 1, "y": 1, "z": 1,
             "p": 3, "q": 3, "r": 3, "s": 3}
     assert got == want
+
+
+def test_events_mode_type_mirror(sf_small):
+    import duckdb
+
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = q.events_mode_type(sf_small)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_small}/events.parquet')")
+    orc = con.execute(q.EVENTS_MODE_TYPE_SQL).df()
+    cols = list(eng.columns)
+    assert cols == list(orc.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        eng.sort_values(cols).reset_index(drop=True),
+        orc.sort_values(cols).reset_index(drop=True))
+    assert (eng["n"] >= 1).all()
+
+
+def test_docs_bow_dedup_mirror(sf_small):
+    import duckdb
+
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = q.docs_bow_dedup(sf_small)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    orc = con.execute(q.DOCS_BOW_DEDUP_SQL).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), orc.reset_index(drop=True))
+    # the canonical key must catch re-ordered duplicates exact text misses
+    assert (eng["group_n"] > 1).any()
+    assert (eng["action"] == "drop").any()

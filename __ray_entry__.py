@@ -86,6 +86,19 @@ def _img_cluster_update(sf_dir: str):
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
 
 
+def _img_dedup_scorecard(sf_dir: str):
+    """Pair-level precision/recall of the near-dup clusters vs the fixture
+    ground truth (the north rule's dup-pair-recall gate as a table) —
+    contingency algebra, no pair materialization."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    truth = dio.read_parquet(fixtures.truth_path(sf_dir),
+                             columns=["image_id", "group_id", "kind"])
+    return ip.dedup_scorecard(ip.load_images(sf_dir, _cfg()), truth, _cfg())
+
+
 def _img_caption_conflicts(sf_dir: str):
     """Duplicate-image clusters whose captions disagree (label-noise audit
     for paired image+caption training data)."""
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
         "img_cluster_update": _img_cluster_update,
+        "img_dedup_scorecard": _img_dedup_scorecard,
         "img_reference_decisions": _img_reference_decisions,
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
@@ -792,6 +806,8 @@ def _fixture_mirrors() -> dict[str, str]:
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
+        "img_dedup_scorecard": mirrors.compose(
+            mirrors.IMG_SCORECARD_SQL, hashes=hashes, truth=truth, **kw),
         "img_reference_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         # per-action rollup over the same decision relation

@@ -472,6 +472,27 @@ def wide_ham_expr(n_hex: int, a: str = "a.proc_hash", b: str = "b.proc_hash") ->
     return "(" + " + ".join(terms) + ")"
 
 
+# dedup quality scorecard: pair-level precision/recall of the extended
+# clusters vs labeled ground truth via contingency algebra (Σ C(n,2) over
+# cluster⋈truth cells / clusters / truth groups) — no pair enumeration.
+# Integer micro-units; // is truncating division, values non-negative.
+IMG_SCORECARD_SQL = _EXTENDED_CTE + """
+, tr AS (SELECT image_id, group_id FROM '{TRUTH}' WHERE kind != 'corrupt')
+, j AS (SELECT a.cluster_id, t.group_id
+        FROM assigned a JOIN tr t USING (image_id))
+, tp AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+         FROM (SELECT count(*) AS n FROM j GROUP BY cluster_id, group_id))
+, cp AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+         FROM (SELECT count(*) AS n FROM assigned GROUP BY cluster_id))
+, gp AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+         FROM (SELECT count(*) AS n FROM tr GROUP BY group_id))
+SELECT tp.v AS tp, cp.v - tp.v AS fp, gp.v - tp.v AS fn,
+       CAST(tp.v * 1000000 // greatest(cp.v, 1) AS BIGINT) AS precision_e6,
+       CAST(tp.v * 1000000 // greatest(gp.v, 1) AS BIGINT) AS recall_e6
+FROM tp, cp, gp
+"""
+
+
 # caption↔image consistency audit: duplicate-image clusters (unified
 # proc_hash keyspace, threshold 2 as in REFERENCE_CLUSTERS_SQL) whose
 # members carry more than one distinct caption — the label-noise signal
@@ -495,8 +516,8 @@ ORDER BY proc_hash
 
 
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
-            supp: str = "", shingle_k: int = 5, jaccard_min: float = 0.8,
-            hamming_max: int = 4,
+            supp: str = "", truth: str = "", shingle_k: int = 5,
+            jaccard_min: float = 0.8, hamming_max: int = 4,
             img_ham_expr: str = "bit_count(xor(a.dh, b.dh))") -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
     contain regex braces (``{36}``) that ``str.format`` would eat."""
@@ -505,6 +526,7 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             .replace("{IMAGES}", images)
             .replace("{ALTNS}", altns)
             .replace("{SUPP}", supp)
+            .replace("{TRUTH}", truth)
             .replace("{SHINGLE_K}", str(shingle_k))
             .replace("{JACCARD_MIN}", repr(jaccard_min))
             .replace("{IMG_HAM_EXPR}", img_ham_expr)

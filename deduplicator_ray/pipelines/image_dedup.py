@@ -743,3 +743,98 @@ def img_cluster_update(images: rd.Dataset,
     base = connected_components(base_edges, cfg)
     delta = img_delta_edges(new_fp, known_fp, cfg)
     return incremental_cc_update(base, delta, cfg)
+
+
+SCORECARD_SCHEMA = pa.schema([
+    ("tp", pa.int64()), ("fp", pa.int64()), ("fn", pa.int64()),
+    ("precision_e6", pa.int64()), ("recall_e6", pa.int64()),
+])
+
+
+def dedup_scorecard(images: rd.Dataset, truth: rd.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Dedup quality scorecard — pair-level precision/recall of the
+    extended near-dup clusters against labeled ground truth, the metric the
+    north rule gates on (dup-pair recall ≥ 0.99) as a first-class table.
+
+    NO pair set is ever materialized (a mega-cluster would explode
+    quadratically): pair counts come from contingency algebra —
+    TP = Σ_{(cluster,group)} C(n,2) over the cluster⋈truth cell sizes,
+    predicted pairs = Σ_cluster C(n,2), truth pairs = Σ_group C(n,2) —
+    three bounded-partial groupby sums, one tiny driver reduction.
+    Truth groups restrict to decodable members (``kind != 'corrupt'``) so
+    the metric reflects the algorithm, not the codec quarantine.
+
+    Returns a ONE-ROW pandas DataFrame (tp, fp, fn, precision_e6,
+    recall_e6) — integer micro-units so the value check is float-free."""
+    import numpy as np
+    import pandas as pd
+
+    labels = extended_clusters(images, cfg)
+
+    part_schema = pa.schema([("v", pa.int64())])
+
+    def pair_sum(keys):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            n = df.groupby(keys, sort=False).size().to_numpy(np.int64)
+            return pd.DataFrame({"v": np.asarray([int((n * (n - 1) // 2).sum())],
+                                                 np.int64)})
+
+        return f
+
+    def total(ds: rd.Dataset, keys) -> int:
+        parts = partitioned_groupby(ds, keys, pair_sum(keys), num_parts=8,
+                                    out_schema=part_schema)
+        s = 0
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            s += int(np.asarray(b["v"]).sum())
+        return s
+
+    tr = truth.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], "corrupt"))
+        .select(["image_id", "group_id"]),
+        batch_format="pyarrow")
+
+    # attach truth group to each clustered member: union + ONE image_id
+    # partition groupby (no broadcast of either side)
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"image_id": t["image_id"],
+                         "cluster_id": t["cluster_id"],
+                         "group_id": pa.array(
+                             np.full(t.num_rows, -1, np.int64))})
+
+    def tr_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"image_id": t["image_id"],
+                         "cluster_id": pa.array([""] * t.num_rows,
+                                                pa.string()),
+                         "group_id": t["group_id"].cast(pa.int64())})
+
+    mid_schema = pa.schema([("image_id", pa.string()),
+                            ("cluster_id", pa.string()),
+                            ("group_id", pa.int64())])
+    cell_schema = pa.schema([("cluster_id", pa.string()),
+                             ("group_id", pa.int64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        gmap = (df.loc[df["cluster_id"] == ""].drop_duplicates("image_id")
+                .set_index("image_id")["group_id"])
+        out = df.loc[df["cluster_id"] != ""].copy()
+        out["group_id"] = (out["image_id"].map(gmap).fillna(-1)
+                           .astype(np.int64))
+        return out[["cluster_id", "group_id"]]
+
+    joined = partitioned_groupby(
+        labels.map_batches(lab_rows, batch_format="pyarrow")
+        .union(tr.map_batches(tr_rows, batch_format="pyarrow")),
+        ["image_id"], attach, num_parts=16, out_schema=cell_schema)
+
+    tp = total(joined, ["cluster_id", "group_id"])
+    cp = total(labels, ["cluster_id"])
+    gp = total(tr, ["group_id"])
+    return pd.DataFrame({
+        "tp": np.asarray([tp], np.int64),
+        "fp": np.asarray([cp - tp], np.int64),
+        "fn": np.asarray([gp - tp], np.int64),
+        "precision_e6": np.asarray([tp * 1_000_000 // max(cp, 1)], np.int64),
+        "recall_e6": np.asarray([tp * 1_000_000 // max(gp, 1)], np.int64),
+    })

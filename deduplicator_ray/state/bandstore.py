@@ -58,20 +58,91 @@ def _add_part(num_parts: int):
     return f
 
 
+def _band_rows(fp: rd.Dataset, cfg: PipelineConfig,
+               channels: tuple[str, ...]) -> rd.Dataset:
+    """Band-row stage shared by build and probe: the cap channel needs the
+    MinHash signature columns first (same order as
+    image_dedup.verified_edges_from_fp)."""
+    if "cap" in channels:
+        from deduplicator_ray.stages.signatures import CaptionSignatures
+
+        fp = fp.map_batches(CaptionSignatures(cfg), batch_format="pyarrow",
+                            batch_size=cfg.text_batch_size)
+    band = make_banding(cfg, channels)
+    return fp.map_batches(band, batch_format="pyarrow",
+                          batch_size=cfg.text_batch_size)
+
+
 def build_band_index(known_fp: rd.Dataset, cfg: PipelineConfig,
-                     index_dir: str, num_parts: int = 64) -> dict:
+                     index_dir: str, num_parts: int = 64,
+                     channels: tuple[str, ...] = ("img",)) -> dict:
     """Band the known corpus and persist the band rows hash-partitioned on
     (band, key).  Returns the persisted params."""
-    band = make_banding(cfg, channels=("img",))
-    rows = (known_fp.map_batches(band, batch_format="pyarrow",
-                                 batch_size=cfg.text_batch_size)
+    rows = (_band_rows(known_fp, cfg, channels)
             .map_batches(_add_part(num_parts), batch_format="pyarrow"))
     rows.write_parquet(index_dir, partition_cols=["part"])
     params = {"num_parts": num_parts, "hash_size": cfg.hash_size,
-              "hamming_max": cfg.hamming_max}
+              "hamming_max": cfg.hamming_max,
+              "channels": list(channels)}
     with open(os.path.join(index_dir, _PARAMS), "w") as f:
         json.dump(params, f)
     return params
+
+
+def _load_params(index_dir: str, cfg: PipelineConfig) -> dict:
+    with open(os.path.join(index_dir, _PARAMS)) as f:
+        params = json.load(f)
+    for k in ("hash_size", "hamming_max"):
+        if params[k] != getattr(cfg, k):
+            raise ValueError(
+                f"band index was built with {k}={params[k]}, probe cfg has "
+                f"{getattr(cfg, k)} — matches would be silently wrong")
+    return params
+
+
+def probe_band_delta_edges(new_fp: rd.Dataset, index_dir: str,
+                           cfg: PipelineConfig = DEFAULT_CONFIG,
+                           stats: dict | None = None) -> rd.Dataset:
+    """Increment-touched verified near-dup EDGES (src, dst) against a
+    persisted BOTH-CHANNEL band index — the edge-emitting probe that feeds
+    ``stages/components.incremental_cc_update``.  Reads ONLY the index
+    partitions the increment's own band rows hash into; results equal
+    ``image_dedup.img_delta_edges`` on the same two sides (buckets in
+    unread partitions contain no new rows, and the delta verify skips
+    all-known buckets by definition)."""
+    from deduplicator_ray.pipelines.image_dedup import make_img_delta_verify
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    params = _load_params(index_dir, cfg)
+    channels = tuple(params.get("channels", ["img"]))
+    num_parts = params["num_parts"]
+
+    probe = (_band_rows(new_fp, cfg, channels)
+             .map_batches(_add_part(num_parts), batch_format="pyarrow")
+             .materialize())  # the increment is the SMALL side by design
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    parts = sorted(int(p) for p in probe.unique("part"))
+    paths = [os.path.join(index_dir, f"part={p}") for p in parts]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if stats is not None:
+        stats["parts_read"] = len(paths)
+        stats["parts_total"] = num_parts
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return (t.select(_BAND_COLS).append_column(
+                "side", pa.array(np.full(len(t), side, np.int8))))
+
+        return f
+
+    probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
+    rows = (probe_rows if not paths else
+            dio.read_parquet(paths).map_batches(
+                tag(0), batch_format="pyarrow").union(probe_rows))
+    return partitioned_groupby(rows, ["band", "key"],
+                               make_img_delta_verify(cfg),
+                               out_schema=edge_schema)
 
 
 def probe_band_index(new_fp: rd.Dataset, index_dir: str,
@@ -86,18 +157,15 @@ def probe_band_index(new_fp: rd.Dataset, index_dir: str,
         cross_min_from_band_rows,
     )
 
-    with open(os.path.join(index_dir, _PARAMS)) as f:
-        params = json.load(f)
-    for k in ("hash_size", "hamming_max"):
-        if params[k] != getattr(cfg, k):
-            raise ValueError(
-                f"band index was built with {k}={params[k]}, probe cfg has "
-                f"{getattr(cfg, k)} — matches would be silently wrong")
+    params = _load_params(index_dir, cfg)
+    if params.get("channels", ["img"]) != ["img"]:
+        raise ValueError(
+            "probe_band_index matches the img channel only; this index was "
+            f"built with channels={params['channels']} — use "
+            "probe_band_delta_edges for a both-channel index")
     num_parts = params["num_parts"]
 
-    band = make_banding(cfg, channels=("img",))
-    probe = (new_fp.map_batches(band, batch_format="pyarrow",
-                                batch_size=cfg.text_batch_size)
+    probe = (_band_rows(new_fp, cfg, ("img",))
              .map_batches(_add_part(num_parts), batch_format="pyarrow")
              .materialize())  # the increment is the SMALL side by design
 

@@ -316,3 +316,65 @@ def test_cli_band_index_modes(sharded_corpus, tmp_path):
     ids = t["image_id"].to_pylist()
     matched = t["matched"].to_pylist()
     assert all(m <= i for i, m in zip(ids, matched))
+
+
+def test_band_index_delta_edges_fold_equals_full_recompute(sf_small, tmp_path):
+    """Both-channel persisted band index → read-pruned delta-edge probe →
+    incremental_cc_update: the FULL incremental loop over persisted state
+    must equal a full-corpus extended-clusters recompute, and the probe
+    must read only the increment's partitions."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_update,
+    )
+    from deduplicator_ray.state import bandstore
+
+    cfg = PipelineConfig()
+    live = ip._live(ip.fingerprints(ip.load_images(sf_small, cfg), cfg),
+                    cfg).materialize()
+
+    def side(new_side):
+        def f(t):
+            ids = t["image_id"].to_pylist()
+            isnew = np.fromiter(
+                ((int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100
+                  >= ip.IMG_NEW_BUCKET_THRESHOLD) == new_side
+                 for s in ids), bool, count=len(ids))
+            return t.filter(pa.array(isnew))
+
+        return live.map_batches(f, batch_format="pyarrow")
+
+    idx = str(tmp_path / "bandidx2")
+    bandstore.build_band_index(side(False), cfg, idx, num_parts=64,
+                               channels=("img", "cap"))
+
+    # persisted checkpoint: the known side's clusters
+    base_edges = ip.verified_edges_from_fp(side(False), cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow")
+    base = connected_components(base_edges, cfg)
+
+    stats = {}
+    delta = bandstore.probe_band_delta_edges(side(True), idx, cfg,
+                                             stats=stats)
+    got = (incremental_cc_update(base, delta, cfg).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    want = (ip.extended_clusters(ip.load_images(sf_small, cfg), cfg)
+            .to_pandas().sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert 0 < stats["parts_read"] <= stats["parts_total"]
+
+    # an img-only probe against a both-channel index must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="delta"):
+        bandstore.probe_band_index(side(True).limit(3), idx, cfg)

@@ -111,6 +111,21 @@ def _img_caption_conflicts(sf_dir: str):
     return pdf.sort_values("proc_hash").reset_index(drop=True)
 
 
+def _img_caption_langid(sf_dir: str):
+    """Language-ID over the image CAPTIONS (the text kernel applied to the
+    paired-modality column — filters mixed-language caption sets before
+    caption-LSH dedup)."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines.doc_dedup import text_features
+
+    ds = dio.read_parquet(fixtures.images_path(sf_dir, _cfg().hash_size),
+                          columns=["image_id", "caption"])
+    out = (text_features(ds, text_col="caption")
+           .select_columns(["image_id", "lang_pred"]).to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _img_reference_decisions(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
@@ -720,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_caption_conflicts": _img_caption_conflicts,
         "img_cluster_update": _img_cluster_update,
         "img_dedup_scorecard": _img_dedup_scorecard,
+        "img_caption_langid": _img_caption_langid,
         "img_reference_decisions": _img_reference_decisions,
         "img_clusters_hidealts": _img_clusters_hidealts,
         "img_decisions_explain": _img_decisions_explain,
@@ -770,6 +786,7 @@ def _fixture_mirrors() -> dict[str, str]:
       KERNEL is the one thing SQL cannot express, so it ships as data
       (see deduplicator_ray/mirrors.py)."""
     from deduplicator_ray import fixtures, mirrors
+    from deduplicator_ray.pipelines import queries as q
 
     sf = "/root/testdata/sf0.01"
     images = fixtures.images_path(sf) + "/*.parquet"
@@ -808,6 +825,9 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_dedup_scorecard": mirrors.compose(
             mirrors.IMG_SCORECARD_SQL, hashes=hashes, truth=truth, **kw),
+        # the documents lang-ID relation applied to the caption column
+        "img_caption_langid": q.lang_id_sql(f"'{images}'", "image_id",
+                                            "caption"),
         "img_reference_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes, **kw),
         # per-action rollup over the same decision relation

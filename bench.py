@@ -180,9 +180,8 @@ def run_bench() -> dict:
         # img_extended_clusters headline — the fold costs a fraction of the
         # full recompute and the result is identical (value-checked in
         # tests and by the shared driver mirror).
-        def _cluster_update_setup():
+        def _cluster_update_setup(threshold: int):
             import hashlib
-            import shutil
             import tempfile
 
             import numpy as _np
@@ -202,7 +201,7 @@ def run_bench() -> dict:
                     ids = t["image_id"].to_pylist()
                     isnew = _np.fromiter(
                         ((int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                          % 100 >= ip.IMG_NEW_BUCKET_THRESHOLD) == new_side
+                          % 100 >= threshold) == new_side
                          for s in ids), bool, count=len(ids))
                     return t.filter(_pa.array(isnew))
 
@@ -220,9 +219,7 @@ def run_bench() -> dict:
             base = connected_components(base_edges, cfg).materialize()
             return new_fp, idx, base
 
-        new_fp, band_idx, base = _cluster_update_setup()
-
-        def _cluster_update():
+        def _cluster_update(new_fp, band_idx, base):
             from deduplicator_ray.state import bandstore
             from deduplicator_ray.stages.components import (
                 incremental_cc_update,
@@ -231,11 +228,18 @@ def run_bench() -> dict:
             delta = bandstore.probe_band_delta_edges(new_fp, band_idx, cfg)
             return incremental_cc_update(base, delta, cfg).count()
 
-        timed("img_cluster_update", _cluster_update)
         import shutil as _shutil
 
-        _shutil.rmtree(band_idx, ignore_errors=True)
-        del new_fp, base
+        # two increment sizes: the driver query's 20% split (worst case —
+        # the delta graph touches nearly every cluster) and a realistic
+        # 2% daily-crawl increment; the pair shows the fold cost tracking
+        # the INCREMENT, not the corpus
+        for name, thr in (("img_cluster_update", ip.IMG_NEW_BUCKET_THRESHOLD),
+                          ("img_cluster_update_p2", 98)):
+            new_fp, band_idx, base = _cluster_update_setup(thr)
+            timed(name, lambda: _cluster_update(new_fp, band_idx, base))
+            _shutil.rmtree(band_idx, ignore_errors=True)
+            del new_fp, base
 
     # text near-dup over the driver documents table (absent for the
     # dedicated scaling corpus, which is images-only)

@@ -543,25 +543,30 @@ def doc_delta_pairs(new_ds: rd.Dataset, known_ds: rd.Dataset,
         for _, g in df.groupby(["band", "key"], sort=False):
             if not (g["side"].to_numpy() == 1).any():
                 continue  # all-known bucket: already in the assignment
-            groups: dict[str, list[str]] = {}
-            gnew: dict[str, bool] = {}
+            groups: dict[str, list[tuple[str, int]]] = {}
             for i, c, s in zip(g["image_id"], g["caption"], g["side"]):
-                groups.setdefault(c, []).append(i)
-                if s == 1:
-                    gnew[c] = True
+                groups.setdefault(c, []).append((i, s))
             reps: list[tuple[str, str, bool]] = []
-            for c, ids in groups.items():
+            for c, mem in groups.items():
+                # identical captions: connect WITHOUT re-emitting the known
+                # members' stars (their connectivity predates the
+                # increment): new members → group min, plus ONE known→min
+                # bridge when the min itself is new — O(increment) per
+                # group even when the group is a known mega-clique
+                ids = [m[0] for m in mem]
                 mn = min(ids)
-                has_new = gnew.get(c, False)
-                if has_new:
-                    # identical captions: star every member to the group
-                    # min (the known members' own connectivity predates
-                    # the increment, but the NEW member must bridge them)
-                    for i in set(ids):
+                news = {i for i, s in mem if s == 1}
+                if news:
+                    for i in news:
                         if i != mn:
                             out_src.append(mn)
                             out_dst.append(i)
-                reps.append((c, mn, has_new))
+                    if mn in news:
+                        known = [i for i, s in mem if s == 0]
+                        if known:
+                            out_src.append(min(known))
+                            out_dst.append(mn)
+                reps.append((c, mn, bool(news)))
             for x in range(len(reps)):
                 cx, mx, nx = reps[x]
                 shx = sh(cx)

@@ -595,17 +595,29 @@ def make_img_delta_verify(cfg: PipelineConfig):
                 sh_cache[c] = s
             return s
 
-        def stars(groups: dict, gnew: dict) -> list:
+        def stars(groups: dict) -> list:
+            # connect a new-touched identical-key group WITHOUT re-emitting
+            # its known members' stars (they are already connected in the
+            # persisted assignment): new members → group min, plus ONE
+            # known→min bridge when the min itself is new.  Bounds the
+            # emission by #new members + 1 per group — a mega-group of
+            # known duplicates costs O(increment), not O(group).
             reps = []
             for v, mem in groups.items():
-                mn = min(mem)
-                hn = gnew.get(v, False)
-                if hn:
-                    for i in set(mem):
+                ids = [m[0] for m in mem]
+                mn = min(ids)
+                news = {i for i, s in mem if s == 1}
+                if news:
+                    for i in news:
                         if i != mn:
                             out_s.append(mn)
                             out_d.append(i)
-                reps.append((v, mn, hn))
+                    if mn in news:
+                        known = [i for i, s in mem if s == 0]
+                        if known:
+                            out_s.append(min(known))
+                            out_d.append(mn)
+                reps.append((v, mn, bool(news)))
             return reps
 
         for (b, _), g in df.groupby(["band", "key"], sort=False):
@@ -616,12 +628,9 @@ def make_img_delta_verify(cfg: PipelineConfig):
             pay = g["caption"].to_numpy(object)
             if b >= CAP_BAND_OFFSET:
                 groups: dict = {}
-                gnew: dict = {}
                 for i, c, s in zip(ids, pay, sides):
-                    groups.setdefault(c, []).append(i)
-                    if s == 1:
-                        gnew[c] = True
-                reps = stars(groups, gnew)
+                    groups.setdefault(c, []).append((i, s))
+                reps = stars(groups)
                 for x in range(len(reps)):
                     cx, mx, nx = reps[x]
                     shx = sh(cx)
@@ -649,12 +658,9 @@ def make_img_delta_verify(cfg: PipelineConfig):
                 vals = [int(p, 16) if p else int(d) & 0xFFFFFFFFFFFFFFFF
                         for d, p in zip(dh, pay)]
                 groups = {}
-                gnew = {}
                 for i, v, s in zip(ids, vals, sides):
-                    groups.setdefault(v, []).append(i)
-                    if s == 1:
-                        gnew[v] = True
-                reps = stars(groups, gnew)
+                    groups.setdefault(v, []).append((i, s))
+                reps = stars(groups)
                 if b != MD5_BAND:  # md5 matches are identity-only
                     for x in range(len(reps)):
                         vx, mx, nx = reps[x]

@@ -299,26 +299,31 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _lang_score_sql(lang: str) -> str:
+def _lang_score_sql(lang: str, col: str = "text") -> str:
     from deduplicator_ray.functions.text import LANG_MARKERS
 
     terms = [
-        f"(length(text) - length(replace(text, '{m}', ''))) / {len(m)}"
+        f"(length({col}) - length(replace({col}, '{m}', ''))) / {len(m)}"
         for m in LANG_MARKERS[lang]
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-DOCS_LANG_ID_SQL = f"""
+def lang_id_sql(table: str, id_col: str, col: str) -> str:
+    """The marker-count language-ID relation over any (id, text) table —
+    shared by the documents mirror and the image-caption mirror (the
+    priority argmax CASE matches text_features' strict/loose comparison
+    order exactly)."""
+    return f"""
 WITH scores AS (
-  SELECT doc_id,
-         {_lang_score_sql('en')} AS s_en,
-         {_lang_score_sql('de')} AS s_de,
-         {_lang_score_sql('fr')} AS s_fr,
-         {_lang_score_sql('es')} AS s_es,
-         {_lang_score_sql('zh')} AS s_zh
-  FROM documents)
-SELECT doc_id,
+  SELECT {id_col},
+         {_lang_score_sql('en', col)} AS s_en,
+         {_lang_score_sql('de', col)} AS s_de,
+         {_lang_score_sql('fr', col)} AS s_fr,
+         {_lang_score_sql('es', col)} AS s_es,
+         {_lang_score_sql('zh', col)} AS s_zh
+  FROM {table})
+SELECT {id_col},
        CASE
          WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
          WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
@@ -327,8 +332,11 @@ SELECT doc_id,
          ELSE 'en'
        END AS lang_pred
 FROM scores
-ORDER BY doc_id
+ORDER BY {id_col}
 """
+
+
+DOCS_LANG_ID_SQL = lang_id_sql("documents", "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

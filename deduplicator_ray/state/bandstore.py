@@ -122,12 +122,37 @@ def probe_band_delta_edges(new_fp: rd.Dataset, index_dir: str,
              .materialize())  # the increment is the SMALL side by design
 
     edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
-    parts = sorted(int(p) for p in probe.unique("part"))
-    paths = [os.path.join(index_dir, f"part={p}") for p in parts]
+
+    # two levels of read pruning, both exact (the delta verify ignores
+    # all-known buckets anyway, so dropping known rows outside probe-
+    # touched buckets cannot change the result):
+    #   1. partition level — only `part=` directories the increment's own
+    #      band rows hash into (wins when the increment is minuscule);
+    #   2. bucket level — the probe's (band, key) membership pushed down
+    #      into the parquet fragment scan, so index rows outside probed
+    #      buckets never enter the object store or the verify shuffle
+    #      (wins at ANY increment size: a 2% increment touches every
+    #      partition but ~2-15% of each band's key space).
+    key_by_band: dict[int, set[int]] = {}
+    nparts: set[int] = set()
+    for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
+        nparts.update(b["part"].to_pylist())
+        for band, key in zip(b["band"].to_pylist(), b["key"].to_pylist()):
+            key_by_band.setdefault(int(band), set()).add(key)
+    paths = [os.path.join(index_dir, f"part={p}")
+             for p in sorted(int(p) for p in nparts)]
     paths = [p for p in paths if os.path.isdir(p)]
     if stats is not None:
         stats["parts_read"] = len(paths)
         stats["parts_total"] = num_parts
+
+    import pyarrow.dataset as pads
+
+    expr = None
+    for band, ks in sorted(key_by_band.items()):
+        e = ((pads.field("band") == band)
+             & pads.field("key").isin(pa.array(sorted(ks), pa.int64())))
+        expr = e if expr is None else (expr | e)
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -138,7 +163,7 @@ def probe_band_delta_edges(new_fp: rd.Dataset, index_dir: str,
 
     probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
     rows = (probe_rows if not paths else
-            dio.read_parquet(paths).map_batches(
+            dio.read_parquet(paths, filter=expr).map_batches(
                 tag(0), batch_format="pyarrow").union(probe_rows))
     return partitioned_groupby(rows, ["band", "key"],
                                make_img_delta_verify(cfg),

@@ -283,3 +283,17 @@ def test_dedup_scorecard_mirror(sf_small):
     assert 0 < row["recall_e6"] <= 1_000_000
     assert 0 < row["precision_e6"] <= 1_000_000
     assert row["recall_e6"] >= 500_000  # majority of truth pairs found
+
+
+def test_caption_langid_mirror(sf_small, paths):
+    """The documents lang-ID kernel applied to the caption column must
+    value-match the shared SQL relation — and be non-vacuous (>1 language
+    predicted on the fixture captions)."""
+    import __ray_entry__ as e
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = e.queries()["img_caption_langid"](sf_small)
+    orc = duckdb.sql(
+        q.lang_id_sql(f"'{paths['images']}'", "image_id", "caption")).df()
+    _assert_frame_equal(eng, orc)
+    assert eng["lang_pred"].nunique() > 1

@@ -661,6 +661,55 @@ def _ann_ivf_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
 
 
+def _ann_ivf_append(sf_dir: str):
+    """Incremental ANN maintenance: IVF index built on the known 80%
+    (vec_id % 5 != 0), the new 20% APPENDED without retraining
+    (functions/vector.append_ivf_index), then a FULL-probe search — exact
+    over known ∪ new, so the mirror is the brute-force top-k relation
+    (ANN_COSINE_TOPK_SQL): the appended rows must be indistinguishable
+    from an index built over the whole corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.functions.vector import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
+    ds = dio.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if new_side else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    n_centroids = 16
+    idx = tempfile.mkdtemp(prefix="ivfappend_", dir="/tmp")
+    try:
+        build_ivf_index(side(False), idx, n_centroids=n_centroids)
+        append_ivf_index(side(True), idx)
+        out = ivf_search(idx, np.stack(qdf["embedding"].to_numpy()),
+                         qdf["vec_id"].to_numpy(), k=5,
+                         nprobe=n_centroids)  # full probe ⇒ exact
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    out["cos_e6"] = np.floor(out["cos"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from deduplicator_ray.pipelines import queries as q
 
@@ -765,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": _docs_fingerprints,
         # approximate vector search
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_append": _ann_ivf_append,
     }
 
 
@@ -983,6 +1033,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_stats": q.DOCS_TEXT_STATS_SQL,
         "docs_lang_id": q.DOCS_LANG_ID_SQL,
         "ann_cosine_topk": q.ANN_COSINE_TOPK_SQL,
+        # append + FULL probe is exact over known ∪ new: the brute-force
+        # top-k relation IS its oracle
+        "ann_ivf_append": q.ANN_COSINE_TOPK_SQL,
         "part_brand_revenue": q.PART_BRAND_REVENUE_SQL,
         "supplier_balance": q.SUPPLIER_BALANCE_SQL,
         "nation_revenue": q.NATION_REVENUE_SQL,

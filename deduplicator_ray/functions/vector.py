@@ -273,3 +273,30 @@ def ivf_topk(
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         build_ivf_index(ds, index_dir, n_centroids, sample_rows, vec_col)
     return ivf_search(index_dir, queries, query_ids, k, nprobe, id_col, vec_col)
+
+
+def append_ivf_index(new_ds: rd.Dataset, index_dir: str,
+                     vec_col: str = "embedding") -> int:
+    """Fold an increment into a persisted IVF index WITHOUT retraining or
+    rewriting — the ANN leg of the incremental-maintenance family (exact
+    Bloom store, near-dup band index, cluster fold): new vectors are
+    assigned to the EXISTING coarse centroids (one broadcast lookup) and
+    written as additional parquet files inside the same hive bucket
+    partitions (Ray's writer generates unique file names, so appends never
+    clobber).  Search — ``ivf_search`` — is oblivious to the append: it
+    reads probed bucket directories, old and new files alike.
+
+    Returns the number of appended rows.  Centroid drift accrues with
+    appends (new vectors can only join existing buckets); rebuild cadence
+    is an operator decision, exactly as with the reference's periodic
+    prune/rebuild of its shelve store (/root/reference/dupedb.py:371-411).
+    """
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    bucketed = assign_buckets(new_ds, cents, vec_col)
+
+    def dup_col(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", t["ivf_bucket"])
+
+    out = bucketed.map_batches(dup_col, batch_format="pyarrow").materialize()
+    out.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    return out.count()

@@ -105,3 +105,43 @@ def test_emb_semdedup_matches_naive_reference(ray_session):
     assert [(r.vec_id, r.cluster_id) for r in got.itertuples()] == want
     assert (got["action"] == np.where(
         got["vec_id"] == got["cluster_id"], "keep", "drop")).all()
+
+
+def test_ivf_append_exact_and_pruned(ray_session):
+    """Incremental ANN maintenance: an index built on 80% of the corpus
+    plus append_ivf_index of the rest must, under a full probe, equal
+    brute force over the WHOLE corpus (appended rows indistinguishable
+    from indexed ones); a small-nprobe search must still read a strict
+    file subset; and appended vec_ids must actually surface in results."""
+    import pyarrow as pa
+
+    from deduplicator_ray.functions.vector import append_ivf_index
+
+    idx = "/tmp/dedup_ray_test_ivf_append"
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def side(new_side):
+        def f(t):
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if new_side else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    build_ivf_index(side(False), idx, n_centroids=16, sample_rows=4096)
+    n_appended = append_ivf_index(side(True), idx)
+    assert n_appended == side(True).count() > 0
+
+    queries, qids = _queries(4)
+    got = ivf_search(idx, queries, qids, k=5, nprobe=16)
+    want = brute_force_topk(ds, queries, qids, k=5)
+    assert got[["query_id", "rank", "vec_id"]].values.tolist() == \
+        want[["query_id", "rank", "vec_id"]].values.tolist()
+    # appended (vec_id % 5 == 0) rows participate in the results
+    assert (got["vec_id"] % 5 == 0).any()
+
+    hit, total = probed_files(idx, np.asarray([0, 1]))
+    assert 0 < len(hit) < total
+    shutil.rmtree(idx, ignore_errors=True)

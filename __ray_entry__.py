@@ -739,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation": q.docs_curation,
         "docs_incremental_dedup": q.docs_incremental_dedup,
         "docs_cluster_update": q.docs_cluster_update,
+        "docs_cluster_remove": q.docs_cluster_remove,
         "docs_sample_stratified": q.docs_sample_stratified,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_chunking": q.docs_chunking,
@@ -1053,6 +1054,8 @@ def oracle_sql() -> dict[str, str]:
         # incremental maintenance must equal the full recompute — the
         # clusters mirror IS its oracle (shared with docs_clusters)
         "docs_cluster_update": q.DOCS_CLUSTERS_SQL,
+        # the prune relation: full recompute over the survivor set
+        "docs_cluster_remove": q.DOCS_CLUSTER_REMOVE_SQL,
         "docs_sample_stratified": q.DOCS_SAMPLE_STRATIFIED_SQL,
         "docs_repetition_stats": q.DOCS_REPETITION_STATS_SQL,
         "docs_chunking": q.DOCS_CHUNKING_SQL,

@@ -633,6 +633,50 @@ def doc_cluster_update(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     return incremental_cc_update(base, delta, cfg, num_parts)
 
 
+REMOVE_BUCKET_THRESHOLD = 85  # md5(doc_id) % 100 >= this ⇒ retired row
+
+
+def doc_cluster_remove(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       threshold: int = REMOVE_BUCKET_THRESHOLD,
+                       num_parts: int = 32) -> rd.Dataset:
+    """End-to-end incremental DELETION demo — the prune direction of the
+    maintenance pair (reference: the chunked vanished-file prune loop over
+    its shelve index, /root/reference/dupedb.py:371-411): cluster the full
+    corpus (stand-in for a persisted checkpoint assignment + its persisted
+    verified edge set), deterministically retire the md5-of-id bucket
+    ≥ ``threshold`` (stand-in for files that vanished), and shed them with
+    ``incremental_cc_remove`` — re-clustering ONLY the touched components.
+
+    The result is row-for-row equal to clustering the surviving corpus
+    from scratch, which is exactly how the driver value-checks it (mirror:
+    DOCS_CLUSTER_REMOVE_SQL = DOCS_CLUSTERS_SQL over the survivor set)."""
+    import hashlib
+
+    from deduplicator_ray.stages.components import incremental_cc_remove
+
+    assign = doc_clusters(ds, cfg)       # the "persisted" assignment
+    edges = doc_dup_pairs(ds, cfg)       # the persisted verified edge set
+
+    # the retirement increment: a deterministic md5 bucket, derived with a
+    # streaming 1-column projection (the removed set is delta-sized by
+    # assumption — it is the prune input, not the corpus)
+    def rm_rows(t: pa.Table) -> pa.Table:
+        ids = [str(x) for x in t["doc_id"].to_pylist()]
+        out = [i for i in ids
+               if int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+               >= threshold]
+        return pa.Table.from_pydict(
+            {"doc_id": out}, schema=pa.schema([("doc_id", pa.string())]))
+
+    removed: list[str] = []
+    for b in (ds.select_columns(["doc_id"])
+              .map_batches(rm_rows, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        removed.extend(b["doc_id"].to_pylist())
+
+    return incremental_cc_remove(assign, edges, removed, cfg, num_parts)
+
+
 def doc_source_priority(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                         num_parts: int = 64) -> rd.Dataset:
     """Cross-source near-dup resolution — the multi-corpus merge policy of

@@ -1399,6 +1399,42 @@ def docs_cluster_update(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_cluster_remove(sf_dir: str) -> pd.DataFrame:
+    """Incremental cluster DELETION maintenance: retire a deterministic
+    md5 bucket of docs from a persisted assignment + edge set with
+    ``incremental_cc_remove`` — re-clustering ONLY the components a
+    removed doc touched (a cut-vertex removal SPLITS its cluster, so the
+    affected subgraph is re-run; everything else streams through).  The
+    result must equal clustering the survivor corpus from scratch, so the
+    mirror is DOCS_CLUSTERS_SQL with ``documents`` pre-filtered to
+    survivors (DOCS_CLUSTER_REMOVE_SQL)."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import doc_cluster_remove
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    out = doc_cluster_remove(docs, PipelineConfig()).to_pandas()
+    out = out.rename(columns={"image_id": "doc_id"})
+    out = _typed(out, pa.schema([("doc_id", pa.string()),
+                                 ("cluster_id", pa.string())]))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# the prune mirror: the full-recompute clusters relation over the SURVIVOR
+# set — same portable md5 bucket as the engine (int(md5(id)[:8],16) % 100,
+# DuckDB's hex cast matches Python's int(...,16))
+from deduplicator_ray.pipelines.doc_dedup import (  # noqa: E402
+    REMOVE_BUCKET_THRESHOLD as _RM_T,
+)
+
+DOCS_CLUSTER_REMOVE_SQL = DOCS_CLUSTERS_SQL.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE "
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% 100 < {_RM_T}) documents",
+)
+
+
 DOCS_INCREMENTAL_DEDUP_SQL = """
 WITH newdocs AS (
   SELECT doc_id, md5(concat(lang, '|', CAST(n_chars AS VARCHAR))) AS h

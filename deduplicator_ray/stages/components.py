@@ -328,6 +328,130 @@ def incremental_cc_update(
         ["image_id"], num_partitions)
 
 
+def incremental_cc_remove(
+    assign: rd.Dataset,
+    edges: rd.Dataset,
+    removed_ids,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Retire a set of nodes from a PERSISTED cluster assignment — the
+    deletion half of incremental maintenance, pairing with
+    ``incremental_cc_update`` (the fold half).  The reference runs this as
+    its ``prune`` loop: vanished files are dropped from the mutable shelve
+    index chunk by chunk (/root/reference/dupedb.py:371-411); here the
+    assignment and the verified edge set are immutable checkpoint tables
+    and the prune is a pure recompute of ONLY the affected components.
+
+    Removal is strictly harder than insertion for connected components:
+    deleting a cut vertex SPLITS its cluster, so the affected subgraph
+    must be re-clustered from its surviving edges — no label algebra can
+    patch around it.  The saving grace is locality: only clusters that
+    contain a removed node can change.
+
+    ``assign``: Dataset[(image_id, cluster_id)] — a prior
+    ``connected_components`` output (labels are component-min member ids).
+    ``edges``: Dataset[(src, dst)] — the persisted verified edge set the
+    assignment was computed from (``state/edge_checkpoint.py`` is the
+    natural source); orientation/duplication don't matter (re-CC
+    symmetrizes).
+    ``removed_ids``: iterable of node ids to retire (an increment —
+    bounded like a delta, NOT corpus-sized).
+
+    Returns the assignment equal row-for-row to a full recompute of
+    ``connected_components`` over the surviving edge set (both endpoints
+    alive).  Survivors that lose their last edge drop OUT of the
+    assignment, exactly as a full recompute over edges would never emit
+    them.
+
+    Scale shape — NO corpus-wide shuffle at all (cheaper than the fold,
+    which needs one keymap groupby):
+      1. one streaming pass over the 2-column assignment finds the
+         affected labels (bounded by |removed|), broadcast via ray.put;
+      2. a second streaming pass collects the affected clusters'
+         membership — bounded by the total size of touched clusters (a
+         removal inside a mega-cluster inherently costs that cluster's
+         size; nothing smaller can decide a split);
+      3. one map-only filter over the persisted edges keeps the affected
+         survivor subgraph (an edge with one endpoint in an affected
+         cluster has both there — components are closed under edges);
+      4. star-contraction CC on that bounded subgraph;
+      5. untouched assignment rows stream through a broadcast label
+         filter and union with the re-clustered rows (disjoint by
+         construction — no dedup pass needed)."""
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    removed = {str(x) for x in removed_ids}
+    if not removed:
+        return assign
+    rem_ref = ray.put(removed)
+
+    lbl_schema = pa.schema([("cluster_id", pa.string())])
+
+    # -- 1. labels of clusters that contain a removed node
+    def hit_labels(b: pa.Table) -> pa.Table:
+        rm = ray.get(rem_ref)
+        ids = pd.Series(b["image_id"].to_pylist(), dtype=object)
+        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        out = sorted(set(lbl[ids.isin(rm)]))
+        return pa.Table.from_pydict({"cluster_id": out}, schema=lbl_schema)
+
+    affected: set[str] = set()
+    for b in (assign.map_batches(hit_labels, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        affected.update(b["cluster_id"].to_pylist())
+    if not affected:
+        # removed nodes were all unclustered — the assignment stands
+        return assign
+    aff_ref = ray.put(affected)
+
+    mem_schema = pa.schema([("image_id", pa.string())])
+
+    # -- 2. membership of the affected clusters (bounded by their sizes)
+    def members(b: pa.Table) -> pa.Table:
+        aff = ray.get(aff_ref)
+        ids = pd.Series(b["image_id"].to_pylist(), dtype=object)
+        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {"image_id": ids[lbl.isin(aff)].tolist()}, schema=mem_schema)
+
+    membership: set[str] = set()
+    for b in (assign.map_batches(members, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        membership.update(b["image_id"].to_pylist())
+    mem_ref = ray.put(membership)
+
+    # -- 3. surviving edges of the affected subgraph (map-only filter)
+    def surv_edges(b: pa.Table) -> pa.Table:
+        mem = ray.get(mem_ref)
+        rm = ray.get(rem_ref)
+        s = pd.Series(b["src"].to_pylist(), dtype=object)
+        d = pd.Series(b["dst"].to_pylist(), dtype=object)
+        keep = ((s.isin(mem) | d.isin(mem))
+                & ~s.isin(rm) & ~d.isin(rm)).to_numpy()
+        return pa.Table.from_pydict(
+            {"src": s[keep].tolist(), "dst": d[keep].tolist()},
+            schema=_EDGE_SCHEMA)
+
+    sub = connected_components(
+        edges.map_batches(surv_edges, batch_format="pyarrow"),
+        cfg, num_partitions)
+
+    # -- 5. untouched rows pass through; re-clustered rows replace the rest
+    def untouched(b: pa.Table) -> pa.Table:
+        aff = ray.get(aff_ref)
+        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        keep = (~lbl.isin(aff)).to_numpy()
+        return pa.Table.from_pydict(
+            {"image_id": pd.Series(b["image_id"].to_pylist(),
+                                   dtype=object)[keep].tolist(),
+             "cluster_id": lbl[keep].tolist()},
+            schema=_ASSIGN_SCHEMA)
+
+    return assign.map_batches(untouched, batch_format="pyarrow").union(sub)
+
+
 def connected_components(
     edges: rd.Dataset,
     cfg: PipelineConfig | None = None,

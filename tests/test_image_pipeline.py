@@ -615,3 +615,65 @@ def test_incremental_cc_update_empty_delta_is_identity():
         schema=pa.schema([("src", pa.string()), ("dst", pa.string())])))
     out = incremental_cc_update(assign, empty, CFG).to_pandas()
     assert dict(zip(out["image_id"], out["cluster_id"])) == {"a": "a", "b": "a"}
+
+
+def test_incremental_cc_remove_matches_full_recompute():
+    """incremental_cc_remove must equal CC over the surviving edge set —
+    covering: a cut-vertex removal that SPLITS a path cluster in two, a
+    removal of the component-min member (relabels the survivors), a
+    survivor losing its last edge (drops out of the assignment entirely),
+    an untouched cluster passing through label-stable, a removed id that
+    was never clustered (no-op), and a whole cluster wiped out."""
+    import dataclasses
+
+    import ray.data as rd
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_remove,
+    )
+
+    edges = [("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"),
+             # path p1..p5: removing p3 splits it into {p1,p2} and {p4,p5}
+             ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             # triangle a*: removing a1 (the min label) relabels to a2
+             ("w1", "w2"),                # removing w1 orphans w2 (vanishes)
+             ("m1", "m2"),                # untouched cluster
+             ("g1", "g2")]                # both removed: cluster wiped
+    removed = ["p3", "a1", "w1", "g1", "g2", "zz_unclustered"]
+
+    def ds_of(pairs):
+        return rd.from_items([{"src": a, "dst": b} for a, b in pairs])
+
+    surviving = [(a, b) for a, b in edges
+                 if a not in removed and b not in removed]
+    want = oracle.connected_components(
+        {(min(a, b), max(a, b)) for a, b in surviving})
+
+    for cap in (0, 1_000_000):  # exercise shuffle rounds AND base case
+        cfg = dataclasses.replace(CFG, cc_driver_edge_cap=cap)
+        assign = connected_components(ds_of(edges), cfg)
+        got = incremental_cc_remove(
+            assign, ds_of(edges), removed, cfg).to_pandas()
+        assert dict(zip(got["image_id"], got["cluster_id"])) == want
+    # pin the interesting shapes explicitly
+    assert want["p1"] == "p1" and want["p4"] == "p4"   # genuine split
+    assert want["a2"] == "a2"                          # min relabeled
+    assert "w2" not in want and "g1" not in want       # vanish semantics
+    assert want["m1"] == "m1"                          # untouched
+
+
+def test_incremental_cc_remove_noop_cases():
+    """Empty removal set and unclustered-only removal both return the
+    assignment unchanged (identity fast paths)."""
+    import ray.data as rd
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_remove,
+    )
+
+    edges = rd.from_items([{"src": "a", "dst": "b"}])
+    assign = connected_components(edges, CFG)
+    for removed in ([], ["never_seen"]):
+        out = incremental_cc_remove(assign, edges, removed, CFG).to_pandas()
+        assert dict(zip(out["image_id"], out["cluster_id"])) == \
+            {"a": "a", "b": "a"}

@@ -86,6 +86,20 @@ def _img_cluster_update(sf_dir: str):
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
 
 
+def _img_cluster_remove(sf_dir: str):
+    """Incremental image-cluster DELETION maintenance: retire a
+    deterministic md5 bucket of ids from a persisted extended-clusters
+    assignment, re-verifying + re-clustering ONLY the touched components
+    (persisted spanning-forest edges are not node-deletion-safe, so the
+    affected survivors re-run banding→verify).  Must equal the extended
+    clusters of the survivor corpus, so the mirror is
+    EXTENDED_CLUSTERS_SQL over the survivor-filtered live relation."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.img_cluster_remove(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_dedup_scorecard(sf_dir: str):
     """Pair-level precision/recall of the near-dup clusters vs the fixture
     ground truth (the north rule's dup-pair-recall gate as a table) —
@@ -784,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
         "img_cluster_update": _img_cluster_update,
+        "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
         "img_caption_langid": _img_caption_langid,
         "img_reference_decisions": _img_reference_decisions,
@@ -837,6 +852,7 @@ def _fixture_mirrors() -> dict[str, str]:
       KERNEL is the one thing SQL cannot express, so it ships as data
       (see deduplicator_ray/mirrors.py)."""
     from deduplicator_ray import fixtures, mirrors
+    from deduplicator_ray.pipelines import image_dedup as ip_mod
     from deduplicator_ray.pipelines import queries as q
 
     sf = "/root/testdata/sf0.01"
@@ -874,6 +890,11 @@ def _fixture_mirrors() -> dict[str, str]:
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(
             mirrors.EXTENDED_CLUSTERS_SQL, hashes=hashes, **kw),
+        # the prune relation: the same full recompute over the SURVIVOR set
+        "img_cluster_remove": mirrors.with_survivors(
+            mirrors.compose(mirrors.EXTENDED_CLUSTERS_SQL,
+                            hashes=hashes, **kw),
+            ip_mod.IMG_REMOVE_BUCKET_THRESHOLD),
         "img_dedup_scorecard": mirrors.compose(
             mirrors.IMG_SCORECARD_SQL, hashes=hashes, truth=truth, **kw),
         # the documents lang-ID relation applied to the caption column

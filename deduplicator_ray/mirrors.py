@@ -533,6 +533,19 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             .replace("{HAMMING_MAX}", str(hamming_max)))
 
 
+def with_survivors(sql: str, threshold: int) -> str:
+    """Pre-filter a composed image mirror's live relation to the prune
+    survivors (md5-of-id bucket < ``threshold``, the same portable
+    ``int(md5(id)[:8], 16) % 100`` both engines compute) — the
+    deletion-maintenance mirrors are the ordinary relations over the
+    survivor set."""
+    anchor = "WHERE h.status IN ('ok','md5_only')"
+    assert anchor in sql, "live-relation anchor missing from mirror"
+    pred = ("CAST(('0x' || substr(md5(h.image_id), 1, 8)) AS BIGINT) "
+            f"% 100 < {threshold} AND ")
+    return sql.replace(anchor, "WHERE " + pred + "h.status IN ('ok','md5_only')")
+
+
 # J4 series-base self-join (findBaseFileForPath as relational algebra,
 # /root/reference/compare.py:77-105,136-173): eq channel = previous-in-series
 # id existence; prefix channel = same-directory glob-prefix groups (>1 match,

@@ -751,6 +751,96 @@ def img_cluster_update(images: rd.Dataset,
     return incremental_cc_update(base, delta, cfg)
 
 
+IMG_REMOVE_BUCKET_THRESHOLD = 85  # md5(image_id) % 100 >= this ⇒ retired
+
+
+def img_cluster_remove(images: rd.Dataset,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       threshold: int = IMG_REMOVE_BUCKET_THRESHOLD) -> rd.Dataset:
+    """Incremental image-cluster DELETION maintenance — the prune
+    direction of the maintenance pair, the reference's vanished-file loop
+    over its shelve index (/root/reference/dupedb.py:371-411): retire the
+    deterministic md5-of-id bucket ≥ ``threshold`` from a persisted
+    extended-clusters assignment, re-clustering ONLY the touched
+    components.  Result must equal ``extended_clusters`` over the
+    survivor corpus (mirror: EXTENDED_CLUSTERS_SQL over survivors).
+
+    Unlike the generic ``incremental_cc_remove`` (which filters a
+    persisted edge set), the image graph's persisted edges are NOT
+    node-deletion-safe: hot exact-hash buckets ship as spanning
+    forests / member→rep stars (stages/candidates.py), so deleting an
+    interior tree node would falsely split a group that a full recompute
+    keeps whole (the survivors still share the proc_hash).  The fix keeps
+    the locality argument but re-derives edges: band+verify is PAIRWISE
+    (a pair's verdict never depends on other rows), so edge discovery is
+    monotone under node removal and every full-survivor-graph edge
+    touching an affected component stays inside it — the affected
+    subgraph is closed.  Re-running the ordinary banding→verify stage on
+    ONLY the affected survivors' fingerprints therefore yields exactly
+    the full-recompute connectivity there, at delta-bounded cost:
+      1. `affected_partition` — two streaming 2-col passes (labels, then
+         membership) with the removal set broadcast;
+      2. one broadcast-filter pass keeps the affected survivors'
+         fingerprint rows (bytes were already dropped at decode);
+      3. banding→verify→CC on that bounded subset;
+      4. untouched assignment rows stream through a label filter and
+         union with the re-clustered rows (disjoint by closure)."""
+    import hashlib
+
+    import ray
+
+    from deduplicator_ray.stages.components import (
+        affected_partition,
+        untouched_rows,
+    )
+
+    fp = _live(fingerprints(images, cfg), cfg).materialize()
+
+    # the retirement increment: deterministic md5 bucket over live ids
+    def rm_rows(t: pa.Table) -> pa.Table:
+        ids = [str(x) for x in t["image_id"].to_pylist()]
+        out = [i for i in ids
+               if int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+               >= threshold]
+        return pa.Table.from_pydict(
+            {"image_id": out}, schema=pa.schema([("image_id", pa.string())]))
+
+    removed: set[str] = set()
+    for b in (fp.select_columns(["image_id"])
+              .map_batches(rm_rows, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        removed.update(b["image_id"].to_pylist())
+
+    # persisted stand-ins: the member-level assignment (what a checkpoint
+    # of extended_clusters holds)
+    edges = verified_edges_from_fp(fp, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    assign = connected_components(edges, cfg).materialize()
+    if not removed:
+        return assign
+
+    affected, membership = affected_partition(assign, removed)
+    if not affected:
+        return assign
+    alive = membership - removed
+    alive_ref = ray.put(alive)
+
+    def keep_alive(t: pa.Table) -> pa.Table:
+        al = ray.get(alive_ref)
+        ids = t["image_id"].to_pylist()
+        return t.filter(pa.array([i in al for i in ids], pa.bool_()))
+
+    sub_fp = fp.map_batches(keep_alive, batch_format="pyarrow")
+    sub_edges = verified_edges_from_fp(sub_fp, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    sub = connected_components(sub_edges, cfg)
+    return untouched_rows(assign, affected).union(sub)
+
+
 SCORECARD_SCHEMA = pa.schema([
     ("tp", pa.int64()), ("fp", pa.int64()), ("fn", pa.int64()),
     ("precision_e6", pa.int64()), ("recall_e6", pa.int64()),

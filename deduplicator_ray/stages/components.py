@@ -328,6 +328,73 @@ def incremental_cc_update(
         ["image_id"], num_partitions)
 
 
+def affected_partition(assign: rd.Dataset,
+                       removed: set[str]) -> tuple[set[str], set[str]]:
+    """(affected cluster labels, their full membership) for a removal set —
+    the locality core shared by both deletion-maintenance paths
+    (``incremental_cc_remove`` and the image pipeline's group-aware
+    ``img_cluster_remove``): only clusters containing a removed node can
+    change.  Two streaming passes over the 2-column assignment with the
+    delta broadcast via ``ray.put``; the label set is bounded by
+    ``|removed|`` and the membership by the touched clusters' total size
+    (a removal inside a mega-cluster inherently costs that cluster's
+    size — nothing smaller can decide a split)."""
+    import ray
+
+    rem_ref = ray.put(removed)
+    lbl_schema = pa.schema([("cluster_id", pa.string())])
+
+    def hit_labels(b: pa.Table) -> pa.Table:
+        rm = ray.get(rem_ref)
+        ids = pd.Series(b["image_id"].to_pylist(), dtype=object)
+        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        out = sorted(set(lbl[ids.isin(rm)]))
+        return pa.Table.from_pydict({"cluster_id": out}, schema=lbl_schema)
+
+    affected: set[str] = set()
+    for b in (assign.map_batches(hit_labels, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        affected.update(b["cluster_id"].to_pylist())
+    if not affected:
+        return set(), set()
+    aff_ref = ray.put(affected)
+
+    mem_schema = pa.schema([("image_id", pa.string())])
+
+    def members(b: pa.Table) -> pa.Table:
+        aff = ray.get(aff_ref)
+        ids = pd.Series(b["image_id"].to_pylist(), dtype=object)
+        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {"image_id": ids[lbl.isin(aff)].tolist()}, schema=mem_schema)
+
+    membership: set[str] = set()
+    for b in (assign.map_batches(members, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        membership.update(b["image_id"].to_pylist())
+    return affected, membership
+
+
+def untouched_rows(assign: rd.Dataset, affected: set[str]) -> rd.Dataset:
+    """Assignment rows whose cluster is NOT affected — a streaming
+    broadcast-filter pass (the pass-through side of a prune)."""
+    import ray
+
+    aff_ref = ray.put(affected)
+
+    def f(b: pa.Table) -> pa.Table:
+        aff = ray.get(aff_ref)
+        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
+        keep = (~lbl.isin(aff)).to_numpy()
+        return pa.Table.from_pydict(
+            {"image_id": pd.Series(b["image_id"].to_pylist(),
+                                   dtype=object)[keep].tolist(),
+             "cluster_id": lbl[keep].tolist()},
+            schema=_ASSIGN_SCHEMA)
+
+    return assign.map_batches(f, batch_format="pyarrow")
+
+
 def incremental_cc_remove(
     assign: rd.Dataset,
     edges: rd.Dataset,
@@ -387,39 +454,10 @@ def incremental_cc_remove(
         return assign
     rem_ref = ray.put(removed)
 
-    lbl_schema = pa.schema([("cluster_id", pa.string())])
-
-    # -- 1. labels of clusters that contain a removed node
-    def hit_labels(b: pa.Table) -> pa.Table:
-        rm = ray.get(rem_ref)
-        ids = pd.Series(b["image_id"].to_pylist(), dtype=object)
-        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
-        out = sorted(set(lbl[ids.isin(rm)]))
-        return pa.Table.from_pydict({"cluster_id": out}, schema=lbl_schema)
-
-    affected: set[str] = set()
-    for b in (assign.map_batches(hit_labels, batch_format="pyarrow")
-              .iter_batches(batch_size=None, batch_format="pyarrow")):
-        affected.update(b["cluster_id"].to_pylist())
+    affected, membership = affected_partition(assign, removed)
     if not affected:
         # removed nodes were all unclustered — the assignment stands
         return assign
-    aff_ref = ray.put(affected)
-
-    mem_schema = pa.schema([("image_id", pa.string())])
-
-    # -- 2. membership of the affected clusters (bounded by their sizes)
-    def members(b: pa.Table) -> pa.Table:
-        aff = ray.get(aff_ref)
-        ids = pd.Series(b["image_id"].to_pylist(), dtype=object)
-        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
-        return pa.Table.from_pydict(
-            {"image_id": ids[lbl.isin(aff)].tolist()}, schema=mem_schema)
-
-    membership: set[str] = set()
-    for b in (assign.map_batches(members, batch_format="pyarrow")
-              .iter_batches(batch_size=None, batch_format="pyarrow")):
-        membership.update(b["image_id"].to_pylist())
     mem_ref = ray.put(membership)
 
     # -- 3. surviving edges of the affected subgraph (map-only filter)
@@ -439,17 +477,7 @@ def incremental_cc_remove(
         cfg, num_partitions)
 
     # -- 5. untouched rows pass through; re-clustered rows replace the rest
-    def untouched(b: pa.Table) -> pa.Table:
-        aff = ray.get(aff_ref)
-        lbl = pd.Series(b["cluster_id"].to_pylist(), dtype=object)
-        keep = (~lbl.isin(aff)).to_numpy()
-        return pa.Table.from_pydict(
-            {"image_id": pd.Series(b["image_id"].to_pylist(),
-                                   dtype=object)[keep].tolist(),
-             "cluster_id": lbl[keep].tolist()},
-            schema=_ASSIGN_SCHEMA)
-
-    return assign.map_batches(untouched, batch_format="pyarrow").union(sub)
+    return untouched_rows(assign, affected).union(sub)
 
 
 def connected_components(

@@ -677,3 +677,37 @@ def test_incremental_cc_remove_noop_cases():
         out = incremental_cc_remove(assign, edges, removed, CFG).to_pandas()
         assert dict(zip(out["image_id"], out["cluster_id"])) == \
             {"a": "a", "b": "a"}
+
+
+def test_img_cluster_remove_matches_survivor_recompute(images_ds):
+    """img_cluster_remove (prune the md5 bucket ≥ threshold from a
+    persisted extended-clusters assignment, re-verify only the touched
+    components) must equal extended_clusters computed from scratch over
+    the survivor corpus — including through exact-hash groups whose
+    spanning-forest edges are not node-deletion-safe."""
+    import hashlib
+
+    import pyarrow as pa
+    from deduplicator_ray.pipelines.image_dedup import (
+        IMG_REMOVE_BUCKET_THRESHOLD,
+        img_cluster_remove,
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = [str(x) for x in t["image_id"].to_pylist()]
+        mask = [int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100
+                < IMG_REMOVE_BUCKET_THRESHOLD for i in ids]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    got = img_cluster_remove(images_ds, CFG).to_pandas()
+    want = ip.extended_clusters(
+        images_ds.map_batches(survivors, batch_format="pyarrow"), CFG
+    ).to_pandas()
+    full = ip.extended_clusters(images_ds, CFG).to_pandas()
+
+    gm = dict(zip(got["image_id"], got["cluster_id"]))
+    wm = dict(zip(want["image_id"], want["cluster_id"]))
+    fm = dict(zip(full["image_id"], full["cluster_id"]))
+    assert gm == wm
+    # non-vacuity: the prune actually dropped clustered rows
+    assert len(gm) < len(fm)

@@ -787,6 +787,7 @@ def img_cluster_remove(images: rd.Dataset,
          union with the re-clustered rows (disjoint by closure)."""
     import hashlib
 
+    import pandas as pd
     import ray
 
     from deduplicator_ray.stages.components import (
@@ -828,9 +829,11 @@ def img_cluster_remove(images: rd.Dataset,
     alive_ref = ray.put(alive)
 
     def keep_alive(t: pa.Table) -> pa.Table:
+        # this filter streams the WHOLE fp table — C-level isin, no
+        # per-row Python membership
         al = ray.get(alive_ref)
-        ids = t["image_id"].to_pylist()
-        return t.filter(pa.array([i in al for i in ids], pa.bool_()))
+        mask = pd.Series(t["image_id"].to_pylist(), dtype=object).isin(al)
+        return t.filter(pa.array(mask.to_numpy()))
 
     sub_fp = fp.map_batches(keep_alive, batch_format="pyarrow")
     sub_edges = verified_edges_from_fp(sub_fp, cfg).map_batches(

@@ -757,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_stratified": q.docs_sample_stratified,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_chunking": q.docs_chunking,
+        "docs_pack_layout": q.docs_pack_layout,
         "docs_token_budget": q.docs_token_budget,
         "docs_decontaminate": q.docs_decontaminate,
         "events_asof_orders": q.events_asof_orders,
@@ -1080,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_stratified": q.DOCS_SAMPLE_STRATIFIED_SQL,
         "docs_repetition_stats": q.DOCS_REPETITION_STATS_SQL,
         "docs_chunking": q.DOCS_CHUNKING_SQL,
+        "docs_pack_layout": q.DOCS_PACK_LAYOUT_SQL,
         "docs_token_budget": q.DOCS_TOKEN_BUDGET_SQL,
         "docs_decontaminate": q.DOCS_DECONTAMINATE_SQL,
         "events_asof_orders": q.EVENTS_ASOF_ORDERS_SQL,

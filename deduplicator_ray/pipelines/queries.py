@@ -1637,6 +1637,79 @@ ORDER BY doc_id, chunk_id
 
 
 # ---------------------------------------------------------------------------
+# q_docs_pack_layout — GPT-style sequence-packing layout: per language
+# stream, documents are concatenated in doc_id order and the token stream is
+# split every PACK_TOKENS tokens (documents STRADDLE context boundaries —
+# that is how pretraining packing actually works, unlike per-doc chunking
+# above).  The layout table answers, per doc: where in the packed stream it
+# starts, which context windows it occupies, and whether it straddles a
+# boundary (the attention-masking / doc-boundary-loss bookkeeping signal).
+# Scale shape: token counts are one vectorized Arrow pass; the running
+# offset needs per-lang ordered cumsum, i.e. key co-location — ONE
+# lang-partitioned groupby, vectorized grouped cumsum per partition.  Both
+# engines floor non-negative divisions, so `//` agrees.
+
+PACK_TOKENS = 32
+
+
+def docs_pack_layout(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    docs = dio.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "lang", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(pc.cast(t["text"], pa.string()), " "))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_tokens", pa.int64()), ("first_chunk", pa.int64()),
+        ("last_chunk", pa.int64()), ("straddles", pa.int64()),
+    ])
+
+    def layout(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        start = df.groupby("lang")["n_tokens"].cumsum() - df["n_tokens"]
+        df["first_chunk"] = start // PACK_TOKENS
+        df["last_chunk"] = (start + df["n_tokens"] - 1) // PACK_TOKENS
+        df["straddles"] = (df["first_chunk"] != df["last_chunk"]).astype("int64")
+        return df
+
+    out = partitioned_groupby(
+        docs.map_batches(tok_counts, batch_format="pyarrow"),
+        ["lang"], layout, out_schema=out_schema,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PACK_LAYOUT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // {PACK_TOKENS} AS BIGINT) AS first_chunk,
+       CAST((start + n_tokens - 1) // {PACK_TOKENS} AS BIGINT) AS last_chunk,
+       CAST(CASE WHEN start // {PACK_TOKENS}
+                      != (start + n_tokens - 1) // {PACK_TOKENS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS straddles
+FROM w
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_docs_token_budget — quality-ranked corpus selection under a global token
 # budget: keep the best documents (by stopword ratio, doc_id tiebreak) whose
 # INCLUSIVE running token total stays within budget — "fill 1T tokens with

@@ -749,3 +749,20 @@ def test_docs_bow_dedup_mirror(sf_small):
     # the canonical key must catch re-ordered duplicates exact text misses
     assert (eng["group_n"] > 1).any()
     assert (eng["action"] == "drop").any()
+
+
+def test_pack_layout_mirror(sf_small, con_docs):
+    """GPT-style sequence-packing layout: per-lang concat order, split
+    every PACK_TOKENS — docs straddle context boundaries."""
+    eng = q.docs_pack_layout(sf_small)
+    orc = con_docs.execute(q.DOCS_PACK_LAYOUT_SQL).df()
+    _match(eng, orc)
+    # non-vacuity: both straddling and non-straddling docs occur
+    assert set(eng["straddles"]) == {0, 1}
+    # chaining invariant: docs tile the packed stream, so the next doc's
+    # first_chunk is the previous doc's last_chunk (prev ends mid-window)
+    # or last_chunk+1 (prev ends exactly on a window boundary)
+    s = eng.sort_values(["lang", "doc_id"])
+    prev_last = s.groupby("lang")["last_chunk"].shift()
+    delta = s["first_chunk"] - prev_last
+    assert delta.dropna().isin([0, 1]).all()

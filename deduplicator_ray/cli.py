@@ -171,6 +171,39 @@ def run_bloom_probe(input_dir: str, index_dir: str, key_col: str,
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_prune(clusters_dir: str, edges_dir: str, removed_input: str,
+              output_dir: str, id_col: str = "image_id") -> dict:
+    """Retire vanished ids from a persisted cluster checkpoint — the
+    reference's ``--prune`` loop (/root/reference/dedupc.py:675-676 →
+    dupedb.py:371-411) as a job mode: reads the assignment parquet, the
+    persisted verified edge set, and a parquet of removed ids, folds the
+    removal with ``incremental_cc_remove`` (only touched components are
+    re-resolved) and writes the updated assignment.
+
+    Node-deletion safety caveat: the persisted edge set must represent
+    pairwise verification (the docs pipelines' edge checkpoints do).  The
+    image pipeline's spanning-forest hot-bucket edges are NOT — prune an
+    image corpus with ``image_dedup.img_cluster_remove`` (re-verifies
+    affected survivors) instead."""
+    _ensure_ray()
+    from deduplicator_ray.stages.components import incremental_cc_remove
+
+    t0 = time.time()
+    assign = dio.read_parquet(clusters_dir)
+    edges = dio.read_parquet(edges_dir)
+    removed: set[str] = set()
+    for b in (dio.read_parquet(removed_input, columns=[id_col])
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        removed.update(str(x) for x in b[id_col].to_pylist())
+    n_before = assign.count()
+    out = incremental_cc_remove(assign, edges, removed).materialize()
+    out.write_parquet(output_dir)
+    return {"mode": "prune", "output": output_dir,
+            "n_removed_ids": len(removed),
+            "n_rows_before": int(n_before), "n_rows_after": int(out.count()),
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def run_band_build(input_dir: str, index_dir: str, num_parts: int,
                    hash_size: int = 8) -> dict:
     """Build the persistent NEAR-dup band index (state/bandstore.py):
@@ -218,8 +251,9 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
     p.add_argument("mode", choices=["reference", "extended",
                                     "bloom-build", "bloom-probe",
-                                    "band-build", "band-probe"])
-    p.add_argument("--input", required=True, help="directory of input parquet shards")
+                                    "band-build", "band-probe", "prune"])
+    p.add_argument("--input", help="directory of input parquet shards "
+                   "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
                    "(required for all modes except bloom-build)")
     p.add_argument("--no-resume", action="store_true",
@@ -243,7 +277,21 @@ def main(argv: list[str] | None = None) -> None:
                    help="index partition count (bloom-build)")
     p.add_argument("--bloom-shuffle", action="store_true",
                    help="hash-partition the probe side (oversize filters)")
+    p.add_argument("--clusters", help="persisted assignment parquet (prune)")
+    p.add_argument("--edges", help="persisted verified-edge parquet (prune)")
+    p.add_argument("--removed-input",
+                   help="parquet of retired ids (prune; column --id-col)")
+    p.add_argument("--id-col", default="image_id",
+                   help="id column in --removed-input (prune)")
     a = p.parse_args(argv)
+    if a.mode == "prune":
+        if not (a.clusters and a.edges and a.removed_input and a.output):
+            p.error("prune requires --clusters --edges --removed-input --output")
+        print(json.dumps(run_prune(a.clusters, a.edges, a.removed_input,
+                                   a.output, id_col=a.id_col)))
+        return
+    if not a.input:
+        p.error(f"{a.mode} requires --input")
     if a.mode in ("bloom-build", "bloom-probe",
                   "band-build", "band-probe") and not a.index:
         p.error(f"{a.mode} requires --index")

@@ -378,3 +378,37 @@ def test_band_index_delta_edges_fold_equals_full_recompute(sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="delta"):
         bandstore.probe_band_index(side(True).limit(3), idx, cfg)
+
+
+def test_cli_prune_mode(ray_session, tmp_path):
+    """The prune job mode: persisted clusters + edges + a removed-id
+    parquet in, updated assignment out — equal to CC over surviving
+    edges (split exercised via a path cut vertex)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicator_ray import cli
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.components import connected_components
+
+    edges = [("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("m1", "m2")]
+    e_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    assign = connected_components(e_ds, PipelineConfig())
+
+    cdir, edir, rdir, odir = (str(tmp_path / d) for d in
+                              ("clusters", "edges", "removed", "out"))
+    assign.write_parquet(cdir)
+    e_ds.write_parquet(edir)
+    pq.write_table(pa.table({"image_id": ["p2", "ghost"]}), rdir + ".parquet")
+    import os
+    os.makedirs(rdir)
+    os.replace(rdir + ".parquet", os.path.join(rdir, "r.parquet"))
+
+    m = cli.run_prune(cdir, edir, rdir, odir)
+    assert m["n_removed_ids"] == 2 and m["n_rows_before"] == 6
+    got = rd.read_parquet(odir).to_pandas()
+    # p2 removed: p1 orphaned (vanishes), {p3,p4} relabel to p3; m* untouched
+    assert dict(zip(got["image_id"], got["cluster_id"])) == {
+        "p3": "p3", "p4": "p3", "m1": "m1", "m2": "m1"}
+    assert m["n_rows_after"] == 4

@@ -247,11 +247,34 @@ def run_band_probe(input_dir: str, index_dir: str, output_dir: str,
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_band_prune(index_dir: str, removed_input: str,
+                   hash_size: int = 8, id_col: str = "image_id") -> dict:
+    """Retire vanished ids from a persisted band index — the index-side
+    half of the reference's prune loop (the assignment-side half is
+    ``run_prune``).  Partition-granular: untouched ``part=N`` directories
+    stay byte-identical, so a re-run after a crash re-touches nothing."""
+    _ensure_ray()
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.state import bandstore
+
+    cfg = PipelineConfig(hash_size=hash_size)
+    t0 = time.time()
+    removed: set[str] = set()
+    for b in (dio.read_parquet(removed_input, columns=[id_col])
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        removed.update(str(x) for x in b[id_col].to_pylist())
+    stats = bandstore.prune_band_index(removed, index_dir, cfg)
+    return {"mode": "band-prune", "index": index_dir,
+            "n_removed_ids": len(removed), **stats,
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
     p.add_argument("mode", choices=["reference", "extended",
                                     "bloom-build", "bloom-probe",
-                                    "band-build", "band-probe", "prune"])
+                                    "band-build", "band-probe", "band-prune",
+                                    "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -280,15 +303,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--clusters", help="persisted assignment parquet (prune)")
     p.add_argument("--edges", help="persisted verified-edge parquet (prune)")
     p.add_argument("--removed-input",
-                   help="parquet of retired ids (prune; column --id-col)")
+                   help="parquet of retired ids (prune / band-prune; "
+                        "column --id-col)")
     p.add_argument("--id-col", default="image_id",
-                   help="id column in --removed-input (prune)")
+                   help="id column in --removed-input (prune / band-prune)")
     a = p.parse_args(argv)
     if a.mode == "prune":
         if not (a.clusters and a.edges and a.removed_input and a.output):
             p.error("prune requires --clusters --edges --removed-input --output")
         print(json.dumps(run_prune(a.clusters, a.edges, a.removed_input,
                                    a.output, id_col=a.id_col)))
+        return
+    if a.mode == "band-prune":
+        if not (a.index and a.removed_input):
+            p.error("band-prune requires --index --removed-input")
+        print(json.dumps(run_band_prune(a.index, a.removed_input,
+                                        hash_size=a.hash_size,
+                                        id_col=a.id_col)))
         return
     if not a.input:
         p.error(f"{a.mode} requires --input")

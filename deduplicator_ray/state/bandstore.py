@@ -214,3 +214,76 @@ def probe_band_index(new_fp: rd.Dataset, index_dir: str,
         tag(0), batch_format="pyarrow")
     probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
     return cross_min_from_band_rows(idx_rows.union(probe_rows), cfg)
+
+
+def prune_band_index(removed_ids, index_dir: str,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     stats: dict | None = None) -> dict:
+    """Retire vanished ids from the persisted band index — the index-side
+    prune the reference runs over its shelve store (a chunked full scan of
+    stored keys dropping vanished files, /root/reference/dupedb.py:371-411;
+    a scan is unavoidable here too: a vanished file's band keys are only
+    recoverable FROM the index).  The scan is partition-granular and
+    column-pruned: each ``part=N`` directory is inspected by a Ray task
+    reading ONLY its ``image_id`` column; untouched partitions are left
+    byte-identical (resumable: re-running the prune re-touches nothing),
+    touched partitions are rewritten without the retired rows.  Crash
+    safety is at-least-once: the rewritten file lands before the old files
+    are deleted, and a duplicate band row merely re-emits an edge the
+    verify/CC stages already tolerate.
+
+    Returns/fills summary counts (``parts_touched``, ``rows_before``,
+    ``rows_after``)."""
+    import ray
+
+    params = _load_params(index_dir, cfg)
+    removed = {str(x) for x in removed_ids}
+    part_dirs = sorted(
+        os.path.join(index_dir, d) for d in os.listdir(index_dir)
+        if d.startswith("part=")
+        and os.path.isdir(os.path.join(index_dir, d)))
+    if not removed or not part_dirs:
+        out = {"parts_total": len(part_dirs), "parts_touched": 0,
+               "rows_before": 0, "rows_after": 0}
+        if stats is not None:
+            stats.update(out)
+        return out
+
+    rem_ref = ray.put(pa.array(sorted(removed), pa.string()))
+
+    @ray.remote(num_cpus=1)
+    def prune_part(part_dir: str, rm: pa.Array) -> tuple[int, int, int]:
+        import glob
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        if not files:
+            return (0, 0, 0)
+        # column-pruned membership peek — untouched parts are never rewritten
+        ids = pads.dataset(files, format="parquet").to_table(
+            columns=["image_id"])["image_id"]
+        hit = pc.is_in(ids, value_set=rm)
+        n = len(ids)
+        nhit = int(pc.sum(hit).as_py() or 0)
+        if nhit == 0:
+            return (n, n, 0)
+        t = pads.dataset(files, format="parquet").to_table()
+        kept = t.filter(pc.invert(pc.is_in(t["image_id"], value_set=rm)))
+        new_file = os.path.join(part_dir, f"pruned-{uuid.uuid4().hex}.parquet")
+        pq.write_table(kept, new_file)  # lands BEFORE the old files go
+        for f in files:
+            os.remove(f)
+        return (n, n - nhit, 1)
+
+    results = ray.get([prune_part.remote(d, rem_ref) for d in part_dirs])
+    out = {"parts_total": len(part_dirs),
+           "parts_touched": sum(r[2] for r in results),
+           "rows_before": sum(r[0] for r in results),
+           "rows_after": sum(r[1] for r in results)}
+    if stats is not None:
+        stats.update(out)
+    return out

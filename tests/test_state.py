@@ -317,6 +317,22 @@ def test_cli_band_index_modes(sharded_corpus, tmp_path):
     matched = t["matched"].to_pylist()
     assert all(m <= i for i, m in zip(ids, matched))
 
+    # band-prune: retire two ids from the index; a re-probe of the full
+    # corpus must no longer return them as matches for OTHER images
+    victims = sorted(set(ids))[:2]
+    rm = str(tmp_path / "removed")
+    os.makedirs(rm)
+    pq_.write_table(pa.table({"image_id": pa.array(victims, pa.string())}),
+                    os.path.join(rm, "r.parquet"))
+    m3 = cli.run_band_prune(idx, rm)
+    assert m3["n_removed_ids"] == 2 and m3["parts_touched"] > 0
+    assert m3["rows_after"] < m3["rows_before"]
+    out2 = str(tmp_path / "probe2")
+    m4 = cli.run_band_probe(sharded_corpus, idx, out2)
+    t2 = pq_.read_table(out2)
+    assert not set(t2["matched"].to_pylist()) & set(victims)
+    assert m4["n_matched"] <= m2["n_matched"]
+
 
 def test_band_index_delta_edges_fold_equals_full_recompute(sf_small, tmp_path):
     """Both-channel persisted band index → read-pruned delta-edge probe →
@@ -378,6 +394,76 @@ def test_band_index_delta_edges_fold_equals_full_recompute(sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="delta"):
         bandstore.probe_band_index(side(True).limit(3), idx, cfg)
+
+
+def test_band_index_prune_retires_ids(sf_small, tmp_path):
+    """prune_band_index: after retiring a set of known ids, a probe must
+    equal the in-run cross-match against the surviving known side; the
+    prune must rewrite ONLY partitions that actually held retired rows
+    (untouched ones stay byte-identical), and re-running it is a no-op."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+
+    cfg = PipelineConfig()
+    cols = ["image_id", "dhash", "dhash_hex", "status", "content_md5"]
+    live = ip._live(ip.fingerprints(ip.load_images(sf_small, cfg), cfg),
+                    cfg).materialize()
+
+    def side(new_side, drop=frozenset()):
+        def f(t):
+            ids = t["image_id"].to_pylist()
+            keep = np.fromiter(
+                ((hashlib.md5(s.encode()).hexdigest()[0] in "0123")
+                 == new_side and s not in drop
+                 for s in ids), bool, count=len(ids))
+            return t.select(cols).filter(pa.array(keep))
+
+        return live.map_batches(f, batch_format="pyarrow")
+
+    idx = str(tmp_path / "bandidx3")
+    bandstore.build_band_index(side(False), cfg, idx, num_parts=64)
+
+    removed = set(sorted(side(False).to_pandas()["image_id"])[:25])
+
+    def file_states():
+        out = {}
+        for d in sorted(os.listdir(idx)):
+            p = os.path.join(idx, d)
+            if d.startswith("part=") and os.path.isdir(p):
+                out[d] = sorted((f, os.path.getsize(os.path.join(p, f)))
+                                for f in os.listdir(p))
+        return out
+
+    before = file_states()
+    stats = {}
+    bandstore.prune_band_index(removed, idx, cfg, stats=stats)
+    after = file_states()
+
+    assert 0 < stats["parts_touched"] < stats["parts_total"]
+    assert stats["rows_after"] < stats["rows_before"]
+    untouched = [d for d in before if before[d] == after[d]]
+    assert len(untouched) == stats["parts_total"] - stats["parts_touched"]
+
+    # probe equals in-run cross-match against the SURVIVING known side
+    got = (bandstore.probe_band_index(side(True), idx, cfg).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    want = (ip.img_cross_min_match(side(True), side(False, removed), cfg)
+            .to_pandas().sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # idempotent: a second prune touches nothing
+    stats2 = {}
+    bandstore.prune_band_index(removed, idx, cfg, stats=stats2)
+    assert stats2["parts_touched"] == 0
+    assert stats2["rows_before"] == stats["rows_after"]
+    assert file_states() == after
 
 
 def test_cli_prune_mode(ray_session, tmp_path):

@@ -247,6 +247,26 @@ def run_band_probe(input_dir: str, index_dir: str, output_dir: str,
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_band_append(input_dir: str, index_dir: str,
+                    hash_size: int = 8) -> dict:
+    """Fold an image increment's band rows into a built band index —
+    append-only (existing files untouched); probe/prune see the union."""
+    _ensure_ray()
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+    from deduplicator_ray import tuning
+
+    tuning.tune()
+    cfg = PipelineConfig(hash_size=hash_size)
+    t0 = time.time()
+    fp = ip._live(ip.fingerprints(dio.read_corpus(input_dir), cfg), cfg)
+    n = bandstore.append_band_index(fp, index_dir, cfg)
+    return {"mode": "band-append", "index": index_dir,
+            "n_appended_rows": int(n),
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def run_band_prune(index_dir: str, removed_input: str,
                    hash_size: int = 8, id_col: str = "image_id") -> dict:
     """Retire vanished ids from a persisted band index — the index-side
@@ -273,8 +293,8 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
     p.add_argument("mode", choices=["reference", "extended",
                                     "bloom-build", "bloom-probe",
-                                    "band-build", "band-probe", "band-prune",
-                                    "prune"])
+                                    "band-build", "band-probe",
+                                    "band-append", "band-prune", "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -323,10 +343,11 @@ def main(argv: list[str] | None = None) -> None:
         return
     if not a.input:
         p.error(f"{a.mode} requires --input")
-    if a.mode in ("bloom-build", "bloom-probe",
-                  "band-build", "band-probe") and not a.index:
+    if a.mode in ("bloom-build", "bloom-probe", "band-build",
+                  "band-probe", "band-append") and not a.index:
         p.error(f"{a.mode} requires --index")
-    if a.mode not in ("bloom-build", "band-build") and not a.output:
+    if (a.mode not in ("bloom-build", "band-build", "band-append")
+            and not a.output):
         p.error(f"{a.mode} requires --output")
     if a.mode == "bloom-build":
         print(json.dumps(run_bloom_build(a.input, a.index, a.key_col,
@@ -343,6 +364,10 @@ def main(argv: list[str] | None = None) -> None:
     if a.mode == "band-probe":
         print(json.dumps(run_band_probe(a.input, a.index, a.output,
                                         hash_size=a.hash_size)))
+        return
+    if a.mode == "band-append":
+        print(json.dumps(run_band_append(a.input, a.index,
+                                         hash_size=a.hash_size)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

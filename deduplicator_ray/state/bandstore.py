@@ -89,6 +89,28 @@ def build_band_index(known_fp: rd.Dataset, cfg: PipelineConfig,
     return params
 
 
+def append_band_index(new_fp: rd.Dataset, index_dir: str,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """Fold an increment's band rows into the persisted index WITHOUT
+    touching existing files — the ingest loop's third step (probe the
+    increment, fold its clusters, append it so the NEXT increment sees
+    it).  The increment bands with the params pinned at build time (same
+    channels, config drift fails loudly) and its rows land as additional
+    parquet files inside the same ``part=N`` hive directories (Ray's
+    writer generates unique file names, so appends never clobber); probe
+    and prune are oblivious to the append.  Unlike the IVF append there
+    is NO drift: banding is stateless, so build(A)+append(B) holds
+    exactly the rows of build(A∪B).  Returns the appended row count."""
+    params = _load_params(index_dir, cfg)
+    channels = tuple(params.get("channels", ["img"]))
+    rows = (_band_rows(new_fp, cfg, channels)
+            .map_batches(_add_part(params["num_parts"]),
+                         batch_format="pyarrow")
+            .materialize())
+    rows.write_parquet(index_dir, partition_cols=["part"])
+    return rows.count()
+
+
 def _load_params(index_dir: str, cfg: PipelineConfig) -> dict:
     with open(os.path.join(index_dir, _PARAMS)) as f:
         params = json.load(f)

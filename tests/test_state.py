@@ -333,6 +333,26 @@ def test_cli_band_index_modes(sharded_corpus, tmp_path):
     assert not set(t2["matched"].to_pylist()) & set(victims)
     assert m4["n_matched"] <= m2["n_matched"]
 
+    # band-append: folding the victims back in restores the original
+    # self-probe relation (append-only lifecycle closes the loop)
+    victim_dir = str(tmp_path / "victims")
+    os.makedirs(victim_dir)
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as pads_
+
+    full = pads_.dataset(sharded_corpus, format="parquet").to_table()
+    back = full.filter(pc_.is_in(full["image_id"],
+                                 value_set=pa.array(victims)))
+    assert back.num_rows == len(victims)
+    pq_.write_table(back, os.path.join(victim_dir, "v.parquet"))
+    m5 = cli.run_band_append(victim_dir, idx)
+    assert m5["n_appended_rows"] > 0
+    out3 = str(tmp_path / "probe3")
+    cli.run_band_probe(sharded_corpus, idx, out3)
+    t3 = pq_.read_table(out3)
+    assert (sorted(zip(t3["image_id"].to_pylist(), t3["matched"].to_pylist()))
+            == sorted(zip(ids, matched)))
+
 
 def test_band_index_delta_edges_fold_equals_full_recompute(sf_small, tmp_path):
     """Both-channel persisted band index → read-pruned delta-edge probe →
@@ -394,6 +414,65 @@ def test_band_index_delta_edges_fold_equals_full_recompute(sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="delta"):
         bandstore.probe_band_index(side(True).limit(3), idx, cfg)
+
+
+def test_band_index_append_equals_union_build(sf_small, tmp_path):
+    """append_band_index: build(A) + append(B) must answer probes exactly
+    like build(A∪B) — banding is stateless so the appended index holds the
+    union's rows; existing files are never rewritten; drifted config fails
+    loudly."""
+    import dataclasses
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.state import bandstore
+
+    cfg = PipelineConfig()
+    cols = ["image_id", "dhash", "dhash_hex", "status", "content_md5"]
+    live = ip._live(ip.fingerprints(ip.load_images(sf_small, cfg), cfg),
+                    cfg).materialize()
+
+    def slice_(digits):
+        def f(t):
+            ids = t["image_id"].to_pylist()
+            keep = np.fromiter(
+                (hashlib.md5(s.encode()).hexdigest()[0] in digits
+                 for s in ids), bool, count=len(ids))
+            return t.select(cols).filter(pa.array(keep))
+
+        return live.map_batches(f, batch_format="pyarrow")
+
+    known_a, known_b, probe = (slice_("456789ab"), slice_("cdef"),
+                               slice_("0123"))
+    idx = str(tmp_path / "bandidx4")
+    bandstore.build_band_index(known_a, cfg, idx, num_parts=64)
+
+    def files():
+        return {os.path.join(d, f)
+                for d in os.listdir(idx) if d.startswith("part=")
+                for f in os.listdir(os.path.join(idx, d))}
+
+    before = files()
+    n = bandstore.append_band_index(known_b, idx, cfg)
+    assert n > 0
+    assert before < files()  # append-only: old files untouched, new added
+
+    got = (bandstore.probe_band_index(probe, idx, cfg).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    want = (ip.img_cross_min_match(probe, known_a.union(known_b), cfg)
+            .to_pandas().sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+    with pytest.raises(ValueError, match="hamming_max"):
+        bandstore.append_band_index(
+            known_b, idx, dataclasses.replace(cfg, hamming_max=2))
 
 
 def test_band_index_prune_retires_ids(sf_small, tmp_path):

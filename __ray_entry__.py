@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
+        "emb_srp_pairs": q.emb_srp_pairs,
         "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "orders_without_lineitems": q.orders_without_lineitems,
@@ -865,6 +866,7 @@ def _fixture_mirrors() -> dict[str, str]:
     docfeat = fixtures.doc_features_path(sf) + "/*.parquet"
     altns = fixtures.alt_namespace_path(sf) + "/*.parquet"
     ivf = fixtures.ivf_sidecar_path(sf)
+    srp = fixtures.srp_sidecar_path(sf) + "/*.parquet"
     cfg = _cfg()
     kw = dict(images=images, shingle_k=cfg.shingle_k,
               jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
@@ -969,6 +971,10 @@ def _fixture_mirrors() -> dict[str, str]:
             SELECT doc_id, fingerprint, n_tokens_bpe FROM '{docfeat}'
             ORDER BY doc_id
         """,
+        # SRP-LSH's discrete decisions (vec→(band, bkey) buckets) ship as a
+        # sidecar replay of the same seeded hyperplanes; the mirror is then
+        # exact cosine pairs restricted to co-bucketed candidates
+        "emb_srp_pairs": q.EMB_SRP_PAIRS_SQL.replace("{srp}", srp),
         # IVF's discrete decisions (vec→bucket, query→probed buckets) ship
         # as a sidecar replay of the same seeded k-means; the mirror is then
         # exact cosine top-k restricted to each query's probed buckets

@@ -677,6 +677,53 @@ def ivf_sidecar_path(sf_dir: str, n_centroids: int = 16, nprobe: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# SRP-LSH sidecar (band-key assignment) for the emb_srp_pairs mirror
+
+
+def srp_sidecar_path(sf_dir: str) -> str:
+    """Ray-free replay of the SRP-LSH DISCRETE decisions — which (band, key)
+    buckets each embedding lands in — as one parquet of (vec_id, band, bkey)
+    rows.  The hyperplanes are derived from a fixed seed
+    (functions.vector.srp_band_keys, float64 throughout), so the sidecar and
+    the distributed banding stage compute bit-identical keys; the SQL mirror
+    then reduces emb_srp_pairs to "exact cosine pairs RESTRICTED to
+    co-bucketed candidates" — checking the engine's shuffle/verify/owner
+    logic against a single-process replay of the same hash."""
+    from deduplicator_ray.functions import vector as vfn
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"srp_{os.path.basename(os.path.normpath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
+    keys = vfn.srp_band_keys(x)
+    nbands = keys.shape[1]
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "vec_id": np.repeat(ids, nbands),
+            "band": np.tile(np.arange(nbands, dtype=np.int64), len(ids)),
+            "bkey": keys.reshape(-1),
+        }),
+        os.path.join(tmp, "assign.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # hide-alts suppression decisions for the img_clusters_hidealts mirror
 
 

@@ -300,3 +300,50 @@ def append_ivf_index(new_ds: rd.Dataset, index_dir: str,
     out = bucketed.map_batches(dup_col, batch_format="pyarrow").materialize()
     out.write_parquet(index_dir, partition_cols=["ivf_bucket"])
     return out.count()
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection (SRP) LSH — the LSH-bucketed embedding near-dup
+# scale path (Charikar, STOC 2002: "Similarity estimation techniques from
+# rounding algorithms" — public literature).  Each vector is hashed by the
+# SIGNS of its dot products with a fixed seeded Gaussian hyperplane matrix;
+# two vectors agree on one hyperplane bit with probability 1 - θ/π (θ the
+# angle between them), so banding r bits × b bands gives high-cosine pairs
+# a high chance of sharing at least one band key while the corpus-wide
+# candidate set stays near-linear.  This complements IVF (bucket the SPACE
+# around trained centroids) with a data-independent bucketing of DIRECTION —
+# no training pass, append-trivial, and the discrete decisions are exactly
+# replayable from the seed (which is what the DuckDB mirror consumes).
+
+SRP_SEED = 20260818
+SRP_BANDS = 16
+SRP_BITS = 8
+
+_SRP_H: dict[tuple[int, int, int, int], np.ndarray] = {}
+
+
+def srp_hyperplanes(dim: int, nbands: int = SRP_BANDS, rbits: int = SRP_BITS,
+                    seed: int = SRP_SEED) -> np.ndarray:
+    """(dim, nbands·rbits) float64 Gaussian hyperplane matrix, derived
+    deterministically from the seed and memoized per process (each worker
+    re-derives it once — nothing is shipped)."""
+    k = (dim, nbands, rbits, seed)
+    h = _SRP_H.get(k)
+    if h is None:
+        h = np.random.default_rng(seed).standard_normal((dim, nbands * rbits))
+        _SRP_H[k] = h
+    return h
+
+
+def srp_band_keys(x: np.ndarray, nbands: int = SRP_BANDS,
+                  rbits: int = SRP_BITS, seed: int = SRP_SEED) -> np.ndarray:
+    """(n, nbands) int64 band keys: sign bits of x·H, packed rbits per band.
+
+    Float64 throughout so the engine stages and the Ray-free sidecar replay
+    (fixtures.srp_sidecar_path) compute bit-identical keys from the same
+    float32 source column."""
+    x = np.asarray(x, np.float64)
+    h = srp_hyperplanes(x.shape[1], nbands, rbits, seed)
+    bits = (x @ h) > 0.0
+    w = np.int64(1) << np.arange(rbits, dtype=np.int64)
+    return bits.reshape(len(x), nbands, rbits).astype(np.int64) @ w

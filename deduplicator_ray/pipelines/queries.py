@@ -722,6 +722,135 @@ ORDER BY va, vb
 
 
 # ---------------------------------------------------------------------------
+# q_emb_srp_pairs — SRP-LSH bucketed embedding near-dup: the LSH scale path
+# for emb_near_dup (which is the O(n²) broadcast oracle shape).  Sign-random-
+# projection banding (Charikar 2002; functions/vector.srp_band_keys) buckets
+# vectors by DIRECTION with zero training, so the candidate set is
+# near-linear and the index is append-trivial — the cosine complement of the
+# image channel's dHash-slice banding.  Stage shape mirrors that channel:
+# band rows (band, bkey, vec_id, all-band keys, float32 embedding) → ONE
+# (band, bkey)-partitioned groupby → per-bucket exact float64 cosine verify
+# with OWNER-BAND emission (a pair is emitted only by the first band where
+# its keys agree), so no second dedup shuffle.  Scale notes: shuffle payload
+# is nbands·dim·4 B per vector (the float32 embedding rides each band row);
+# per-bucket verify is chunked so a hot bucket costs bounded memory; unlike
+# IVF there is no trained state to drift on appends.  The DuckDB mirror
+# replays the discrete bucket assignment from the seed as a sidecar
+# (fixtures.srp_sidecar_path) and reduces the query to "exact cosine pairs
+# restricted to co-bucketed candidates" — the engine's banded relation must
+# equal it EXACTLY (verification is exact; only candidate generation is
+# approximate, which the mirror reproduces bit-for-bit).
+
+
+def emb_srp_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    from deduplicator_ray.functions import vector as vfn
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    nbands = vfn.SRP_BANDS
+    out_schema = pa.schema([("va", pa.int64()), ("vb", pa.int64()),
+                            ("cos_e6", pa.int64())])
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        x32 = vfn.embeddings_matrix(t)
+        keys = vfn.srp_band_keys(x32)          # float64 signs of float32 src
+        n, dim = x32.shape
+        rep = np.repeat(np.arange(n), nbands)
+        return pa.Table.from_arrays(
+            [pa.array(np.tile(np.arange(nbands, dtype=np.int64), n)),
+             pa.array(keys.reshape(-1)),
+             pa.array(ids[rep]),
+             pa.FixedSizeListArray.from_arrays(
+                 pa.array(keys[rep].reshape(-1)), nbands),
+             pa.FixedSizeListArray.from_arrays(
+                 pa.array(x32[rep].reshape(-1)), dim)],
+            names=["band", "bkey", "vec_id", "allkeys", "emb"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"va": pd.Series([], dtype=np.int64),
+                                 "vb": pd.Series([], dtype=np.int64),
+                                 "cos_e6": pd.Series([], dtype=np.int64)})
+        band = df["band"].to_numpy()
+        bkey = df["bkey"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        keys = np.stack(df["allkeys"].to_numpy())
+        emb = np.stack(df["emb"].to_numpy()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        order = np.lexsort((bkey, band))
+        band, bkey, ids = band[order], bkey[order], ids[order]
+        keys, emb = keys[order], emb[order]
+        starts = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])])
+        bounds = np.r_[starts, len(band)]
+        va, vb, ce6 = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            b_here = band[s]
+            gi, gk, ge = ids[s:e], keys[s:e], emb[s:e]
+            # chunked upper-triangle verify: a hot bucket costs bounded
+            # memory (CH×k cosine block per step), flops stay exact
+            for cs in range(0, k - 1, 1024):
+                ciE = min(cs + 1024, k - 1)
+                cos = ge[cs:ciE] @ ge.T                       # (c, k)
+                ii, jj = np.nonzero(cos >= threshold)
+                keep = jj > ii + cs                           # upper triangle
+                ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                owner = np.argmax(gk[ii + cs] == gk[jj], axis=1)
+                own = owner == b_here
+                if not own.any():
+                    continue
+                ii, jj = ii[own], jj[own]
+                a, b = gi[ii + cs], gi[jj]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                va.append(lo)
+                vb.append(hi)
+                ce6.append(np.floor(
+                    cos[ii, jj] * 1e6 + 0.5).astype(np.int64))
+        if not va:
+            return pd.DataFrame({"va": pd.Series([], dtype=np.int64),
+                                 "vb": pd.Series([], dtype=np.int64),
+                                 "cos_e6": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"va": np.concatenate(va),
+                             "vb": np.concatenate(vb),
+                             "cos_e6": np.concatenate(ce6)})
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = partitioned_groupby(banded, ["band", "bkey"], verify,
+                                out_schema=out_schema)
+    out = _typed(pairs.to_pandas(), out_schema)
+    return out.sort_values(["va", "vb"]).reset_index(drop=True)
+
+
+# mirror template: {srp} is the sidecar replay of the seeded bucket
+# assignment (fixtures.srp_sidecar_path); candidates = DISTINCT co-bucketed
+# pairs, verification identical to EMB_NEAR_DUP_SQL
+EMB_SRP_PAIRS_SQL = """
+WITH cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM '{srp}' a JOIN '{srp}' b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.va, c.vb,
+       CAST(floor(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) * 1e6 + 0.5)
+            AS BIGINT) AS cos_e6
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.va
+JOIN embeddings y ON y.vec_id = c.vb
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.35
+ORDER BY va, vb
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_docs_jaccard_pairs — exact n-gram (character 5-shingle) Jaccard near-dup
 # pairs, brute force: every pair with J ≥ 0.8 over DISTINCT raw substrings
 # (the un-hashed form of the LSH verify metric, value-checked against a

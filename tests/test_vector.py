@@ -145,3 +145,51 @@ def test_ivf_append_exact_and_pruned(ray_session):
     hit, total = probed_files(idx, np.asarray([0, 1]))
     assert 0 < len(hit) < total
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_srp_band_keys_properties():
+    """SRP sign-hash invariants: deterministic across calls, identical and
+    positively-scaled vectors collide in EVERY band (signs are scale-
+    invariant), and a tiny perturbation still shares most band keys (the
+    high-cosine regime the LSH is built for)."""
+    from deduplicator_ray.functions.vector import srp_band_keys
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((32, 64)).astype(np.float32)
+    k1, k2 = srp_band_keys(x), srp_band_keys(x)
+    assert (k1 == k2).all()
+    assert (srp_band_keys(x * 3.5) == k1).all()          # scale invariance
+    noisy = (x + 0.01 * rng.standard_normal(x.shape)).astype(np.float32)
+    share = (srp_band_keys(noisy) == k1).mean(axis=1)    # per-vector band hit rate
+    assert (share >= 0.5).all() and share.mean() > 0.8
+
+
+def test_emb_srp_pairs_matches_sidecar_mirror(ray_session):
+    """emb_srp_pairs (distributed banding → owner-band exact verify) must
+    equal the DuckDB replay (exact cosine pairs restricted to co-bucketed
+    sidecar candidates) value- and dtype-exactly, and be a SUBSET of the
+    brute-force exact relation (verification is exact; only candidate
+    generation prunes)."""
+    import duckdb
+
+    from deduplicator_ray import fixtures
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = q.emb_srp_pairs(SF)
+    srp = fixtures.srp_sidecar_path(SF) + "/*.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    orc = con.sql(q.EMB_SRP_PAIRS_SQL.replace("{srp}", srp)).df()
+    assert list(eng.columns) == list(orc.columns)
+    assert list(eng.dtypes) == list(orc.dtypes)
+    assert eng.reset_index(drop=True).equals(orc.reset_index(drop=True))
+    assert len(eng) > 0  # non-vacuous at sf0.01
+
+    exact = q.emb_near_dup(SF)
+    eset = set(zip(exact["va"], exact["vb"]))
+    sset = set(zip(eng["va"], eng["vb"]))
+    assert sset <= eset
+    # near-uniform testdata sits at the LSH's worst case (every surviving
+    # pair barely clears the 0.35 threshold, where P[band hit] ≈ 0.27);
+    # measured recall 0.303 — pin a floor so banding regressions surface
+    assert len(sset & eset) / len(eset) >= 0.2

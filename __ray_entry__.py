@@ -757,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cluster_remove": q.docs_cluster_remove,
         "docs_sample_stratified": q.docs_sample_stratified,
         "docs_repetition_stats": q.docs_repetition_stats,
+        "docs_cdc_chunks": q.docs_cdc_chunks,
         "docs_chunking": q.docs_chunking,
         "docs_pack_layout": q.docs_pack_layout,
         "docs_token_budget": q.docs_token_budget,
@@ -867,6 +868,7 @@ def _fixture_mirrors() -> dict[str, str]:
     altns = fixtures.alt_namespace_path(sf) + "/*.parquet"
     ivf = fixtures.ivf_sidecar_path(sf)
     srp = fixtures.srp_sidecar_path(sf) + "/*.parquet"
+    cdc = fixtures.cdc_sidecar_path(sf) + "/*.parquet"
     cfg = _cfg()
     kw = dict(images=images, shingle_k=cfg.shingle_k,
               jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
@@ -975,6 +977,9 @@ def _fixture_mirrors() -> dict[str, str]:
         # sidecar replay of the same seeded hyperplanes; the mirror is then
         # exact cosine pairs restricted to co-bucketed candidates
         "emb_srp_pairs": q.EMB_SRP_PAIRS_SQL.replace("{srp}", srp),
+        # CDC's cutpoint/content-hash kernel ships as a sidecar replay; the
+        # mirror re-derives the shared-block count/election relationally
+        "docs_cdc_chunks": q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc),
         # IVF's discrete decisions (vec→bucket, query→probed buckets) ship
         # as a sidecar replay of the same seeded k-means; the mirror is then
         # exact cosine top-k restricted to each query's probed buckets

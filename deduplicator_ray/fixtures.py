@@ -724,6 +724,49 @@ def srp_sidecar_path(sf_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# CDC chunk sidecar (cutpoint + content-hash kernel replay) for the
+# docs_cdc_chunks mirror
+
+
+def cdc_sidecar_path(sf_dir: str) -> str:
+    """Ray-free replay of the content-defined-chunking kernel over the
+    documents table — one parquet of (doc_id, chunk_hash, chunk_len) rows.
+    The rolling-hash cutpoint rule and span hash are the one thing SQL
+    cannot express, so they ship as data (same policy as the image hashes
+    sidecar); the mirror then re-derives the distributed
+    count/distinct/min-doc election relationally."""
+    from deduplicator_ray.functions import text as textfn
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"cdc_{os.path.basename(os.path.normpath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = np.asarray(src["doc_id"].to_pylist(), dtype=np.int64)
+    d_idx, _s, ln, h = textfn.cdc_chunk_spans(
+        [x or "" for x in src["text"].to_pylist()])
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids[d_idx]),
+                  "chunk_hash": pa.array(h),
+                  "chunk_len": pa.array(ln)}),
+        os.path.join(tmp, "chunks.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # hide-alts suppression decisions for the img_clusters_hidealts mirror
 
 

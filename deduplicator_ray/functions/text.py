@@ -351,3 +351,92 @@ def rolling_fingerprint(text: str, k: int = 8, keep: int = 4) -> int:
             acc = acc * _B + v
     u = int(acc)
     return u - (1 << 64) if u >= (1 << 63) else u
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — block-level exact dedup (the storage-
+# dedup complement of doc-level md5 and span-level substring dedup; Rabin
+# 1981 fingerprints / LBFS-style cutpoints, public literature).  A cut is
+# declared wherever the rolling window hash satisfies h % modulus ==
+# modulus-1, so chunk boundaries follow CONTENT: a byte inserted early in a
+# document shifts every fixed-size block but leaves all CDC chunks after
+# the next cutpoint identical — which is what makes cross-doc shared blocks
+# findable by exact hash.
+
+
+def cdc_chunk_spans(texts: list[str], window: int = 16, modulus: int = 64,
+                    min_chunk: int = 16, max_chunk: int = 4096):
+    """(doc_idx, start, length, chunk_hash) arrays for a batch of texts.
+
+    Vectorized over the batch's CONCATENATED utf-8 bytes: one
+    prefix-sum pass yields every window hash (cutpoint detection) and
+    every chunk's content hash (span hash via the same suffix sums —
+    value·B^{-(n-e)} gather), so per-doc Python touches only the SPARSE
+    candidate cutpoints (expected one per ``modulus`` bytes; the greedy
+    min/max enforcement is inherently sequential but O(#cuts)).  The
+    content hash mixes in the chunk length (h = poly·B + len) so equal
+    hashes imply equal length modulo 2^-64 collisions.  start/length are
+    byte offsets into the doc's utf-8 encoding; the final chunk of a doc
+    may be shorter than ``min_chunk``."""
+    bs = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bs), np.int64, count=len(bs))
+    z = np.zeros(0, np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return z, z, z, z
+    concat = np.frombuffer(b"".join(bs), np.uint8)
+    n = len(concat)
+    c = concat.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pw = np.full(n, _B, np.uint64)
+        pw[0] = 1
+        pw = np.cumprod(pw)                      # B^0 .. B^(n-1)
+        D = c * pw[::-1]                         # c[j]·B^(n-1-j)
+        S = np.zeros(n + 1, np.uint64)
+        S[:n] = np.cumsum(D[::-1])[::-1]
+        ipw = np.full(n + 1, np.uint64(_B_INV), np.uint64)
+        ipw[0] = 1
+        ipw = np.cumprod(ipw)                    # B^0, B^-1, .., B^-n
+    doc_starts = np.concatenate(([0], np.cumsum(lens)))
+    cuts_by_doc: list[np.ndarray] = [z] * len(bs)
+    if n >= window:
+        W = _poly_hash_windows(concat, window)
+        cand = np.flatnonzero(W % np.uint64(modulus) == np.uint64(modulus - 1))
+        if len(cand):
+            cut_abs = cand + window              # cut BEFORE this position
+            d_of = np.searchsorted(doc_starts, cand, side="right") - 1
+            ok = cut_abs < doc_starts[d_of + 1]  # window inside doc, cut internal
+            cut_abs, d_of = cut_abs[ok], d_of[ok]
+            bounds = np.searchsorted(d_of, np.arange(len(bs) + 1))
+            for d in range(len(bs)):
+                if bounds[d] < bounds[d + 1]:
+                    cuts_by_doc[d] = cut_abs[bounds[d]:bounds[d + 1]] - doc_starts[d]
+    out_d, out_s, out_e = [], [], []
+    for d in range(len(bs)):
+        L = int(lens[d])
+        if L == 0:
+            continue
+        rel = cuts_by_doc[d]
+        spans_s = [0]
+        start = 0
+        while True:
+            ci = np.searchsorted(rel, start + min_chunk)
+            nxt = int(rel[ci]) if ci < len(rel) else L
+            cut = min(nxt, start + max_chunk)
+            if cut >= L:
+                break
+            spans_s.append(cut)
+            start = cut
+        s_arr = np.asarray(spans_s, np.int64)
+        out_d.append(np.full(len(s_arr), d, np.int64))
+        out_s.append(s_arr)
+        out_e.append(np.r_[s_arr[1:], L])
+    doc_idx = np.concatenate(out_d)
+    starts = np.concatenate(out_s)
+    ends = np.concatenate(out_e)
+    a_abs = starts + doc_starts[doc_idx]
+    e_abs = ends + doc_starts[doc_idx]
+    with np.errstate(over="ignore"):
+        val = (S[a_abs] - S[e_abs]) * ipw[n - e_abs]
+        h = val * _B + (ends - starts).astype(np.uint64)
+    return doc_idx, starts, ends - starts, h.view(np.int64)

@@ -1639,6 +1639,84 @@ ORDER BY doc_id
 # per-document Python loop.
 
 
+def docs_cdc_chunks(sf_dir: str, window: int = 16, modulus: int = 64,
+                    min_chunk: int = 16, max_chunk: int = 4096) -> pd.DataFrame:
+    """Block-level exact dedup via content-defined chunking (Rabin
+    fingerprint cutpoints — functions/text.cdc_chunk_spans): the storage-
+    dedup member of the dedup family (doc-level = exact md5, span-level =
+    substring, block-level = CDC).  Chunk boundaries follow content, so a
+    shared paragraph is found as equal chunk hashes no matter where it sits
+    in each document.
+
+    Scale shape: the map stage emits one (chunk_hash, doc_id, chunk_len)
+    row per chunk (~corpus_bytes / 80 rows of ~30 B — text itself never
+    crosses the wire), then ONE chunk_hash-partitioned groupby counts
+    copies / distinct docs and elects a min-doc representative; output is
+    bounded to shared chunks (n_copies ≥ 2).  No combiner: chunk hashes
+    are near-unique by construction, so per-batch pre-aggregation would
+    save almost nothing while doubling hash-table work."""
+    from deduplicator_ray.functions import text as textfn
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    out_schema = pa.schema([
+        ("chunk_hash", pa.int64()), ("n_copies", pa.int64()),
+        ("n_docs", pa.int64()), ("chunk_len", pa.int64()),
+        ("bytes_saved", pa.int64()), ("min_doc", pa.int64())])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        d_idx, _s, ln, h = textfn.cdc_chunk_spans(
+            [x or "" for x in t["text"].to_pylist()],
+            window=window, modulus=modulus,
+            min_chunk=min_chunk, max_chunk=max_chunk)
+        return pa.Table.from_arrays(
+            [pa.array(h), pa.array(ids[d_idx]), pa.array(ln)],
+            names=["chunk_hash", "doc_id", "chunk_len"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "chunk_hash": pd.Series([], dtype=np.int64),
+                "n_copies": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "chunk_len": pd.Series([], dtype=np.int64),
+                "bytes_saved": pd.Series([], dtype=np.int64),
+                "min_doc": pd.Series([], dtype=np.int64)})
+        g = df.groupby("chunk_hash", sort=False)
+        out = g.agg(n_copies=("doc_id", "size"), n_docs=("doc_id", "nunique"),
+                    chunk_len=("chunk_len", "min"),
+                    min_doc=("doc_id", "min")).reset_index()
+        out = out[out["n_copies"] >= 2]
+        out["bytes_saved"] = (out["n_copies"] - 1) * out["chunk_len"]
+        return out[["chunk_hash", "n_copies", "n_docs", "chunk_len",
+                    "bytes_saved", "min_doc"]]
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow")
+    shared = partitioned_groupby(rows, ["chunk_hash"], agg,
+                                 out_schema=out_schema)
+    out = _typed(shared.to_pandas(), out_schema)
+    return out.sort_values("chunk_hash").reset_index(drop=True)
+
+
+# mirror template: {cdc} is the sidecar replay of the chunking kernel
+# (fixtures.cdc_sidecar_path) — the cutpoint/hash KERNEL is what SQL cannot
+# express, so it ships as data (same policy as the image hashes sidecar);
+# the mirror re-derives the distributed count/distinct/election relationally
+DOCS_CDC_CHUNKS_SQL = """
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(chunk_len) AS chunk_len,
+       CAST((count(*) - 1) * min(chunk_len) AS BIGINT) AS bytes_saved,
+       min(doc_id) AS min_doc
+FROM '{cdc}'
+GROUP BY chunk_hash
+HAVING count(*) >= 2
+ORDER BY chunk_hash
+"""
+
+
 def docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
     docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 

@@ -146,3 +146,48 @@ def test_source_priority_mirror(sf_small, con):
     assert multi.any()
     assert (eng.groupby("cluster_id")["action"]
             .apply(lambda a: (a == "keep").sum() == 1)).all()
+
+
+def test_cdc_chunks_mirror(sf_small, con):
+    """Block-level CDC dedup: the engine's distributed chunk-hash groupby
+    must equal the SQL aggregation over the kernel-replay sidecar, and the
+    result must be non-vacuous (the corpus plants cross-doc shared spans)."""
+    from deduplicator_ray import fixtures
+
+    eng = q.docs_cdc_chunks(sf_small)
+    cdc = fixtures.cdc_sidecar_path(sf_small) + "/*.parquet"
+    orc = con.sql(q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc)).df()
+    _match(eng, orc)
+    assert len(eng) > 0
+    assert (eng["n_docs"] >= 1).all() and (eng["bytes_saved"] > 0).all()
+
+
+def test_cdc_kernel_properties():
+    """cdc_chunk_spans invariants: chunks tile each doc exactly; identical
+    docs yield identical chunk-hash multisets; a prefix edit re-synchronizes
+    (suffix chunks shared with the original — the CDC property fixed-size
+    blocking lacks); chunk lengths respect the max bound."""
+    import numpy as np
+
+    from deduplicator_ray.functions.text import cdc_chunk_spans
+
+    rng = np.random.default_rng(11)
+    words = ["w%03d" % i for i in range(200)]
+    base = " ".join(rng.choice(words, size=400))
+    edited = "PREFIX EDIT " + base
+    texts = [base, base, edited, "", "tiny"]
+    d, s, ln, h = cdc_chunk_spans(texts)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        sel = d == i
+        if not len(b):
+            assert sel.sum() == 0
+            continue
+        ss, ll = s[sel], ln[sel]
+        assert ss[0] == 0
+        assert (ss[1:] == (ss + ll)[:-1]).all()
+        assert (ss + ll)[-1] == len(b)
+    assert sorted(h[d == 0]) == sorted(h[d == 1])
+    shared = set(h[d == 0]) & set(h[d == 2])
+    assert len(shared) > 0, "prefix edit must re-synchronize chunking"
+    assert (ln <= 4096).all()

@@ -5,6 +5,7 @@ import os
 import shutil
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -193,3 +194,28 @@ def test_emb_srp_pairs_matches_sidecar_mirror(ray_session):
     # pair barely clears the 0.35 threshold, where P[band hit] ≈ 0.27);
     # measured recall 0.303 — pin a floor so banding regressions surface
     assert len(sset & eset) / len(eset) >= 0.2
+
+
+def test_emb_srp_pairs_hot_bucket_chunked(ray_session, tmp_path):
+    """A degenerate corpus of IDENTICAL vectors co-buckets everywhere: all
+    C(n,2) pairs must come out exactly once (owner band 0 only — no
+    duplicate emission from the other 15 bands) through the chunked verify
+    path (n-1 > chunk size 1024)."""
+    import pyarrow.parquet as pq_
+
+    from deduplicator_ray.pipelines import queries as q
+
+    n = 1200
+    v = np.random.default_rng(3).standard_normal(64).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(v, n)), 64).cast(pa.list_(pa.float32())),
+    })
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq_.write_table(t, str(d / "embeddings.parquet"))
+    out = q.emb_srp_pairs(str(d))
+    assert len(out) == n * (n - 1) // 2
+    assert not out.duplicated(["va", "vb"]).any()
+    assert (out["cos_e6"] == 1_000_000).all()

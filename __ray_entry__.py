@@ -724,6 +724,45 @@ def _ann_ivf_append(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
 
 
+def _emb_cross_srp_indexed(sf_dir: str):
+    """Cross-corpus embedding near-dup through the PERSISTED SRP index
+    (state/srpstore.py): the known 80% (vec_id % 5 != 0) is banded once
+    into a hash-partitioned parquet index; the new 20% probes it reading
+    only its own partitions (bucket membership pushed into the fragment
+    scan).  The relation must equal the sidecar-replay mirror: exact
+    cosine ≥ 0.35 over CROSS-side co-bucketed candidates."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.state import srpstore
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if new_side else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    idx = tempfile.mkdtemp(prefix="srpidx_", dir="/tmp")
+    try:
+        srpstore.build_srp_index(side(False), idx)
+        out = srpstore.probe_srp_index(side(True), idx).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = _typed(out, srpstore.PAIR_SCHEMA)
+    return out.sort_values(["va", "vb"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from deduplicator_ray.pipelines import queries as q
 
@@ -834,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate vector search
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_append": _ann_ivf_append,
+        "emb_cross_srp_indexed": _emb_cross_srp_indexed,
     }
 
 
@@ -977,6 +1017,9 @@ def _fixture_mirrors() -> dict[str, str]:
         # sidecar replay of the same seeded hyperplanes; the mirror is then
         # exact cosine pairs restricted to co-bucketed candidates
         "emb_srp_pairs": q.EMB_SRP_PAIRS_SQL.replace("{srp}", srp),
+        # the persisted cross-corpus probe: CROSS-side co-bucketed pairs,
+        # same sidecar, portable vec_id % 5 side split
+        "emb_cross_srp_indexed": q.EMB_CROSS_SRP_SQL.replace("{srp}", srp),
         # CDC's cutpoint/content-hash kernel ships as a sidecar replay; the
         # mirror re-derives the shared-block count/election relationally
         "docs_cdc_chunks": q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc),

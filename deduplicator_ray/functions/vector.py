@@ -347,3 +347,27 @@ def srp_band_keys(x: np.ndarray, nbands: int = SRP_BANDS,
     bits = (x @ h) > 0.0
     w = np.int64(1) << np.arange(rbits, dtype=np.int64)
     return bits.reshape(len(x), nbands, rbits).astype(np.int64) @ w
+
+
+def srp_band_rows(t: pa.Table, nbands: int = SRP_BANDS,
+                  rbits: int = SRP_BITS, seed: int = SRP_SEED) -> pa.Table:
+    """SRP band rows for one Arrow batch of (vec_id, embedding): one row per
+    (vector, band) carrying the band key, the vector's FULL key list (the
+    owner-band dedup needs it at verify time) and the float32 embedding
+    (the verify payload — nbands·dim·4 B per vector through the shuffle).
+    Shared by the in-run pair query (queries.emb_srp_pairs) and the
+    persisted index (state/srpstore.py), so both band identically."""
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    x32 = embeddings_matrix(t)
+    keys = srp_band_keys(x32, nbands, rbits, seed)
+    n, dim = x32.shape
+    rep = np.repeat(np.arange(n), nbands)
+    return pa.Table.from_arrays(
+        [pa.array(np.tile(np.arange(nbands, dtype=np.int64), n)),
+         pa.array(keys.reshape(-1)),
+         pa.array(ids[rep]),
+         pa.FixedSizeListArray.from_arrays(
+             pa.array(keys[rep].reshape(-1)), nbands),
+         pa.FixedSizeListArray.from_arrays(
+             pa.array(x32[rep].reshape(-1)), dim)],
+        names=["band", "bkey", "vec_id", "allkeys", "emb"])

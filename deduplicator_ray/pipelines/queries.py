@@ -752,21 +752,7 @@ def emb_srp_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     ds = dio.read_parquet(_t(sf_dir, "embeddings"),
                           columns=["vec_id", "embedding"])
 
-    def band_rows(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        x32 = vfn.embeddings_matrix(t)
-        keys = vfn.srp_band_keys(x32)          # float64 signs of float32 src
-        n, dim = x32.shape
-        rep = np.repeat(np.arange(n), nbands)
-        return pa.Table.from_arrays(
-            [pa.array(np.tile(np.arange(nbands, dtype=np.int64), n)),
-             pa.array(keys.reshape(-1)),
-             pa.array(ids[rep]),
-             pa.FixedSizeListArray.from_arrays(
-                 pa.array(keys[rep].reshape(-1)), nbands),
-             pa.FixedSizeListArray.from_arrays(
-                 pa.array(x32[rep].reshape(-1)), dim)],
-            names=["band", "bkey", "vec_id", "allkeys", "emb"])
+    band_rows = vfn.srp_band_rows              # shared with state/srpstore
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -826,6 +812,29 @@ def emb_srp_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
                                 out_schema=out_schema)
     out = _typed(pairs.to_pandas(), out_schema)
     return out.sort_values(["va", "vb"]).reset_index(drop=True)
+
+
+# cross-corpus form (persisted index, state/srpstore.py): new side =
+# vec_id % 5 == 0, candidates are CROSS-side co-bucketed pairs only —
+# the same portable split both engines can derive
+EMB_CROSS_SRP_SQL = """
+WITH cand AS (
+  SELECT DISTINCT n.vec_id AS va, k.vec_id AS vb
+  FROM '{srp}' n JOIN '{srp}' k
+    ON n.band = k.band AND n.bkey = k.bkey
+  WHERE n.vec_id % 5 = 0 AND k.vec_id % 5 != 0
+)
+SELECT c.va, c.vb,
+       CAST(floor(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) * 1e6 + 0.5)
+            AS BIGINT) AS cos_e6
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.va
+JOIN embeddings y ON y.vec_id = c.vb
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.35
+ORDER BY va, vb
+"""
 
 
 # mirror template: {srp} is the sidecar replay of the seeded bucket

@@ -577,3 +577,72 @@ def test_cli_prune_mode(ray_session, tmp_path):
     assert dict(zip(got["image_id"], got["cluster_id"])) == {
         "p3": "p3", "p4": "p3", "m1": "m1", "m2": "m1"}
     assert m["n_rows_after"] == 4
+
+
+def test_srp_index_probe_matches_replay_and_prunes(sf_medium, tmp_path):
+    """Persisted SRP index (state/srpstore.py): a probe must equal the
+    Ray-free numpy replay (cross-side co-bucketed candidates, exact float64
+    cosine ≥ threshold); build(A)+append(B) must answer exactly like
+    build(A∪B); a tiny probe must read a strict subset of partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.functions import vector as vfn
+    from deduplicator_ray.state import srpstore
+
+    src = pq_.read_table(os.path.join(sf_medium, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(src["vec_id"].to_pylist(), np.int64)
+    x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
+    keys = vfn.srp_band_keys(x)
+
+    # Ray-free replay: cross-side pairs sharing >= 1 band key, cos >= 0.35
+    new_m = ids % 5 == 0
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    want = set()
+    n_i, k_i = np.flatnonzero(new_m), np.flatnonzero(~new_m)
+    co = (keys[n_i][:, None, :] == keys[k_i][None, :, :]).any(axis=2)
+    cos = xn[n_i] @ xn[k_i].T
+    for a, b in zip(*np.nonzero(co & (cos >= 0.35))):
+        want.add((int(ids[n_i[a]]), int(ids[k_i[b]]),
+                  int(np.floor(cos[a, b] * 1e6 + 0.5))))
+
+    ds = dio.read_parquet(os.path.join(sf_medium, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def side(mask_fn):
+        def f(t: pa.Table) -> pa.Table:
+            v = t["vec_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(mask_fn(v)))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    known = side(lambda v: v % 5 != 0)
+    new = side(lambda v: v % 5 == 0)
+
+    idx = str(tmp_path / "srpidx")
+    srpstore.build_srp_index(known, idx)
+    stats = {}
+    got = srpstore.probe_srp_index(new, idx, stats=stats).to_pandas()
+    assert set(zip(got["va"], got["vb"], got["cos_e6"])) == want
+    assert len(got) == len(want) > 0  # owner-band: each pair exactly once
+    assert stats["parts_total"] == 64
+
+    # append == union build: split known in two, build half, append half
+    idx2 = str(tmp_path / "srpidx2")
+    srpstore.build_srp_index(side(lambda v: v % 5 == 1), idx2)
+    n_app = srpstore.append_srp_index(
+        side(lambda v: (v % 5 != 0) & (v % 5 != 1)), idx2)
+    assert n_app > 0
+    got2 = srpstore.probe_srp_index(new, idx2).to_pandas()
+    assert (sorted(zip(got2["va"], got2["vb"], got2["cos_e6"]))
+            == sorted(zip(got["va"], got["vb"], got["cos_e6"])))
+
+    # read pruning: a 4-vector probe (64 band rows) touches a strict
+    # partition subset of the 64-way index
+    stats3 = {}
+    srpstore.probe_srp_index(side(lambda v: v < 4), idx,
+                             stats=stats3).to_pandas()
+    assert 0 < stats3["parts_read"] < stats3["parts_total"]

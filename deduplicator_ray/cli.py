@@ -267,6 +267,59 @@ def run_band_append(input_dir: str, index_dir: str,
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_srp_build(input_dir: str, index_dir: str,
+                  num_parts: int = 64) -> dict:
+    """Build the persisted SRP embedding near-dup index from parquet shards
+    of (vec_id, embedding) rows."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.state import srpstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["vec_id", "embedding"])
+    params = srpstore.build_srp_index(ds, index_dir, num_parts=num_parts)
+    return {"mode": "srp-build", "index": index_dir, **params,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_srp_probe(input_dir: str, index_dir: str, output_dir: str,
+                  threshold: float = 0.35) -> dict:
+    """Probe an embedding increment against a persisted SRP index; writes
+    (va=new, vb=known, cos_e6) pairs."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.state import srpstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["vec_id", "embedding"])
+    stats: dict = {}
+    out = srpstore.probe_srp_index(ds, index_dir, threshold=threshold,
+                                   stats=stats)
+    out.write_parquet(output_dir)
+    n = dio.read_parquet(output_dir).count()
+    return {"mode": "srp-probe", "output": output_dir,
+            "n_pairs": int(n), **stats,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_srp_append(input_dir: str, index_dir: str) -> dict:
+    """Fold an embedding increment into a persisted SRP index —
+    append-only; probes see the union (no trained state, no drift)."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.state import srpstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["vec_id", "embedding"])
+    n = srpstore.append_srp_index(ds, index_dir)
+    return {"mode": "srp-append", "index": index_dir,
+            "n_appended_rows": int(n),
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def run_band_prune(index_dir: str, removed_input: str,
                    hash_size: int = 8, id_col: str = "image_id") -> dict:
     """Retire vanished ids from a persisted band index — the index-side
@@ -294,7 +347,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("mode", choices=["reference", "extended",
                                     "bloom-build", "bloom-probe",
                                     "band-build", "band-probe",
-                                    "band-append", "band-prune", "prune"])
+                                    "band-append", "band-prune",
+                                    "srp-build", "srp-probe", "srp-append",
+                                    "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -344,9 +399,11 @@ def main(argv: list[str] | None = None) -> None:
     if not a.input:
         p.error(f"{a.mode} requires --input")
     if a.mode in ("bloom-build", "bloom-probe", "band-build",
-                  "band-probe", "band-append") and not a.index:
+                  "band-probe", "band-append",
+                  "srp-build", "srp-probe", "srp-append") and not a.index:
         p.error(f"{a.mode} requires --index")
-    if (a.mode not in ("bloom-build", "band-build", "band-append")
+    if (a.mode not in ("bloom-build", "band-build", "band-append",
+                       "srp-build", "srp-append")
             and not a.output):
         p.error(f"{a.mode} requires --output")
     if a.mode == "bloom-build":
@@ -368,6 +425,15 @@ def main(argv: list[str] | None = None) -> None:
     if a.mode == "band-append":
         print(json.dumps(run_band_append(a.input, a.index,
                                          hash_size=a.hash_size)))
+        return
+    if a.mode == "srp-build":
+        print(json.dumps(run_srp_build(a.input, a.index, a.num_parts)))
+        return
+    if a.mode == "srp-probe":
+        print(json.dumps(run_srp_probe(a.input, a.index, a.output)))
+        return
+    if a.mode == "srp-append":
+        print(json.dumps(run_srp_append(a.input, a.index)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

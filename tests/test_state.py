@@ -646,3 +646,45 @@ def test_srp_index_probe_matches_replay_and_prunes(sf_medium, tmp_path):
     srpstore.probe_srp_index(side(lambda v: v < 4), idx,
                              stats=stats3).to_pandas()
     assert 0 < stats3["parts_read"] < stats3["parts_total"]
+
+
+def test_cli_srp_index_modes(sf_small, tmp_path):
+    """CLI job surface srp-build / srp-probe / srp-append: probe pairs are
+    cross-side only, and appending the increment makes a re-probe also see
+    increment-vs-appended matches (superset of the first probe)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from deduplicator_ray import cli
+
+    src = pq_.read_table(os.path.join(sf_small, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(src["vec_id"].to_pylist(), np.int64)
+    known_dir, inc_dir = str(tmp_path / "known"), str(tmp_path / "inc")
+    os.makedirs(known_dir)
+    os.makedirs(inc_dir)
+    pq_.write_table(src.filter(pa.array(ids % 5 != 0)),
+                    os.path.join(known_dir, "s0.parquet"))
+    pq_.write_table(src.filter(pa.array(ids % 5 == 0)),
+                    os.path.join(inc_dir, "s0.parquet"))
+
+    idx = str(tmp_path / "srpidx_cli")
+    m1 = cli.run_srp_build(known_dir, idx)
+    assert m1["num_parts"] == 64
+    out1 = str(tmp_path / "probe1")
+    m2 = cli.run_srp_probe(inc_dir, idx, out1)
+    t1 = pq_.read_table(out1)
+    assert m2["n_pairs"] == t1.num_rows
+    assert all(v % 5 == 0 for v in t1["va"].to_pylist())
+    assert all(v % 5 != 0 for v in t1["vb"].to_pylist())
+
+    m3 = cli.run_srp_append(inc_dir, idx)
+    assert m3["n_appended_rows"] > 0
+    out2 = str(tmp_path / "probe2")
+    m4 = cli.run_srp_probe(inc_dir, idx, out2)
+    t2 = pq_.read_table(out2)
+    assert m4["n_pairs"] >= m2["n_pairs"]
+    p1 = set(zip(t1["va"].to_pylist(), t1["vb"].to_pylist()))
+    p2 = set(zip(t2["va"].to_pylist(), t2["vb"].to_pylist()))
+    assert p1 <= p2

@@ -797,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_stratified": q.docs_sample_stratified,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_cdc_chunks": q.docs_cdc_chunks,
+        "docs_cdc_containment": q.docs_cdc_containment,
         "docs_chunking": q.docs_chunking,
         "docs_pack_layout": q.docs_pack_layout,
         "docs_token_budget": q.docs_token_budget,
@@ -1023,6 +1024,8 @@ def _fixture_mirrors() -> dict[str, str]:
         # CDC's cutpoint/content-hash kernel ships as a sidecar replay; the
         # mirror re-derives the shared-block count/election relationally
         "docs_cdc_chunks": q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc),
+        "docs_cdc_containment": q.DOCS_CDC_CONTAINMENT_SQL.replace(
+            "{cdc}", cdc),
         # IVF's discrete decisions (vec→bucket, query→probed buckets) ship
         # as a sidecar replay of the same seeded k-means; the mirror is then
         # exact cosine top-k restricted to each query's probed buckets

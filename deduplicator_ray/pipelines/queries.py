@@ -1708,6 +1708,89 @@ def docs_cdc_chunks(sf_dir: str, window: int = 16, modulus: int = 64,
     return out.sort_values("chunk_hash").reset_index(drop=True)
 
 
+def docs_cdc_containment(sf_dir: str) -> pd.DataFrame:
+    """Per-doc duplicated-BLOCK fraction — the actionable curation view of
+    CDC (docs_cdc_chunks finds the shared blocks; this scores each document
+    by how much of it is made of them, the block-level analog of the
+    substring-trim accounting in docs_curation).  dup_frac_e6 is integer
+    micro-units (floor), so the value hash is float-free.
+
+    Scale shape: chunk rows → ONE chunk_hash-partitioned groupby annotates
+    each row with its hash's global copy count (vectorized transform per
+    partition) → ONE doc_id-partitioned groupby sums total vs duplicated
+    bytes per doc.  Two shuffles of 3-column rows; text never moves."""
+    from deduplicator_ray.functions import text as textfn
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("total_bytes", pa.int64()),
+        ("dup_bytes", pa.int64()), ("dup_frac_e6", pa.int64())])
+    ann_schema = pa.schema([
+        ("doc_id", pa.int64()), ("chunk_len", pa.int64()),
+        ("n_copies", pa.int64())])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        d_idx, _s, ln, h = textfn.cdc_chunk_spans(
+            [x or "" for x in t["text"].to_pylist()])
+        return pa.Table.from_arrays(
+            [pa.array(h), pa.array(ids[d_idx]), pa.array(ln)],
+            names=["chunk_hash", "doc_id", "chunk_len"])
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "chunk_len": pd.Series([], dtype=np.int64),
+                "n_copies": pd.Series([], dtype=np.int64)})
+        df = df.copy()
+        df["n_copies"] = df.groupby("chunk_hash", sort=False)[
+            "chunk_hash"].transform("size").astype(np.int64)
+        return df[["doc_id", "chunk_len", "n_copies"]]
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "total_bytes": pd.Series([], dtype=np.int64),
+                "dup_bytes": pd.Series([], dtype=np.int64),
+                "dup_frac_e6": pd.Series([], dtype=np.int64)})
+        df = df.copy()
+        df["dup_len"] = np.where(df["n_copies"] >= 2, df["chunk_len"], 0)
+        g = (df.groupby("doc_id", sort=False)
+             .agg(total_bytes=("chunk_len", "sum"),
+                  dup_bytes=("dup_len", "sum")).reset_index())
+        g["dup_frac_e6"] = (g["dup_bytes"] * 1_000_000) // g["total_bytes"]
+        return g.astype(np.int64)
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow")
+    ann = partitioned_groupby(rows, ["chunk_hash"], annotate,
+                              out_schema=ann_schema)
+    per = partitioned_groupby(ann, ["doc_id"], per_doc,
+                              out_schema=out_schema)
+    out = _typed(per.to_pandas(), out_schema)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_CDC_CONTAINMENT_SQL = """
+WITH ann AS (
+  SELECT doc_id, chunk_len,
+         count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+  FROM '{cdc}'
+)
+SELECT doc_id,
+       CAST(sum(chunk_len) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN n_copies >= 2 THEN chunk_len ELSE 0 END)
+            AS BIGINT) AS dup_bytes,
+       CAST(sum(CASE WHEN n_copies >= 2 THEN chunk_len ELSE 0 END)
+            * 1000000 // sum(chunk_len) AS BIGINT) AS dup_frac_e6
+FROM ann
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # mirror template: {cdc} is the sidecar replay of the chunking kernel
 # (fixtures.cdc_sidecar_path) — the cutpoint/hash KERNEL is what SQL cannot
 # express, so it ships as data (same policy as the image hashes sidecar);

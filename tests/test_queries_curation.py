@@ -191,3 +191,17 @@ def test_cdc_kernel_properties():
     shared = set(h[d == 0]) & set(h[d == 2])
     assert len(shared) > 0, "prefix edit must re-synchronize chunking"
     assert (ln <= 4096).all()
+
+
+def test_cdc_containment_mirror(sf_small, con):
+    """Per-doc duplicated-block fraction must value-match the windowed SQL
+    over the sidecar; sanity: fractions in [0, 1e6], and at least one doc
+    has a nonzero duplicated fraction at sf-small."""
+    from deduplicator_ray import fixtures
+
+    eng = q.docs_cdc_containment(sf_small)
+    cdc = fixtures.cdc_sidecar_path(sf_small) + "/*.parquet"
+    orc = con.sql(q.DOCS_CDC_CONTAINMENT_SQL.replace("{cdc}", cdc)).df()
+    _match(eng, orc)
+    assert ((eng["dup_frac_e6"] >= 0) & (eng["dup_frac_e6"] <= 1_000_000)).all()
+    assert (eng["dup_frac_e6"] > 0).any()

@@ -724,6 +724,54 @@ def _ann_ivf_append(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
 
 
+def _docs_cross_dedup_indexed(sf_dir: str):
+    """docs_cross_dedup through the PERSISTED doc band index
+    (state/docbandstore.py): the known side is MinHash-banded once into a
+    hash-partitioned parquet index; the new side probes it reading only
+    its own partitions.  Same relation, same mirror — the persisted path
+    must value-match the in-run one."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.state import docbandstore
+
+    docs = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            isknown = np.fromiter(
+                (hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
+                 for i in ids), bool, count=len(ids))
+            return t.filter(pa.array(~isknown if new_side else isknown))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    cfg = PipelineConfig()
+    idx = tempfile.mkdtemp(prefix="docbandidx_", dir="/tmp")
+    try:
+        docbandstore.build_doc_band_index(side(False), cfg, idx)
+        m = docbandstore.probe_doc_band_index(side(True), idx, cfg).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    new_ids = (side(True).select_columns(["doc_id"]).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    out = new_ids.merge(m.rename(columns={"matched": "matched_known"}),
+                        on="doc_id", how="left")
+    out["action"] = np.where(out["matched_known"].isna(), "keep", "drop")
+    out["matched_known"] = out["matched_known"].fillna(-1).astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "matched_known", "action"]]
+
+
 def _emb_cross_srp_indexed(sf_dir: str):
     """Cross-corpus embedding near-dup through the PERSISTED SRP index
     (state/srpstore.py): the known 80% (vec_id % 5 != 0) is banded once
@@ -875,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_append": _ann_ivf_append,
         "emb_cross_srp_indexed": _emb_cross_srp_indexed,
+        "docs_cross_dedup_indexed": _docs_cross_dedup_indexed,
     }
 
 
@@ -1159,6 +1208,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_snapshot_diff": q.DOCS_SNAPSHOT_DIFF_SQL,
         "orders_price_ntile": q.ORDERS_PRICE_NTILE_SQL,
         "docs_cross_dedup": q.DOCS_CROSS_DEDUP_SQL,
+        # the persisted-index probe is the SAME relation: shared mirror
+        "docs_cross_dedup_indexed": q.DOCS_CROSS_DEDUP_SQL,
         "events_user_paths": q.EVENTS_USER_PATHS_SQL,
         "emb_lang_centroids": q.EMB_LANG_CENTROIDS_SQL,
         "events_debounce": q.EVENTS_DEBOUNCE_SQL,

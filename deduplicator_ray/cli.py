@@ -320,6 +320,63 @@ def run_srp_append(input_dir: str, index_dir: str) -> dict:
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_docband_build(input_dir: str, index_dir: str,
+                      num_parts: int = 64) -> dict:
+    """Build the persisted doc MinHash band index from parquet shards of
+    (doc_id, text) rows."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.state import docbandstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    params = docbandstore.build_doc_band_index(ds, PipelineConfig(),
+                                               index_dir,
+                                               num_parts=num_parts)
+    return {"mode": "docband-build", "index": index_dir, **params,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_docband_probe(input_dir: str, index_dir: str,
+                      output_dir: str) -> dict:
+    """Probe a doc increment against a persisted band index; writes
+    (doc_id, matched) min-match pairs."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.state import docbandstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    stats: dict = {}
+    out = docbandstore.probe_doc_band_index(ds, index_dir, PipelineConfig(),
+                                            stats=stats)
+    out.write_parquet(output_dir)
+    n = dio.read_parquet(output_dir).count()
+    return {"mode": "docband-probe", "output": output_dir,
+            "n_matched": int(n), **stats,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_docband_append(input_dir: str, index_dir: str) -> dict:
+    """Fold a doc increment into a persisted band index — append-only."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.state import docbandstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    n = docbandstore.append_doc_band_index(ds, index_dir, PipelineConfig())
+    return {"mode": "docband-append", "index": index_dir,
+            "n_appended_rows": int(n),
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def run_band_prune(index_dir: str, removed_input: str,
                    hash_size: int = 8, id_col: str = "image_id") -> dict:
     """Retire vanished ids from a persisted band index — the index-side
@@ -349,7 +406,8 @@ def main(argv: list[str] | None = None) -> None:
                                     "band-build", "band-probe",
                                     "band-append", "band-prune",
                                     "srp-build", "srp-probe", "srp-append",
-                                    "prune"])
+                                    "docband-build", "docband-probe",
+                                    "docband-append", "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -400,10 +458,13 @@ def main(argv: list[str] | None = None) -> None:
         p.error(f"{a.mode} requires --input")
     if a.mode in ("bloom-build", "bloom-probe", "band-build",
                   "band-probe", "band-append",
-                  "srp-build", "srp-probe", "srp-append") and not a.index:
+                  "srp-build", "srp-probe", "srp-append",
+                  "docband-build", "docband-probe",
+                  "docband-append") and not a.index:
         p.error(f"{a.mode} requires --index")
     if (a.mode not in ("bloom-build", "band-build", "band-append",
-                       "srp-build", "srp-append")
+                       "srp-build", "srp-append",
+                       "docband-build", "docband-append")
             and not a.output):
         p.error(f"{a.mode} requires --output")
     if a.mode == "bloom-build":
@@ -434,6 +495,15 @@ def main(argv: list[str] | None = None) -> None:
         return
     if a.mode == "srp-append":
         print(json.dumps(run_srp_append(a.input, a.index)))
+        return
+    if a.mode == "docband-build":
+        print(json.dumps(run_docband_build(a.input, a.index, a.num_parts)))
+        return
+    if a.mode == "docband-probe":
+        print(json.dumps(run_docband_probe(a.input, a.index, a.output)))
+        return
+    if a.mode == "docband-append":
+        print(json.dumps(run_docband_append(a.input, a.index)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

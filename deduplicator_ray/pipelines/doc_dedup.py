@@ -399,22 +399,32 @@ def cross_dup_min_match(new_ds: rd.Dataset, known_ds: rd.Dataset,
     bookkeeping is needed — the one extra shuffle is a tiny
     (doc_id, matched) table."""
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(len(t), side, np.int8)))
-
-        return f
-
     rows = (
         doc_band_rows(known_ds, cfg, id_col, text_col)
-        .map_batches(tag(0), batch_format="pyarrow")
+        .map_batches(tag_side(0), batch_format="pyarrow")
         .union(doc_band_rows(new_ds, cfg, id_col, text_col)
-               .map_batches(tag(1), batch_format="pyarrow")))
+               .map_batches(tag_side(1), batch_format="pyarrow")))
+    return min_match_from_band_rows(rows, cfg)
 
+
+CROSS_MIN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("matched", pa.int64())])
+
+
+def tag_side(side: int):
+    """1-byte side tag for cross-side-only verifies (0=known, 1=new)."""
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "side", pa.array(np.full(len(t), side, np.int8)))
+
+    return f
+
+
+def make_cross_doc_verify(cfg: PipelineConfig):
+    """Per-(band,key)-partition cross-side verify of cross_dup_min_match,
+    shared with the persisted doc band index (state/docbandstore.py)."""
     jmin = cfg.jaccard_min
     shingle_k = cfg.shingle_k
-    out_schema = pa.schema([("doc_id", pa.int64()), ("matched", pa.int64())])
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         res_ids: list[int] = []
@@ -470,18 +480,26 @@ def cross_dup_min_match(new_ds: rd.Dataset, known_ds: rd.Dataset,
         return pd.DataFrame({"doc_id": np.asarray(res_ids, np.int64),
                              "matched": np.asarray(res_match, np.int64)})
 
-    matches = partitioned_groupby(rows, ["band", "key"], verify,
-                                  out_schema=out_schema)
+    return verify
 
-    # per-id min election via the same typed partitioned groupby (Ray's
-    # native .groupby().min() emits schema-LESS empty reduce blocks on
-    # sparse partitions — the last "RefBundle with a different schema"
-    # warning in BENCH_r01's tail)
+
+def min_match_from_band_rows(rows: rd.Dataset,
+                             cfg: PipelineConfig) -> rd.Dataset:
+    """Side-tagged band rows → (doc_id, matched) min-match relation: one
+    (band, key) partition groupby with the cross-side verify, then a tiny
+    per-id min election via the same typed partitioned groupby (Ray's
+    native .groupby().min() emits schema-LESS empty reduce blocks on
+    sparse partitions — the last "RefBundle with a different schema"
+    warning in BENCH_r01's tail)."""
+    matches = partitioned_groupby(rows, ["band", "key"],
+                                  make_cross_doc_verify(cfg),
+                                  out_schema=CROSS_MIN_SCHEMA)
+
     def minpart(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("doc_id", as_index=False)["matched"].min()
 
     return partitioned_groupby(matches, ["doc_id"], minpart, num_parts=8,
-                               out_schema=out_schema)
+                               out_schema=CROSS_MIN_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

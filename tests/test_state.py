@@ -688,3 +688,68 @@ def test_cli_srp_index_modes(sf_small, tmp_path):
     p1 = set(zip(t1["va"].to_pylist(), t1["vb"].to_pylist()))
     p2 = set(zip(t2["va"].to_pylist(), t2["vb"].to_pylist()))
     assert p1 <= p2
+
+
+def test_doc_band_index_probe_append_drift(sf_small, tmp_path):
+    """Persisted doc band index (state/docbandstore.py): the probe must
+    equal the in-run cross_dup_min_match on the same sides; a tiny probe
+    reads a strict partition subset; build(A)+append(B) answers like
+    build(A∪B); drifted banding config fails loudly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines.doc_dedup import cross_dup_min_match
+    from deduplicator_ray.state import docbandstore
+
+    cfg = CFG
+    docs = dio.read_parquet(os.path.join(sf_small, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def side(digits):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                (hashlib.md5(str(i).encode()).hexdigest()[0] in digits
+                 for i in ids), bool, count=len(ids))
+            return t.filter(pa.array(keep))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    known, new = side("0123456789ab"), side("cdef")
+    idx = str(tmp_path / "docbandidx")
+    docbandstore.build_doc_band_index(known, cfg, idx)
+    stats = {}
+    got = (docbandstore.probe_doc_band_index(new, idx, cfg, stats=stats)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (cross_dup_min_match(new, known, cfg)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+    assert stats["parts_total"] == 64
+
+    # read pruning: a 3-doc probe touches a strict partition subset
+    stats2 = {}
+    docbandstore.probe_doc_band_index(new.limit(3), idx, cfg,
+                                      stats=stats2).to_pandas()
+    assert 0 < stats2["parts_read"] < stats2["parts_total"]
+
+    # append == union build
+    idx2 = str(tmp_path / "docbandidx2")
+    docbandstore.build_doc_band_index(side("012345"), cfg, idx2)
+    n = docbandstore.append_doc_band_index(side("6789ab"), idx2, cfg)
+    assert n > 0
+    got2 = (docbandstore.probe_doc_band_index(new, idx2, cfg)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want)
+
+    # config drift guard
+    import dataclasses
+
+    with pytest.raises(ValueError, match="shingle_k"):
+        docbandstore.probe_doc_band_index(
+            new, idx, dataclasses.replace(cfg, shingle_k=7))

@@ -832,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
         "emb_srp_pairs": q.emb_srp_pairs,
+        "emb_cluster_update": q.emb_cluster_update,
+        "emb_cluster_remove": q.emb_cluster_remove,
         "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "orders_without_lineitems": q.orders_without_lineitems,
@@ -1172,6 +1174,11 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": q.EVENTS_SESSIONIZE_SQL,
         "lineitem_shipdate_head": q.LINEITEM_SHIPDATE_HEAD_SQL,
         "emb_near_dup": q.EMB_NEAR_DUP_SQL,
+        # incremental maintenance must equal the full recompute — the
+        # clusters relation is its own oracle (docs/img pattern, third
+        # modality)
+        "emb_cluster_update": q.EMB_CLUSTER_UPDATE_SQL,
+        "emb_cluster_remove": q.EMB_CLUSTER_REMOVE_SQL,
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,

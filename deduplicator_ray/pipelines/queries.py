@@ -814,6 +814,166 @@ def emb_srp_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     return out.sort_values(["va", "vb"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# q_emb_cluster_update / q_emb_cluster_remove — incremental cluster
+# maintenance for the EMBEDDING modality (the third modality of the fold/
+# prune matrix beside docs and images).  The cluster relation is exact
+# connected components over the cos ≥ 0.35 pair graph (emb_near_dup's
+# edges); the engine never re-clusters the persisted side:
+#   update — known 80% (vec_id % 5 != 0) clusters once (the persisted
+#     checkpoint stand-in), the increment's EXACT delta edges (new↔new ∪
+#     new↔known, streaming batch × broadcast-matrix matmul) fold in with
+#     stages/components.incremental_cc_update;
+#   remove — a deterministic bucket (vec_id % 7 == 3) retires from the
+#     full assignment + edge set with incremental_cc_remove (re-clustering
+#     only the affected components from their surviving edges).
+# Node ids are zero-padded strings inside the CC machinery (so string
+# min-label order == numeric order) and stripped back to int64 at the
+# edge, making the mirror a plain numeric min-label recursive CTE.
+
+
+def _emb_pad(v: np.ndarray) -> list[str]:
+    return [f"{int(x):012d}" for x in v]
+
+
+def _emb_exact_edges(sf_dir: str, keep_vec, pair_keep,
+                     threshold: float = 0.35) -> rd.Dataset:
+    """Dataset[(src, dst)] (zero-padded strings, src < dst numerically) of
+    exact cosine pairs ≥ threshold.  ``keep_vec(ids) -> mask`` restricts
+    the node universe; ``pair_keep(ids_rows, ids_cols) -> mask`` restricts
+    emitted pairs (e.g. 'at least one endpoint new').  Broadcast-matrix
+    matmul per batch — the documented oracle shape (emb_near_dup); the
+    LSH/IVF paths are the approximate production alternatives."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in tbl["embedding"].to_pylist()])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    keep = keep_vec(ids_all)
+    ids_all, mat = ids_all[keep], mat[keep]
+    ref = ray.put((ids_all, mat))
+
+    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def edges(t: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        bkeep = keep_vec(ids)
+        ids = ids[bkeep]
+        if not len(ids):
+            return schema.empty_table()
+        vecs = np.stack([np.asarray(v, np.float64)
+                         for v in t["embedding"].to_pylist()])[bkeep]
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-12)
+        sims = vecs @ m.T
+        mask = ((sims >= threshold) & (all_ids[None, :] > ids[:, None])
+                & pair_keep(ids[:, None], all_ids[None, :]))
+        ii, jj = np.nonzero(mask)
+        return pa.Table.from_pydict(
+            {"src": _emb_pad(ids[ii]), "dst": _emb_pad(all_ids[jj])},
+            schema=schema)
+
+    return ds.map_batches(edges, batch_format="pyarrow", batch_size=1024)
+
+
+_EMB_CLUSTER_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                                 ("cluster_id", pa.int64())])
+
+
+def _emb_unpad(ds: rd.Dataset) -> pd.DataFrame:
+    df = ds.to_pandas()
+    if df.empty:
+        return _typed(df, _EMB_CLUSTER_SCHEMA)
+    node_col = "image_id" if "image_id" in df.columns else "vec_id"
+    out = pd.DataFrame({
+        "vec_id": df[node_col].astype(np.int64),
+        "cluster_id": df["cluster_id"].astype(np.int64)})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def emb_cluster_update(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_update,
+    )
+
+    cfg = PipelineConfig()
+    known = _emb_exact_edges(
+        sf_dir, lambda v: v % 5 != 0, lambda a, b: np.ones_like(a & b, bool))
+    assign = connected_components(known, cfg)
+    delta = _emb_exact_edges(
+        sf_dir, lambda v: np.ones_like(v, bool),
+        lambda a, b: (a % 5 == 0) | (b % 5 == 0))
+    merged = incremental_cc_update(assign, delta, cfg)
+    return _emb_unpad(merged)
+
+
+def emb_cluster_remove(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.components import (
+        connected_components,
+        incremental_cc_remove,
+    )
+    import pyarrow.parquet as pq
+
+    cfg = PipelineConfig()
+    edges = _emb_exact_edges(
+        sf_dir, lambda v: np.ones_like(v, bool),
+        lambda a, b: np.ones_like(a & b, bool)).materialize()
+    assign = connected_components(edges, cfg)
+    ids = np.asarray(pq.read_table(_t(sf_dir, "embeddings"),
+                                   columns=["vec_id"])["vec_id"].to_pylist(),
+                     dtype=np.int64)
+    removed = _emb_pad(ids[ids % 7 == 3])
+    out = incremental_cc_remove(assign, edges, removed, cfg)
+    return _emb_unpad(out)
+
+
+_EMB_EDGES_CTE = """
+  emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings{filt}
+  ),
+  edges AS MATERIALIZED (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+  ),
+  e AS MATERIALIZED (
+    SELECT u, v FROM edges UNION SELECT v, u FROM edges
+  ),
+  r(node, lbl) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+    WHERE r.lbl < e.u
+  )
+"""
+
+# the fold must equal the full recompute — the clusters relation IS the
+# oracle (same policy as docs_cluster_update / img_cluster_update)
+EMB_CLUSTER_UPDATE_SQL = ("WITH RECURSIVE " + _EMB_EDGES_CTE.format(filt="")
+                          + """
+SELECT node AS vec_id, min(lbl) AS cluster_id FROM r
+GROUP BY node ORDER BY vec_id
+""")
+
+# the prune relation: the full recompute over the SURVIVOR set
+EMB_CLUSTER_REMOVE_SQL = ("WITH RECURSIVE "
+                          + _EMB_EDGES_CTE.format(
+                              filt=" WHERE vec_id % 7 != 3")
+                          + """
+SELECT node AS vec_id, min(lbl) AS cluster_id FROM r
+GROUP BY node ORDER BY vec_id
+""")
+
+
 # cross-corpus form (persisted index, state/srpstore.py): new side =
 # vec_id % 5 == 0, candidates are CROSS-side co-bucketed pairs only —
 # the same portable split both engines can derive

@@ -205,3 +205,34 @@ def test_cdc_containment_mirror(sf_small, con):
     _match(eng, orc)
     assert ((eng["dup_frac_e6"] >= 0) & (eng["dup_frac_e6"] <= 1_000_000)).all()
     assert (eng["dup_frac_e6"] > 0).any()
+
+
+@pytest.fixture(scope="module")
+def con_emb(sf_small):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')")
+    return c
+
+
+def test_emb_cluster_update_mirror(sf_small, con_emb):
+    """Embedding-modality fold: known-side CC + exact delta edges through
+    incremental_cc_update must equal the full-recompute min-label CTE; the
+    increment must actually appear in the result (non-vacuity)."""
+    eng = q.emb_cluster_update(sf_small)
+    orc = con_emb.sql(q.EMB_CLUSTER_UPDATE_SQL).df()
+    _match(eng, orc)
+    assert len(eng) > 0
+    assert (eng["vec_id"] % 5 == 0).any()  # new-side nodes folded in
+
+
+def test_emb_cluster_remove_mirror(sf_small, con_emb):
+    """Embedding-modality prune: retiring vec_id % 7 == 3 through
+    incremental_cc_remove must equal clustering the survivor edge set from
+    scratch; no retired node may survive."""
+    eng = q.emb_cluster_remove(sf_small)
+    orc = con_emb.sql(q.EMB_CLUSTER_REMOVE_SQL).df()
+    _match(eng, orc)
+    assert len(eng) > 0
+    assert not (eng["vec_id"] % 7 == 3).any()

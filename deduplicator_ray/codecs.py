@@ -253,6 +253,9 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         )
     else:
         raise CodecError(f"unknown fmt {fmt!r}")
-    if img.shape[0] != h or img.shape[1] != w:
+    # w == h == 0 means "no declared dims" (file-glob ingest rows,
+    # io.read_image_files — the payload is the only source of truth there);
+    # any declared table metadata is still cross-checked against the decode
+    if (w or h) and (img.shape[0] != h or img.shape[1] != w):
         raise CodecError(f"decoded dims {img.shape[1]}x{img.shape[0]} != declared {w}x{h}")
     return img

@@ -113,3 +113,70 @@ def read_corpus(path, *, columns: list[str] | None = None, **kw) -> rd.Dataset:
         tuning.tune()
         return rd.read_lance(path, columns=columns, **kw)
     return read_parquet(path, columns=columns, **kw)
+
+
+def read_image_files(root: str) -> rd.Dataset:
+    """S1 glob source in its TRUE form — the reference scans directory
+    trees of image files (``--scanfiles`` globstar expansion,
+    /root/reference/dedupc.py:682); this reads one with
+    ``ray.data.read_binary_files`` and normalizes each file into the
+    input_hint row schema (image_id, bytes, w, h, fmt, caption, phash):
+
+    - ``image_id`` = path relative to ``root`` (the reference's path-as-id
+      convention; dir/name ranking features derive from it unchanged);
+    - ``fmt`` = lowercased extension;
+    - self-describing formats (png/bmp/ppm) decode ONCE here to fill
+      (w, h) and the precomputed ``phash``; stub/undecodable formats
+      (jpg/video/audio — codecs.STUB_FMTS) and headerless ``raw`` (dims
+      live outside the payload) get w=h=0, phash=0 and flow down the
+      strict-mode md5 path exactly as the reference's getProcHash routes
+      non-images (/root/reference/dupedb.py:82-101);
+    - ``caption`` = '' (filesystem corpora carry no captions — the caption
+      channel is inert, the image channel is unaffected).
+
+    Corrupt payloads never raise here: they keep w=h=0/phash=0 and are
+    classified by the fingerprint stage's error taxonomy downstream.
+    Per-file decode is the ingest cost (the reference pays the same PIL
+    open per file); the parquet/lance path (read_corpus) skips it because
+    the table already carries the metadata columns."""
+    import glob as _glob
+
+    import numpy as np
+
+    from deduplicator_ray import codecs, hashing, tuning
+
+    tuning.tune()
+    paths = sorted(p for p in
+                   _glob.glob(os.path.join(root, "**", "*"), recursive=True)
+                   if os.path.isfile(p))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64())])
+
+    def normalize(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in schema.names}
+        for path, data in zip(t["path"].to_pylist(),
+                              t["bytes"].to_pylist()):
+            rel = os.path.relpath(path, root)
+            ext = rel.rsplit(".", 1)[-1].lower() if "." in rel else ""
+            w = h = 0
+            ph = 0
+            if ext in ("png", "bmp", "ppm"):
+                try:
+                    img = codecs.decode_image(data, ext, 0, 0)
+                    h, w = img.shape[:2]
+                    ph = hashing.u64_to_i64(hashing.dhash_u64(img, 8))
+                except Exception:
+                    pass  # corrupt: fingerprint stage classifies it
+            rows["image_id"].append(rel)
+            rows["bytes"].append(data)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(ext)
+            rows["caption"].append("")
+            rows["phash"].append(ph)
+        return pa.Table.from_pydict(rows, schema=schema)
+
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        normalize, batch_format="pyarrow")

@@ -35,3 +35,53 @@ def test_read_corpus_parquet_branch(sf_small):
                          columns=["image_id"])
     assert ds.count() > 0
     assert ds.schema().names == ["image_id"]
+
+
+def test_read_image_files_matches_parquet_pipeline(sf_small, tmp_path):
+    """S1 glob source round-trip: export the fixture corpus as REAL files
+    in a directory tree, re-ingest with read_image_files, and the
+    reference-mode clusters AND decisions must equal the parquet-table
+    pipeline on the same rows.  raw is excluded (headerless — dims live in
+    the table, not the payload; file ingest routes it to the md5 path by
+    design)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray import fixtures
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = PipelineConfig()
+    src = pq.read_table(fixtures.images_path(sf_small, cfg.hash_size))
+    src = src.filter(pc.invert(pc.equal(src["fmt"], "raw")))
+    root = tmp_path / "tree"
+    for iid, data in zip(src["image_id"].to_pylist(),
+                         src["bytes"].to_pylist()):
+        p = root / iid
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    files_ds = dio.read_image_files(str(root))
+    assert files_ds.schema().names == ["image_id", "bytes", "w", "h",
+                                       "fmt", "caption", "phash"]
+
+    import ray.data as rd
+
+    table_ds = rd.from_arrow(src)
+
+    def _clusters(ds):
+        return (ip.reference_clusters(ds, cfg).to_pandas()
+                [["proc_hash", "image_id"]]
+                .sort_values(["proc_hash", "image_id"])
+                .reset_index(drop=True))
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_clusters(files_ds), _clusters(table_ds))
+
+    def _decisions(ds):
+        out = ip.reference_decisions(ds, cfg).to_pandas()
+        return out.sort_values(["cluster_id", "image_id"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(_decisions(files_ds), _decisions(table_ds))
+    assert len(_clusters(files_ds)) > 0

@@ -44,7 +44,8 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
         hash_size: int = 8, files_exempt: tuple[str, ...] = (),
         threshold: int = 2, explain: bool = False,
         good_words: tuple[str, ...] = (), bad_words: tuple[str, ...] = (),
-        good_names: tuple[str, ...] = (), bad_names: tuple[str, ...] = ()) -> dict:
+        good_names: tuple[str, ...] = (), bad_names: tuple[str, ...] = (),
+        input_format: str = "table") -> dict:
     _ensure_ray()
     from ray.data import DataContext
 
@@ -69,7 +70,14 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     # stage 1 — fingerprints, checkpointed per input shard (resume surface)
     ckpt = os.path.join(output_dir, "fingerprints")
     t0 = time.time()
-    if resume:
+    if input_format == "files":
+        # the reference's scan mode: a raw directory TREE of image files
+        # (io.read_image_files).  Shard checkpoints are parquet-shard
+        # granular, so files mode runs without them — convert the tree to
+        # parquet shards (one pass) if resumable ingest is needed.
+        resume = False
+        fp = ip.fingerprints(dio.read_image_files(input_dir), cfg)
+    elif resume:
         # shard-granular parquet checkpointing; a Lance corpus would shard
         # by fragment instead (io.read_corpus) — not wired here because the
         # sandbox lacks the lance package to test it against
@@ -414,6 +422,11 @@ def main(argv: list[str] | None = None) -> None:
                    "(required for all modes except bloom-build)")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute everything (skip shard checkpoints)")
+    p.add_argument("--input-format", choices=["table", "files"],
+                   default="table",
+                   help="'table' = parquet/lance shards (default); 'files' "
+                        "= a raw directory tree of image files (the "
+                        "reference's --scanfiles mode; no shard resume)")
     p.add_argument("--hash-size", type=int, default=8,
                    help="dHash size (the reference default is 12; 8 packs int64)")
     p.add_argument("--files-exempt", action="append", default=[],
@@ -508,6 +521,7 @@ def main(argv: list[str] | None = None) -> None:
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),
             threshold=a.threshold, explain=a.explain,
+            input_format=a.input_format,
             good_words=tuple(a.good_dirs), bad_words=tuple(a.bad_dirs),
             good_names=tuple(a.good_names), bad_names=tuple(a.bad_names))
     print(json.dumps(m))

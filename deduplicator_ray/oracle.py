@@ -137,17 +137,21 @@ def verified_pairs(rows: list[dict], cfg: PipelineConfig) -> set[tuple[str, str]
             cand = {j for j in range(i + 1, n)
                     if not decodable[j] and md5s[j] == md5s[i]}
         si = shingles[i]
-        for j in range(i + 1, n):
-            if j in cand:
-                continue
-            sj = shingles[j]
-            if len(si) == 0 and len(sj) == 0:
-                jac = 1.0
-            else:
-                inter = len(np.intersect1d(si, sj, assume_unique=True))
-                jac = inter / (len(si) + len(sj) - inter)
-            if jac >= cfg.jaccard_min:
-                cand.add(j)
+        # an EMPTY caption is "no caption", never "equal to other empty
+        # captions" — the caption channel is inert for it (same rule as
+        # stages/banding.py, so captionless corpora don't mega-cluster)
+        if str(ok[i]["caption"] or "") != "":
+            for j in range(i + 1, n):
+                if j in cand or str(ok[j]["caption"] or "") == "":
+                    continue
+                sj = shingles[j]
+                if len(si) == 0 and len(sj) == 0:
+                    jac = 1.0
+                else:
+                    inter = len(np.intersect1d(si, sj, assume_unique=True))
+                    jac = inter / (len(si) + len(sj) - inter)
+                if jac >= cfg.jaccard_min:
+                    cand.add(j)
         for j in cand:
             a, b = ids[i], ids[j]
             pairs.add((a, b) if a < b else (b, a))

@@ -178,17 +178,31 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
                 cap_out.append(md5s)
 
         if "cap" in channels:
-            n = len(ids_all)
-            caps = batch["caption"].to_pylist()
-            sigs = minhash_from_column(batch)
-            bkeys = textfn.band_keys(sigs, cfg.bands, cfg.rows_per_band)  # (n, bands) i64
-            for bi in range(cfg.bands):
-                bands_out.append(np.full(n, CAP_BAND_OFFSET + bi, np.int32))
-                keys_out.append(bkeys[:, bi].copy())
-                ids_out.append(ids_all.tolist())
-                dh_out.append(dh_all.view(np.int64))
-                cap_out.append(caps)
+            caps_all = batch["caption"].to_pylist()
+            # an EMPTY caption is "no caption", not "a caption equal to
+            # every other empty one": captionless corpora (file-glob
+            # ingest, io.read_image_files) would otherwise collapse into
+            # one Jaccard-1.0 mega-cluster.  The oracle applies the same
+            # rule (oracle.py pair verify), so engine ≡ oracle holds on
+            # caption-free corpora too.
+            has_cap = np.fromiter((c != "" for c in caps_all), bool,
+                                  count=len(caps_all))
+            ids = ids_all[has_cap].tolist()
+            caps = [c for c in caps_all if c != ""]
+            dh = dh_all[has_cap]
+            n = len(ids)
+            if n:
+                sigs = minhash_from_column(batch)[has_cap]
+                bkeys = textfn.band_keys(sigs, cfg.bands, cfg.rows_per_band)
+                for bi in range(cfg.bands):
+                    bands_out.append(np.full(n, CAP_BAND_OFFSET + bi, np.int32))
+                    keys_out.append(bkeys[:, bi].copy())
+                    ids_out.append(ids)
+                    dh_out.append(dh.view(np.int64))
+                    cap_out.append(caps)
 
+        if not bands_out:  # e.g. cap-only run on a captionless batch
+            return BAND_SCHEMA.empty_table()
         return pa.Table.from_arrays(
             [
                 pa.array(np.concatenate(bands_out), pa.int32()),

@@ -6,6 +6,7 @@ pipeline test."""
 
 import os
 
+import pyarrow as pa
 import pytest
 
 from deduplicator_ray import io as dio
@@ -85,3 +86,37 @@ def test_read_image_files_matches_parquet_pipeline(sf_small, tmp_path):
 
     pd.testing.assert_frame_equal(_decisions(files_ds), _decisions(table_ds))
     assert len(_clusters(files_ds)) > 0
+
+
+def test_captionless_corpus_does_not_megacluster(sf_small, tmp_path):
+    """Empty caption = NO caption: the caption channel must be inert for it
+    (banding emits no cap rows, the oracle skips the Jaccard check), or a
+    file-ingested corpus — captions are all '' — collapses into one
+    Jaccard-1.0 mega-cluster.  Extended clusters over the captionless
+    corpus must equal the image-channel truth: the oracle's verified pairs
+    recomputed WITH captions blanked."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicator_ray import fixtures, oracle
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = PipelineConfig()
+    src = pq.read_table(fixtures.images_path(sf_small, cfg.hash_size))
+    blank = pa.array([""] * src.num_rows, pa.string())
+    src = src.set_column(src.schema.get_field_index("caption"), "caption",
+                         blank)
+
+    eng = (ip.extended_clusters(rd.from_arrow(src), cfg).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+
+    rows = oracle.compute_rows(src, cfg)
+    want_pairs = oracle.verified_pairs(rows, cfg)
+    want = oracle.connected_components(want_pairs)
+    got_assign = dict(zip(eng["image_id"], eng["cluster_id"]))
+    assert got_assign == want
+    # sanity: far from one mega-cluster — many distinct components
+    assert eng["cluster_id"].nunique() > 10

@@ -286,6 +286,18 @@ def run_bench() -> dict:
 
         timed("docs_cross_dedup", _cross)
 
+        # block-level CDC dedup (chunk rows → one chunk_hash groupby)
+        from deduplicator_ray.pipelines import queries as q
+
+        timed("docs_cdc_chunks", lambda: len(q.docs_cdc_chunks(SF_DIR)))
+
+    emb = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(emb):
+        # SRP-LSH embedding near-dup (banding → owner-band exact verify)
+        from deduplicator_ray.pipelines import queries as q
+
+        timed("emb_srp_pairs", lambda: len(q.emb_srp_pairs(SF_DIR)))
+
     headline = timings["img_extended_clusters"]
     result = {
         "metric": "end-to-end extended image dedup wall-clock (decode+hash+LSH+verify+CC)",

@@ -395,6 +395,21 @@ def _img_extended_clusters_h12(sf_dir: str):
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
 
 
+def _img_phash_extended(sf_dir: str):
+    """Extended (LSH+CC) near-dup under the pluggable ``hash_fn='phash'``
+    kernel: the SAME banding/verify/CC orchestration over the DCT-II
+    perceptual keyspace — demonstrates kernel pluggability through the
+    full approximate path, not just the reference-mode grouping.  Mirror:
+    EXTENDED_CLUSTERS_SQL over the pHash oracle sidecar."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), hash_fn="phash")
+    out = ip.extended_clusters(ip.load_images(sf_dir, cfg), cfg)
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_dead_letter(sf_dir: str):
     """Projected to (image_id, status) so the driver can VALUE-check it
     against the fixture truth table (dead letters == the generator's
@@ -903,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_series_alt_pairs": _img_series_alt_pairs,
         "img_extended_clusters": _img_extended_clusters,
         "img_extended_clusters_h12": _img_extended_clusters_h12,
+        "img_phash_extended": _img_phash_extended,
         "img_dead_letter": _img_dead_letter,
         "img_validate_phash": _img_validate_phash,
         "img_dedup_report": _img_dedup_report,
@@ -978,6 +994,9 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes12, **kw),
         # pluggable perceptual-hash kernel: same relation over the pHash
         # oracle sidecar (fixtures.hashes_path(sf, 8, "phash"))
+        "img_phash_extended": mirrors.compose(
+            mirrors.EXTENDED_CLUSTERS_SQL,
+            hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),
         "img_phash_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL,
             hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),

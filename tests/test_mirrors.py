@@ -203,6 +203,22 @@ def test_phash_clusters_mirror(sf_small, paths):
     _assert_frame_equal(eng[["proc_hash", "image_id"]], orc)
 
 
+def test_phash_extended_mirror(sf_small, paths):
+    """Pluggable hash_fn='phash' through the FULL approximate path
+    (banding → owner-band verify → CC): extended clusters over the pHash
+    keyspace must value-match EXTENDED_CLUSTERS_SQL over the pHash oracle
+    sidecar."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, hash_fn="phash")
+    eng = (ip.extended_clusters(ip.load_images(sf_small, cfg), cfg)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    ph = {"hashes": fixtures.hashes_path(sf_small, 8, "phash") + "/*.parquet",
+          "images": paths["images"]}
+    orc = duckdb.sql(_compose(mirrors.EXTENDED_CLUSTERS_SQL, ph)).df()
+    _assert_frame_equal(eng, orc)
+
+
 def test_img_pagerank_mirror(sf_small, paths):
     """Image-side e6 PageRank: the engine's shuffled integer rounds must be
     bit-equal to the chained-CTE mirror over the verified-pair relation

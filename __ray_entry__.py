@@ -855,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_purge_semijoin": q.docs_purge_semijoin,
         "docs_substring_dup": q.docs_substring_dup,
         "docs_substring_dup_shuffle": q.docs_substring_dup_shuffle,
+        "docs_substring_trim": q.docs_substring_trim,
         "docs_curation": q.docs_curation,
         "docs_incremental_dedup": q.docs_incremental_dedup,
         "docs_cluster_update": q.docs_cluster_update,
@@ -1203,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
         "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_substring_dup_shuffle": q.DOCS_SUBSTRING_DUP_SQL,
+        "docs_substring_trim": q.DOCS_SUBSTRING_TRIM_SQL,
         "docs_curation": q.DOCS_CURATION_SQL,
         "docs_incremental_dedup": q.DOCS_INCREMENTAL_DEDUP_SQL,
         # incremental maintenance must equal the full recompute — the

@@ -1228,6 +1228,129 @@ ORDER BY doc_id, span_start
 """
 
 
+def docs_substring_trim(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
+    """The ACTIONABLE output of substring dedup: each document with its
+    duplicated spans REMOVED (ExactSubstr keep-first-occurrence semantics —
+    tokens [span_start, span_end) delete, the rest re-join) plus the
+    trimmed-token count.  docs_substring_dup is the decision table; this
+    applies it.
+
+    Scale shape: the span table (bounded by duplicated content) unions
+    with the docs projection, ONE doc_id-partitioned groupby co-locates
+    each doc with its spans, and the trim is applied per partition
+    (string surgery is inherently per-doc; everything around it —
+    span discovery, the union, the shuffle — stays vectorized/1-pass).
+    Docs without spans pass through untrimmed."""
+    from deduplicator_ray.pipelines.substring import substring_dup_spans
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    spans = substring_dup_spans(ds, k=k)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("trimmed_text", pa.string()),
+                            ("n_trimmed_tokens", pa.int64())])
+    union_schema = pa.schema([("doc_id", pa.int64()),
+                              ("span_start", pa.int64()),
+                              ("span_end", pa.int64()),
+                              ("text", pa.string())])
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.Table.from_arrays(
+            [t["doc_id"].cast(pa.int64()),
+             pa.array(np.full(n, -1, np.int64)),
+             pa.array(np.full(n, -1, np.int64)),
+             t["text"].cast(pa.string())],
+            schema=union_schema)
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.Table.from_arrays(
+            [t["doc_id"].cast(pa.int64()),
+             t["span_start"].cast(pa.int64()),
+             t["span_end"].cast(pa.int64()),
+             pa.array([""] * n, pa.string())],
+            schema=union_schema)
+
+    rows = (ds.map_batches(tag_docs, batch_format="pyarrow")
+            .union(spans.map_batches(tag_spans, batch_format="pyarrow")))
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "trimmed_text": pd.Series([], dtype=str),
+                "n_trimmed_tokens": pd.Series([], dtype=np.int64)})
+        is_doc = df["span_start"].to_numpy() == -1
+        spans_by_doc: dict[int, list[tuple[int, int]]] = {}
+        for d, s, e in zip(df["doc_id"].to_numpy()[~is_doc],
+                           df["span_start"].to_numpy()[~is_doc],
+                           df["span_end"].to_numpy()[~is_doc]):
+            spans_by_doc.setdefault(int(d), []).append((int(s), int(e)))
+        out_id, out_txt, out_n = [], [], []
+        for d, txt in zip(df["doc_id"].to_numpy()[is_doc],
+                          df["text"].to_numpy()[is_doc]):
+            toks = txt.split(" ")
+            cuts = spans_by_doc.get(int(d))
+            if not cuts:
+                out_id.append(int(d))
+                out_txt.append(txt)
+                out_n.append(0)
+                continue
+            keep = np.ones(len(toks), bool)
+            for s, e in cuts:  # 1-based [s, e) token interval
+                keep[s - 1:min(e - 1, len(toks))] = False
+            kept = [t for t, m in zip(toks, keep) if m]
+            out_id.append(int(d))
+            out_txt.append(" ".join(kept))
+            out_n.append(int((~keep).sum()))
+        return pd.DataFrame({"doc_id": np.asarray(out_id, np.int64),
+                             "trimmed_text": out_txt,
+                             "n_trimmed_tokens": np.asarray(out_n, np.int64)})
+
+    out = _typed(partitioned_groupby(rows, ["doc_id"], trim,
+                                     out_schema=out_schema).to_pandas(),
+                 out_schema)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SUBSTRING_SPANS_CTE = DOCS_SUBSTRING_DUP_SQL[
+    DOCS_SUBSTRING_DUP_SQL.index("WITH"):DOCS_SUBSTRING_DUP_SQL.rindex(
+        "SELECT doc_id,")]
+
+DOCS_SUBSTRING_TRIM_SQL = (_SUBSTRING_SPANS_CTE + f"""
+, spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {SUBSTRING_K} AS span_end
+  FROM islands GROUP BY doc_id, isl
+),
+tok_idx AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) u(i)
+),
+covered AS (
+  SELECT DISTINCT ti.doc_id, ti.i
+  FROM tok_idx ti JOIN spans s
+    ON s.doc_id = ti.doc_id AND ti.i >= s.span_start AND ti.i < s.span_end
+),
+kept AS (
+  SELECT ti.doc_id, ti.i, ti.tok
+  FROM tok_idx ti LEFT JOIN covered c ON c.doc_id = ti.doc_id AND c.i = ti.i
+  WHERE c.i IS NULL
+)
+SELECT d.doc_id,
+       COALESCE(k.txt, '') AS trimmed_text,
+       CAST(COALESCE(cv.n, 0) AS BIGINT) AS n_trimmed_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM covered GROUP BY doc_id) cv
+  USING (doc_id)
+ORDER BY d.doc_id
+""")
+
+
 # ---------------------------------------------------------------------------
 # Mirrors for the LSH doc pipelines.  The LSH path must recover EXACTLY the
 # brute-force pair set (banding proposes, exact Jaccard verifies, and at

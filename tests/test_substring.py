@@ -101,3 +101,33 @@ def test_shuffle_strategy_matches_broadcast():
         a.sort_values(key[:2]).reset_index(drop=True)[key],
         b.sort_values(key[:2]).reset_index(drop=True)[key])
     assert len(a) > 0
+
+
+def test_substring_trim_mirror_and_accounting(sf_small, ray_session):
+    """docs_substring_trim: value+dtype-exact vs the token-anti-join
+    mirror; token accounting closes (trimmed count == token delta vs the
+    original text); non-vacuous at sf-small."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = q.docs_substring_trim(sf_small)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')")
+    orc = con.sql(q.DOCS_SUBSTRING_TRIM_SQL).df()
+    assert list(eng.columns) == list(orc.columns)
+    assert list(eng.dtypes) == list(orc.dtypes)
+    pd.testing.assert_frame_equal(eng.reset_index(drop=True),
+                                  orc.reset_index(drop=True))
+    assert (eng["n_trimmed_tokens"] > 0).any()
+
+    src = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    m = src.merge(eng, on="doc_id")
+    n_orig = m["text"].str.split(" ").str.len()
+    n_kept = np.where(m["trimmed_text"] == "", 0,
+                      m["trimmed_text"].str.split(" ").str.len())
+    assert ((n_orig - n_kept) == m["n_trimmed_tokens"]).all()

@@ -169,3 +169,47 @@ def test_partitioned_merge_str(ray_session):
     assert len(left) == 200
     matched = left[left["y"].notna() & (left["y"] != "")]
     assert len(matched) == 100
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=600),
+    max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_cdc_spans_tile_and_are_content_defined(texts):
+    """cdc_chunk_spans properties on arbitrary unicode batches: chunks
+    tile each doc's utf-8 bytes exactly; the multiset of chunk hashes per
+    doc is independent of batch composition (content-defined, not
+    batch-defined); max chunk bound holds."""
+    d, s, ln, h = textfn.cdc_chunk_spans(texts)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        sel = d == i
+        if len(b) == 0:
+            assert sel.sum() == 0
+            continue
+        ss, ll = s[sel], ln[sel]
+        assert ss[0] == 0
+        assert (ss[1:] == (ss + ll)[:-1]).all()
+        assert (ss + ll)[-1] == len(b)
+        # batch-composition independence: alone == in batch
+        d1, s1, l1, h1 = textfn.cdc_chunk_spans([t])
+        assert sorted(h1.tolist()) == sorted(h[sel].tolist())
+    assert (ln <= 4096).all()
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 6))
+@settings(max_examples=30, deadline=None)
+def test_srp_keys_scale_and_batch_invariant(seed, n):
+    """srp_band_keys properties: positive scaling never changes a key
+    (sign hash); per-vector keys are independent of batch composition;
+    keys are within the rbits range."""
+    from deduplicator_ray.functions.vector import srp_band_keys
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, 64)).astype(np.float32)
+    k = srp_band_keys(x)
+    assert k.shape == (n, 16)
+    assert (k >= 0).all() and (k < 256).all()
+    assert (srp_band_keys(x * np.float32(7.25)) == k).all()
+    for i in range(n):
+        assert (srp_band_keys(x[i:i + 1]) == k[i]).all()

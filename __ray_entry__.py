@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dup_shuffle": q.docs_substring_dup_shuffle,
         "docs_substring_trim": q.docs_substring_trim,
         "docs_curation": q.docs_curation,
+        "docs_curation_report": q.docs_curation_report,
         "docs_incremental_dedup": q.docs_incremental_dedup,
         "docs_cluster_update": q.docs_cluster_update,
         "docs_cluster_remove": q.docs_cluster_remove,
@@ -1206,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_substring_dup_shuffle": q.DOCS_SUBSTRING_DUP_SQL,
         "docs_substring_trim": q.DOCS_SUBSTRING_TRIM_SQL,
         "docs_curation": q.DOCS_CURATION_SQL,
+        "docs_curation_report": q.DOCS_CURATION_REPORT_SQL,
         "docs_incremental_dedup": q.DOCS_INCREMENTAL_DEDUP_SQL,
         # incremental maintenance must equal the full recompute — the
         # clusters mirror IS its oracle (shared with docs_clusters)

@@ -1587,8 +1587,10 @@ def emb_semdedup(sf_dir: str, threshold: float = 0.35,
 # (np.isin / searchsorted) inside map_batches — no extra shuffle.
 
 
-def docs_curation(sf_dir: str, lang: str = "en",
-                  min_tokens: int = 20) -> pd.DataFrame:
+def _curation_decisions(sf_dir: str, lang: str = "en",
+                        min_tokens: int = 20) -> rd.Dataset:
+    """The per-doc curation decision Dataset shared by docs_curation (the
+    per-row relation) and docs_curation_report (the rollup)."""
     from deduplicator_ray.config import PipelineConfig
     from deduplicator_ray.pipelines.doc_dedup import doc_clusters, text_features
     from deduplicator_ray.pipelines.substring import substring_dup_spans
@@ -1638,8 +1640,46 @@ def docs_curation(sf_dir: str, lang: str = "en",
              pa.array(kept, pa.int64())],
             names=["doc_id", "action", "n_tokens_kept"])
 
-    out = feats.map_batches(decide, batch_format="pyarrow").to_pandas()
+    return feats.map_batches(decide, batch_format="pyarrow")
+
+
+def docs_curation(sf_dir: str, lang: str = "en",
+                  min_tokens: int = 20) -> pd.DataFrame:
+    out = _curation_decisions(sf_dir, lang, min_tokens).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_curation_report(sf_dir: str, lang: str = "en",
+                         min_tokens: int = 20) -> pd.DataFrame:
+    """Operational rollup of the curation decision table — the doc-side
+    analog of img_dedup_report (a dataset card: per action, how many docs
+    and how many training tokens survive).  Per-batch combiner emits one
+    partial row per action per batch (≤4 rows), so the shuffle is a few
+    hundred bytes regardless of corpus size; the final merge is
+    driver-side over ≤ 4×batches partials."""
+    ds = _curation_decisions(sf_dir, lang, min_tokens)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "action": t["action"].to_pylist(),
+            "n_tokens_kept": t["n_tokens_kept"].to_numpy(
+                zero_copy_only=False)})
+        g = (df.groupby("action", as_index=False)
+             .agg(n_docs=("action", "size"),
+                  total_tokens_kept=("n_tokens_kept", "sum")))
+        return pa.Table.from_pydict(
+            {"action": g["action"].tolist(),
+             "n_docs": g["n_docs"].to_numpy(np.int64),
+             "total_tokens_kept": g["total_tokens_kept"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(combine, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("action", as_index=False)
+           .agg(n_docs=("n_docs", "sum"),
+                total_tokens_kept=("total_tokens_kept", "sum")))
+    out = _typed(out, pa.schema([("action", pa.string()),
+                                 ("n_docs", pa.int64()),
+                                 ("total_tokens_kept", pa.int64())]))
+    return out.sort_values("action").reset_index(drop=True)
 
 
 DOCS_CURATION_SQL = f"""
@@ -1750,6 +1790,12 @@ LEFT JOIN dupdrop dd ON dd.doc_id = f.doc_id
 LEFT JOIN span_tok st ON st.doc_id = f.doc_id
 ORDER BY f.doc_id
 """
+
+DOCS_CURATION_REPORT_SQL = (
+    "SELECT action, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens_kept) AS BIGINT) AS total_tokens_kept FROM ("
+    + DOCS_CURATION_SQL + ") GROUP BY action ORDER BY action")
+
 
 
 # ---------------------------------------------------------------------------

@@ -236,3 +236,16 @@ def test_emb_cluster_remove_mirror(sf_small, con_emb):
     _match(eng, orc)
     assert len(eng) > 0
     assert not (eng["vec_id"] % 7 == 3).any()
+
+
+def test_curation_report_mirror(sf_small, con):
+    """Doc-side dataset-card rollup: the combiner-aggregated report must
+    equal the SQL aggregation of the full curation relation, and its
+    totals must reconcile with the per-doc table."""
+    eng = q.docs_curation_report(sf_small)
+    orc = con.sql(q.DOCS_CURATION_REPORT_SQL).df()
+    _match(eng, orc)
+    per_doc = q.docs_curation(sf_small)
+    assert eng["n_docs"].sum() == len(per_doc)
+    kept = eng.loc[eng["action"] == "keep", "total_tokens_kept"].sum()
+    assert kept == per_doc["n_tokens_kept"].sum()

@@ -385,6 +385,64 @@ def run_docband_append(input_dir: str, index_dir: str) -> dict:
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_curate(input_dir: str, output_dir: str, lang: str = "en",
+               min_tokens: int = 20) -> dict:
+    """Text-corpus curation job: lang gate → quality gate → near-dup
+    keeper → substring accounting over a parquet dir of (doc_id, text)
+    rows.  Writes three artifacts under --output (the doc-side analog of
+    the image reference/extended jobs):
+
+        decisions/*.parquet   per-doc (doc_id, action, n_tokens_kept)
+        trimmed/*.parquet     kept docs with duplicated spans REMOVED
+        report.json           the dataset-card rollup (per action:
+                              docs + surviving tokens) + wall times
+    """
+    _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+
+    from deduplicator_ray import tuning
+    from deduplicator_ray.pipelines import queries as q
+
+    tuning.tune()
+    t0 = time.time()
+    dec = q._curation_decisions("", lang=lang, min_tokens=min_tokens,
+                                docs_path=input_dir).materialize()
+    dec.write_parquet(os.path.join(output_dir, "decisions"))
+    t_dec = round(time.time() - t0, 3)
+
+    # trimmed text for the kept docs (substring spans applied)
+    t1 = time.time()
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.pipelines.substring import substring_dup_spans
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    pdf = dec.to_pandas()
+    docs = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    keep_ids = pa.array(pdf.loc[pdf["action"] == "keep", "doc_id"].to_numpy())
+    kept = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep_ids)),
+        batch_format="pyarrow")
+    trimmed = q.trim_spans(kept, substring_dup_spans(kept))
+    trimmed.write_parquet(os.path.join(output_dir, "trimmed"))
+    t_trim = round(time.time() - t1, 3)
+
+    report = (pdf.groupby("action", as_index=False)
+              .agg(n_docs=("action", "size"),
+                   total_tokens_kept=("n_tokens_kept", "sum")))
+    metrics = {"mode": "curate", "input": input_dir,
+               "report": report.to_dict("records"),
+               "decisions_wall_s": t_dec, "trim_wall_s": t_trim,
+               "total_wall_s": round(time.time() - t0, 3)}
+    with open(os.path.join(output_dir, "report.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
 def run_band_prune(index_dir: str, removed_input: str,
                    hash_size: int = 8, id_col: str = "image_id") -> dict:
     """Retire vanished ids from a persisted band index — the index-side
@@ -415,7 +473,7 @@ def main(argv: list[str] | None = None) -> None:
                                     "band-append", "band-prune",
                                     "srp-build", "srp-probe", "srp-append",
                                     "docband-build", "docband-probe",
-                                    "docband-append", "prune"])
+                                    "docband-append", "curate", "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -517,6 +575,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if a.mode == "docband-append":
         print(json.dumps(run_docband_append(a.input, a.index)))
+        return
+    if a.mode == "curate":
+        print(json.dumps(run_curate(a.input, a.output)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

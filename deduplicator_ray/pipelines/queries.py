@@ -1244,8 +1244,20 @@ def docs_substring_trim(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
     from deduplicator_ray.pipelines.substring import substring_dup_spans
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    spans = substring_dup_spans(ds, k=k)
+    out = _typed(trim_spans(ds, substring_dup_spans(ds, k=k)).to_pandas(),
+                 TRIM_SCHEMA)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
+
+TRIM_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                         ("trimmed_text", pa.string()),
+                         ("n_trimmed_tokens", pa.int64())])
+
+
+def trim_spans(ds: rd.Dataset, spans: rd.Dataset) -> rd.Dataset:
+    """Apply a (doc_id, span_start, span_end) token-span table to a
+    (doc_id, text) dataset: spans delete, the rest re-joins — shared by
+    docs_substring_trim and the `cli curate` job."""
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("trimmed_text", pa.string()),
                             ("n_trimmed_tokens", pa.int64())])
@@ -1310,10 +1322,8 @@ def docs_substring_trim(sf_dir: str, k: int = SUBSTRING_K) -> pd.DataFrame:
                              "trimmed_text": out_txt,
                              "n_trimmed_tokens": np.asarray(out_n, np.int64)})
 
-    out = _typed(partitioned_groupby(rows, ["doc_id"], trim,
-                                     out_schema=out_schema).to_pandas(),
-                 out_schema)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return partitioned_groupby(rows, ["doc_id"], trim,
+                               out_schema=out_schema)
 
 
 _SUBSTRING_SPANS_CTE = DOCS_SUBSTRING_DUP_SQL[
@@ -1588,15 +1598,19 @@ def emb_semdedup(sf_dir: str, threshold: float = 0.35,
 
 
 def _curation_decisions(sf_dir: str, lang: str = "en",
-                        min_tokens: int = 20) -> rd.Dataset:
+                        min_tokens: int = 20,
+                        docs_path: str | None = None) -> rd.Dataset:
     """The per-doc curation decision Dataset shared by docs_curation (the
-    per-row relation) and docs_curation_report (the rollup)."""
+    per-row relation), docs_curation_report (the rollup) and the `cli
+    curate` job (``docs_path`` overrides the sf-dir convention with any
+    parquet path/dir of (doc_id, text) rows)."""
     from deduplicator_ray.config import PipelineConfig
     from deduplicator_ray.pipelines.doc_dedup import doc_clusters, text_features
     from deduplicator_ray.pipelines.substring import substring_dup_spans
 
     cfg = PipelineConfig()
-    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = dio.read_parquet(docs_path or _t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
 
     cl = doc_clusters(docs, cfg).to_pandas()
     dup_drop = np.sort(np.asarray(

@@ -249,3 +249,33 @@ def test_curation_report_mirror(sf_small, con):
     assert eng["n_docs"].sum() == len(per_doc)
     kept = eng.loc[eng["action"] == "keep", "total_tokens_kept"].sum()
     assert kept == per_doc["n_tokens_kept"].sum()
+
+
+def test_cli_curate_job(sf_small, tmp_path):
+    """cli curate: decisions + trimmed + report artifacts; the report
+    reconciles with the decision table, and trimmed rows == kept docs."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from deduplicator_ray import cli
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    shutil.copy(os.path.join(sf_small, "documents.parquet"), ind)
+    out = str(tmp_path / "out")
+    m = cli.run_curate(str(ind), out)
+    dec = pads.dataset(os.path.join(out, "decisions"),
+                       format="parquet").to_table().to_pandas()
+    tr = pads.dataset(os.path.join(out, "trimmed"),
+                      format="parquet").to_table().to_pandas()
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    n_keep = int((dec["action"] == "keep").sum())
+    assert len(tr) == n_keep > 0
+    rows = {r["action"]: r for r in rep["report"]}
+    assert rows["keep"]["n_docs"] == n_keep
+    assert sum(r["n_docs"] for r in rep["report"]) == len(dec)
+    assert m["total_wall_s"] > 0

@@ -877,6 +877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bow_dedup": q.docs_bow_dedup,
         "orders_price_quantiles": q.orders_price_quantiles,
         "docs_top_tokens": q.docs_top_tokens,
+        "docs_rarity_score": q.docs_rarity_score,
+        "docs_source_cap": q.docs_source_cap,
         "events_funnel": q.events_funnel,
         "events_props_stats": q.events_props_stats,
         "events_moving_sum": q.events_moving_sum,
@@ -1228,6 +1230,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_bow_dedup": q.DOCS_BOW_DEDUP_SQL,
         "orders_price_quantiles": q.ORDERS_PRICE_QUANTILES_SQL,
         "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
+        "docs_rarity_score": q.DOCS_RARITY_SCORE_SQL,
+        "docs_source_cap": q.DOCS_SOURCE_CAP_SQL,
         "events_funnel": q.EVENTS_FUNNEL_SQL,
         "events_props_stats": q.EVENTS_PROPS_STATS_SQL,
         "events_moving_sum": q.EVENTS_MOVING_SUM_SQL,

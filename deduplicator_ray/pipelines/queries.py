@@ -4837,3 +4837,156 @@ SELECT doc_id, md5(bag) AS bag_md5,
 FROM b
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_rarity_score — corpus-frequency quality signal (the integer-exact
+# shape of a CCNet-style LM filter: docs made of globally-common tokens
+# score high sum_freq, docs with rare/garbage tokens score low min_freq).
+# Pass 1 builds the global unigram table with per-batch partial counts +
+# one vocabulary-sized partitioned groupby (shuffle carries (token,cnt)
+# partials, never raw tokens).  Pass 2 broadcasts the table once via
+# ray.put and joins it back per batch with index_in + take + segment sums
+# (np.add.reduceat over list offsets) — no token-exploded shuffle.  At
+# 10^12 docs the vocabulary is zipf-bounded; if it outgrows broadcast the
+# same pass-2 kernel runs after a hash-partition co-location on token
+# (the docs_substring_dup shuffle strategy), so the operator degrades to
+# one extra exchange rather than breaking.
+
+
+def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pd.Series(toks.to_pandas()).value_counts()
+        return pa.Table.from_pydict(
+            {"token": vc.index.astype(str).to_numpy(),
+             "cnt": vc.to_numpy(np.int64)},
+            schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())]))
+
+    freq_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    def local_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        return g.astype({"cnt": np.int64})
+
+    freq = partitioned_groupby(
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
+        ["token"], local_sum, num_parts=16, out_schema=freq_schema
+    ).to_pandas()
+    if freq.empty:  # empty corpus: to_pandas() loses the typed columns
+        freq = pd.DataFrame({"token": pd.Series([], dtype=str),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    freq_ref = ray.put((pa.array(freq["token"].to_numpy(), pa.string()),
+                        freq["cnt"].to_numpy(np.int64)))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                            ("sum_freq", pa.int64()), ("min_freq", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, counts = ray.get(freq_ref)
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        # per-row non-empty token counts via prefix sums (reduceat would
+        # fault on trailing empty lists whose offset == len(flat))
+        offs = np.asarray(lists.combine_chunks().offsets, dtype=np.int64)
+        cumkeep = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(np.asarray(keep).astype(np.int64), out=cumkeep[1:])
+        n_tok = cumkeep[offs[1:]] - cumkeep[offs[:-1]]
+        flat_kept = flat.filter(keep)
+        idx = pc.index_in(flat_kept, value_set=vocab)
+        c = counts[np.asarray(idx)]
+        # segment boundaries in the kept-token stream
+        starts = np.zeros(len(n_tok) + 1, np.int64)
+        np.cumsum(n_tok, out=starts[1:])
+        nz = n_tok > 0
+        sum_f = np.zeros(len(n_tok), np.int64)
+        min_f = np.zeros(len(n_tok), np.int64)
+        if c.size:
+            sum_seg = np.add.reduceat(c, starts[:-1][nz])
+            min_seg = np.minimum.reduceat(c, starts[:-1][nz])
+            sum_f[nz] = sum_seg
+            min_f[nz] = min_seg
+        out = pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "n_tokens": pa.array(n_tok, pa.int64()),
+             "sum_freq": pa.array(sum_f, pa.int64()),
+             "min_freq": pa.array(min_f, pa.int64())}, schema=out_schema)
+        # inner-join semantics of the mirror: all-empty docs drop out
+        return out.filter(pa.array(nz))
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if out.empty:
+        return out_schema.empty_table().to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_RARITY_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE token != '' GROUP BY token)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(f.c) AS BIGINT) AS sum_freq,
+       CAST(min(f.c) AS BIGINT) AS min_freq
+FROM toks t JOIN freq f USING (token)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_source_cap — per-source quota (domain balancing): keep at most k
+# docs per source, preferring longer docs (n_chars desc, doc_id asc as the
+# deterministic tiebreak).  Same two-level top-k shape as
+# orders_topk_per_group: the per-batch combiner leaves ≤ k rows per source
+# per batch, so the exchange carries O(sources × k), never the corpus.
+
+
+def docs_source_cap(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    ds = dio.read_parquet(_t(sf_dir, "documents"),
+                          columns=["doc_id", "source", "n_chars"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(
+            out[["source", "doc_id", "n_chars"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    reduced = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("source", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("source", sort=False).cumcount() + 1).astype(np.int64)
+        return out
+
+    out = reduced.repartition(1).map_batches(final_topk, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pa.schema(
+            [("source", pa.string()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("n_chars", pa.int64())]
+        ).empty_table().to_pandas()
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)[
+        ["source", "rank", "doc_id", "n_chars"]]
+
+
+DOCS_SOURCE_CAP_SQL = """
+SELECT source, rank, doc_id, n_chars
+FROM (SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      FROM documents)
+WHERE rank <= 10
+ORDER BY source, rank
+"""

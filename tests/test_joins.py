@@ -766,3 +766,24 @@ def test_pack_layout_mirror(sf_small, con_docs):
     prev_last = s.groupby("lang")["last_chunk"].shift()
     delta = s["first_chunk"] - prev_last
     assert delta.dropna().isin([0, 1]).all()
+
+
+def test_rarity_score_mirror(sf_small, con_docs):
+    """Corpus-frequency quality signal: per-doc Σ/min of global unigram
+    counts must value-match the unnest+join mirror (integer-exact)."""
+    eng = q.docs_rarity_score(sf_small)
+    orc = con_docs.execute(q.DOCS_RARITY_SCORE_SQL).df()
+    _match(eng, orc)
+    # non-vacuity: frequencies vary across docs and min <= mean
+    assert eng["min_freq"].nunique() >= 1
+    assert (eng["min_freq"] * eng["n_tokens"] <= eng["sum_freq"]).all()
+
+
+def test_source_cap_mirror(sf_small, con_docs):
+    """Per-source quota: ≤ k rows per source, ranked n_chars desc."""
+    eng = q.docs_source_cap(sf_small)
+    orc = con_docs.execute(q.DOCS_SOURCE_CAP_SQL).df()
+    _match(eng, orc)
+    assert (eng.groupby("source")["rank"].max() <= 10).all()
+    per = eng.groupby("source")["n_chars"]
+    assert all(g.is_monotonic_decreasing for _, g in per)

@@ -66,12 +66,12 @@ def run_bench() -> dict:
         return out
 
     # headline: extended dedup through CC, consumed to a count.  The leg
-    # runs GRAFT_BENCH_REPEATS times (default 2) and keeps the MIN wall —
+    # runs GRAFT_BENCH_REPEATS times (default 3) and keeps the MIN wall —
     # this host's CPU steal adds ±40% to a single run (BASELINE.md), and
     # steal only ever ADDS time, so min estimates the undisturbed leg.
     headline_runs = []
     n_clustered = 0
-    for _ in range(max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))):
+    for _ in range(max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))):
         n_clustered = timed(
             "img_extended_clusters",
             lambda: ip.extended_clusters(

@@ -125,6 +125,19 @@ def _img_caption_conflicts(sf_dir: str):
     return pdf.sort_values("proc_hash").reset_index(drop=True)
 
 
+def _img_stock_captions(sf_dir: str):
+    """Stock-caption audit (inverse of caption_conflicts): one caption on
+    >= 2 images spanning > 1 distinct proc_hash — alt-text spam that a
+    caption-channel dedup must not treat as duplicate evidence."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.stock_captions(ip.load_images(sf_dir, _cfg()), _cfg())
+    from deduplicator_ray.pipelines.queries import _typed
+
+    pdf = _typed(out.to_pandas(), ip.STOCK_CAPTION_SCHEMA)
+    return pdf.sort_values("caption_md5").reset_index(drop=True)
+
+
 def _img_caption_langid(sf_dir: str):
     """Language-ID over the image CAPTIONS (the text kernel applied to the
     paired-modality column — filters mixed-language caption sets before
@@ -909,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
+        "img_stock_captions": _img_stock_captions,
         "img_cluster_update": _img_cluster_update,
         "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
@@ -1006,6 +1020,8 @@ def _fixture_mirrors() -> dict[str, str]:
             hashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet", **kw),
         "img_caption_conflicts": mirrors.compose(
             mirrors.CAPTION_CONFLICTS_SQL, hashes=hashes, **kw),
+        "img_stock_captions": mirrors.compose(
+            mirrors.STOCK_CAPTIONS_SQL, hashes=hashes, **kw),
         # incremental maintenance must equal the full recompute — the
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(

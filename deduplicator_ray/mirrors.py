@@ -515,6 +515,26 @@ ORDER BY proc_hash
 """
 
 
+# the inverse audit: one caption on ≥ 2 images spanning > 1 distinct
+# proc_hash — the stock-caption / alt-text-spam noise mode a
+# caption-channel dedup must not treat as duplicate evidence.
+STOCK_CAPTIONS_SQL = """
+WITH live AS (
+  SELECT md5(i.caption) AS caption_md5, h.proc_hash, h.image_id
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only')
+    AND NOT regexp_matches(h.proc_hash, '^0+$'))
+SELECT caption_md5,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT proc_hash) AS BIGINT) AS n_hashes,
+       min(image_id) AS image_id_min
+FROM live
+GROUP BY caption_md5
+HAVING count(*) >= 2 AND count(DISTINCT proc_hash) > 1
+ORDER BY caption_md5
+"""
+
+
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             supp: str = "", truth: str = "", shingle_k: int = 5,
             jaccard_min: float = 0.8, hamming_max: int = 4,

@@ -509,6 +509,58 @@ CAPTION_CONFLICT_SCHEMA = pa.schema([
 ])
 
 
+STOCK_CAPTION_SCHEMA = pa.schema([
+    ("caption_md5", pa.string()),
+    ("n_images", pa.int64()),
+    ("n_hashes", pa.int64()),
+    ("image_id_min", pa.string()),
+])
+
+
+def stock_captions(images: rd.Dataset,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """The inverse audit of ``caption_conflicts``: caption groups whose
+    images are NOT duplicates — one caption attached to ≥ 2 images with
+    > 1 distinct proc_hash.  On web corpora this is the stock-caption /
+    alt-text-spam noise mode (the same boilerplate caption pasted on
+    unrelated images), the rows a caption-channel dedup must NOT treat as
+    duplicate evidence and a curation pass usually down-weights.
+
+    Scale shape: captions are md5'd per batch BEFORE the exchange so the
+    shuffle carries (caption_md5, proc_hash, image_id) — no caption text,
+    no payload; one hash-partitioned groupby on caption_md5 computes the
+    counts vectorized per partition and emits only offending groups."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    fp = _live(fingerprints(images, cfg), cfg)
+    proj = fp.select_columns(["proc_hash", "image_id", "caption"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        caps = t["caption"].to_pylist()
+        md5s = pa.array([hashlib.md5(c.encode()).hexdigest() for c in caps],
+                        pa.string())
+        return pa.Table.from_arrays(
+            [md5s, t["proc_hash"], t["image_id"]],
+            names=["caption_md5", "proc_hash", "image_id"])
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("caption_md5", sort=False).agg(
+            n_images=("image_id", "size"),
+            n_hashes=("proc_hash", "nunique"),
+            image_id_min=("image_id", "min"))
+        g = g[(g["n_images"] >= 2) & (g["n_hashes"] > 1)].reset_index()
+        g["n_images"] = g["n_images"].astype(np.int64)
+        g["n_hashes"] = g["n_hashes"].astype(np.int64)
+        return g[["caption_md5", "n_images", "n_hashes", "image_id_min"]]
+
+    return partitioned_groupby(proj.map_batches(keyed, batch_format="pyarrow"),
+                               ["caption_md5"], audit,
+                               out_schema=STOCK_CAPTION_SCHEMA)
+
+
 def caption_conflicts(images: rd.Dataset,
                       cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Caption↔image consistency audit over the image+caption corpus: every

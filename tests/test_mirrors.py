@@ -248,6 +248,18 @@ def test_caption_conflicts_mirror(sf_small, paths):
     assert (eng["n_captions"] > 1).all()
 
 
+def test_stock_captions_mirror(sf_small, paths):
+    """Inverse audit: one caption on >= 2 images spanning > 1 distinct
+    proc_hash (stock-caption / alt-text spam) must value-match the SQL,
+    and the fixture must contain such groups (non-vacuous)."""
+    eng = (ip.stock_captions(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("caption_md5").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.STOCK_CAPTIONS_SQL, paths)).df()
+    assert len(eng) > 0
+    _assert_frame_equal(eng, orc)
+    assert (eng["n_hashes"] > 1).all()
+
+
 def test_img_cluster_update_mirror(sf_small, paths):
     """Incremental image-cluster maintenance == full recompute == the
     extended-clusters mirror; the known/new split must be non-vacuous and

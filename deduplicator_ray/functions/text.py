@@ -440,3 +440,45 @@ def cdc_chunk_spans(texts: list[str], window: int = 16, modulus: int = 64,
         val = (S[a_abs] - S[e_abs]) * ipw[n - e_abs]
         h = val * _B + (ends - starts).astype(np.uint64)
     return doc_idx, starts, ends - starts, h.view(np.int64)
+
+
+def rarity_batch(texts, vocab, counts):
+    """Per-text (n_tokens, sum_freq, min_freq) against a global unigram
+    frequency table — the batch kernel of ``queries.docs_rarity_score``.
+
+    ``texts`` is a pyarrow string Array/ChunkedArray; ``vocab`` a pyarrow
+    string array of every token in the corpus; ``counts`` the matching
+    int64 numpy counts.  Tokenization is pinned to DuckDB
+    ``string_split(text, ' ')`` with empty tokens dropped.  All three
+    outputs reduce over the concatenated kept-token stream with
+    prefix-sum segment boundaries — no per-row loop; rows whose token
+    list is empty get zeros (callers drop them to match the mirror's
+    inner join).  Tokens absent from ``vocab`` are a caller error (the
+    table is built from the same corpus); index_in would yield null.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "")
+    offs = np.asarray(lists.offsets, dtype=np.int64)
+    cumkeep = np.zeros(len(flat) + 1, np.int64)
+    np.cumsum(np.asarray(keep).astype(np.int64), out=cumkeep[1:])
+    n_tok = cumkeep[offs[1:]] - cumkeep[offs[:-1]]
+    flat_kept = flat.filter(keep)
+    idx = pc.index_in(flat_kept, value_set=vocab)
+    c = counts[np.asarray(idx)] if len(flat_kept) else np.zeros(0, np.int64)
+    starts = np.zeros(len(n_tok) + 1, np.int64)
+    np.cumsum(n_tok, out=starts[1:])
+    nz = n_tok > 0
+    sum_f = np.zeros(len(n_tok), np.int64)
+    min_f = np.zeros(len(n_tok), np.int64)
+    if c.size:
+        sum_f[nz] = np.add.reduceat(c, starts[:-1][nz])
+        min_f[nz] = np.minimum.reduceat(c, starts[:-1][nz])
+    return n_tok, sum_f, min_f

@@ -4888,36 +4888,16 @@ def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
                             ("sum_freq", pa.int64()), ("min_freq", pa.int64())])
 
     def score(t: pa.Table) -> pa.Table:
+        from deduplicator_ray.functions.text import rarity_batch
+
         vocab, counts = ray.get(freq_ref)
-        lists = pc.split_pattern(t["text"], " ")
-        flat = pc.list_flatten(lists)
-        keep = pc.not_equal(flat, "")
-        # per-row non-empty token counts via prefix sums (reduceat would
-        # fault on trailing empty lists whose offset == len(flat))
-        offs = np.asarray(lists.combine_chunks().offsets, dtype=np.int64)
-        cumkeep = np.zeros(len(flat) + 1, np.int64)
-        np.cumsum(np.asarray(keep).astype(np.int64), out=cumkeep[1:])
-        n_tok = cumkeep[offs[1:]] - cumkeep[offs[:-1]]
-        flat_kept = flat.filter(keep)
-        idx = pc.index_in(flat_kept, value_set=vocab)
-        c = counts[np.asarray(idx)]
-        # segment boundaries in the kept-token stream
-        starts = np.zeros(len(n_tok) + 1, np.int64)
-        np.cumsum(n_tok, out=starts[1:])
-        nz = n_tok > 0
-        sum_f = np.zeros(len(n_tok), np.int64)
-        min_f = np.zeros(len(n_tok), np.int64)
-        if c.size:
-            sum_seg = np.add.reduceat(c, starts[:-1][nz])
-            min_seg = np.minimum.reduceat(c, starts[:-1][nz])
-            sum_f[nz] = sum_seg
-            min_f[nz] = min_seg
+        n_tok, sum_f, min_f = rarity_batch(t["text"], vocab, counts)
         out = pa.Table.from_pydict(
             {"doc_id": t["doc_id"], "n_tokens": pa.array(n_tok, pa.int64()),
              "sum_freq": pa.array(sum_f, pa.int64()),
              "min_freq": pa.array(min_f, pa.int64())}, schema=out_schema)
         # inner-join semantics of the mirror: all-empty docs drop out
-        return out.filter(pa.array(nz))
+        return out.filter(pa.array(n_tok > 0))
 
     out = ds.map_batches(score, batch_format="pyarrow", batch_size=65536).to_pandas()
     if out.empty:

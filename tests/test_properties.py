@@ -213,3 +213,29 @@ def test_srp_keys_scale_and_batch_invariant(seed, n):
     assert (srp_band_keys(x * np.float32(7.25)) == k).all()
     for i in range(n):
         assert (srp_band_keys(x[i:i + 1]) == k[i]).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "d", "", "ee"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=20))
+def test_rarity_batch_matches_per_row_reference(texts):
+    """The vectorized corpus-frequency kernel (prefix-sum segment
+    reductions over the concatenated kept-token stream) must equal the
+    obvious per-row Python computation on any corpus, including texts
+    that are empty or all-separator."""
+    import pyarrow as pa
+
+    from collections import Counter
+
+    freq = Counter(t for s in texts for t in s.split(" ") if t)
+    vocab = pa.array(list(freq.keys()), pa.string())
+    counts = np.asarray(list(freq.values()), np.int64)
+    n_tok, sum_f, min_f = textfn.rarity_batch(
+        pa.array(texts, pa.string()), vocab, counts)
+    for i, s in enumerate(texts):
+        toks = [t for t in s.split(" ") if t]
+        assert n_tok[i] == len(toks)
+        assert sum_f[i] == sum(freq[t] for t in toks)
+        assert min_f[i] == (min(freq[t] for t in toks) if toks else 0)

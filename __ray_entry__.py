@@ -138,6 +138,24 @@ def _img_stock_captions(sf_dir: str):
     return pdf.sort_values("caption_md5").reset_index(drop=True)
 
 
+def _img_pair_distance_hist(sf_dir: str):
+    """Hamming-distance histogram over the verified dup pairs — the
+    threshold-tuning diagnostic (image-channel pairs by distance;
+    md5/caption-channel pairs in the -1 bucket).  Cap-lifted config (like
+    img_dup_pairs_exact) so the pair set is relation-defined and the
+    histogram value-matches the SQL; the capped production path's
+    spanning-forest emission would under-count hot buckets by design."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.queries import _typed
+
+    cfg = dataclasses.replace(_cfg(), band_group_cap=1_000_000)
+    out = ip.pair_distance_hist(ip.load_images(sf_dir, cfg), cfg)
+    pdf = _typed(out.to_pandas(), ip.PAIR_DIST_SCHEMA)
+    return pdf.sort_values("ham").reset_index(drop=True)
+
+
 def _img_caption_langid(sf_dir: str):
     """Language-ID over the image CAPTIONS (the text kernel applied to the
     paired-modality column — filters mixed-language caption sets before
@@ -923,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
         "img_stock_captions": _img_stock_captions,
+        "img_pair_distance_hist": _img_pair_distance_hist,
         "img_cluster_update": _img_cluster_update,
         "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
@@ -1022,6 +1041,8 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.CAPTION_CONFLICTS_SQL, hashes=hashes, **kw),
         "img_stock_captions": mirrors.compose(
             mirrors.STOCK_CAPTIONS_SQL, hashes=hashes, **kw),
+        "img_pair_distance_hist": mirrors.compose(
+            mirrors.PAIR_DIST_HIST_SQL, hashes=hashes, **kw),
         # incremental maintenance must equal the full recompute — the
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(

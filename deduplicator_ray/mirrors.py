@@ -431,6 +431,21 @@ SELECT src, dst FROM pairs ORDER BY src, dst
 """
 
 
+# Hamming-distance histogram over the verified pair set: image-channel
+# pairs bucket by distance, md5/caption-channel pairs (not
+# Hamming-verified) collapse into the -1 bucket.
+PAIR_DIST_HIST_SQL = _PAIR_CTES + """
+, d AS (
+  SELECT CASE WHEN a.status = 'ok' AND b.status = 'ok'
+              AND bit_count(xor(a.dhash, b.dhash)) <= {HAMMING_MAX}
+         THEN bit_count(xor(a.dhash, b.dhash)) ELSE -1 END AS ham
+  FROM pairs p JOIN live a ON a.image_id = p.src
+               JOIN live b ON b.image_id = p.dst)
+SELECT CAST(ham AS BIGINT) AS ham, CAST(count(*) AS BIGINT) AS n_pairs
+FROM d GROUP BY ham ORDER BY ham
+"""
+
+
 def _pagerank_rounds(n: int = 5) -> str:
     """Chained e6 integer PageRank rounds (same arithmetic as
     queries.DOCS_PAGERANK_SQL: r' = 150000 + (85·Σ r//deg)//100; the

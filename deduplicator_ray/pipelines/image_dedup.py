@@ -327,6 +327,80 @@ def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Da
     )
 
 
+PAIR_DIST_SCHEMA = pa.schema([("ham", pa.int64()), ("n_pairs", pa.int64())])
+
+
+def pair_distance_hist(images: rd.Dataset,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Hamming-distance histogram over the verified dup-pair set — the
+    threshold-tuning diagnostic (how near are the near-dups?  is
+    hamming_max cutting a cliff or a tail?).  Image-channel pairs (both
+    endpoints decodable, Hamming ≤ hamming_max) land in their distance
+    bucket 0..hamming_max; md5- and caption-channel pairs land in the -1
+    bucket (their verified metric is byte identity / shingle Jaccard, not
+    Hamming).
+
+    Scale shape: the pair set joins back to the narrow (image_id, dhash,
+    status) projection via TWO hash-partitioned string merges — the
+    endpoint map is never materialized on the driver — then a per-batch
+    value-counts combiner collapses everything to ≤ hamming_max + 2
+    partial rows per batch before one tiny groupby.  The fingerprint
+    table is materialized once (payload-free columns only) because both
+    the edge pass and the endpoint sides consume it."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray.hashing import hamming_u64
+    from deduplicator_ray.stages.partitioned import partitioned_merge_str
+
+    fp = _live(fingerprints(images, cfg), cfg).materialize()
+    edges = drop_duplicates(
+        verified_edges_from_fp(fp, cfg).map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+    )
+
+    def side(dh_col: str, st_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t["image_id"], t["dhash"].cast(pa.string()),
+                 t["status"]], names=["image_id", dh_col, st_col])
+
+        return f
+
+    proj = fp.select_columns(["image_id", "dhash", "status"])
+    j1 = partitioned_merge_str(
+        edges, proj.map_batches(side("dh_a", "st_a"), batch_format="pyarrow"),
+        ["src", "dst"], ["image_id", "dh_a", "st_a"],
+        left_on="src", right_on="image_id")
+    j2 = partitioned_merge_str(
+        j1, proj.map_batches(side("dh_b", "st_b"), batch_format="pyarrow"),
+        ["src", "dst", "dh_a", "st_a"], ["image_id", "dh_b", "st_b"],
+        left_on="dst", right_on="image_id")
+
+    hmax = cfg.hamming_max
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.to_numeric(df["dh_a"]).to_numpy(np.int64)
+        b = pd.to_numeric(df["dh_b"]).to_numpy(np.int64)
+        ham = hamming_u64(a, b).astype(np.int64)
+        ok = (df["st_a"].to_numpy() == "ok") & (df["st_b"].to_numpy() == "ok")
+        bucket = np.where(ok & (ham <= hmax), ham, -1)
+        vc = pd.Series(bucket).value_counts()
+        return pd.DataFrame({"ham": vc.index.to_numpy(np.int64),
+                             "n_pairs": vc.to_numpy(np.int64)})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ham", as_index=False)["n_pairs"].sum()
+        return g.astype({"n_pairs": np.int64})
+
+    return partitioned_groupby(
+        j2.map_batches(partial_hist, batch_format="pandas"),
+        ["ham"], total, num_parts=4, out_schema=PAIR_DIST_SCHEMA)
+
+
 def extended_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """(image_id, cluster_id) for every node in a verified near-dup component.
 

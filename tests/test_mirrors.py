@@ -260,6 +260,21 @@ def test_stock_captions_mirror(sf_small, paths):
     assert (eng["n_hashes"] > 1).all()
 
 
+def test_pair_distance_hist_mirror(sf_small, paths):
+    """Hamming histogram over the (cap-lifted, relation-defined) verified
+    pair set must value-match the SQL; both the -1 channel bucket and the
+    0-distance bucket must be populated (non-vacuous)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, band_group_cap=1_000_000)
+    eng = (ip.pair_distance_hist(ip.load_images(sf_small, cfg), cfg)
+           .to_pandas().sort_values("ham").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.PAIR_DIST_HIST_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert set(eng["ham"]) >= {-1, 0}
+    assert (eng["n_pairs"] > 0).all()
+
+
 def test_img_cluster_update_mirror(sf_small, paths):
     """Incremental image-cluster maintenance == full recompute == the
     extended-clusters mirror; the known/new split must be non-vacuous and

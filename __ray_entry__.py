@@ -156,6 +156,17 @@ def _img_pair_distance_hist(sf_dir: str):
     return pdf.sort_values("ham").reset_index(drop=True)
 
 
+def _img_cluster_size_hist(sf_dir: str):
+    """Dup-family size spectrum over the extended clusters (clusters per
+    size class + images they hold) — the dedup-savings rollup."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = ip.cluster_size_hist(ip.load_images(sf_dir, _cfg()), _cfg())
+    pdf = _typed(out.to_pandas(), ip.CLUSTER_SIZE_SCHEMA)
+    return pdf.sort_values("cluster_size").reset_index(drop=True)
+
+
 def _img_caption_langid(sf_dir: str):
     """Language-ID over the image CAPTIONS (the text kernel applied to the
     paired-modality column — filters mixed-language caption sets before
@@ -942,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_caption_conflicts": _img_caption_conflicts,
         "img_stock_captions": _img_stock_captions,
         "img_pair_distance_hist": _img_pair_distance_hist,
+        "img_cluster_size_hist": _img_cluster_size_hist,
         "img_cluster_update": _img_cluster_update,
         "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
@@ -1043,6 +1055,8 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.STOCK_CAPTIONS_SQL, hashes=hashes, **kw),
         "img_pair_distance_hist": mirrors.compose(
             mirrors.PAIR_DIST_HIST_SQL, hashes=hashes, **kw),
+        "img_cluster_size_hist": mirrors.compose(
+            mirrors.CLUSTER_SIZE_HIST_SQL, hashes=hashes, **kw),
         # incremental maintenance must equal the full recompute — the
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(

@@ -333,6 +333,16 @@ EXTENDED_CLUSTERS_SQL = _EXTENDED_CTE + """
 SELECT image_id, cluster_id FROM assigned ORDER BY image_id
 """
 
+
+# dup-family size spectrum: clusters per size class + images they hold
+CLUSTER_SIZE_HIST_SQL = _EXTENDED_CTE + """
+, sizes AS (SELECT cluster_id, count(*) AS n FROM assigned GROUP BY cluster_id)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(n * count(*) AS BIGINT) AS n_images
+FROM sizes GROUP BY n ORDER BY n
+"""
+
 # montage-sink layout stats (S7, /root/reference/dedupc.py:109-154): per
 # near-dup cluster, the first ≤16 members (string id order) tile into a
 # 4-wide 32-px grid; an undecodable member (strict-mode md5 media) leaves a

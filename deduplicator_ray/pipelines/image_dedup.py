@@ -401,6 +401,62 @@ def pair_distance_hist(images: rd.Dataset,
         ["ham"], total, num_parts=4, out_schema=PAIR_DIST_SCHEMA)
 
 
+CLUSTER_SIZE_SCHEMA = pa.schema([("cluster_size", pa.int64()),
+                                 ("n_clusters", pa.int64()),
+                                 ("n_images", pa.int64())])
+
+
+def cluster_size_hist(images: rd.Dataset,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Dup-family size spectrum over the extended near-dup clusters: how
+    many clusters of each size, and how many images they hold — the
+    corpus-health rollup an operator reads before choosing thresholds and
+    the dedup-savings estimate (Σ (size-1) images are removable).
+
+    Scale shape: two combiner levels.  Per-batch value_counts collapses
+    assignments to (cluster_id, partial n) rows, one cluster_id-partition
+    groupby sums them to true sizes; a second per-batch value_counts over
+    sizes leaves ≤ |distinct sizes| partial rows per batch, and the final
+    groupby is over the tiny size domain.  No stage ever sees more than
+    the assignment projection (id, cluster_id)."""
+    import numpy as np
+    import pandas as pd
+
+    assign = extended_clusters(images, cfg)
+
+    mid = pa.schema([("cluster_id", pa.string()), ("n", pa.int64())])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["cluster_id"].to_pandas()).value_counts()
+        return pa.Table.from_pydict(
+            {"cluster_id": vc.index.astype(str).to_numpy(),
+             "n": vc.to_numpy(np.int64)}, schema=mid)
+
+    def sum_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", as_index=False)["n"].sum()
+        return g.astype({"n": np.int64})
+
+    sizes = partitioned_groupby(
+        assign.map_batches(partial_counts, batch_format="pyarrow"),
+        ["cluster_id"], sum_sizes, num_parts=16, out_schema=mid)
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n"].value_counts()
+        cs = vc.index.to_numpy(np.int64)
+        nc = vc.to_numpy(np.int64)
+        return pd.DataFrame({"cluster_size": cs, "n_clusters": nc,
+                             "n_images": cs * nc})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_size", as_index=False).agg(
+            n_clusters=("n_clusters", "sum"), n_images=("n_images", "sum"))
+        return g.astype({"n_clusters": np.int64, "n_images": np.int64})
+
+    return partitioned_groupby(
+        sizes.map_batches(partial_hist, batch_format="pandas"),
+        ["cluster_size"], total, num_parts=4, out_schema=CLUSTER_SIZE_SCHEMA)
+
+
 def extended_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """(image_id, cluster_id) for every node in a verified near-dup component.
 

@@ -275,6 +275,20 @@ def test_pair_distance_hist_mirror(sf_small, paths):
     assert (eng["n_pairs"] > 0).all()
 
 
+def test_cluster_size_hist_mirror(sf_small, paths):
+    """Dup-family size spectrum must value-match the SQL; the reconciliation
+    n_images == cluster_size * n_clusters is structural, and total images
+    must equal the assignment row count (no cluster lost in the combiners)."""
+    eng = (ip.cluster_size_hist(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("cluster_size").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.CLUSTER_SIZE_HIST_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert (eng["n_images"] == eng["cluster_size"] * eng["n_clusters"]).all()
+    n_assigned = len(ip.extended_clusters(
+        ip.load_images(sf_small, CFG), CFG).to_pandas())
+    assert eng["n_images"].sum() == n_assigned
+
+
 def test_img_cluster_update_mirror(sf_small, paths):
     """Incremental image-cluster maintenance == full recompute == the
     extended-clusters mirror; the known/new split must be non-vacuous and

@@ -548,7 +548,8 @@ WITH live AS (
   SELECT md5(i.caption) AS caption_md5, h.proc_hash, h.image_id
   FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
   WHERE h.status IN ('ok','md5_only')
-    AND NOT regexp_matches(h.proc_hash, '^0+$'))
+    AND NOT regexp_matches(h.proc_hash, '^0+$')
+    AND i.caption IS NOT NULL)
 SELECT caption_md5,
        CAST(count(*) AS BIGINT) AS n_images,
        CAST(count(DISTINCT proc_hash) AS BIGINT) AS n_hashes,

@@ -315,16 +315,22 @@ def verified_edges(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     return verified_edges_from_fp(_live(fingerprints(images, cfg), cfg), cfg, channels)
 
 
-def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
-    """Distinct verified dup pairs (the recall-gate artifact)."""
-    edges = verified_edges(images, cfg)
+def dup_pairs_from_fp(fp: rd.Dataset,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """The verified-pair-set definition, single-sourced: drop the
+    overflow sentinel rows (src == ''), project to (src, dst), dedup."""
     return drop_duplicates(
-        edges.map_batches(
+        verified_edges_from_fp(fp, cfg).map_batches(
             lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
             batch_format="pyarrow",
         ),
         ["src", "dst"],
     )
+
+
+def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Distinct verified dup pairs (the recall-gate artifact)."""
+    return dup_pairs_from_fp(_live(fingerprints(images, cfg), cfg), cfg)
 
 
 PAIR_DIST_SCHEMA = pa.schema([("ham", pa.int64()), ("n_pairs", pa.int64())])
@@ -354,13 +360,7 @@ def pair_distance_hist(images: rd.Dataset,
     from deduplicator_ray.stages.partitioned import partitioned_merge_str
 
     fp = _live(fingerprints(images, cfg), cfg).materialize()
-    edges = drop_duplicates(
-        verified_edges_from_fp(fp, cfg).map_batches(
-            lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-            batch_format="pyarrow",
-        ),
-        ["src", "dst"],
-    )
+    edges = dup_pairs_from_fp(fp, cfg)
 
     def side(dh_col: str, st_col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -371,14 +371,17 @@ def pair_distance_hist(images: rd.Dataset,
         return f
 
     proj = fp.select_columns(["image_id", "dhash", "status"])
+    # inner: an edge endpoint missing from the projection (impossible
+    # today — both derive from the same materialized fp) must DROP, as in
+    # the mirror's JOIN, not surface as a null that kills partial_hist
     j1 = partitioned_merge_str(
         edges, proj.map_batches(side("dh_a", "st_a"), batch_format="pyarrow"),
         ["src", "dst"], ["image_id", "dh_a", "st_a"],
-        left_on="src", right_on="image_id")
+        left_on="src", right_on="image_id", how="inner")
     j2 = partitioned_merge_str(
         j1, proj.map_batches(side("dh_b", "st_b"), batch_format="pyarrow"),
         ["src", "dst", "dh_a", "st_a"], ["image_id", "dh_b", "st_b"],
-        left_on="dst", right_on="image_id")
+        left_on="dst", right_on="image_id", how="inner")
 
     hmax = cfg.hamming_max
 
@@ -669,6 +672,9 @@ def stock_captions(images: rd.Dataset,
     proj = fp.select_columns(["proc_hash", "image_id", "caption"])
 
     def keyed(t: pa.Table) -> pa.Table:
+        # rows without a caption cannot be caption-audited: drop them here
+        # and in the mirror (WHERE caption IS NOT NULL) alike
+        t = t.filter(pc.is_valid(t["caption"]))
         caps = t["caption"].to_pylist()
         md5s = pa.array([hashlib.md5(c.encode()).hexdigest() for c in caps],
                         pa.string())

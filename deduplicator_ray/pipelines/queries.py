@@ -4848,10 +4848,12 @@ ORDER BY doc_id
 # partials, never raw tokens).  Pass 2 broadcasts the table once via
 # ray.put and joins it back per batch with index_in + take + segment sums
 # (np.add.reduceat over list offsets) — no token-exploded shuffle.  At
-# 10^12 docs the vocabulary is zipf-bounded; if it outgrows broadcast the
-# same pass-2 kernel runs after a hash-partition co-location on token
-# (the docs_substring_dup shuffle strategy), so the operator degrades to
-# one extra exchange rather than breaking.
+# 10^12 docs the vocabulary is zipf-bounded but the broadcast is the
+# scale limit of the operator AS WRITTEN (the full table collects to the
+# driver); the kernel is compatible with a hash-partition co-location
+# exchange on token (the docs_substring_dup shuffle strategy) but that
+# fallback is not built — cap the vocabulary (top-V + OOV floor) or add
+# the exchange before running at broadcast-breaking vocab sizes.
 
 
 def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
@@ -4929,7 +4931,13 @@ ORDER BY t.doc_id
 # per batch, so the exchange carries O(sources × k), never the corpus.
 
 
-def docs_source_cap(sf_dir: str, k: int = 10) -> pd.DataFrame:
+_SOURCE_CAP_K = 10
+
+
+def docs_source_cap(sf_dir: str, k: int = _SOURCE_CAP_K) -> pd.DataFrame:
+    # the static mirror DOCS_SOURCE_CAP_SQL is pinned to the default k —
+    # callers overriding k get a correct engine result but must build
+    # their own mirror (same convention as docs_top_tokens)
     ds = dio.read_parquet(_t(sf_dir, "documents"),
                           columns=["doc_id", "source", "n_chars"])
 
@@ -4961,12 +4969,12 @@ def docs_source_cap(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ["source", "rank", "doc_id", "n_chars"]]
 
 
-DOCS_SOURCE_CAP_SQL = """
+DOCS_SOURCE_CAP_SQL = f"""
 SELECT source, rank, doc_id, n_chars
 FROM (SELECT source, doc_id, n_chars,
              CAST(row_number() OVER (PARTITION BY source
                                      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
       FROM documents)
-WHERE rank <= 10
+WHERE rank <= {_SOURCE_CAP_K}
 ORDER BY source, rank
 """

@@ -774,8 +774,9 @@ def test_rarity_score_mirror(sf_small, con_docs):
     eng = q.docs_rarity_score(sf_small)
     orc = con_docs.execute(q.DOCS_RARITY_SCORE_SQL).df()
     _match(eng, orc)
-    # non-vacuity: frequencies vary across docs and min <= mean
-    assert eng["min_freq"].nunique() >= 1
+    # non-vacuity: the fixture exercises varying token frequencies
+    assert len(eng) > 0
+    assert eng["min_freq"].nunique() >= 2
     assert (eng["min_freq"] * eng["n_tokens"] <= eng["sum_freq"]).all()
 
 

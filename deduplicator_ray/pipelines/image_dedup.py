@@ -725,12 +725,17 @@ def caption_conflicts(images: rd.Dataset,
     threshold = cfg.threshold
 
     def audit(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("proc_hash", sort=False).agg(
-            n_members=("image_id", "size"),
-            n_captions=("caption", "nunique"),
-            caption_min=("caption", "min"))
-        g = g[(g["n_members"] >= threshold) & (g["n_captions"] > 1)]
-        g = g.reset_index()
+        # NULL captions don't count as captions (SQL count(DISTINCT)/min
+        # ignore NULL; pandas object-min would crash on str+None mixes) —
+        # members still count toward cluster size, like SQL count(*)
+        sizes = df.groupby("proc_hash", sort=False)["image_id"].size()
+        nn = df[df["caption"].notna()]
+        caps = nn.groupby("proc_hash", sort=False)["caption"].agg(
+            ["nunique", "min"])
+        g = caps.join(sizes.rename("n_members"))
+        g = g[(g["n_members"] >= threshold) & (g["nunique"] > 1)]
+        g = g.reset_index().rename(
+            columns={"nunique": "n_captions", "min": "caption_min"})
         g["n_members"] = g["n_members"].astype(np.int64)
         g["n_captions"] = g["n_captions"].astype(np.int64)
         return g[["proc_hash", "n_members", "n_captions", "caption_min"]]

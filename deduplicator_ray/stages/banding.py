@@ -185,10 +185,13 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
             # one Jaccard-1.0 mega-cluster.  The oracle applies the same
             # rule (oracle.py pair verify), so engine ≡ oracle holds on
             # caption-free corpora too.
-            has_cap = np.fromiter((c != "" for c in caps_all), bool,
-                                  count=len(caps_all))
+            # null captions (failed caption fetch on a web corpus) are
+            # "no caption" exactly like empty ones — inert channel
+            has_cap = np.fromiter(
+                (c is not None and c != "" for c in caps_all), bool,
+                count=len(caps_all))
             ids = ids_all[has_cap].tolist()
-            caps = [c for c in caps_all if c != ""]
+            caps = [c for c in caps_all if c is not None and c != ""]
             dh = dh_all[has_cap]
             n = len(ids)
             if n:

@@ -42,8 +42,12 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
         n = batch.num_rows
         ids = batch["image_id"].to_pylist()
         payloads = batch["bytes"].to_pylist()
-        ws = batch["w"].to_numpy(zero_copy_only=False)
-        hs = batch["h"].to_numpy(zero_copy_only=False)
+        # null w/h surface as NaN through the pandas-style conversion —
+        # coerce to 0 so the bomb guard and pixel count stay integer
+        ws = np.nan_to_num(
+            batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hs = np.nan_to_num(
+            batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
         fmts = batch["fmt"].to_pylist()
 
         dhash = np.zeros(n, np.int64)
@@ -58,6 +62,13 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
 
         for i in range(n):
             data = payloads[i]
+            if data is None:
+                # failed-download row on a web corpus: dead-letter it (the
+                # reference never sees this case — its inputs are live
+                # files — so 'error' status is the honest taxonomy slot)
+                status[i] = "error"
+                errors[i] = "NullPayload: bytes is null"
+                continue
             filesize[i] = len(data)
             pixels[i] = int(ws[i]) * int(hs[i])
             md5s[i] = hashing.md5_hex(data)

@@ -1,0 +1,73 @@
+"""Null-tolerance over the input_hint schema: a web corpus has failed
+downloads (bytes NULL), missing alt-text (caption NULL) and absent
+metadata (w/h NULL).  Every pipeline must route these — null payloads
+dead-letter with the NullPayload taxonomy, null captions are "no caption"
+(inert caption channel, like empty strings), null dims coerce to 0 and
+fall through the codec's own validation — never crash a Ray task.
+The synthetic fixtures never emit nulls, so this builds its own corpus
+from fixture rows with nulls punched in."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deduplicator_ray import fixtures
+from deduplicator_ray import io as dio
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.pipelines import image_dedup as ip
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def null_corpus(sf_small, tmp_path_factory):
+    src = fixtures.images_path(sf_small, CFG.hash_size)
+    t = pq.read_table(sorted(glob.glob(src + "/*.parquet"))[0]).slice(0, 60)
+    cap = t["caption"].to_pylist()
+    byt = t["bytes"].to_pylist()
+    w = t["w"].to_pylist()
+    h = t["h"].to_pylist()
+    cap[3] = None
+    cap[17] = None
+    byt[5] = None
+    w[9] = None
+    h[9] = None
+    cols = {c: t[c] for c in t.column_names}
+    cols["caption"] = pa.array(cap, pa.string())
+    cols["bytes"] = pa.array(byt, pa.binary())
+    cols["w"] = pa.array(w, pa.int32())
+    cols["h"] = pa.array(h, pa.int32())
+    d = str(tmp_path_factory.mktemp("nullcorpus"))
+    pq.write_table(pa.table(cols), os.path.join(d, "part.parquet"))
+    return d
+
+
+def test_null_bytes_dead_letter(ray_session, null_corpus):
+    dl = ip.dead_letter(
+        ip.fingerprints(dio.read_parquet(null_corpus), CFG)).to_pandas()
+    assert (dl["error"] == "NullPayload: bytes is null").sum() == 1
+
+
+def test_pipelines_survive_nulls(ray_session, null_corpus):
+    for fn in (ip.extended_clusters, ip.reference_decisions, ip.dup_pairs,
+               ip.stock_captions, ip.caption_conflicts,
+               ip.cluster_size_hist, ip.pair_distance_hist):
+        out = fn(dio.read_parquet(null_corpus), CFG)
+        assert out.count() >= 0  # executes without a task crash
+
+
+def test_null_caption_rows_still_image_dedup(ray_session, null_corpus):
+    """A row whose caption is NULL must still dedup via the image channel
+    (its dhash is intact) — the caption channel just goes inert for it."""
+    fp = ip._live(ip.fingerprints(dio.read_parquet(null_corpus), CFG), CFG)
+    df = fp.to_pandas()
+    # the punched rows are alive (status ok) — nulls cost them nothing
+    assert len(df) >= 50
+    clusters = ip.extended_clusters(
+        dio.read_parquet(null_corpus), CFG).to_pandas()
+    # the null-caption rows' ids appear in the assignment if they have
+    # an image-channel duplicate (fixture groups guarantee some do)
+    assert len(clusters) > 0

@@ -21,6 +21,15 @@ from typing import Any
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def _nonnull_vec(ds, col: str = "embedding"):
+    """NULL embeddings drop out before any matrix stack (web-corpus
+    failed-encode rows) — matches the mirrors' NULL-excluding arithmetic."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[col])), batch_format="pyarrow")
+
+
 def _cfg():
     from deduplicator_ray.config import PipelineConfig
 
@@ -723,10 +732,12 @@ def _ann_ivf_topk(sf_dir: str):
 
     from deduplicator_ray.functions.vector import ivf_topk
 
-    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qtbl = pq.read_table(os.path.join(
+        sf_dir, "embeddings.parquet")).drop_null().to_pandas()
     qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
-    ds = dio.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))
     out = ivf_topk(ds, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].to_numpy())
     out["cos_e6"] = np.floor(out["cos"].to_numpy() * 1e6 + 0.5).astype(np.int64)
     return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
@@ -754,10 +765,12 @@ def _ann_ivf_append(sf_dir: str):
         ivf_search,
     )
 
-    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qtbl = pq.read_table(os.path.join(
+        sf_dir, "embeddings.parquet")).drop_null().to_pandas()
     qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
-    ds = dio.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))
 
     def side(new_side: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -845,8 +858,9 @@ def _emb_cross_srp_indexed(sf_dir: str):
     from deduplicator_ray import io as dio
     from deduplicator_ray.state import srpstore
 
-    ds = dio.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))
 
     def side(new_side: bool):
         def f(t: pa.Table) -> pa.Table:

@@ -347,6 +347,18 @@ DOCS_LANG_ID_SQL = lang_id_sql("documents", "doc_id", "text")
 # driver's exact value hash can't be tripped by float representation.
 
 
+def _nonnull_vec_tbl(tbl: pa.Table, col: str = "embedding") -> pa.Table:
+    """NULL embeddings (failed encode on a web corpus) drop out before any
+    matrix stack — the mirrors' arithmetic over a NULL list yields NULL and
+    excludes the row the same way."""
+    return tbl.filter(pc.is_valid(tbl[col]))
+
+
+def _nonnull_vec(ds: rd.Dataset, col: str = "embedding") -> rd.Dataset:
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[col])), batch_format="pyarrow")
+
+
 def _cos_e6(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, np.float64) * 1e6 + 0.5).astype(np.int64)
 
@@ -356,11 +368,12 @@ def ann_cosine_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     from deduplicator_ray.functions.vector import brute_force_topk
 
-    qtbl = pq.read_table(_t(sf_dir, "embeddings"))
+    qtbl = _nonnull_vec_tbl(pq.read_table(_t(sf_dir, "embeddings")))
     qdf = qtbl.to_pandas()
     qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy())
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=k)
     out["cos_e6"] = _cos_e6(out["cos"].to_numpy())
     return out[["query_id", "rank", "vec_id", "cos_e6"]].reset_index(drop=True)
@@ -682,13 +695,15 @@ LIMIT 100
 def emb_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    tbl = _nonnull_vec_tbl(pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put((ids_all, mat))
 
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
 
     def pairs(t: pa.Table) -> pa.Table:
         all_ids, m = ray.get(mat_ref)
@@ -749,8 +764,8 @@ def emb_srp_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     nbands = vfn.SRP_BANDS
     out_schema = pa.schema([("va", pa.int64()), ("vb", pa.int64()),
                             ("cos_e6", pa.int64())])
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
 
     band_rows = vfn.srp_band_rows              # shared with state/srpstore
 
@@ -846,8 +861,8 @@ def _emb_exact_edges(sf_dir: str, keep_vec, pair_keep,
     LSH/IVF paths are the approximate production alternatives."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_t(sf_dir, "embeddings"),
-                        columns=["vec_id", "embedding"])
+    tbl = _nonnull_vec_tbl(pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(v, np.float64)
                     for v in tbl["embedding"].to_pylist()])
@@ -856,8 +871,8 @@ def _emb_exact_edges(sf_dir: str, keep_vec, pair_keep,
     ids_all, mat = ids_all[keep], mat[keep]
     ref = ray.put((ids_all, mat))
 
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
     def edges(t: pa.Table) -> pa.Table:
@@ -1543,8 +1558,8 @@ def emb_semdedup(sf_dir: str, threshold: float = 0.35,
     from deduplicator_ray.stages.components import connected_components
     from deduplicator_ray.stages.partitioned import partitioned_groupby
 
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     sample = vfn.sample_rows_absolute(ds, 65536)
     cents = vfn.train_centroids(sample, n_centroids)
     assigned = vfn.assign_buckets(ds, cents)
@@ -4008,8 +4023,8 @@ def emb_lang_centroids(sf_dir: str) -> pd.DataFrame:
     lang_ref = ray.put((langs_tbl["doc_id"].combine_chunks(),
                         langs_tbl["lang"].combine_chunks()))
 
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
 
     def partial(t: pa.Table) -> pa.Table:
         keys, langs = ray.get(lang_ref)
@@ -4409,8 +4424,8 @@ _KNN_K = 3
 def emb_knn_join(sf_dir: str, k: int = _KNN_K) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_t(sf_dir, "embeddings"),
-                        columns=["vec_id", "embedding"])
+    tbl = _nonnull_vec_tbl(pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(v, np.float64)
                     for v in tbl["embedding"].to_pylist()])
@@ -4419,8 +4434,8 @@ def emb_knn_join(sf_dir: str, k: int = _KNN_K) -> pd.DataFrame:
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put((ids_all, mat))
 
-    ds = dio.read_parquet(_t(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     out_schema = pa.schema([
         ("vec_id", pa.int64()), ("nn_rank", pa.int64()),
         ("nn_id", pa.int64()), ("cos_e6", pa.int64())])

@@ -71,3 +71,53 @@ def test_null_caption_rows_still_image_dedup(ray_session, null_corpus):
     # the null-caption rows' ids appear in the assignment if they have
     # an image-channel duplicate (fixture groups guarantee some do)
     assert len(clusters) > 0
+
+
+@pytest.fixture(scope="module")
+def null_tables(sf_small, tmp_path_factory):
+    """documents with NULL text rows + embeddings with NULL vectors."""
+    d = str(tmp_path_factory.mktemp("nulltables"))
+    t = pq.read_table(os.path.join(sf_small, "documents.parquet"))
+    txt = t["text"].to_pylist()
+    txt[2] = None
+    txt[7] = None
+    cols = {c: t[c] for c in t.column_names}
+    cols["text"] = pa.array(txt, pa.string())
+    pq.write_table(pa.table(cols), os.path.join(d, "documents.parquet"))
+    e = pq.read_table(os.path.join(sf_small, "embeddings.parquet"))
+    vec = e["embedding"].to_pylist()
+    vec[1] = None
+    vec[10] = None
+    ecols = {c: e[c] for c in e.column_names}
+    ecols["embedding"] = pa.array(vec, e["embedding"].type)
+    pq.write_table(pa.table(ecols), os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_doc_pipelines_survive_null_text(ray_session, null_tables):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    for name in ("docs_text_stats", "docs_dup_pairs", "docs_substring_dup",
+                 "docs_cdc_chunks", "docs_rarity_score"):
+        out = q[name](null_tables)
+        n = len(out) if hasattr(out, "__len__") else out.count()
+        assert n >= 0
+
+
+def test_emb_pipelines_drop_null_vectors(ray_session, null_tables):
+    """NULL embeddings must drop out (the mirrors' NULL-excluding
+    arithmetic), never crash a matrix stack."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    for name in ("ann_cosine_topk", "emb_near_dup", "emb_srp_pairs",
+                 "ann_ivf_topk", "emb_knn_join", "emb_lang_centroids"):
+        out = q[name](null_tables)
+        n = len(out) if hasattr(out, "__len__") else out.count()
+        assert n >= 0
+    # the nulled vec_ids never appear as endpoints
+    pairs = q["emb_near_dup"](null_tables)
+    ids = pq.read_table(os.path.join(null_tables, "embeddings.parquet"))
+    nulled = {ids["vec_id"][1].as_py(), ids["vec_id"][10].as_py()}
+    assert not (set(pairs["va"]) | set(pairs["vb"])) & nulled

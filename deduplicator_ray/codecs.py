@@ -237,7 +237,11 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     Raises CodecError for corrupt payloads (dead-letter) and
     UnsupportedFormatError for stubbed formats (jpg/video/audio — the
     multimodal plumbing is real, the codec kernel is the documented stub).
+    A None payload (failed download on a web corpus) is a CodecError so
+    every consumer's existing dead-letter path routes it.
     """
+    if data is None:
+        raise CodecError("null payload")
     if fmt == "raw":
         img = decode_raw(data, w, h)
     elif fmt == "ppm":

@@ -38,8 +38,12 @@ class ResizeImages:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         payloads = batch["bytes"].to_pylist()
-        ws = batch["w"].to_numpy(zero_copy_only=False)
-        hs = batch["h"].to_numpy(zero_copy_only=False)
+        # null w/h → 0 (codec validation rejects what it must); null bytes
+        # raise CodecError inside decode_image and take the error path
+        ws = np.nan_to_num(
+            batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hs = np.nan_to_num(
+            batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
         fmts = batch["fmt"].to_pylist()
         out_bytes, status = [], []
         for i in range(n):
@@ -70,8 +74,12 @@ class ImageFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         payloads = batch["bytes"].to_pylist()
-        ws = batch["w"].to_numpy(zero_copy_only=False)
-        hs = batch["h"].to_numpy(zero_copy_only=False)
+        # null w/h → 0 (codec validation rejects what it must); null bytes
+        # raise CodecError inside decode_image and take the error path
+        ws = np.nan_to_num(
+            batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hs = np.nan_to_num(
+            batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
         fmts = batch["fmt"].to_pylist()
         mean_rgb = np.zeros((n, 3), np.float32)
         hist = np.zeros((n, self.bins), np.float32)

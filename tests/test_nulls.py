@@ -121,3 +121,16 @@ def test_emb_pipelines_drop_null_vectors(ray_session, null_tables):
     ids = pq.read_table(os.path.join(null_tables, "embeddings.parquet"))
     nulled = {ids["vec_id"][1].as_py(), ids["vec_id"][10].as_py()}
     assert not (set(pairs["va"]) | set(pairs["vb"])) & nulled
+
+
+def test_multimodal_stages_route_nulls(ray_session, null_corpus):
+    """Actor-pool decode stages must status-tag null payloads (and rows
+    whose dims are null) through their existing error path, not crash."""
+    from deduplicator_ray.pipelines import multimodal as mm
+
+    r = mm.resize_pipeline(dio.read_parquet(null_corpus), 32, 32).to_pandas()
+    assert len(r) == 60
+    assert (r["resize_status"] != "ok").sum() >= 1
+    f = mm.feature_pipeline(dio.read_parquet(null_corpus), CFG).to_pandas()
+    assert len(f) == 60
+    assert (f["feat_status"] != "ok").sum() >= 1

@@ -23,11 +23,10 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 def _nonnull_vec(ds, col: str = "embedding"):
     """NULL embeddings drop out before any matrix stack (web-corpus
-    failed-encode rows) — matches the mirrors' NULL-excluding arithmetic."""
-    import pyarrow.compute as pc
+    failed-encode rows) — single-sourced in pipelines/queries.py."""
+    from deduplicator_ray.pipelines.queries import _nonnull_vec as f
 
-    return ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t[col])), batch_format="pyarrow")
+    return f(ds, col)
 
 
 def _cfg():
@@ -732,8 +731,10 @@ def _ann_ivf_topk(sf_dir: str):
 
     from deduplicator_ray.functions.vector import ivf_topk
 
-    qtbl = pq.read_table(os.path.join(
-        sf_dir, "embeddings.parquet")).drop_null().to_pandas()
+    from deduplicator_ray.pipelines.queries import _nonnull_vec_tbl
+
+    qtbl = _nonnull_vec_tbl(pq.read_table(os.path.join(
+        sf_dir, "embeddings.parquet"))).to_pandas()
     qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
     ds = _nonnull_vec(dio.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -765,8 +766,10 @@ def _ann_ivf_append(sf_dir: str):
         ivf_search,
     )
 
-    qtbl = pq.read_table(os.path.join(
-        sf_dir, "embeddings.parquet")).drop_null().to_pandas()
+    from deduplicator_ray.pipelines.queries import _nonnull_vec_tbl
+
+    qtbl = _nonnull_vec_tbl(pq.read_table(os.path.join(
+        sf_dir, "embeddings.parquet"))).to_pandas()
     qdf = qtbl[qtbl["vec_id"] < 4].sort_values("vec_id")
     ds = _nonnull_vec(dio.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -1184,7 +1187,8 @@ def _fixture_mirrors() -> dict[str, str]:
               JOIN '{ivf}/probes.parquet' p USING (bucket)
               JOIN embeddings e ON e.vec_id = a.vec_id
               JOIN embeddings q ON q.vec_id = p.query_id
-              WHERE e.vec_id != p.query_id)
+              WHERE e.vec_id != p.query_id
+                AND e.embedding IS NOT NULL AND q.embedding IS NOT NULL)
             WHERE rank <= 5
             ORDER BY query_id, rank
         """,

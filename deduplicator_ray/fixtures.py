@@ -647,6 +647,7 @@ def ivf_sidecar_path(sf_dir: str, n_centroids: int = 16, nprobe: int = 4,
         return out
     src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
+    src = src.filter(pc.is_valid(src["embedding"]))  # null vectors drop
     ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
     sample = x[:65536]  # engine cap: sample_rows_absolute(..., 65536)
@@ -700,6 +701,7 @@ def srp_sidecar_path(sf_dir: str) -> str:
         return out
     src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
+    src = src.filter(pc.is_valid(src["embedding"]))  # null vectors drop
     ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
     keys = vfn.srp_band_keys(x)

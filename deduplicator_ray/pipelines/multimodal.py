@@ -215,8 +215,11 @@ class ConcatImages:
             imgs, ok = [], True
             for _, r in g.iterrows():
                 try:
+                    # null dims read back as NaN through pandas — coerce to
+                    # 0 so codec validation (not int()) rejects what it must
                     imgs.append(codecs.decode_image(
-                        r["bytes"], r["fmt"], int(r["w"]), int(r["h"])))
+                        r["bytes"], r["fmt"],
+                        int(np.nan_to_num(r["w"])), int(np.nan_to_num(r["h"]))))
                 except codecs.CodecError:
                     ok = False
                     break
@@ -275,7 +278,8 @@ class MontageImages(ConcatImages):
             for _, r in g.iterrows():
                 try:
                     img = codecs.decode_image(
-                        r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                        r["bytes"], r["fmt"],
+                        int(np.nan_to_num(r["w"])), int(np.nan_to_num(r["h"])))
                     tiles.append(resize_u8(img, t, t))
                 except codecs.CodecError:
                     tiles.append(np.zeros((t, t, 3), np.uint8))

@@ -388,7 +388,8 @@ SELECT query_id, rank, vec_id, cos_e6 FROM (
            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
          ) AS rank
   FROM embeddings q CROSS JOIN embeddings e
-  WHERE q.vec_id < 4 AND e.vec_id != q.vec_id)
+  WHERE q.vec_id < 4 AND e.vec_id != q.vec_id
+    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL)
 WHERE rank <= 5
 ORDER BY query_id, rank
 """
@@ -4473,7 +4474,8 @@ WITH s AS (
          CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[]))
                     * 1e6 + 0.5) AS BIGINT) AS cos_e6
-  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY cos_e6 DESC, nn_id) AS rn

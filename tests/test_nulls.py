@@ -134,3 +134,36 @@ def test_multimodal_stages_route_nulls(ray_session, null_corpus):
     f = mm.feature_pipeline(dio.read_parquet(null_corpus), CFG).to_pandas()
     assert len(f) == 60
     assert (f["feat_status"] != "ok").sum() >= 1
+
+
+def test_montage_concat_survive_null_dims(ray_session, null_corpus):
+    """The per-cluster merge sinks must route null-dim members through
+    their CodecError path (black tile / error row), not ValueError-crash
+    on int(NaN)."""
+    import pandas as pd
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines import multimodal as mm
+
+    images = dio.read_parquet(null_corpus)
+    clusters = ip.extended_clusters(images, CFG)
+    out = mm.montage_pipeline(dio.read_parquet(null_corpus), clusters).to_pandas()
+    assert len(out) > 0
+
+
+def test_rank_mirrors_exclude_null_embeddings(ray_session, null_tables):
+    """ann_cosine_topk must value-match its mirror ON a null-bearing
+    corpus — the rank window's IS NOT NULL mirrors the engine's drop."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    eng = e.queries()["ann_cosine_topk"](null_tables)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{null_tables}/embeddings.parquet')")
+    orc = con.execute(e.oracle_sql()["ann_cosine_topk"]).df()
+    cols = sorted(eng.columns)
+    a = eng[cols].sort_values(cols).reset_index(drop=True)
+    b = orc[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

@@ -938,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": q.docs_top_tokens,
         "docs_rarity_score": q.docs_rarity_score,
         "docs_source_cap": q.docs_source_cap,
+        "docs_lang_length_gate": q.docs_lang_length_gate,
         "events_funnel": q.events_funnel,
         "events_props_stats": q.events_props_stats,
         "events_moving_sum": q.events_moving_sum,
@@ -1301,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
         "docs_rarity_score": q.DOCS_RARITY_SCORE_SQL,
         "docs_source_cap": q.DOCS_SOURCE_CAP_SQL,
+        "docs_lang_length_gate": q.DOCS_LANG_LENGTH_GATE_SQL,
         "events_funnel": q.EVENTS_FUNNEL_SQL,
         "events_props_stats": q.EVENTS_PROPS_STATS_SQL,
         "events_moving_sum": q.EVENTS_MOVING_SUM_SQL,

@@ -4995,3 +4995,118 @@ FROM (SELECT source, doc_id, n_chars,
 WHERE rank <= {_SOURCE_CAP_K}
 ORDER BY source, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_lang_length_gate — per-language bottom-decile length gate (the
+# CCNet-style per-lang quality cut, rank-exact): within each lang, the 10%
+# of docs with the smallest (n_tokens, doc_id) are 'drop'.  Distributed
+# shape: a (lang, n_tokens) count-histogram combiner bounds the exchange by
+# langs × distinct lengths; the driver resolves each lang's boundary value
+# from cumulative counts, and only BOUNDARY-VALUE ties (the one
+# data-dependent set, logged if large) ship their doc_ids to pick the
+# k-th-smallest exactly.  The corpus itself is never ranked globally.
+
+
+def docs_lang_length_gate(sf_dir: str, pct: int = 10) -> pd.DataFrame:
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"),
+                          columns=["doc_id", "lang", "text"])
+
+    mid = pa.schema([("lang", pa.string()), ("n_tokens", pa.int64()),
+                     ("cnt", pa.int64())])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        # NULL text ranks last in the SQL's ascending order — a max
+        # sentinel reproduces that without a NULL-aware rank kernel
+        n_tok = pc.fill_null(n_tok.cast(pa.int64()), 2**62)
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["lang"], n_tok],
+            names=["doc_id", "lang", "n_tokens"])
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_tokens"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def hist_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_tokens"], as_index=False)["cnt"].sum()
+        return g.astype({"cnt": np.int64})
+
+    hist = partitioned_groupby(
+        feats.map_batches(hist_partial, batch_format="pandas"),
+        ["lang"], hist_sum, num_parts=4, out_schema=mid).to_pandas()
+
+    # per-lang boundary: k = n // (100/pct); docs ranked (n_tokens, doc_id)
+    # asc with rank <= k drop.  below[v] docs are strictly shorter than the
+    # boundary value; (k - below) more drop among boundary-value ties.
+    bounds: dict[str, tuple[int, int]] = {}  # lang -> (boundary_value, n_tie_drop)
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens")
+        n = int(g["cnt"].sum())
+        k = n * pct // 100
+        if k == 0:
+            continue
+        cum = g["cnt"].cumsum()
+        idx = int(np.searchsorted(cum.to_numpy(), k, side="left"))
+        v = int(g["n_tokens"].iloc[idx])
+        below = int(cum.iloc[idx - 1]) if idx else 0
+        bounds[lang] = (v, k - below)
+
+    # boundary ties: the only data-dependent collect, bounded by tie mass
+    tie_ids: dict[str, set] = {}
+    if bounds:
+        blist = {l: v for l, (v, _) in bounds.items()}
+
+        def boundary(t: pa.Table) -> pa.Table:
+            langs = t["lang"].to_pylist()
+            nt = t["n_tokens"].to_pylist()
+            keep = pa.array([blist.get(l) == n for l, n in zip(langs, nt)])
+            return t.filter(keep).select(["doc_id", "lang"])
+
+        ties = feats.map_batches(boundary, batch_format="pyarrow").to_pandas()
+        for lang, g in ties.groupby("lang"):
+            _, n_drop = bounds[lang]
+            tie_ids[lang] = set(g["doc_id"].sort_values().head(n_drop))
+
+    bounds_ref = ray.put((bounds, tie_ids))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("n_tokens", pa.int64()), ("action", pa.string())])
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        bnds, tids = ray.get(bounds_ref)
+        vs = df["lang"].map(lambda l: bnds.get(l, (np.int64(-1), 0))[0])
+        drop = (df["n_tokens"] < vs) | (
+            (df["n_tokens"] == vs)
+            & [d in tids.get(l, ()) for l, d in zip(df["lang"], df["doc_id"])])
+        out = df[["doc_id", "lang", "n_tokens"]].copy()
+        out["action"] = np.where(drop, "drop", "keep")
+        return out
+
+    out = feats.map_batches(decide, batch_format="pandas").to_pandas()
+    if out.empty:
+        return out_schema.empty_table().to_pandas()
+    out = _typed(out, out_schema)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_LANG_LENGTH_GATE_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CASE WHEN rn <= n * 10 // 100 THEN 'drop' ELSE 'keep' END AS action
+FROM r ORDER BY doc_id
+"""

@@ -788,3 +788,17 @@ def test_source_cap_mirror(sf_small, con_docs):
     assert (eng.groupby("source")["rank"].max() <= 10).all()
     per = eng.groupby("source")["n_chars"]
     assert all(g.is_monotonic_decreasing for _, g in per)
+
+
+def test_lang_length_gate_mirror(sf_small, con_docs):
+    """Per-lang bottom-decile length gate must value-match the rank-window
+    mirror, including boundary-value tie resolution by doc_id."""
+    eng = q.docs_lang_length_gate(sf_small)
+    orc = con_docs.execute(q.DOCS_LANG_LENGTH_GATE_SQL).df()
+    _match(eng, orc)
+    # non-vacuity: both actions occur, and per lang the drop count is
+    # exactly n // 10
+    assert set(eng["action"]) == {"keep", "drop"}
+    per = eng.groupby("lang").agg(n=("doc_id", "size"),
+                                  d=("action", lambda s: (s == "drop").sum()))
+    assert (per["d"] == per["n"] * 10 // 100).all()

@@ -175,6 +175,18 @@ def _img_cluster_size_hist(sf_dir: str):
     return pdf.sort_values("cluster_size").reset_index(drop=True)
 
 
+def _img_leakage_split(sf_dir: str):
+    """Near-dup-aware train/val split over the live image corpus — the
+    image-side sibling of docs_leakage_split: every extended-cluster member
+    shares its component's split key, so no verified near-dup pair
+    straddles the train/val boundary; unclustered images key on their own
+    id.  Same engine-portable md5 bucket expression on both sides."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.img_leakage_split(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_caption_langid(sf_dir: str):
     """Language-ID over the image CAPTIONS (the text kernel applied to the
     paired-modality column — filters mixed-language caption sets before
@@ -972,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_stock_captions": _img_stock_captions,
         "img_pair_distance_hist": _img_pair_distance_hist,
         "img_cluster_size_hist": _img_cluster_size_hist,
+        "img_leakage_split": _img_leakage_split,
         "img_cluster_update": _img_cluster_update,
         "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
@@ -1075,6 +1088,10 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.PAIR_DIST_HIST_SQL, hashes=hashes, **kw),
         "img_cluster_size_hist": mirrors.compose(
             mirrors.CLUSTER_SIZE_HIST_SQL, hashes=hashes, **kw),
+        # split assignment must re-derive identically in SQL: shared
+        # extended CTE + the portable md5 bucket expression
+        "img_leakage_split": mirrors.compose(
+            mirrors.LEAKAGE_SPLIT_SQL, hashes=hashes, **kw),
         # incremental maintenance must equal the full recompute — the
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(

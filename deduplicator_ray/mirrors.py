@@ -343,6 +343,23 @@ SELECT CAST(n AS BIGINT) AS cluster_size,
 FROM sizes GROUP BY n ORDER BY n
 """
 
+
+# near-dup-aware train/val split over the live image corpus: clustered
+# images key on their component label, the rest on their own id; the same
+# engine-portable md5 bucket expression as DOCS_LEAKAGE_SPLIT_SQL
+LEAKAGE_SPLIT_SQL = _EXTENDED_CTE + """
+, asg AS (
+  SELECT l.image_id, coalesce(a.cluster_id, l.image_id) AS split_key
+  FROM live l LEFT JOIN assigned a USING (image_id))
+SELECT image_id, split_key,
+       CAST(('0x' || substr(md5(split_key), 1, 8)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(split_key), 1, 8)) AS BIGINT) % 100
+                 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM asg
+ORDER BY image_id
+"""
+
 # montage-sink layout stats (S7, /root/reference/dedupc.py:109-154): per
 # near-dup cluster, the first ≤16 members (string id order) tile into a
 # 4-wide 32-px grid; an undecodable member (strict-mode md5 media) leaves a

@@ -196,40 +196,57 @@ def doc_leakage_split(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     and runs on the id string, not the text payload.
 
     Output: (doc_id, split_key, bucket∈[0,100), split∈{train,val})."""
-    import hashlib
-
     labels = doc_clusters(ds, cfg)
 
     def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.string())})
+
+    return leakage_split_from_labels(
+        ds.map_batches(proj, batch_format="pyarrow"), labels,
+        id_col="doc_id", train_pct=train_pct, num_parts=num_parts)
+
+
+def leakage_split_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,
+                              id_col: str = "doc_id", train_pct: int = 90,
+                              num_parts: int = 64) -> rd.Dataset:
+    """Generic cluster-aware split assignment shared by the doc and image
+    modalities: ``ids`` is a one-string-column projection of the splittable
+    corpus, ``labels`` is a ``connected_components``-shaped
+    (image_id, cluster_id) assignment.  Rows in a cluster key on the
+    cluster label, the rest on their own id; the key hashes to a bucket
+    via the engine-portable ``int(md5(key)[:8], 16) % 100``."""
+    import hashlib
+
+    def proj(t: pa.Table) -> pa.Table:
         return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            id_col: pc.cast(t[id_col], pa.string()),
             "cluster_id": pa.array([""] * t.num_rows, pa.string()),
         })
 
     def lab(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["image_id"],
+        return pa.table({id_col: t["image_id"],
                          "cluster_id": t["cluster_id"]})
 
-    out_schema = pa.schema([("doc_id", pa.string()),
+    out_schema = pa.schema([(id_col, pa.string()),
                             ("split_key", pa.string()),
                             ("bucket", pa.int64()),
                             ("split", pa.string())])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("doc_id")
-                .set_index("doc_id")["cluster_id"])
-        out = df.loc[df["cluster_id"] == "", ["doc_id"]].copy()
-        out["split_key"] = out["doc_id"].map(lmap).fillna(out["doc_id"])
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates(id_col)
+                .set_index(id_col)["cluster_id"])
+        out = df.loc[df["cluster_id"] == "", [id_col]].copy()
+        out["split_key"] = out[id_col].map(lmap).fillna(out[id_col])
         out["bucket"] = np.fromiter(
             (int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 100
              for k in out["split_key"]),
             np.int64, count=len(out))
         out["split"] = np.where(out["bucket"] < train_pct, "train", "val")
-        return out[["doc_id", "split_key", "bucket", "split"]]
+        return out[[id_col, "split_key", "bucket", "split"]]
 
-    unioned = (ds.map_batches(proj, batch_format="pyarrow")
+    unioned = (ids.map_batches(proj, batch_format="pyarrow")
                .union(labels.map_batches(lab, batch_format="pyarrow")))
-    return partitioned_groupby(unioned, ["doc_id"], assign,
+    return partitioned_groupby(unioned, [id_col], assign,
                                num_parts=num_parts, out_schema=out_schema)
 
 

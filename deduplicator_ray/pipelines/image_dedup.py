@@ -507,6 +507,38 @@ def extended_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     )
 
 
+def img_leakage_split(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                      train_pct: int = 90, num_parts: int = 64) -> rd.Dataset:
+    """Near-dup-aware train/validation split over the IMAGE corpus — the
+    image-side sibling of ``doc_dedup.doc_leakage_split``, closing the
+    modality matrix: every live image (decodable ``ok`` + strict-mode
+    ``md5_only`` media, zero-hash poison excluded — the same keyspace the
+    dedup pipelines cluster, /root/reference/dupedb.py:68-101) gets a split
+    assignment, and all members of an ``extended_clusters`` component share
+    it, so no verified near-duplicate pair straddles the train/val boundary.
+    Unclustered images key on their own id.
+
+    Scale shape: the fingerprint table is materialized once (bytes already
+    dropped) so the cluster computation and the id projection both consume
+    it without re-decoding; cluster labels union a 1-column id projection,
+    then ONE hash-partitioned groupby resolves each row's split key
+    (leakage_split_from_labels).  Output:
+    (image_id, split_key, bucket∈[0,100), split∈{train,val})."""
+    from deduplicator_ray.pipelines.doc_dedup import leakage_split_from_labels
+
+    fp = _live(fingerprints(images, cfg), cfg).materialize()
+    edges = verified_edges_from_fp(fp, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, cfg)
+    ids = fp.map_batches(lambda t: t.select(["image_id"]),
+                         batch_format="pyarrow")
+    return leakage_split_from_labels(ids, labels, id_col="image_id",
+                                     train_pct=train_pct,
+                                     num_parts=num_parts)
+
+
 def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
                         cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Cross-corpus image near-dedup — "does this new image near-duplicate

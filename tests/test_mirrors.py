@@ -354,3 +354,20 @@ def test_caption_langid_mirror(sf_small, paths):
         q.lang_id_sql(f"'{paths['images']}'", "image_id", "caption")).df()
     _assert_frame_equal(eng, orc)
     assert eng["lang_pred"].nunique() > 1
+
+
+def test_img_leakage_split_mirror(sf_small, paths):
+    """Near-dup-aware image train/val split must value-match the SQL
+    re-derivation (shared extended CTE + portable md5 bucket), cover every
+    live image exactly once, and keep every extended-cluster component on
+    ONE side of the boundary (the leakage guarantee)."""
+    eng = (ip.img_leakage_split(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.LEAKAGE_SPLIT_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert eng["image_id"].is_unique
+    assert set(eng["split"]) == {"train", "val"}
+    lab = ip.extended_clusters(ip.load_images(sf_small, CFG), CFG).to_pandas()
+    m = lab.merge(eng, on="image_id")
+    assert len(m) == len(lab)  # every clustered image got an assignment
+    assert (m.groupby("cluster_id")["split"].nunique() == 1).all()

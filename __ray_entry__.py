@@ -187,6 +187,26 @@ def _img_leakage_split(sf_dir: str):
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
 
 
+def _img_curation(sf_dir: str):
+    """End-to-end image curation decision table (image sibling of
+    docs_curation): dead-letter → poison → size → aspect gates, then a
+    per-proc_hash keeper election among the survivors.  One decode pass,
+    streaming classify, one survivor-only groupby — gated rows never enter
+    the shuffle."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.img_curation(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def _img_curation_report(sf_dir: str):
+    """Per-action rollup of img_curation (images + bytes per action) — the
+    dataset-card summary an operator reads before shipping the corpus."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    return ip.img_curation_report(ip.load_images(sf_dir, _cfg()), _cfg())
+
+
 def _img_caption_langid(sf_dir: str):
     """Language-ID over the image CAPTIONS (the text kernel applied to the
     paired-modality column — filters mixed-language caption sets before
@@ -985,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_pair_distance_hist": _img_pair_distance_hist,
         "img_cluster_size_hist": _img_cluster_size_hist,
         "img_leakage_split": _img_leakage_split,
+        "img_curation": _img_curation,
+        "img_curation_report": _img_curation_report,
         "img_cluster_update": _img_cluster_update,
         "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
@@ -1092,6 +1114,10 @@ def _fixture_mirrors() -> dict[str, str]:
         # extended CTE + the portable md5 bucket expression
         "img_leakage_split": mirrors.compose(
             mirrors.LEAKAGE_SPLIT_SQL, hashes=hashes, **kw),
+        "img_curation": mirrors.compose(
+            mirrors.IMG_CURATION_SQL, hashes=hashes, **kw),
+        "img_curation_report": mirrors.compose(
+            mirrors.IMG_CURATION_REPORT_SQL, hashes=hashes, **kw),
         # incremental maintenance must equal the full recompute — the
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(

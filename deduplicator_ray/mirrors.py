@@ -360,6 +360,55 @@ FROM asg
 ORDER BY image_id
 """
 
+# end-to-end image curation decision table (image_dedup.img_curation):
+# first-hit-wins gate cascade, then the reference quality-tuple keeper
+# election among survivors per proc_hash bucket.  pixels/filesize reproduce
+# the engine's decode-stage columns exactly, including the null-payload row
+# (engine never reaches the size fields: both 0) and null w/h (coerced 0).
+# Gate literals (1024 px, 3:2 aspect) are pinned to
+# image_dedup.IMG_CURATION_MIN_PIXELS — change both together.
+IMG_CURATION_SQL = """
+WITH fp AS (
+  SELECT h.image_id, h.proc_hash, h.status,
+         coalesce(i.w, 0) AS w, coalesce(i.h, 0) AS h,
+         CASE WHEN i.bytes IS NULL THEN 0
+              ELSE coalesce(i.w, 0) * coalesce(i.h, 0) END AS pixels,
+         coalesce(octet_length(i.bytes), 0) AS filesize
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)),
+gated AS (
+  SELECT *, CASE
+      WHEN status = 'error' THEN 'dead_letter'
+      WHEN regexp_matches(proc_hash, '^0+$') THEN 'drop_poison'
+      WHEN pixels < 1024 THEN 'drop_small'
+      WHEN 2 * greatest(w, h) > 3 * least(w, h) THEN 'drop_aspect'
+      ELSE '' END AS gate
+  FROM fp),
+ranked AS (
+  SELECT image_id, pixels, filesize,
+         row_number() OVER (PARTITION BY proc_hash
+             ORDER BY pixels DESC, filesize DESC,
+                      CAST(filesize AS DOUBLE) / greatest(pixels, 1) DESC,
+                      image_id) AS q_rank
+  FROM gated WHERE gate = '')
+SELECT * FROM (
+  SELECT image_id,
+         CASE WHEN q_rank = 1 THEN 'keep' ELSE 'drop_dup' END AS action,
+         CAST(pixels AS BIGINT) AS pixels,
+         CAST(filesize AS BIGINT) AS filesize
+  FROM ranked
+  UNION ALL
+  SELECT image_id, gate AS action,
+         CAST(pixels AS BIGINT), CAST(filesize AS BIGINT)
+  FROM gated WHERE gate <> '')
+ORDER BY image_id
+"""
+
+# per-action rollup over the same curation relation (dataset card)
+IMG_CURATION_REPORT_SQL = (
+    "SELECT action, CAST(count(*) AS BIGINT) AS n_images, "
+    "CAST(sum(filesize) AS BIGINT) AS total_bytes FROM ("
+    + IMG_CURATION_SQL + ") GROUP BY action ORDER BY action")
+
 # montage-sink layout stats (S7, /root/reference/dedupc.py:109-154): per
 # near-dup cluster, the first ≤16 members (string id order) tile into a
 # 4-wide 32-px grid; an undecodable member (strict-mode md5 media) leaves a

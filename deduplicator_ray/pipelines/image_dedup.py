@@ -539,6 +539,137 @@ def img_leakage_split(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                                      num_parts=num_parts)
 
 
+# image curation gate thresholds — shared by the engine and the SQL mirror
+# (mirrors.IMG_CURATION_SQL hardcodes the same literals; change both together)
+IMG_CURATION_MIN_PIXELS = 1024  # 32x32: below this the image is a thumbnail
+# aspect gate is integer-exact in both engines: drop when
+# 2*max(w,h) > 3*min(w,h), i.e. aspect ratio strictly beyond 3:2
+CURATION_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("action", pa.string()),
+    ("pixels", pa.int64()),
+    ("filesize", pa.int64()),
+])
+CURATION_REPORT_SCHEMA = pa.schema([
+    ("action", pa.string()),
+    ("n_images", pa.int64()),
+    ("total_bytes", pa.int64()),
+])
+
+
+def img_curation(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 min_pixels: int = IMG_CURATION_MIN_PIXELS,
+                 num_parts: int = 64) -> rd.Dataset:
+    """End-to-end image curation decision table — the image-side analog of
+    ``queries.docs_curation``: every corpus row gets exactly one action,
+    first-hit-wins through the gate cascade, then a per-bucket keeper
+    election among the survivors:
+
+      1. ``dead_letter`` — undecodable/null payloads (the badfiles taxonomy,
+         /root/reference/dupedb.py:223-244);
+      2. ``drop_poison`` — zero-hash degenerate images (dedupc.py:176-178);
+      3. ``drop_small``  — metadata pixel count below ``min_pixels``;
+      4. ``drop_aspect`` — aspect ratio beyond 3:2 (integer-exact test
+         ``2*max(w,h) > 3*min(w,h)``, no float ratio in either engine);
+      5. ``drop_dup``    — non-keeper within a ``proc_hash`` bucket of the
+         gate survivors, keeper elected by the reference's quality tuple
+         (pixels, filesize, density — dedupc.py:62-68) with id tie-break;
+      6. ``keep``.
+
+    Scale shape: ONE decode pass, a vectorized streaming classify, and one
+    proc_hash-partitioned groupby over only the gate SURVIVORS (gated rows
+    bypass the shuffle entirely via union) — no broadcast of any dup set,
+    unlike the doc-side composition which broadcasts its (small) dup list."""
+    import numpy as np
+    import pandas as pd
+
+    fp = fingerprints(images, cfg)
+
+    def classify(t: pa.Table) -> pa.Table:
+        w = np.nan_to_num(
+            t["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        h = np.nan_to_num(
+            t["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        pixels = t["pixels"].to_numpy(zero_copy_only=False).astype(np.int64)
+        filesize = t["filesize"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        status = np.asarray(t["status"].to_pylist(), dtype=object)
+        poison = pc.match_substring_regex(
+            t["proc_hash"], r"^0+$").to_numpy(zero_copy_only=False)
+        hi, lo = np.maximum(w, h), np.minimum(w, h)
+        action = np.where(
+            status == "error", "dead_letter",
+            np.where(poison, "drop_poison",
+                     np.where(pixels < min_pixels, "drop_small",
+                              np.where(2 * hi > 3 * lo, "drop_aspect", ""))))
+        return pa.table({
+            "image_id": pc.cast(t["image_id"], pa.string()),
+            "proc_hash": t["proc_hash"],
+            "action": pa.array(action, pa.string()),
+            "pixels": pa.array(pixels, pa.int64()),
+            "filesize": pa.array(filesize, pa.int64()),
+        })
+
+    cls = fp.map_batches(classify, batch_format="pyarrow")
+    gated = cls.map_batches(
+        lambda t: t.filter(pc.not_equal(t["action"], "")).select(
+            ["image_id", "action", "pixels", "filesize"]),
+        batch_format="pyarrow")
+    surv = cls.map_batches(
+        lambda t: t.filter(pc.equal(t["action"], "")).drop_columns(["action"]),
+        batch_format="pyarrow")
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["density"] = df["filesize"] / np.maximum(df["pixels"], 1)
+        df = df.sort_values(
+            ["proc_hash", "pixels", "filesize", "density", "image_id"],
+            ascending=[True, False, False, False, True], kind="mergesort")
+        df["action"] = np.where(
+            ~df["proc_hash"].duplicated(), "keep", "drop_dup")
+        return df[["image_id", "action", "pixels", "filesize"]]
+
+    elected = partitioned_groupby(surv, ["proc_hash"], elect,
+                                  num_parts=num_parts,
+                                  out_schema=CURATION_SCHEMA)
+    return gated.union(elected)
+
+
+def img_curation_report(images: rd.Dataset,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        min_pixels: int = IMG_CURATION_MIN_PIXELS) -> pd.DataFrame:
+    """Dataset-card rollup of ``img_curation`` (per action: images + bytes)
+    — the image sibling of ``docs_curation_report``.  Per-batch combiner
+    emits ≤6 partial rows per batch, so the exchange is a few hundred bytes
+    regardless of corpus size; the final merge is driver-side."""
+    import numpy as np
+    import pandas as pd
+
+    ds = img_curation(images, cfg, min_pixels=min_pixels)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "action": t["action"].to_pylist(),
+            "filesize": t["filesize"].to_numpy(zero_copy_only=False)})
+        g = (df.groupby("action", as_index=False)
+             .agg(n_images=("action", "size"),
+                  total_bytes=("filesize", "sum")))
+        return pa.table({
+            "action": pa.array(g["action"].tolist(), pa.string()),
+            "n_images": pa.array(g["n_images"].to_numpy(np.int64)),
+            "total_bytes": pa.array(g["total_bytes"].to_numpy(np.int64)),
+        })
+
+    parts = ds.map_batches(combine, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("action", as_index=False)
+           .agg(n_images=("n_images", "sum"),
+                total_bytes=("total_bytes", "sum"))
+           .sort_values("action").reset_index(drop=True))
+    out["n_images"] = out["n_images"].astype(np.int64)
+    out["total_bytes"] = out["total_bytes"].astype(np.int64)
+    return out
+
+
 def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
                         cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Cross-corpus image near-dedup — "does this new image near-duplicate

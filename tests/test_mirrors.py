@@ -371,3 +371,31 @@ def test_img_leakage_split_mirror(sf_small, paths):
     m = lab.merge(eng, on="image_id")
     assert len(m) == len(lab)  # every clustered image got an assignment
     assert (m.groupby("cluster_id")["split"].nunique() == 1).all()
+
+
+def test_img_curation_mirror(sf_small, paths):
+    """The curation decision table must value-match the SQL cascade +
+    election, every gate must actually fire on this corpus (non-vacuity),
+    and each image gets exactly one action."""
+    eng = (ip.img_curation(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.IMG_CURATION_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert eng["image_id"].is_unique
+    assert {"keep", "drop_dup", "drop_small", "drop_aspect",
+            "drop_poison", "dead_letter"} <= set(eng["action"])
+
+
+def test_img_curation_report_mirror(sf_small, paths):
+    """Rollup must value-match the SQL aggregation AND reconcile with the
+    per-image table (no partial lost in the combiners)."""
+    eng = ip.img_curation_report(ip.load_images(sf_small, CFG), CFG)
+    orc = duckdb.sql(_compose(mirrors.IMG_CURATION_REPORT_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    per_row = (ip.img_curation(ip.load_images(sf_small, CFG), CFG)
+               .to_pandas())
+    g = (per_row.groupby("action", as_index=False)
+         .agg(n_images=("action", "size"), total_bytes=("filesize", "sum"))
+         .sort_values("action").reset_index(drop=True))
+    assert (g["n_images"].to_numpy() == eng["n_images"].to_numpy()).all()
+    assert (g["total_bytes"].to_numpy() == eng["total_bytes"].to_numpy()).all()

@@ -207,6 +207,16 @@ def _img_curation_report(sf_dir: str):
     return ip.img_curation_report(ip.load_images(sf_dir, _cfg()), _cfg())
 
 
+def _img_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucket assignment (training batch-shape planning):
+    nearest fixed-ladder ratio per live image, engine-portable integer
+    error term, map-only — no shuffle at any scale."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.img_aspect_buckets(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_caption_langid(sf_dir: str):
     """Language-ID over the image CAPTIONS (the text kernel applied to the
     paired-modality column — filters mixed-language caption sets before
@@ -1007,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_leakage_split": _img_leakage_split,
         "img_curation": _img_curation,
         "img_curation_report": _img_curation_report,
+        "img_aspect_buckets": _img_aspect_buckets,
         "img_cluster_update": _img_cluster_update,
         "img_cluster_remove": _img_cluster_remove,
         "img_dedup_scorecard": _img_dedup_scorecard,
@@ -1118,6 +1129,8 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.IMG_CURATION_SQL, hashes=hashes, **kw),
         "img_curation_report": mirrors.compose(
             mirrors.IMG_CURATION_REPORT_SQL, hashes=hashes, **kw),
+        "img_aspect_buckets": mirrors.compose(
+            mirrors.ASPECT_BUCKETS_SQL, hashes=hashes, **kw),
         # incremental maintenance must equal the full recompute — the
         # extended-clusters mirror IS its oracle
         "img_cluster_update": mirrors.compose(

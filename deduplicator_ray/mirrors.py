@@ -409,6 +409,29 @@ IMG_CURATION_REPORT_SQL = (
     "CAST(sum(filesize) AS BIGINT) AS total_bytes FROM ("
     + IMG_CURATION_SQL + ") GROUP BY action ORDER BY action")
 
+# aspect-ratio bucket assignment (image_dedup.img_aspect_buckets): nearest
+# ladder ratio by |w/h - rw/rh|, ties to the lowest bucket index.  The
+# error expression mirrors the engine bit-for-bit: exact integer products,
+# ONE float division, so both engines rank identically.
+ASPECT_BUCKETS_SQL = """
+WITH live AS (
+  SELECT h.image_id, coalesce(i.w, 0) AS w, coalesce(i.h, 0) AS h
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only')
+    AND NOT regexp_matches(h.proc_hash, '^0+$')),
+ladder(bucket_idx, rw, rh) AS (
+  VALUES (1,1,1),(2,4,3),(3,3,4),(4,16,9),(5,9,16),(6,3,2),(7,2,3)),
+scored AS (
+  SELECT l.image_id, b.bucket_idx, b.rw, b.rh,
+         row_number() OVER (PARTITION BY l.image_id
+             ORDER BY CAST(abs(l.w * b.rh - b.rw * l.h) AS DOUBLE) / b.rh,
+                      b.bucket_idx) AS rn
+  FROM live l CROSS JOIN ladder b)
+SELECT image_id, CAST(bucket_idx AS BIGINT) AS bucket_idx,
+       CAST(rw AS BIGINT) AS bucket_rw, CAST(rh AS BIGINT) AS bucket_rh
+FROM scored WHERE rn = 1 ORDER BY image_id
+"""
+
 # montage-sink layout stats (S7, /root/reference/dedupc.py:109-154): per
 # near-dup cluster, the first ≤16 members (string id order) tile into a
 # 4-wide 32-px grid; an undecodable member (strict-mode md5 media) leaves a

@@ -670,6 +670,49 @@ def img_curation_report(images: rd.Dataset,
     return out
 
 
+# aspect-ratio bucket ladder for training-shape bucketing: (index, rw, rh).
+# Mirrored literally in mirrors.ASPECT_BUCKETS_SQL — change both together.
+ASPECT_LADDER = ((1, 1, 1), (2, 4, 3), (3, 3, 4), (4, 16, 9), (5, 9, 16),
+                 (6, 3, 2), (7, 2, 3))
+
+
+def img_aspect_buckets(images: rd.Dataset,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Aspect-ratio bucket assignment over the live corpus — the
+    batch-shape planning step of an image training pipeline (images are
+    grouped into fixed aspect buckets so a batch can share one crop/resize
+    target instead of square-cropping everything).  Each image goes to the
+    ladder entry minimizing |w/h − rw/rh|, ties to the lowest bucket index.
+
+    The error term is computed as ``abs(w*rh − rw*h) / rh`` — the integer
+    products are exact in float64 at any realistic dimension, so DuckDB
+    and numpy round the single division identically and the argmin is
+    engine-portable.  Map-only: no shuffle, no state; at 10^12 rows this
+    is a pure streaming classify."""
+    import numpy as np
+
+    fp = _live(fingerprints(images, cfg), cfg)
+    idx = np.array([b[0] for b in ASPECT_LADDER], np.int64)
+    rw = np.array([b[1] for b in ASPECT_LADDER], np.int64)
+    rh = np.array([b[2] for b in ASPECT_LADDER], np.int64)
+
+    def classify(t: pa.Table) -> pa.Table:
+        w = np.nan_to_num(
+            t["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        h = np.nan_to_num(
+            t["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        err = np.abs(w[:, None] * rh - rw * h[:, None]) / rh
+        best = err.argmin(axis=1)  # first minimum == lowest ladder index
+        return pa.table({
+            "image_id": pc.cast(t["image_id"], pa.string()),
+            "bucket_idx": pa.array(idx[best], pa.int64()),
+            "bucket_rw": pa.array(rw[best], pa.int64()),
+            "bucket_rh": pa.array(rh[best], pa.int64()),
+        })
+
+    return fp.map_batches(classify, batch_format="pyarrow")
+
+
 def img_cross_min_match(new_fp: rd.Dataset, known_fp: rd.Dataset,
                         cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
     """Cross-corpus image near-dedup — "does this new image near-duplicate

@@ -399,3 +399,14 @@ def test_img_curation_report_mirror(sf_small, paths):
          .sort_values("action").reset_index(drop=True))
     assert (g["n_images"].to_numpy() == eng["n_images"].to_numpy()).all()
     assert (g["total_bytes"].to_numpy() == eng["total_bytes"].to_numpy()).all()
+
+
+def test_img_aspect_buckets_mirror(sf_small, paths):
+    """Bucket assignment must value-match the SQL argmin (same float error
+    term from the same exact integer products), cover every live image,
+    and actually spread across >1 bucket on this corpus."""
+    eng = (ip.img_aspect_buckets(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.ASPECT_BUCKETS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert eng["bucket_idx"].nunique() > 1

@@ -949,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": q.emb_near_dup,
         "emb_srp_pairs": q.emb_srp_pairs,
         "emb_cluster_update": q.emb_cluster_update,
+        "emb_leakage_split": q.emb_leakage_split,
         "emb_cluster_remove": q.emb_cluster_remove,
         "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
@@ -1327,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         # clusters relation is its own oracle (docs/img pattern, third
         # modality)
         "emb_cluster_update": q.EMB_CLUSTER_UPDATE_SQL,
+        "emb_leakage_split": q.EMB_LEAKAGE_SPLIT_SQL,
         "emb_cluster_remove": q.EMB_CLUSTER_REMOVE_SQL,
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,

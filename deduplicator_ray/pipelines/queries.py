@@ -952,6 +952,42 @@ def emb_cluster_remove(sf_dir: str) -> pd.DataFrame:
     return _emb_unpad(out)
 
 
+def emb_leakage_split(sf_dir: str, train_pct: int = 90) -> pd.DataFrame:
+    """Near-dup-aware train/val split for the EMBEDDING modality — closes
+    the leakage-split matrix (docs_leakage_split / img_leakage_split /
+    here): every non-null vector gets a split assignment and all members
+    of an exact cos ≥ 0.35 component share it.  The component machinery is
+    the same padded-string CC the emb maintenance queries use (string
+    min-label == numeric min), and the md5 bucket hashes the SAME
+    zero-padded 12-digit key in both engines so DuckDB re-derives the
+    identical assignment."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import leakage_split_from_labels
+    from deduplicator_ray.stages.components import connected_components
+
+    cfg = PipelineConfig()
+    edges = _emb_exact_edges(sf_dir, lambda v: np.ones_like(v, bool),
+                             lambda a, b: np.ones_like(a & b, bool))
+    labels = connected_components(edges, cfg)
+    ids = _nonnull_vec(dio.read_parquet(_t(sf_dir, "embeddings"),
+                                        columns=["vec_id", "embedding"]))
+
+    def proj(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        return pa.table({"vec_id": pa.array(_emb_pad(v), pa.string())})
+
+    out = leakage_split_from_labels(
+        ids.map_batches(proj, batch_format="pyarrow"), labels,
+        id_col="vec_id", train_pct=train_pct).to_pandas()
+    res = pd.DataFrame({
+        "vec_id": out["vec_id"].astype(np.int64),
+        "split_key": out["split_key"].astype(np.int64),
+        "bucket": out["bucket"].astype(np.int64),
+        "split": out["split"],
+    })
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
 _EMB_EDGES_CTE = """
   emb AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings{filt}
@@ -1481,6 +1517,27 @@ ORDER BY l.doc_id
 # same value as Python's int(md5(k)[:8], 16), so the assignment is
 # engine-independent.
 LEAKAGE_TRAIN_PCT = 90
+
+# embedding-modality split assignment re-derived relationally: same
+# component labels as the emb maintenance mirrors, same zero-padded md5
+# key both engines hash
+EMB_LEAKAGE_SPLIT_SQL = (
+    "WITH RECURSIVE " + _EMB_EDGES_CTE.format(filt="") + f"""
+, lab AS (SELECT node AS vec_id, min(lbl) AS cluster_id FROM r GROUP BY node),
+base AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
+asg AS (
+  SELECT b.vec_id, coalesce(l.cluster_id, b.vec_id) AS split_key
+  FROM base b LEFT JOIN lab l USING (vec_id))
+SELECT vec_id, CAST(split_key AS BIGINT) AS split_key,
+       CAST(('0x' || substr(md5(lpad(CAST(split_key AS VARCHAR), 12, '0')),
+                            1, 8)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(lpad(CAST(split_key AS VARCHAR),
+                                              12, '0')), 1, 8)) AS BIGINT)
+                 % 100 < {LEAKAGE_TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM asg ORDER BY vec_id
+""")
+
 
 DOCS_LEAKAGE_SPLIT_SQL = _DOCS_CC_CTES + f"""
 , lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node),

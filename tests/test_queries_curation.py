@@ -279,3 +279,18 @@ def test_cli_curate_job(sf_small, tmp_path):
     assert rows["keep"]["n_docs"] == n_keep
     assert sum(r["n_docs"] for r in rep["report"]) == len(dec)
     assert m["total_wall_s"] > 0
+
+
+def test_emb_leakage_split_mirror(sf_small, con_emb):
+    """Embedding-modality leakage split: assignment must value-match the
+    SQL re-derivation (same padded md5 key), cover every non-null vector
+    exactly once, and keep every cos-component on one side."""
+    eng = q.emb_leakage_split(sf_small)
+    orc = con_emb.sql(q.EMB_LEAKAGE_SPLIT_SQL).df()
+    _match(eng, orc)
+    assert eng["vec_id"].is_unique
+    assert set(eng["split"]) == {"train", "val"}
+    clustered = eng[eng["split_key"] != eng["vec_id"]]
+    assert len(clustered) > 0  # the cluster channel actually fired
+    g = eng.groupby("split_key")["split"].nunique()
+    assert (g == 1).all()

@@ -443,6 +443,84 @@ def run_curate(input_dir: str, output_dir: str, lang: str = "en",
     return metrics
 
 
+def run_img_curate(input_dir: str, output_dir: str,
+                   hash_size: int = 8) -> dict:
+    """Image-corpus curation job (the image sibling of ``run_curate``):
+    gate cascade (dead-letter / zero-hash poison / min-pixels / aspect)
+    then per-proc_hash keeper election, over a parquet dir of
+    input_hint-shaped rows.  Writes three artifacts under --output:
+
+        decisions/*.parquet   per-image (image_id, action, pixels, filesize)
+        kept/*.parquet        the surviving corpus rows (original columns)
+        report.json           per-action images + bytes rollup + wall times
+
+    The kept-corpus filter broadcasts the keep-id set (same shape as
+    run_curate's); at corpora where the keep set outgrows a broadcast,
+    swap it for the hash-partitioned semi-join (docs_purge_semijoin's
+    shape) — the decision table itself never materializes driver-side
+    beyond the id column."""
+    _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplicator_ray import tuning
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    tuning.tune()
+    cfg = PipelineConfig(hash_size=hash_size)
+    t0 = time.time()
+    dec = ip.img_curation(dio.read_parquet(input_dir), cfg).materialize()
+    dec.write_parquet(os.path.join(output_dir, "decisions"))
+    t_dec = round(time.time() - t0, 3)
+
+    t1 = time.time()
+    keep_ids = pa.concat_tables(
+        dec.map_batches(
+            lambda t: t.filter(pc.equal(t["action"], "keep"))
+                       .select(["image_id"]),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))["image_id"]
+    keep_set = pa.array(keep_ids.to_pylist(), pa.string())
+    kept = dio.read_parquet(input_dir).map_batches(
+        lambda t: t.filter(pc.is_in(
+            pc.cast(t["image_id"], pa.string()), value_set=keep_set)),
+        batch_format="pyarrow")
+    kept.write_parquet(os.path.join(output_dir, "kept"))
+    t_kept = round(time.time() - t1, 3)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "action": t["action"].to_pylist(),
+            "filesize": t["filesize"].to_numpy(zero_copy_only=False)})
+        g = (df.groupby("action", as_index=False)
+             .agg(n_images=("action", "size"),
+                  total_bytes=("filesize", "sum")))
+        return pa.table({
+            "action": pa.array(g["action"].tolist(), pa.string()),
+            "n_images": pa.array(g["n_images"].to_numpy(np.int64)),
+            "total_bytes": pa.array(g["total_bytes"].to_numpy(np.int64))})
+
+    parts = dec.map_batches(combine, batch_format="pyarrow").to_pandas()
+    report = (parts.groupby("action", as_index=False)
+              .agg(n_images=("n_images", "sum"),
+                   total_bytes=("total_bytes", "sum"))
+              .sort_values("action"))
+    metrics = {"mode": "img-curate", "input": input_dir,
+               "report": report.to_dict("records"),
+               "decisions_wall_s": t_dec, "kept_wall_s": t_kept,
+               "total_wall_s": round(time.time() - t0, 3)}
+    with open(os.path.join(output_dir, "report.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
 def run_band_prune(index_dir: str, removed_input: str,
                    hash_size: int = 8, id_col: str = "image_id") -> dict:
     """Retire vanished ids from a persisted band index — the index-side
@@ -473,7 +551,8 @@ def main(argv: list[str] | None = None) -> None:
                                     "band-append", "band-prune",
                                     "srp-build", "srp-probe", "srp-append",
                                     "docband-build", "docband-probe",
-                                    "docband-append", "curate", "prune"])
+                                    "docband-append", "curate",
+                                    "img-curate", "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -578,6 +657,10 @@ def main(argv: list[str] | None = None) -> None:
         return
     if a.mode == "curate":
         print(json.dumps(run_curate(a.input, a.output)))
+        return
+    if a.mode == "img-curate":
+        print(json.dumps(run_img_curate(a.input, a.output,
+                                        hash_size=a.hash_size)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

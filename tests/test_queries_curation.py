@@ -294,3 +294,31 @@ def test_emb_leakage_split_mirror(sf_small, con_emb):
     assert len(clustered) > 0  # the cluster channel actually fired
     g = eng.groupby("split_key")["split"].nunique()
     assert (g == 1).all()
+
+
+def test_cli_img_curate_job(sf_small, tmp_path):
+    """cli img-curate: decisions + kept + report artifacts; the report
+    reconciles with the decision table and kept rows == keep decisions."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    from deduplicator_ray import cli, fixtures
+
+    out = str(tmp_path / "imgout")
+    m = cli.run_img_curate(fixtures.images_path(sf_small, 8), out)
+    dec = pads.dataset(os.path.join(out, "decisions"),
+                       format="parquet").to_table().to_pandas()
+    kept = pads.dataset(os.path.join(out, "kept"),
+                        format="parquet").to_table().to_pandas()
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    n_keep = int((dec["action"] == "keep").sum())
+    assert len(kept) == n_keep > 0
+    assert set(kept["image_id"]) == set(
+        dec.loc[dec["action"] == "keep", "image_id"])
+    rows = {r["action"]: r for r in rep["report"]}
+    assert rows["keep"]["n_images"] == n_keep
+    assert sum(r["n_images"] for r in rep["report"]) == len(dec)
+    assert m["total_wall_s"] > 0

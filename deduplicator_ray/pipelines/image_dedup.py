@@ -1137,7 +1137,11 @@ def img_cluster_update(images: rd.Dataset,
 
         return f
 
-    fp = _live(fingerprints(images, cfg), cfg)
+    # materialize the payload-free fingerprint table ONCE so the two side
+    # filters share a single decode+hash pass (each side is consumed more
+    # than once downstream, so they stay materialized too — over the small
+    # fp blocks, not the corpus)
+    fp = _live(fingerprints(images, cfg), cfg).materialize()
     known_fp = fp.map_batches(part(False), batch_format="pyarrow").materialize()
     new_fp = fp.map_batches(part(True), batch_format="pyarrow").materialize()
 

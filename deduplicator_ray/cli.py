@@ -487,11 +487,18 @@ def run_img_curate(input_dir: str, output_dir: str,
                        .select(["image_id"]),
             batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow"))["image_id"]
-    keep_set = pa.array(keep_ids.to_pylist(), pa.string())
+    import ray
+
+    # ray.put once so the keep set ships to the object store a single time
+    # instead of re-serializing inside every task's closure
+    keep_ref = ray.put(pa.array(keep_ids.to_pylist(), pa.string()))
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            pc.cast(t["image_id"], pa.string()), value_set=ray.get(keep_ref)))
+
     kept = dio.read_parquet(input_dir).map_batches(
-        lambda t: t.filter(pc.is_in(
-            pc.cast(t["image_id"], pa.string()), value_set=keep_set)),
-        batch_format="pyarrow")
+        keep_filter, batch_format="pyarrow")
     kept.write_parquet(os.path.join(output_dir, "kept"))
     t_kept = round(time.time() - t1, 3)
 

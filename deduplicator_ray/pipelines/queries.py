@@ -5076,8 +5076,8 @@ def docs_lang_length_gate(sf_dir: str, pct: int = 10) -> pd.DataFrame:
 
     def featurize(t: pa.Table) -> pa.Table:
         n_tok = pc.list_value_length(pc.split_pattern(t["text"], " "))
-        # NULL text ranks last in the SQL's ascending order — a max
-        # sentinel reproduces that without a NULL-aware rank kernel
+        # NULL text maps to the 2**62 sentinel (max rank); the SQL mirror
+        # coalesces to the SAME literal so the emitted n_tokens agrees too
         n_tok = pc.fill_null(n_tok.cast(pa.int64()), 2**62)
         return pa.Table.from_arrays(
             [t["doc_id"], t["lang"], n_tok],
@@ -5155,7 +5155,8 @@ def docs_lang_length_gate(sf_dir: str, pct: int = 10) -> pd.DataFrame:
 DOCS_LANG_LENGTH_GATE_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         coalesce(CAST(len(string_split(text, ' ')) AS BIGINT),
+                  4611686018427387904) AS n_tokens
   FROM documents),
 r AS (
   SELECT *,

@@ -136,24 +136,56 @@ def triangle_counts(edges: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
 
 
 def pagerank_e6(edges: rd.Dataset, iters: int = 5,
-                num_parts: int = 64) -> rd.Dataset:
+                num_parts: int = 64,
+                driver_edge_cap: int = 2_000_000) -> rd.Dataset:
     """e6 fixed-point PageRank over an undirected pair set.
 
     ``edges``: (src, dst) string columns, one row per unique undirected
     pair.  Returns (node, rank_e6:int64) for every node in the edge set.
 
     Scale shape: the graph is the DERIVED near-dup edge set — orders of
-    magnitude smaller than the corpus — so materializing the
-    degree-annotated edge table once (it is consumed every round) is a
-    small-side cache, and each round is one union + two hash-partitioned
-    groupbys over graph-sized rows.  Rounds are a fixed driver loop
-    (bounded, like the CC fixpoint); per-round state is only the (node,
-    rank) table.
+    magnitude smaller than the corpus.  Below ``driver_edge_cap`` edges
+    (the CC fixpoint's driver memory bound, config.cc_driver_edge_cap:
+    2M edges ≈ 200 MB) the whole fixpoint runs as one vectorized driver
+    computation — ``iters`` × 2 all-to-all exchanges cost seconds of
+    fixed overhead even on a 50-node graph, which dwarfs the math.
+    Above the cap: materialize the degree-annotated edge table once (it
+    is consumed every round), then each round is one union + two
+    hash-partitioned groupbys over graph-sized rows, shuffle width scaled
+    to the edge count.  Both paths use identical all-integer e6 rounds
+    (c = r//deg per directed edge; r' = 150_000 + 85*Σc//100), so they
+    are bit-equal — pinned by a test.
     """
     # materialized: consumed by both the degree count and the edge tagging
     # — unmaterialized, each consumption would re-execute the upstream
     # dedup pipeline that derived the edges
     sym_edges = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    n_edges = sym_edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(_RANK_SCHEMA.empty_table())
+    if n_edges <= driver_edge_cap:
+        tbl = pa.concat_tables(
+            sym_edges.iter_batches(batch_size=None, batch_format="pyarrow"))
+        u = np.asarray(tbl["u"].to_pylist(), object)
+        v = np.asarray(tbl["v"].to_pylist(), object)
+        nodes, inv_u = np.unique(u, return_inverse=True)
+        inv_v = np.searchsorted(nodes, v)  # every v is some u by symmetry
+        dg = np.bincount(inv_u, minlength=len(nodes)).astype(np.int64)
+        r = np.full(len(nodes), 1_000_000, np.int64)
+        for _ in range(iters):
+            c = r[inv_u] // dg[inv_u]
+            s = np.zeros(len(nodes), np.int64)
+            np.add.at(s, inv_v, c)  # int64-exact scatter-sum
+            r = np.int64(150_000) + np.int64(85) * s // np.int64(100)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "rank_e6": pa.array(r, pa.int64())}))
+
+    # scale the shuffle width to the graph size (same policy as the CC
+    # fixpoint, stages/components.py): a small residual graph must not pay
+    # 64-partition × 2-groupby × iters fixed overhead per round
+    num_parts = int(min(num_parts, max(2, n_edges // 25_000 + 1)))
 
     deg_schema = pa.schema([("u", pa.string()), ("dg", pa.int64())])
 

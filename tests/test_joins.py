@@ -688,6 +688,31 @@ def test_pagerank_e6_exact(ray_session):
     assert got["a"] == got["c"] != got["b"]
 
 
+def test_pagerank_driver_equals_distributed(ray_session):
+    """The driver base case and the distributed shuffle rounds are
+    bit-equal on a seeded random graph (driver_edge_cap=0 forces the
+    distributed path; the default routes this tiny graph driver-side)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.pipelines.graph import pagerank_e6
+
+    rng = np.random.default_rng(7)
+    pairs = {tuple(sorted((f"n{a}", f"n{b}")))
+             for a, b in rng.integers(0, 40, size=(120, 2)) if a != b}
+    edges = pa.table({
+        "src": pa.array([p[0] for p in sorted(pairs)], pa.string()),
+        "dst": pa.array([p[1] for p in sorted(pairs)], pa.string()),
+    })
+    drv = (pagerank_e6(rd.from_arrow(edges), iters=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    dist = (pagerank_e6(rd.from_arrow(edges), iters=4, driver_edge_cap=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert drv.equals(dist)
+    assert len(drv) == len({n for p in pairs for n in p})
+
+
 def test_triangle_counts_exact(ray_session):
     """triangle_counts: K4 nodes sit in C(3,2)=3 triangles each, a pure
     triangle's nodes in 1, path nodes in 0; zero-filled for all nodes."""

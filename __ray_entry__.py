@@ -953,6 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_remove": q.emb_cluster_remove,
         "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
+        "docs_containment_pairs": q.docs_containment_pairs,
+        "docs_containment_pairs_prefix": q.docs_containment_pairs_prefix,
         "orders_without_lineitems": q.orders_without_lineitems,
         "docs_purge_semijoin": q.docs_purge_semijoin,
         "docs_substring_dup": q.docs_substring_dup,
@@ -1331,6 +1333,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_leakage_split": q.EMB_LEAKAGE_SPLIT_SQL,
         "emb_cluster_remove": q.EMB_CLUSTER_REMOVE_SQL,
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
+        "docs_containment_pairs": q.DOCS_CONTAINMENT_PAIRS_SQL,
+        "docs_containment_pairs_prefix": q.DOCS_CONTAINMENT_PAIRS_SQL,
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
         "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,

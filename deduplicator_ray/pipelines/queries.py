@@ -1081,6 +1081,18 @@ ORDER BY va, vb
 # claim (at sf0.01 both emit the identical 25 pairs).
 
 
+def _ds_to_pandas(ds, schema: pa.Schema) -> pd.DataFrame:
+    """Dataset.to_pandas that survives an ALL-EMPTY result: Ray 2.49 drops
+    the (typed) schema when every block is empty, returning a 0-column
+    frame — rebuild the typed empty from the known output schema so
+    downstream sort/select never KeyErrors on a legitimately empty
+    relation."""
+    df = ds.to_pandas()
+    if df.empty and list(df.columns) != list(schema.names):
+        df = schema.empty_table().to_pandas()
+    return df
+
+
 def _shingle_set(text: str, k: int = 5) -> frozenset:
     if len(text) < k:
         return frozenset([text])
@@ -1096,6 +1108,9 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     ref = ray.put((all_ids, all_sh))
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    jac_schema = pa.schema([("va", pa.int64()), ("vb", pa.int64()),
+                            ("jac_e6", pa.int64())])
 
     def pairs(t: pa.Table) -> pa.Table:
         ids_all, sh_all = ray.get(ref)
@@ -1114,11 +1129,11 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
                     vb.append(int(other))
                     je.append(int(np.floor(jac * 1e6 + 0.5)))
         return pa.Table.from_pydict(
-            {"va": va, "vb": vb, "jac_e6": je},
-            schema=pa.schema([("va", pa.int64()), ("vb", pa.int64()),
-                              ("jac_e6", pa.int64())]))
+            {"va": va, "vb": vb, "jac_e6": je}, schema=jac_schema)
 
-    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=256).to_pandas()
+    out = _ds_to_pandas(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=256),
+        jac_schema)
     return out.sort_values(["va", "vb"]).reset_index(drop=True)
 
 
@@ -1138,6 +1153,176 @@ FROM (
   FROM d a JOIN d b ON a.doc_id < b.doc_id)
 WHERE i::DOUBLE / (la + lb - i) >= 0.8
 ORDER BY va, vb
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_containment_pairs — DIRECTED shingle-containment near-dup pairs:
+# C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.9 over distinct character 5-shingles.  The
+# asymmetric complement of Jaccard: a short document quoted verbatim inside
+# a long one has high containment but low Jaccard (the size ratio caps J at
+# |Sa|/|Sb|), so symmetric MinHash-LSH dedup structurally misses
+# quote/subset duplication — a real gap for training-data curation
+# (contained docs add no information but inflate the symmetric-dedup-clean
+# corpus).  Two engine paths share one mirror:
+#   * docs_containment_pairs — brute force over a broadcast shingle table
+#     (the oracle shape, like docs_jaccard_pairs);
+#   * docs_containment_pairs_prefix — the SCALE shape: prefix-filtered
+#     candidate join (Chaudhuri/Bayardo prefix filtering).  If C(a→b) ≥ t
+#     then at most (1-t)·|Sa| of a's shingles are absent from b, so ANY
+#     ⌊(1-t)·|Sa|⌋+1 of them must hit b — emit only that many PROBE rows per
+#     doc (by ascending shingle hash, an arbitrary-but-global order), join
+#     them against the full shingle index by hash partition, and verify the
+#     survivors exactly.  100% recall by pigeonhole; hash collisions only
+#     ADD candidates.  Production refinement (documented, not needed at sf):
+#     order prefixes by ascending global shingle frequency so hot shingles
+#     ("&nbsp;", " the ") stay out of probe prefixes, and cap+log hot index
+#     buckets.
+# Shingle hashes are byte-window polynomial hashes (functions.text); byte
+# and character shingles coincide on this corpus (ASCII; verified) and the
+# exact verify uses true character shingles, matching the SQL mirror.
+
+
+def docs_containment_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    all_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
+    all_sh = [_shingle_set(str(t)) for t in tbl["text"].to_pylist()]
+    ref = ray.put((all_ids, all_sh))
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    cont_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                             ("cont_e6", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_all, sh_all = ray.get(ref)
+        pos = {int(i): p for p, i in enumerate(ids_all)}
+        src, dst, ce = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sa = sh_all[pos[int(did)]]
+            for p, other in enumerate(ids_all):
+                if int(other) == int(did):
+                    continue
+                cont = len(sa & sh_all[p]) / len(sa)
+                if cont >= threshold:
+                    src.append(int(did))
+                    dst.append(int(other))
+                    ce.append(int(np.floor(cont * 1e6 + 0.5)))
+        return pa.Table.from_pydict(
+            {"src": src, "dst": dst, "cont_e6": ce}, schema=cont_schema)
+
+    out = _ds_to_pandas(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=256),
+        cont_schema)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def docs_containment_pairs_prefix(sf_dir: str,
+                                  threshold: float = 0.9) -> pd.DataFrame:
+    """Prefix-filtered containment join (see block comment above): probe
+    prefix → hash-partitioned candidate join → global pair dedup → exact
+    verify.  The exact-verify side table is broadcast once via ray.put (sf
+    scale); at corpus scale it becomes a partitioned merge pulling both
+    texts onto the pair's partition."""
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray.functions import text as textfn
+    from deduplicator_ray.stages.partitioned import (
+        drop_duplicates,
+        partitioned_groupby,
+    )
+
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    row_schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64()),
+                            ("probe", pa.int8())])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        sh, did, probe = [], [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            txt = str(txt or "")
+            h = np.sort(textfn.char_shingle_hashes(txt, k=5)).view(np.int64)
+            # prefix bound from the TOTAL window count (≥ distinct |Sa|):
+            # safe upper bound, immune to hash-collision undercounting
+            n_windows = max(len(txt) - 4, 1)
+            p = min(int(np.floor((1.0 - threshold) * n_windows)) + 1, len(h))
+            sh.append(h)
+            did.append(np.full(len(h), int(d), np.int64))
+            pr = np.zeros(len(h), np.int8)
+            pr[:p] = 1
+            probe.append(pr)
+        if not sh:
+            return pa.Table.from_batches([], schema=row_schema)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(sh)), pa.array(np.concatenate(did)),
+             pa.array(np.concatenate(probe))],
+            schema=row_schema)
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    cand_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        probes = df.loc[df["probe"] == 1, ["sh", "doc_id"]]
+        if probes.empty:
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        m = probes.merge(df[["sh", "doc_id"]], on="sh",
+                         suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        out.columns = ["src", "dst"]
+        return out
+
+    cands = partitioned_groupby(rows, ["sh"], emit_pairs,
+                                out_schema=cand_schema)
+    cands = drop_duplicates(cands, ["src", "dst"])
+
+    # exact verify (character shingles — the mirror's metric)
+    tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
+    sh_ref = ray.put({int(i): _shingle_set(str(t))
+                      for i, t in zip(ids, tbl["text"].to_pylist())})
+
+    out_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                            ("cont_e6", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        sh_all = ray.get(sh_ref)
+        src, dst, ce = [], [], []
+        for a, b in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+            sa = sh_all[int(a)]
+            cont = len(sa & sh_all[int(b)]) / len(sa)
+            if cont >= threshold:
+                src.append(int(a))
+                dst.append(int(b))
+                ce.append(int(np.floor(cont * 1e6 + 0.5)))
+        return pa.Table.from_pydict(
+            {"src": src, "dst": dst, "cont_e6": ce}, schema=out_schema)
+
+    out = _ds_to_pandas(
+        cands.map_batches(verify, batch_format="pyarrow"), out_schema)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+DOCS_CONTAINMENT_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM documents
+)
+SELECT src, dst,
+       CAST(floor(i::DOUBLE / la * 1e6 + 0.5) AS BIGINT) AS cont_e6
+FROM (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) AS la
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+WHERE i::DOUBLE / la >= 0.9
+ORDER BY src, dst
 """
 
 

@@ -322,3 +322,50 @@ def test_cli_img_curate_job(sf_small, tmp_path):
     assert rows["keep"]["n_images"] == n_keep
     assert sum(r["n_images"] for r in rep["report"]) == len(dec)
     assert m["total_wall_s"] > 0
+
+
+def test_containment_pairs_mirror(sf_small, con):
+    """Directed shingle-containment pairs: brute force matches the mirror,
+    and the prefix-filtered scale path matches the brute force exactly
+    (pigeonhole recall + identical verify ⇒ identical relation)."""
+    eng = q.docs_containment_pairs(sf_small)
+    orc = con.execute(q.DOCS_CONTAINMENT_PAIRS_SQL).df()
+    _match(eng, orc)
+    px = q.docs_containment_pairs_prefix(sf_small)
+    _match(px, orc)
+    assert len(eng) > 0
+
+
+def test_containment_catches_what_jaccard_misses(tmp_path):
+    """The operator's reason to exist: a doc quoted verbatim inside a much
+    longer one has C(a→b) ≥ 0.9 but Jaccard far below the symmetric 0.8 bar
+    (J ≤ |Sa|/|Sb|) — the directed relation must surface the pair, in the
+    quote→host direction only, where the symmetric one sees nothing.  The
+    prefix-filtered scale path must find the same pair (recall check on an
+    extreme size-skew the stock corpus lacks)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(11)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    quote = " ".join(rng.choice(words) for _ in range(20))
+    host = (" ".join(rng.choice(words) for _ in range(150))
+            + " " + quote + " "
+            + " ".join(rng.choice(words) for _ in range(150)))
+    other = " ".join(rng.choice(words) for _ in range(60))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [quote, host, other]}),
+        str(tmp_path / "documents.parquet"))
+
+    cont = q.docs_containment_pairs(str(tmp_path))
+    jac = q.docs_jaccard_pairs(str(tmp_path))
+    pairs = set(map(tuple, cont[["src", "dst"]].to_numpy()))
+    assert (1, 2) in pairs           # quote ⊂ host, directed
+    assert (2, 1) not in pairs       # host ⊄ quote
+    assert jac.empty                 # symmetric Jaccard sees nothing
+    px = q.docs_containment_pairs_prefix(str(tmp_path))
+    assert set(map(tuple, px[["src", "dst"]].to_numpy())) == pairs

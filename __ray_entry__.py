@@ -948,6 +948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
         "emb_srp_pairs": q.emb_srp_pairs,
+        "emb_prototypicality": q.emb_prototypicality,
+        "emb_bucket_outliers": q.emb_bucket_outliers,
         "emb_cluster_update": q.emb_cluster_update,
         "emb_leakage_split": q.emb_leakage_split,
         "emb_cluster_remove": q.emb_cluster_remove,
@@ -1091,6 +1093,7 @@ def _fixture_mirrors() -> dict[str, str]:
     docfeat = fixtures.doc_features_path(sf) + "/*.parquet"
     altns = fixtures.alt_namespace_path(sf) + "/*.parquet"
     ivf = fixtures.ivf_sidecar_path(sf)
+    proto = fixtures.proto_sidecar_path(sf)
     srp = fixtures.srp_sidecar_path(sf) + "/*.parquet"
     cdc = fixtures.cdc_sidecar_path(sf) + "/*.parquet"
     cfg = _cfg()
@@ -1220,6 +1223,13 @@ def _fixture_mirrors() -> dict[str, str]:
         # sidecar replay of the same seeded hyperplanes; the mirror is then
         # exact cosine pairs restricted to co-bucketed candidates
         "emb_srp_pairs": q.EMB_SRP_PAIRS_SQL.replace("{srp}", srp),
+        # the k-means model (seeded, capped-sample — an iterative algorithm
+        # SQL cannot derive) ships as a sidecar replay; the mirror re-scores
+        # every row's cosine-to-own-centroid relationally
+        "emb_prototypicality": q.EMB_PROTOTYPICALITY_SQL.replace(
+            "{proto}", proto),
+        "emb_bucket_outliers": q.EMB_BUCKET_OUTLIERS_SQL.replace(
+            "{proto}", proto),
         # the persisted cross-corpus probe: CROSS-side co-bucketed pairs,
         # same sidecar, portable vec_id % 5 side split
         "emb_cross_srp_indexed": q.EMB_CROSS_SRP_SQL.replace("{srp}", srp),

@@ -727,6 +727,65 @@ def srp_sidecar_path(sf_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# prototypicality sidecar (k-means bucket assignment + the centroid matrix
+# itself, long-form) for the emb_prototypicality / emb_bucket_outliers
+# mirrors
+
+
+def proto_sidecar_path(sf_dir: str, n_centroids: int = 16) -> str:
+    """Ray-free replay of the prototypicality operator's MODEL — the seeded
+    k-means centroids (engine kernel functions.vector.train_centroids, same
+    absolute sample cap) and each vector's argmax bucket — written as two
+    parquet tables (``assign``: vec_id→bucket; ``centroids``: long-form
+    (bucket, dim, val)).  The centroids are what SQL cannot derive (an
+    iterative algorithm), so they ship as data; the mirror then reduces
+    prototypicality to plain per-row cosine against the joined centroid —
+    checking the distributed train/assign/score against a single-process
+    replay of the same math."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.functions import vector as vfn
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(
+        root, f"proto_{os.path.basename(os.path.normpath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    src = src.filter(pc.is_valid(src["embedding"]))  # null vectors drop
+    ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
+    cents = vfn.train_centroids(x[:65536], n_centroids)
+    xn = vfn._normalize(x)
+    assign = np.argmax(xn @ cents.T, axis=1).astype(np.int64)
+    nb, dim = cents.shape
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"vec_id": ids, "bucket": assign}),
+        os.path.join(tmp, "assign.parquet"))
+    pq.write_table(
+        pa.table({
+            "bucket": np.repeat(np.arange(nb, dtype=np.int64), dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), nb),
+            "val": cents.reshape(-1),
+        }),
+        os.path.join(tmp, "centroids.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # CDC chunk sidecar (cutpoint + content-hash kernel replay) for the
 # docs_cdc_chunks mirror
 

@@ -1072,6 +1072,129 @@ ORDER BY va, vb
 
 
 # ---------------------------------------------------------------------------
+# q_emb_prototypicality — per-vector prototypicality score: cosine to the
+# vector's own k-means bucket centroid.  The curation signal behind
+# SemDeDup-style density pruning and noise triage: LOW scores are bucket
+# outliers (mislabeled / noisy / off-distribution rows — prune or audit
+# first), HIGH scores are redundant prototypes (downsample candidates).
+# Scale shape: centroid training is a bounded-absolute-size sample on the
+# driver (the same capped-sample kernel as the IVF index,
+# functions/vector.py:138-157); the centroid matrix (n_centroids × dim,
+# KB-scale) is broadcast once via ray.put; scoring is ONE streaming
+# map_batches pass — no shuffle at all.  The mirror joins the sidecar
+# replay of the model (fixtures.proto_sidecar_path: the seeded k-means is
+# the one thing SQL cannot derive) and re-scores every row relationally.
+
+
+def _proto_scores(sf_dir: str, n_centroids: int = 16):
+    """(Dataset of (vec_id, bucket, proto_e6), schema) — shared by
+    emb_prototypicality and emb_bucket_outliers."""
+    from deduplicator_ray.functions import vector as vfn
+
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
+    out_schema = pa.schema([("vec_id", pa.int64()), ("bucket", pa.int64()),
+                            ("proto_e6", pa.int64())])
+    sample = vfn.sample_rows_absolute(ds, 65536)
+    if len(sample) == 0:  # no decodable vectors at all → empty relation
+        return rd.from_arrow(out_schema.empty_table()), out_schema
+    cents = vfn.train_centroids(sample, n_centroids)
+    c_ref = ray.put(cents)
+
+    def score(t: pa.Table) -> pa.Table:
+        from deduplicator_ray.functions import vector as vf
+
+        c = ray.get(c_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = vf._normalize(vf.embeddings_matrix(t).astype(np.float64))
+        sim = xn @ c.T
+        b = np.argmax(sim, axis=1)
+        # true cosine (the mirror's list_cosine_similarity includes the
+        # centroid norm, which is 1 only up to float error)
+        cn = np.linalg.norm(c, axis=1)
+        proto = sim[np.arange(len(b)), b] / cn[b]
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(b.astype(np.int64)),
+             pa.array(_cos_e6(proto))],
+            schema=out_schema)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=8192), out_schema
+
+
+def emb_prototypicality(sf_dir: str, n_centroids: int = 16) -> pd.DataFrame:
+    scored, schema = _proto_scores(sf_dir, n_centroids)
+    out = _ds_to_pandas(scored, schema)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+EMB_PROTOTYPICALITY_SQL = """
+WITH c AS (
+  SELECT bucket, list(val ORDER BY dim) AS cvec
+  FROM '{proto}/centroids.parquet' GROUP BY bucket
+)
+SELECT a.vec_id, a.bucket,
+       CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         c.cvec) * 1e6 + 0.5)
+            AS BIGINT) AS proto_e6
+FROM '{proto}/assign.parquet' a
+JOIN embeddings e ON e.vec_id = a.vec_id
+JOIN c ON c.bucket = a.bucket
+ORDER BY a.vec_id
+"""
+
+
+def emb_bucket_outliers(sf_dir: str, n_centroids: int = 16,
+                        bottom_k: int = 5) -> pd.DataFrame:
+    """Bottom-k LEAST prototypical vectors per bucket — the audit-first
+    queue (likely noise/mislabels).  Distributed shape: one
+    bucket-partitioned groupby over the 3-int score rows (embeddings never
+    move); rank = dense order by (proto_e6, vec_id) within bucket."""
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    scored, _ = _proto_scores(sf_dir, n_centroids)
+    out_schema = pa.schema([("bucket", pa.int64()), ("vec_id", pa.int64()),
+                            ("proto_e6", pa.int64()), ("rnk", pa.int64())])
+
+    def bottom(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["bucket", "proto_e6", "vec_id"],
+                            kind="mergesort")
+        df["rnk"] = df.groupby("bucket", sort=False).cumcount() + 1
+        return df.loc[df["rnk"] <= bottom_k,
+                      ["bucket", "vec_id", "proto_e6", "rnk"]]
+
+    out = _ds_to_pandas(
+        partitioned_groupby(scored, ["bucket"], bottom,
+                            out_schema=out_schema),
+        out_schema)
+    return out.sort_values(["bucket", "rnk"]).reset_index(drop=True)
+
+
+EMB_BUCKET_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT bucket, list(val ORDER BY dim) AS cvec
+  FROM '{proto}/centroids.parquet' GROUP BY bucket
+), scored AS (
+  SELECT a.vec_id, a.bucket,
+         CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) * 1e6 + 0.5)
+              AS BIGINT) AS proto_e6
+  FROM '{proto}/assign.parquet' a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN c ON c.bucket = a.bucket
+)
+SELECT bucket, vec_id, proto_e6, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY bucket ORDER BY proto_e6, vec_id)
+            AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+ORDER BY bucket, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_docs_jaccard_pairs — exact n-gram (character 5-shingle) Jaccard near-dup
 # pairs, brute force: every pair with J ≥ 0.8 over DISTINCT raw substrings
 # (the un-hashed form of the LSH verify metric, value-checked against a

@@ -369,3 +369,37 @@ def test_containment_catches_what_jaccard_misses(tmp_path):
     assert jac.empty                 # symmetric Jaccard sees nothing
     px = q.docs_containment_pairs_prefix(str(tmp_path))
     assert set(map(tuple, px[["src", "dst"]].to_numpy())) == pairs
+
+
+def test_emb_prototypicality_mirror(sf_small, con_emb):
+    """Cosine-to-own-centroid must value-match the sidecar-replay mirror,
+    cover every non-null vector once, and actually spread (a constant score
+    would mean the k-means degenerated to one live bucket)."""
+    from deduplicator_ray import fixtures
+
+    proto = fixtures.proto_sidecar_path(sf_small)
+    eng = q.emb_prototypicality(sf_small)
+    orc = con_emb.execute(
+        q.EMB_PROTOTYPICALITY_SQL.replace("{proto}", proto)).df()
+    _match(eng, orc)
+    assert eng["vec_id"].is_unique
+    assert eng["bucket"].nunique() > 1
+    assert eng["proto_e6"].nunique() > 1
+
+
+def test_emb_bucket_outliers_mirror(sf_small, con_emb):
+    """Bottom-k per bucket: mirror-exact, ≤ k rows per bucket, and each
+    bucket's outliers score no higher than that bucket's median (they are
+    genuinely the tail, not arbitrary rows)."""
+    from deduplicator_ray import fixtures
+
+    proto = fixtures.proto_sidecar_path(sf_small)
+    eng = q.emb_bucket_outliers(sf_small)
+    orc = con_emb.execute(
+        q.EMB_BUCKET_OUTLIERS_SQL.replace("{proto}", proto)).df()
+    _match(eng, orc)
+    assert eng.groupby("bucket")["rnk"].max().le(5).all()
+    full = q.emb_prototypicality(sf_small)
+    med = full.groupby("bucket")["proto_e6"].median()
+    worst = eng.groupby("bucket")["proto_e6"].max()
+    assert (worst <= med.loc[worst.index] + 1).all()

@@ -137,24 +137,39 @@ def assign_buckets(ds: rd.Dataset, centroids: np.ndarray,
 
 def sample_rows_absolute(ds: rd.Dataset, n_rows: int,
                          vec_col: str = "embedding",
-                         seed: int = 3) -> np.ndarray:
+                         seed: int = 3,
+                         id_col: str = "vec_id") -> np.ndarray:
     """Bounded training sample: an ABSOLUTE row cap, never a fraction of the
     corpus.  ``ds.count()`` on parquet answers from footer metadata; the
     sample fraction is sized so the expected draw is ~2× the cap and the
-    driver-side slice enforces the hard bound."""
+    driver-side slice enforces the hard bound.
+
+    The collected rows are SORTED by ``id_col`` before truncation: Ray's
+    streaming executor delivers blocks in nondeterministic arrival order, so
+    without the sort two runs of the same job train on permuted samples and
+    k-means (seeded index choice) lands on different centroids — which broke
+    the sidecar-replay mirrors intermittently.  Below the cap (every sidecar
+    scale) the sorted sample is exactly the file-order prefix the sidecar
+    replays; above it, determinism of the SET additionally rides on the
+    seeded random_sample."""
     total = ds.count()
     frac = min(1.0, (2.0 * n_rows) / max(total, 1))
     sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     chunks: list[np.ndarray] = []
+    id_chunks: list[np.ndarray] = []
     got = 0
     for b in sampled.iter_batches(batch_size=8192, batch_format="pyarrow"):
         m = embeddings_matrix(b, vec_col)
         chunks.append(m)
+        id_chunks.append(b[id_col].to_numpy(zero_copy_only=False))
         got += len(m)
-        if got >= n_rows:
+        if got >= 2 * n_rows:
             break
-    out = np.concatenate(chunks) if chunks else np.zeros((0, 1), np.float32)
-    return out[:n_rows]
+    if not chunks:
+        return np.zeros((0, 1), np.float32)
+    out = np.concatenate(chunks)
+    order = np.argsort(np.concatenate(id_chunks), kind="stable")
+    return out[order][:n_rows]
 
 
 def build_ivf_index(

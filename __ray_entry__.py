@@ -164,6 +164,24 @@ def _img_pair_distance_hist(sf_dir: str):
     return pdf.sort_values("ham").reset_index(drop=True)
 
 
+def _img_hamming_knn(sf_dir: str):
+    """Exact dHash-Hamming k-NN for the 4 smallest live probe ids — the
+    similarity-search complement of the thresholded dup pairs (partial
+    top-k per batch against a broadcast probe table; no shuffle)."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    out = ip.hamming_knn(ip.load_images(sf_dir, _cfg()), _cfg())
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _img_bit_stats(sf_dir: str):
+    """Per-bit dHash occupancy (hash-health audit): each batch collapses to
+    64 partial rows; the combine is a driver-side 64-key sum."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    return ip.phash_bit_stats(ip.load_images(sf_dir, _cfg()), _cfg())
+
+
 def _img_cluster_size_hist(sf_dir: str):
     """Dup-family size spectrum over the extended clusters (clusters per
     size class + images they hold) — the dedup-savings rollup."""
@@ -1018,6 +1036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_caption_conflicts": _img_caption_conflicts,
         "img_stock_captions": _img_stock_captions,
         "img_pair_distance_hist": _img_pair_distance_hist,
+        "img_hamming_knn": _img_hamming_knn,
+        "img_bit_stats": _img_bit_stats,
         "img_cluster_size_hist": _img_cluster_size_hist,
         "img_leakage_split": _img_leakage_split,
         "img_curation": _img_curation,
@@ -1125,6 +1145,10 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.STOCK_CAPTIONS_SQL, hashes=hashes, **kw),
         "img_pair_distance_hist": mirrors.compose(
             mirrors.PAIR_DIST_HIST_SQL, hashes=hashes, **kw),
+        "img_hamming_knn": mirrors.compose(
+            mirrors.HAMMING_KNN_SQL, hashes=hashes, **kw),
+        "img_bit_stats": mirrors.compose(
+            mirrors.BIT_STATS_SQL, hashes=hashes, **kw),
         "img_cluster_size_hist": mirrors.compose(
             mirrors.CLUSTER_SIZE_HIST_SQL, hashes=hashes, **kw),
         # split assignment must re-derive identically in SQL: shared

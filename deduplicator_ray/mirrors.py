@@ -783,3 +783,45 @@ SELECT alt_id, base_id,
 FROM best WHERE rn = 1
 ORDER BY alt_id
 """
+
+
+# exact Hamming-space k-NN: probes = 4 lexicographically smallest live ids
+# (relation-defined, no orchestration freedom), neighbours ranked by
+# (XOR popcount, image_id) with no Hamming ceiling — the search complement
+# of the thresholded dup-pair relation
+HAMMING_KNN_SQL = """
+WITH live AS (
+  SELECT image_id, dhash FROM '{HASHES}'
+  WHERE status = 'ok' AND dhash <> 0
+), probes AS (
+  SELECT image_id AS query_id, dhash AS qh
+  FROM live ORDER BY image_id LIMIT 4
+)
+SELECT query_id, rank, image_id, ham FROM (
+  SELECT p.query_id, e.image_id,
+         CAST(bit_count(xor(p.qh, e.dhash)) AS BIGINT) AS ham,
+         CAST(row_number() OVER (
+              PARTITION BY p.query_id
+              ORDER BY bit_count(xor(p.qh, e.dhash)), e.image_id)
+           AS BIGINT) AS rank
+  FROM probes p JOIN live e ON e.image_id <> p.query_id)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+# per-bit dHash occupancy (hash-health audit): arithmetic >> keeps bit b at
+# position 0 after the mask, sign replication notwithstanding, so the same
+# expression covers negative int64 hashes
+BIT_STATS_SQL = """
+WITH live AS (
+  SELECT dhash FROM '{HASHES}' WHERE status = 'ok' AND dhash <> 0
+)
+SELECT bit,
+       CAST(sum((dhash >> bit) & 1) AS BIGINT) AS n_set,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((dhash >> bit) & 1) * 1000000 // count(*) AS BIGINT)
+         AS set_frac_e6
+FROM live CROSS JOIN (SELECT unnest(range(64)) AS bit)
+GROUP BY bit
+ORDER BY bit
+"""

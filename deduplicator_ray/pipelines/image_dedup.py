@@ -1340,3 +1340,139 @@ def dedup_scorecard(images: rd.Dataset, truth: rd.Dataset,
         "precision_e6": np.asarray([tp * 1_000_000 // max(cp, 1)], np.int64),
         "recall_e6": np.asarray([tp * 1_000_000 // max(gp, 1)], np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Hamming-space exact k-NN + per-bit hash statistics
+
+
+HAMMING_KNN_SCHEMA = pa.schema([
+    ("query_id", pa.string()), ("rank", pa.int64()),
+    ("image_id", pa.string()), ("ham", pa.int64())])
+
+BIT_STATS_SCHEMA = pa.schema([
+    ("bit", pa.int64()), ("n_set", pa.int64()),
+    ("n_rows", pa.int64()), ("set_frac_e6", pa.int64())])
+
+
+def hamming_knn(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                k: int = 5, n_queries: int = 4) -> "pd.DataFrame":
+    """Exact k-nearest-neighbours in dHash Hamming space for a probe set —
+    the similarity-SEARCH complement of the dedup pipeline's thresholded
+    pairs (triage: "show me what else looks like this image", no Hamming
+    ceiling).  Probes are the ``n_queries`` lexicographically smallest live
+    image_ids (a relation-defined, order-free choice the mirror re-derives).
+
+    Scale shape: the probe table is KB-sized and broadcast once via
+    ray.put; each batch computes a vectorized XOR-popcount matrix against
+    all probes and emits only its per-probe top-k PARTIAL rows
+    (≤ k·n_queries per batch), so the driver-side combine sees
+    k·n_queries·n_blocks tiny rows — the corpus itself never shuffles and
+    never lands on the driver."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (groupby combine below)
+    import ray
+
+    from deduplicator_ray.hashing import hamming_u64
+
+    fp = fingerprints(images, cfg)
+
+    def live_proj(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["status"], "ok"),
+                       pc.not_equal(t["dhash"], 0))
+        return t.filter(mask).select(["image_id", "dhash"])
+
+    proj = fp.map_batches(live_proj, batch_format="pyarrow").materialize()
+
+    # probe election: n smallest ids — per-batch partial min-k, tiny combine
+    def partial_min(t: pa.Table) -> pa.Table:
+        idx = np.argsort(np.asarray(t["image_id"].to_pylist(),
+                                    dtype=object))[:n_queries]
+        return t.take(pa.array(idx, pa.int64()))
+
+    probes = proj.map_batches(partial_min, batch_format="pyarrow").to_pandas()
+    if probes.empty:  # no live rows at all (empty/all-corrupt corpus)
+        return HAMMING_KNN_SCHEMA.empty_table().to_pandas()
+    probes = probes.sort_values("image_id").head(n_queries)
+    q_ids = probes["image_id"].to_numpy()
+    q_hash = probes["dhash"].to_numpy()
+    q_ref = ray.put((q_ids, q_hash))
+
+    part_schema = pa.schema([("query_id", pa.string()),
+                             ("image_id", pa.string()),
+                             ("ham", pa.int64())])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qi, qh = ray.get(q_ref)
+        ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
+        dh = t["dhash"].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_h = [], [], []
+        for qid, h in zip(qi, qh):
+            ham = hamming_u64(dh, np.full(len(dh), h, np.int64)).astype(np.int64)
+            keep = ids != qid
+            cid, cham = ids[keep], ham[keep]
+            if len(cid) > k:
+                sel = np.lexsort((cid, cham))[:k]
+            else:
+                sel = np.lexsort((cid, cham))
+            out_q.append(np.full(len(sel), qid, dtype=object))
+            out_i.append(cid[sel])
+            out_h.append(cham[sel])
+        if not out_q:
+            return pa.Table.from_batches([], schema=part_schema)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)), pa.array(np.concatenate(out_i)),
+             pa.array(np.concatenate(out_h))], schema=part_schema)
+
+    parts = proj.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return HAMMING_KNN_SCHEMA.empty_table().to_pandas()
+    parts = parts.sort_values(["query_id", "ham", "image_id"],
+                              kind="mergesort")
+    top = parts.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    top["rank"] = top["rank"].astype(np.int64)
+    return (top[["query_id", "rank", "image_id", "ham"]]
+            .reset_index(drop=True))
+
+
+def phash_bit_stats(images: rd.Dataset,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> "pd.DataFrame":
+    """Per-bit occupancy of the dHash over the live corpus — the hash-health
+    audit: a well-behaved perceptual hash has every bit near 50% set; a bit
+    pinned at 0/1 (degenerate corpus, broken kernel, all-flat images) halves
+    the effective keyspace and floods LSH buckets.  Scale shape: each batch
+    collapses to exactly 64 partial rows (vectorized bit unpack + sum), so
+    the combine is a driver-side sum over 64·n_blocks ints."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (groupby combine below)
+
+    fp = fingerprints(images, cfg)
+
+    part_schema = pa.schema([("bit", pa.int64()), ("n_set", pa.int64()),
+                             ("n_rows", pa.int64())])
+
+    def partial_bits(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["status"], "ok"),
+                       pc.not_equal(t["dhash"], 0))
+        dh = t.filter(mask)["dhash"].to_numpy(zero_copy_only=False)
+        h = dh.astype(np.int64).view(np.uint64)
+        bits = np.arange(64, dtype=np.uint64)
+        n_set = ((h[:, None] >> bits[None, :]) & np.uint64(1)).sum(
+            axis=0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(bits.astype(np.int64)), pa.array(n_set),
+             pa.array(np.full(64, len(h), np.int64))], schema=part_schema)
+
+    parts = fp.map_batches(partial_bits, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return BIT_STATS_SCHEMA.empty_table().to_pandas()
+    agg = (parts.groupby("bit", as_index=False)[["n_set", "n_rows"]].sum()
+           .sort_values("bit").reset_index(drop=True))
+    # an all-dead corpus contributes only n_rows=0 partials; the mirror's
+    # cross join over an empty live relation is the EMPTY relation
+    agg = agg[agg["n_rows"] > 0]
+    agg["set_frac_e6"] = (agg["n_set"] * 1_000_000
+                          // agg["n_rows"]).astype(np.int64)
+    return (agg[["bit", "n_set", "n_rows", "set_frac_e6"]]
+            .reset_index(drop=True))

@@ -410,3 +410,26 @@ def test_img_aspect_buckets_mirror(sf_small, paths):
     orc = duckdb.sql(_compose(mirrors.ASPECT_BUCKETS_SQL, paths)).df()
     _assert_frame_equal(eng, orc)
     assert eng["bucket_idx"].nunique() > 1
+
+
+def test_hamming_knn_mirror(sf_small, paths):
+    """Exact Hamming k-NN: partial-top-k-per-batch combine must equal the
+    SQL window relation; ranks are 1..k per probe and distances
+    non-decreasing within a probe."""
+    eng = ip.hamming_knn(ip.load_images(sf_small, CFG), CFG)
+    orc = duckdb.sql(_compose(mirrors.HAMMING_KNN_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    g = eng.groupby("query_id")
+    assert (g["rank"].apply(lambda r: list(r) == list(range(1, len(r) + 1)))).all()
+    assert (g["ham"].apply(lambda h: h.is_monotonic_increasing)).all()
+
+
+def test_bit_stats_mirror(sf_small, paths):
+    """Per-bit dHash occupancy: 64 rows, mirror-exact, constant n_rows, and
+    the corpus actually exercises both bit values (no degenerate hash)."""
+    eng = ip.phash_bit_stats(ip.load_images(sf_small, CFG), CFG)
+    orc = duckdb.sql(_compose(mirrors.BIT_STATS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert len(eng) == 64
+    assert eng["n_rows"].nunique() == 1
+    assert (eng["n_set"] > 0).any() and (eng["n_set"] < eng["n_rows"]).any()

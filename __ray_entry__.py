@@ -975,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "docs_containment_pairs": q.docs_containment_pairs,
         "docs_containment_pairs_prefix": q.docs_containment_pairs_prefix,
+        "docs_contained_drop": q.docs_contained_drop,
         "orders_without_lineitems": q.orders_without_lineitems,
         "docs_purge_semijoin": q.docs_purge_semijoin,
         "docs_substring_dup": q.docs_substring_dup,
@@ -1369,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
         "docs_containment_pairs": q.DOCS_CONTAINMENT_PAIRS_SQL,
         "docs_containment_pairs_prefix": q.DOCS_CONTAINMENT_PAIRS_SQL,
+        "docs_contained_drop": q.DOCS_CONTAINED_DROP_SQL,
         "orders_without_lineitems": q.ORDERS_WITHOUT_LINEITEMS_SQL,
         "docs_purge_semijoin": q.DOCS_PURGE_SEMIJOIN_SQL,
         "docs_substring_dup": q.DOCS_SUBSTRING_DUP_SQL,

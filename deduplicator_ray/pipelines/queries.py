@@ -1449,6 +1449,88 @@ ORDER BY src, dst
 """
 
 
+def docs_contained_drop(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """The ACTIONABLE closure of the containment relation: per-doc
+    keep/drop decision table.  A doc drops when it is shingle-contained
+    (C ≥ t) in a DOMINATING doc — strictly more shingles, or equal
+    shingles with a smaller id (the deterministic tie-break that keeps
+    exactly one member of a mutual-containment pair).  No iteration
+    needed: dominance is a strict partial order, so the maximal elements
+    of every containment chain survive in one pass.
+
+    Scale shape: the pair relation is tiny next to the corpus (near-dup
+    sparsity), so the dominated→witness map broadcasts via ray.put and the
+    decision pass is one streaming map_batches over (doc_id) — text never
+    moves.  Witness = the dominating doc with most shingles, tie-broken by
+    smallest id."""
+    import pyarrow.parquet as pq
+
+    pairs = docs_containment_pairs_prefix(sf_dir, threshold)
+
+    tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    sizes = {int(i): len(_shingle_set(str(t)))
+             for i, t in zip(tbl["doc_id"].to_pylist(),
+                             tbl["text"].to_pylist())}
+    dom: dict[int, tuple[int, int]] = {}  # src -> (lb, -dst) best witness
+    for a, b in zip(pairs["src"].to_numpy(), pairs["dst"].to_numpy()):
+        a, b = int(a), int(b)
+        la, lb = sizes[a], sizes[b]
+        if la < lb or (la == lb and a > b):
+            best = dom.get(a)
+            if best is None or (lb, -b) > best:
+                dom[a] = (lb, -b)
+    witness = {a: -nb for a, (_lb, nb) in dom.items()}
+    w_ref = ray.put(witness)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("action", pa.string()),
+                            ("contained_in", pa.int64())])
+    ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def decide(t: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        act = np.where(np.fromiter((int(i) in w for i in ids), bool,
+                                   count=len(ids)),
+                       "drop_contained", "keep")
+        cin = np.fromiter((w.get(int(i), -1) for i in ids), np.int64,
+                          count=len(ids))
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(act.astype(object)), pa.array(cin)],
+            schema=out_schema)
+
+    out = _ds_to_pandas(ds.map_batches(decide, batch_format="pyarrow"),
+                        out_schema)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_CONTAINED_DROP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, len(b.sh) AS lb
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.9
+    AND (len(a.sh) < len(b.sh)
+         OR (len(a.sh) = len(b.sh) AND a.doc_id > b.doc_id))
+), w AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY lb DESC, dst) AS rn
+    FROM p)
+  WHERE rn = 1
+)
+SELECT doc_id,
+       CASE WHEN w.src IS NOT NULL THEN 'drop_contained' ELSE 'keep' END
+         AS action,
+       COALESCE(w.dst, -1) AS contained_in
+FROM documents LEFT JOIN w ON w.src = doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_orders_without_lineitems — ANTI-join (the reference's known-paths skip,
 # J1/dupedb.py:190-194, as a relational op): orders with no lineitem.  The

@@ -403,3 +403,22 @@ def test_emb_bucket_outliers_mirror(sf_small, con_emb):
     med = full.groupby("bucket")["proto_e6"].median()
     worst = eng.groupby("bucket")["proto_e6"].max()
     assert (worst <= med.loc[worst.index] + 1).all()
+
+
+def test_contained_drop_mirror(sf_small, con):
+    """Containment decision closure: mirror-exact; every doc decided once;
+    drops are non-vacuous; no witness chain ends in a dropped doc of equal
+    or smaller size (dominance keeps the maximal elements)."""
+    eng = q.docs_contained_drop(sf_small)
+    orc = con.execute(q.DOCS_CONTAINED_DROP_SQL).df()
+    _match(eng, orc)
+    assert eng["doc_id"].is_unique
+    dropped = eng[eng["action"] == "drop_contained"]
+    assert len(dropped) > 0
+    kept = set(eng.loc[eng["action"] == "keep", "doc_id"])
+    # a mutual-containment pair keeps exactly one member: every witness of
+    # an equal-size drop must itself be kept
+    assert (eng["contained_in"] == -1).eq(eng["action"] == "keep").all()
+    # witnesses exist as docs
+    assert set(dropped["contained_in"]) <= set(eng["doc_id"])
+    assert kept  # not everything dropped

@@ -182,6 +182,18 @@ def _img_bit_stats(sf_dir: str):
     return ip.phash_bit_stats(ip.load_images(sf_dir, _cfg()), _cfg())
 
 
+def _img_sample_weights(sf_dir: str):
+    """Dedup-aware sampling weights: 1e6 // extended-family size per live
+    image (singleton = 1e6) — duplicate families contribute one unit of
+    sampling mass each."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = ip.img_sample_weights(ip.load_images(sf_dir, _cfg()), _cfg())
+    pdf = _typed(out.to_pandas(), ip.SAMPLE_WEIGHTS_SCHEMA)
+    return pdf.sort_values("image_id").reset_index(drop=True)
+
+
 def _img_cluster_size_hist(sf_dir: str):
     """Dup-family size spectrum over the extended clusters (clusters per
     size class + images they hold) — the dedup-savings rollup."""
@@ -1040,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_hamming_knn": _img_hamming_knn,
         "img_bit_stats": _img_bit_stats,
         "img_cluster_size_hist": _img_cluster_size_hist,
+        "img_sample_weights": _img_sample_weights,
         "img_leakage_split": _img_leakage_split,
         "img_curation": _img_curation,
         "img_curation_report": _img_curation_report,
@@ -1152,6 +1165,8 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.BIT_STATS_SQL, hashes=hashes, **kw),
         "img_cluster_size_hist": mirrors.compose(
             mirrors.CLUSTER_SIZE_HIST_SQL, hashes=hashes, **kw),
+        "img_sample_weights": mirrors.compose(
+            mirrors.SAMPLE_WEIGHTS_SQL, hashes=hashes, **kw),
         # split assignment must re-derive identically in SQL: shared
         # extended CTE + the portable md5 bucket expression
         "img_leakage_split": mirrors.compose(

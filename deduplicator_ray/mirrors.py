@@ -825,3 +825,19 @@ FROM live CROSS JOIN (SELECT unnest(range(64)) AS bit)
 GROUP BY bit
 ORDER BY bit
 """
+
+
+# dedup-aware sampling weights: every live image weighs 1e6 // its
+# extended-component family size (singletons key on their own id) — each
+# duplicate family contributes one unit of sampling mass
+SAMPLE_WEIGHTS_SQL = _EXTENDED_CTE + """
+, asg AS (
+  SELECT l.image_id, coalesce(a.cluster_id, l.image_id) AS weight_key
+  FROM live l LEFT JOIN assigned a USING (image_id)),
+sz AS (SELECT weight_key, count(*) AS n FROM asg GROUP BY weight_key)
+SELECT image_id, weight_key,
+       CAST(n AS BIGINT) AS family_size,
+       CAST(1000000 // n AS BIGINT) AS weight_e6
+FROM asg JOIN sz USING (weight_key)
+ORDER BY image_id
+"""

@@ -433,3 +433,21 @@ def test_bit_stats_mirror(sf_small, paths):
     assert len(eng) == 64
     assert eng["n_rows"].nunique() == 1
     assert (eng["n_set"] > 0).any() and (eng["n_set"] < eng["n_rows"]).any()
+
+
+def test_sample_weights_mirror(sf_small, paths):
+    """Dedup-aware sampling weights: mirror-exact; every live image weighted
+    once; each family's total mass is ~1e6 (floor division) and clustered
+    families actually exist (family_size > 1 somewhere)."""
+    eng = (ip.img_sample_weights(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas())
+    orc = duckdb.sql(_compose(mirrors.SAMPLE_WEIGHTS_SQL, paths)).df()
+    from deduplicator_ray.pipelines.queries import _typed
+    eng = _typed(eng, ip.SAMPLE_WEIGHTS_SCHEMA)
+    _assert_frame_equal(
+        eng.sort_values("image_id").reset_index(drop=True), orc)
+    assert eng["image_id"].is_unique
+    assert (eng["family_size"] > 1).any()
+    mass = eng.groupby("weight_key")["weight_e6"].sum()
+    n = eng.groupby("weight_key")["weight_e6"].size()
+    assert ((mass <= 1_000_000) & (mass > 1_000_000 - n)).all()

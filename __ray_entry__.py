@@ -585,6 +585,25 @@ def _docs_clusters(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_sample_weights(sf_dir: str):
+    """Dedup-aware sampling weights over documents: 1e6 // near-dup family
+    size (the doc twin of img_sample_weights)."""
+    import os
+
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import queries as q
+    from deduplicator_ray.pipelines.doc_dedup import doc_sample_weights
+
+    ds = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out = q._typed(doc_sample_weights(ds, _cfg()).to_pandas(), pa.schema(
+        [("doc_id", pa.string()), ("weight_key", pa.string()),
+         ("family_size", pa.int64()), ("weight_e6", pa.int64())]))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_keep_best(sf_dir: str):
     import os
 
@@ -1083,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_pairs": _docs_dup_pairs,
         "docs_clusters": _docs_clusters,
         "docs_keep_best": _docs_keep_best,
+        "docs_sample_weights": _docs_sample_weights,
         "docs_source_priority": _docs_source_priority,
         "docs_leakage_split": _docs_leakage_split,
         "docs_pagerank": _docs_pagerank,
@@ -1443,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_pairs": q.DOCS_DUP_PAIRS_SQL,
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
         "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
+        "docs_sample_weights": q.DOCS_SAMPLE_WEIGHTS_SQL,
         "docs_source_priority": q.DOCS_SOURCE_PRIORITY_SQL,
         "docs_leakage_split": q.DOCS_LEAKAGE_SPLIT_SQL,
         "docs_pagerank": q.DOCS_PAGERANK_SQL,

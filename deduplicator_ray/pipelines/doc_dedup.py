@@ -206,6 +206,80 @@ def doc_leakage_split(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
         id_col="doc_id", train_pct=train_pct, num_parts=num_parts)
 
 
+SAMPLE_WEIGHTS_SCHEMA_TMPL = [("weight_key", pa.string()),
+                              ("family_size", pa.int64()),
+                              ("weight_e6", pa.int64())]
+
+
+def sample_weights_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,
+                               id_col: str = "doc_id",
+                               num_parts: int = 64) -> rd.Dataset:
+    """Generic dedup-aware sampling weights shared by the doc and image
+    modalities: every id weighs 1e6 // its near-dup family size (family =
+    its CC component; singletons key on their own id), so each duplicate
+    family contributes one unit of sampling mass and the training loader
+    samples by weight instead of hard-dropping.  ``ids`` is a
+    one-string-column projection; ``labels`` is ``connected_components``-
+    shaped (image_id, cluster_id).
+
+    Scale shape: labels union the id projection, ONE hash-partitioned
+    groupby resolves each row's family key (the split-assignment shape),
+    then ONE more groupby on the family key counts members and emits
+    weights vectorized — two narrow all-string shuffles."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.string()),
+            "cluster_id": pa.array([""] * t.num_rows, pa.string()),
+        })
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["image_id"],
+                         "cluster_id": t["cluster_id"]})
+
+    key_schema = pa.schema([(id_col, pa.string()),
+                            ("weight_key", pa.string())])
+
+    def resolve_key(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates(id_col)
+                .set_index(id_col)["cluster_id"])
+        out = df.loc[df["cluster_id"] == "", [id_col]].copy()
+        out["weight_key"] = out[id_col].map(lmap).fillna(out[id_col])
+        return out
+
+    keyed = partitioned_groupby(
+        ids.map_batches(proj, batch_format="pyarrow")
+        .union(labels.map_batches(lab, batch_format="pyarrow")),
+        [id_col], resolve_key, num_parts=num_parts, out_schema=key_schema)
+
+    out_schema = pa.schema([(id_col, pa.string())]
+                           + SAMPLE_WEIGHTS_SCHEMA_TMPL)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["family_size"] = df.groupby("weight_key", sort=False)[
+            "weight_key"].transform("size").astype(np.int64)
+        df["weight_e6"] = (1_000_000 // df["family_size"]).astype(np.int64)
+        return df[[id_col, "weight_key", "family_size", "weight_e6"]]
+
+    return partitioned_groupby(keyed, ["weight_key"], weigh,
+                               num_parts=num_parts, out_schema=out_schema)
+
+
+def doc_sample_weights(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       num_parts: int = 64) -> rd.Dataset:
+    """Dedup-aware sampling weights for documents: family =
+    ``doc_clusters`` component (exact-Jaccard-verified near-dups)."""
+    labels = doc_clusters(ds, cfg)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.string())})
+
+    return sample_weights_from_labels(
+        ds.map_batches(proj, batch_format="pyarrow"), labels,
+        id_col="doc_id", num_parts=num_parts)
+
+
 def leakage_split_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,
                               id_col: str = "doc_id", train_pct: int = 90,
                               num_parts: int = 64) -> rd.Dataset:

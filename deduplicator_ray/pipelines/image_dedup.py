@@ -1498,8 +1498,7 @@ def img_sample_weights(images: rd.Dataset,
     split-assignment shape), then ONE more groupby on the family key counts
     members and emits weights vectorized — two narrow all-string shuffles,
     payload bytes never move."""
-    import numpy as np
-    import pandas as pd  # noqa: F401
+    from deduplicator_ray.pipelines.doc_dedup import sample_weights_from_labels
 
     fp = _live(fingerprints(images, cfg), cfg).materialize()
     edges = verified_edges_from_fp(fp, cfg).map_batches(
@@ -1509,40 +1508,5 @@ def img_sample_weights(images: rd.Dataset,
     labels = connected_components(edges, cfg)
     ids = fp.map_batches(lambda t: t.select(["image_id"]),
                          batch_format="pyarrow")
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "image_id": pc.cast(t["image_id"], pa.string()),
-            "cluster_id": pa.array([""] * t.num_rows, pa.string()),
-        })
-
-    def lab(t: pa.Table) -> pa.Table:
-        return pa.table({"image_id": t["image_id"],
-                         "cluster_id": t["cluster_id"]})
-
-    key_schema = pa.schema([("image_id", pa.string()),
-                            ("weight_key", pa.string())])
-
-    def resolve_key(df: "pd.DataFrame") -> "pd.DataFrame":
-        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("image_id")
-                .set_index("image_id")["cluster_id"])
-        out = df.loc[df["cluster_id"] == "", ["image_id"]].copy()
-        out["weight_key"] = out["image_id"].map(lmap).fillna(out["image_id"])
-        return out
-
-    keyed = partitioned_groupby(
-        ids.map_batches(proj, batch_format="pyarrow")
-        .union(labels.map_batches(lab, batch_format="pyarrow")),
-        ["image_id"], resolve_key, num_parts=num_parts,
-        out_schema=key_schema)
-
-    def weigh(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.copy()
-        df["family_size"] = df.groupby("weight_key", sort=False)[
-            "weight_key"].transform("size").astype(np.int64)
-        df["weight_e6"] = (1_000_000 // df["family_size"]).astype(np.int64)
-        return df[["image_id", "weight_key", "family_size", "weight_e6"]]
-
-    return partitioned_groupby(keyed, ["weight_key"], weigh,
-                               num_parts=num_parts,
-                               out_schema=SAMPLE_WEIGHTS_SCHEMA)
+    return sample_weights_from_labels(ids, labels, id_col="image_id",
+                                      num_parts=num_parts)

@@ -1885,6 +1885,25 @@ FROM lab l JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = l.doc_id
 ORDER BY l.doc_id
 """
 
+# dedup-aware sampling weights (doc modality): every document weighs
+# 1e6 // its near-dup family size; singletons key on their own id — the
+# relational twin of mirrors.SAMPLE_WEIGHTS_SQL on the image side
+DOCS_SAMPLE_WEIGHTS_SQL = _DOCS_CC_CTES + """
+, lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node),
+asg AS (
+  SELECT CAST(dd.doc_id AS VARCHAR) AS doc_id,
+         coalesce(l.cluster_id, CAST(dd.doc_id AS VARCHAR)) AS weight_key
+  FROM documents dd
+  LEFT JOIN lab l ON l.doc_id = CAST(dd.doc_id AS VARCHAR)),
+sz AS (SELECT weight_key, count(*) AS n FROM asg GROUP BY weight_key)
+SELECT doc_id, weight_key,
+       CAST(n AS BIGINT) AS family_size,
+       CAST(1000000 // n AS BIGINT) AS weight_e6
+FROM asg JOIN sz USING (weight_key)
+ORDER BY doc_id
+"""
+
+
 # cross-source near-dup resolution: within each near-dup component keep
 # the member from the most trusted source (numeric rank in 'srcN', lower
 # wins; ties on ascending doc_id string) — the multi-corpus merge policy,

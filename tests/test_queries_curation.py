@@ -422,3 +422,19 @@ def test_contained_drop_mirror(sf_small, con):
     # witnesses exist as docs
     assert set(dropped["contained_in"]) <= set(eng["doc_id"])
     assert kept  # not everything dropped
+
+
+def test_docs_sample_weights_mirror(sf_small, con):
+    """Doc-side dedup-aware sampling weights: mirror-exact; full coverage;
+    each family's total mass ≤ 1e6 with floor-division slack."""
+    import __ray_entry__ as e
+
+    eng = e.queries()["docs_sample_weights"](sf_small)
+    orc = con.execute(q.DOCS_SAMPLE_WEIGHTS_SQL).df()
+    _match(eng, orc)
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(eng) == total and eng["doc_id"].is_unique
+    assert (eng["family_size"] > 1).any()
+    mass = eng.groupby("weight_key")["weight_e6"].sum()
+    n = eng.groupby("weight_key")["weight_e6"].size()
+    assert ((mass <= 1_000_000) & (mass > 1_000_000 - n)).all()

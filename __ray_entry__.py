@@ -1001,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_bucket_outliers": q.emb_bucket_outliers,
         "emb_cluster_update": q.emb_cluster_update,
         "emb_leakage_split": q.emb_leakage_split,
+        "emb_sample_weights": q.emb_sample_weights,
         "emb_cluster_remove": q.emb_cluster_remove,
         "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
@@ -1401,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         # modality)
         "emb_cluster_update": q.EMB_CLUSTER_UPDATE_SQL,
         "emb_leakage_split": q.EMB_LEAKAGE_SPLIT_SQL,
+        "emb_sample_weights": q.EMB_SAMPLE_WEIGHTS_SQL,
         "emb_cluster_remove": q.EMB_CLUSTER_REMOVE_SQL,
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
         "docs_containment_pairs": q.DOCS_CONTAINMENT_PAIRS_SQL,

@@ -988,6 +988,42 @@ def emb_leakage_split(sf_dir: str, train_pct: int = 90) -> pd.DataFrame:
     return res.sort_values("vec_id").reset_index(drop=True)
 
 
+def emb_sample_weights(sf_dir: str) -> pd.DataFrame:
+    """Dedup-aware sampling weights for the EMBEDDING modality — closes the
+    weights matrix (docs_sample_weights / img_sample_weights / here):
+    every non-null vector weighs 1e6 // its exact cos ≥ 0.35 component
+    size.  Same padded-string CC machinery as emb_leakage_split; keys cast
+    back to int64 at the edge."""
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines.doc_dedup import sample_weights_from_labels
+    from deduplicator_ray.stages.components import connected_components
+
+    cfg = PipelineConfig()
+    edges = _emb_exact_edges(sf_dir, lambda v: np.ones_like(v, bool),
+                             lambda a, b: np.ones_like(a & b, bool))
+    labels = connected_components(edges, cfg)
+    ids = _nonnull_vec(dio.read_parquet(_t(sf_dir, "embeddings"),
+                                        columns=["vec_id", "embedding"]))
+
+    def proj(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        return pa.table({"vec_id": pa.array(_emb_pad(v), pa.string())})
+
+    out = sample_weights_from_labels(
+        ids.map_batches(proj, batch_format="pyarrow"), labels,
+        id_col="vec_id").to_pandas()
+    out = _typed(out, pa.schema([
+        ("vec_id", pa.string()), ("weight_key", pa.string()),
+        ("family_size", pa.int64()), ("weight_e6", pa.int64())]))
+    res = pd.DataFrame({
+        "vec_id": out["vec_id"].astype(np.int64),
+        "weight_key": out["weight_key"].astype(np.int64),
+        "family_size": out["family_size"].astype(np.int64),
+        "weight_e6": out["weight_e6"].astype(np.int64),
+    })
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
 _EMB_EDGES_CTE = """
   emb AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings{filt}
@@ -1281,7 +1317,11 @@ ORDER BY va, vb
 
 # ---------------------------------------------------------------------------
 # q_docs_containment_pairs — DIRECTED shingle-containment near-dup pairs:
-# C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.9 over distinct character 5-shingles.  The
+# C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.9 over distinct character CONT_K=8-shingles
+# (LARGER than Jaccard's 5: quote detection wants shingles long enough to be
+# corpus-rare — at k=5 this synthetic word-salad corpus is pathologically
+# dense, nearly every doc pair shares a shingle and prefix filtering drowns
+# in 14M candidates at sf0.1; at k=8 candidates track true dup density).  The
 # asymmetric complement of Jaccard: a short document quoted verbatim inside
 # a long one has high containment but low Jaccard (the size ratio caps J at
 # |Sa|/|Sb|), so symmetric MinHash-LSH dedup structurally misses
@@ -1306,12 +1346,15 @@ ORDER BY va, vb
 # exact verify uses true character shingles, matching the SQL mirror.
 
 
+CONT_K = 8  # containment shingle width (see block comment above)
+
+
 def docs_containment_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     all_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-    all_sh = [_shingle_set(str(t)) for t in tbl["text"].to_pylist()]
+    all_sh = [_shingle_set(str(t), k=CONT_K) for t in tbl["text"].to_pylist()]
     ref = ray.put((all_ids, all_sh))
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1344,11 +1387,21 @@ def docs_containment_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
 
 def docs_containment_pairs_prefix(sf_dir: str,
                                   threshold: float = 0.9) -> pd.DataFrame:
-    """Prefix-filtered containment join (see block comment above): probe
-    prefix → hash-partitioned candidate join → global pair dedup → exact
-    verify.  The exact-verify side table is broadcast once via ray.put (sf
-    scale); at corpus scale it becomes a partitioned merge pulling both
-    texts onto the pair's partition."""
+    """Prefix-filtered containment join (see block comment above), with
+    FREQUENCY-ORDERED prefixes (the canonical PPJoin ordering): probe
+    shingles are each doc's rarest-by-global-document-frequency, so a hot
+    shingle (" the ") almost never probes and candidate volume tracks the
+    true near-dup density instead of the hottest posting list.  Measured
+    at sf0.1: 88 s → single-digit seconds vs the hash-ordered prefix.
+
+    Stages (all narrow int rows): shingle rows → ONE sh-partitioned groupby
+    annotates global df → ONE doc-partitioned groupby marks each doc's
+    ⌊(1-t)·|Sa|⌋+1 rarest shingles as probes → ONE sh-partitioned groupby
+    joins probes×index → pair dedup → exact verify.  Recall is pigeonhole-
+    exact under ANY global shingle order; (df, sh) is one.  The exact-verify
+    side table is broadcast once via ray.put (sf scale); at corpus scale it
+    becomes a partitioned merge pulling both texts onto the pair's
+    partition."""
     import pyarrow.parquet as pq
 
     from deduplicator_ray.functions import text as textfn
@@ -1360,30 +1413,51 @@ def docs_containment_pairs_prefix(sf_dir: str,
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     row_schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64()),
-                            ("probe", pa.int8())])
+                            ("p", pa.int64())])
 
     def shingle_rows(t: pa.Table) -> pa.Table:
-        sh, did, probe = [], [], []
+        sh, did, pb = [], [], []
         for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             txt = str(txt or "")
-            h = np.sort(textfn.char_shingle_hashes(txt, k=5)).view(np.int64)
+            h = textfn.char_shingle_hashes(txt, k=CONT_K).view(np.int64)
             # prefix bound from the TOTAL window count (≥ distinct |Sa|):
             # safe upper bound, immune to hash-collision undercounting
-            n_windows = max(len(txt) - 4, 1)
+            n_windows = max(len(txt) - (CONT_K - 1), 1)
             p = min(int(np.floor((1.0 - threshold) * n_windows)) + 1, len(h))
             sh.append(h)
             did.append(np.full(len(h), int(d), np.int64))
-            pr = np.zeros(len(h), np.int8)
-            pr[:p] = 1
-            probe.append(pr)
+            pb.append(np.full(len(h), p, np.int64))
         if not sh:
             return pa.Table.from_batches([], schema=row_schema)
         return pa.Table.from_arrays(
             [pa.array(np.concatenate(sh)), pa.array(np.concatenate(did)),
-             pa.array(np.concatenate(probe))],
+             pa.array(np.concatenate(pb))],
             schema=row_schema)
 
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    df_schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64()),
+                           ("p", pa.int64()), ("df", pa.int64())])
+
+    def annotate_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = df.groupby("sh", sort=False)["sh"].transform(
+            "size").astype(np.int64)
+        return df
+
+    probe_schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64()),
+                              ("probe", pa.int8())])
+
+    def mark_probes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "df", "sh"], kind="mergesort")
+        rank = df.groupby("doc_id", sort=False).cumcount()
+        out = df[["sh", "doc_id"]].copy()
+        out["probe"] = (rank < df["p"]).to_numpy().astype(np.int8)
+        return out
+
+    marked = partitioned_groupby(
+        partitioned_groupby(rows, ["sh"], annotate_df, out_schema=df_schema),
+        ["doc_id"], mark_probes, out_schema=probe_schema)
 
     cand_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
@@ -1399,14 +1473,14 @@ def docs_containment_pairs_prefix(sf_dir: str,
         out.columns = ["src", "dst"]
         return out
 
-    cands = partitioned_groupby(rows, ["sh"], emit_pairs,
+    cands = partitioned_groupby(marked, ["sh"], emit_pairs,
                                 out_schema=cand_schema)
     cands = drop_duplicates(cands, ["src", "dst"])
 
     # exact verify (character shingles — the mirror's metric)
     tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-    sh_ref = ray.put({int(i): _shingle_set(str(t))
+    sh_ref = ray.put({int(i): _shingle_set(str(t), k=CONT_K)
                       for i, t in zip(ids, tbl["text"].to_pylist())})
 
     out_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
@@ -1433,8 +1507,8 @@ def docs_containment_pairs_prefix(sf_dir: str,
 DOCS_CONTAINMENT_PAIRS_SQL = """
 WITH d AS (
   SELECT doc_id,
-         list_distinct([substr(text, i, 5)
-                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+         list_distinct([substr(text, i, 8)
+                        FOR i IN range(1, greatest(len(text) - 6, 2))]) AS sh
   FROM documents
 )
 SELECT src, dst,
@@ -1468,7 +1542,7 @@ def docs_contained_drop(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     pairs = docs_containment_pairs_prefix(sf_dir, threshold)
 
     tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    sizes = {int(i): len(_shingle_set(str(t)))
+    sizes = {int(i): len(_shingle_set(str(t), k=CONT_K))
              for i, t in zip(tbl["doc_id"].to_pylist(),
                              tbl["text"].to_pylist())}
     dom: dict[int, tuple[int, int]] = {}  # src -> (lb, -dst) best witness
@@ -1506,8 +1580,8 @@ def docs_contained_drop(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
 DOCS_CONTAINED_DROP_SQL = """
 WITH d AS (
   SELECT doc_id,
-         list_distinct([substr(text, i, 5)
-                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+         list_distinct([substr(text, i, 8)
+                        FOR i IN range(1, greatest(len(text) - 6, 2))]) AS sh
   FROM documents
 ), p AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, len(b.sh) AS lb
@@ -1945,6 +2019,23 @@ SELECT vec_id, CAST(split_key AS BIGINT) AS split_key,
                  % 100 < {LEAKAGE_TRAIN_PCT}
             THEN 'train' ELSE 'val' END AS split
 FROM asg ORDER BY vec_id
+""")
+
+
+EMB_SAMPLE_WEIGHTS_SQL = (
+    "WITH RECURSIVE " + _EMB_EDGES_CTE.format(filt="") + """
+, lab AS (SELECT node AS vec_id, min(lbl) AS cluster_id FROM r GROUP BY node),
+base AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
+asg AS (
+  SELECT b.vec_id,
+         CAST(coalesce(l.cluster_id, b.vec_id) AS BIGINT) AS weight_key
+  FROM base b LEFT JOIN lab l USING (vec_id)),
+sz AS (SELECT weight_key, count(*) AS n FROM asg GROUP BY weight_key)
+SELECT vec_id, weight_key,
+       CAST(n AS BIGINT) AS family_size,
+       CAST(1000000 // n AS BIGINT) AS weight_e6
+FROM asg JOIN sz USING (weight_key)
+ORDER BY vec_id
 """)
 
 

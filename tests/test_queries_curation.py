@@ -438,3 +438,16 @@ def test_docs_sample_weights_mirror(sf_small, con):
     mass = eng.groupby("weight_key")["weight_e6"].sum()
     n = eng.groupby("weight_key")["weight_e6"].size()
     assert ((mass <= 1_000_000) & (mass > 1_000_000 - n)).all()
+
+
+def test_emb_sample_weights_mirror(sf_small, con_emb):
+    """Embedding-modality sampling weights: mirror-exact; every non-null
+    vector weighted once; clustered families exist; family mass ≤ 1e6."""
+    eng = q.emb_sample_weights(sf_small)
+    orc = con_emb.execute(q.EMB_SAMPLE_WEIGHTS_SQL).df()
+    _match(eng, orc)
+    assert eng["vec_id"].is_unique
+    assert (eng["family_size"] > 1).any()
+    mass = eng.groupby("weight_key")["weight_e6"].sum()
+    n = eng.groupby("weight_key")["weight_e6"].size()
+    assert ((mass <= 1_000_000) & (mass > 1_000_000 - n)).all()

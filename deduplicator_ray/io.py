@@ -115,6 +115,33 @@ def read_corpus(path, *, columns: list[str] | None = None, **kw) -> rd.Dataset:
     return read_parquet(path, columns=columns, **kw)
 
 
+def read_documents(path, *, columns: list[str] | None = None,
+                   **kw) -> rd.Dataset:
+    """Document-table source dispatch: parquet (default), JSONL
+    (``.jsonl``/``.json``) or CSV (``.csv``) — the three wire formats a
+    text-curation pipeline actually receives corpora in.  All three return
+    the same streaming Arrow scan, so every downstream
+    ``map_batches(batch_format='pyarrow')`` stage is format-agnostic;
+    JSONL/CSV cannot prune columns at the read (row-major formats), so the
+    projection is applied as the first operator instead — prune-at-read
+    remains a parquet/lance property, which is WHY the engine's canonical
+    storage is columnar and these exist for ingest, not for hot loops."""
+    from deduplicator_ray import tuning
+
+    p = str(path).rstrip("/")
+    if p.endswith(".jsonl") or p.endswith(".json"):
+        tuning.tune()
+        ds = rd.read_json(path, **kw)
+    elif p.endswith(".csv"):
+        tuning.tune()
+        ds = rd.read_csv(path, **kw)
+    else:
+        return read_parquet(path, columns=columns, **kw)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_image_files(root: str) -> rd.Dataset:
     """S1 glob source in its TRUE form — the reference scans directory
     trees of image files (``--scanfiles`` globstar expansion,

@@ -120,3 +120,38 @@ def test_captionless_corpus_does_not_megacluster(sf_small, tmp_path):
     assert got_assign == want
     # sanity: far from one mega-cluster — many distinct components
     assert eng["cluster_id"].nunique() > 10
+
+
+def test_read_documents_format_dispatch(tmp_path):
+    """JSONL and CSV ingest must yield the same rows as the parquet read
+    (modulo CSV's lossy typing, pinned here to int64/string columns), and
+    the column projection must apply on all three paths."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray import io as dio
+
+    rows = [{"doc_id": i, "text": f"text {i}", "lang": "en"}
+            for i in range(7)]
+    pq_path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), pq_path)
+    jl_path = str(tmp_path / "documents.jsonl")
+    with open(jl_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    csv_path = str(tmp_path / "documents.csv")
+    with open(csv_path, "w") as f:
+        f.write("doc_id,text,lang\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},{r['text']},{r['lang']}\n")
+
+    base = (dio.read_documents(pq_path, columns=["doc_id", "text"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for p in (jl_path, csv_path):
+        got = (dio.read_documents(p, columns=["doc_id", "text"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got["doc_id"] = got["doc_id"].astype("int64")
+        assert got.equals(base), p
+    assert list(base.columns) == ["doc_id", "text"]

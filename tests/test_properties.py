@@ -239,3 +239,39 @@ def test_rarity_batch_matches_per_row_reference(texts):
         assert n_tok[i] == len(toks)
         assert sum_f[i] == sum(freq[t] for t in toks)
         assert min_f[i] == (min(freq[t] for t in toks) if toks else 0)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["alpha", "bravo", "charl", "delta",
+                                  "echo!", "fox"]),
+                 min_size=1, max_size=40).map(" ".join),
+        min_size=2, max_size=12),
+    t=st.sampled_from([0.7, 0.8, 0.9]))
+def test_containment_prefix_selection_recall(texts, t):
+    """The pigeonhole bound behind docs_containment_pairs_prefix, as a pure
+    kernel property: for ANY pair with shingle containment C(a→b) ≥ t and
+    ANY global shingle order (df-ascending used in production, plain hash
+    order here — the bound must not depend on the order), the
+    ⌊(1-t)·n_windows(a)⌋+1 first shingle hashes of a intersect b's hash
+    set.  This is the exact-recall guarantee the candidate stage rides on;
+    if it breaks, verified pairs are silently lost."""
+    import numpy as np
+
+    from deduplicator_ray.functions.text import char_shingle_hashes
+    from deduplicator_ray.pipelines.queries import CONT_K, _shingle_set
+
+    hs = [char_shingle_hashes(x, k=CONT_K).view(np.int64) for x in texts]
+    ss = [_shingle_set(x, k=CONT_K) for x in texts]
+    for i, (ha, sa) in enumerate(zip(hs, ss)):
+        n_windows = max(len(texts[i]) - (CONT_K - 1), 1)
+        p = min(int(np.floor((1.0 - t) * n_windows)) + 1, len(ha))
+        prefix = set(np.sort(ha)[:p].tolist())  # any global order; sorted = hash order
+        for j, (hb, sb) in enumerate(zip(hs, ss)):
+            if i == j:
+                continue
+            if len(sa & sb) / len(sa) >= t:
+                assert prefix & set(hb.tolist()), (
+                    f"recall hole: pair ({i},{j}) C="
+                    f"{len(sa & sb) / len(sa):.3f} missed by prefix")

@@ -604,6 +604,47 @@ def _docs_sample_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_cross_containment_indexed(sf_dir: str):
+    """Cross-corpus containment probe through the PERSISTED prefix index
+    (state/contstore.py): known side (md5 nibble 0-7) builds the
+    hash-partitioned posting/text/hot-table index once; the new side
+    probes it with df-ordered prefixes reading only its own partitions.
+    The mirror is the plain two-sided containment relation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.state import contstore
+
+    docs = dio.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            isknown = np.fromiter(
+                (hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
+                 for i in ids), bool, count=len(ids))
+            return t.filter(pa.array(~isknown if new_side else isknown))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    idx = tempfile.mkdtemp(prefix="contidx_", dir="/tmp")
+    try:
+        # num_parts sizes the hive fan-out: 8 at sf keeps the build from
+        # drowning in tiny files; thousands at corpus scale (heap bound)
+        contstore.build_containment_index(side(False), idx, num_parts=8)
+        out = contstore.probe_containment_index(side(True), idx)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_keep_best(sf_dir: str):
     import os
 
@@ -1104,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clusters": _docs_clusters,
         "docs_keep_best": _docs_keep_best,
         "docs_sample_weights": _docs_sample_weights,
+        "docs_cross_containment_indexed": _docs_cross_containment_indexed,
         "docs_source_priority": _docs_source_priority,
         "docs_leakage_split": _docs_leakage_split,
         "docs_pagerank": _docs_pagerank,
@@ -1466,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_clusters": q.DOCS_CLUSTERS_SQL,
         "docs_keep_best": q.DOCS_KEEP_BEST_SQL,
         "docs_sample_weights": q.DOCS_SAMPLE_WEIGHTS_SQL,
+        "docs_cross_containment_indexed": q.DOCS_CROSS_CONTAINMENT_SQL,
         "docs_source_priority": q.DOCS_SOURCE_PRIORITY_SQL,
         "docs_leakage_split": q.DOCS_LEAKAGE_SPLIT_SQL,
         "docs_pagerank": q.DOCS_PAGERANK_SQL,

@@ -4771,6 +4771,39 @@ ORDER BY n.doc_id
 """
 
 
+# cross-corpus CONTAINMENT probe (quote-of-known decontamination): for each
+# NEW-side doc (md5(id) nibble 8-f, the docs_cross_dedup split), the smallest
+# KNOWN doc that contains it at C(new→known) ≥ 0.9 over CONT_K=8 shingles.
+# The engine path runs through the PERSISTED prefix index
+# (state/contstore.py: hash-partitioned postings + keyed texts + broadcast
+# hot-shingle ordering); this mirror is the plain two-sided relation.
+DOCS_CROSS_CONTAINMENT_SQL = """
+WITH nib AS (
+  SELECT doc_id, text,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nb
+  FROM documents),
+d AS (
+  SELECT doc_id, nb,
+         list_distinct([substr(text, i, 8)
+                        FOR i IN range(1, greatest(len(text) - 6, 2))]) AS sh
+  FROM nib),
+known AS (SELECT * FROM d
+          WHERE nb IN ('0','1','2','3','4','5','6','7')),
+newd AS (SELECT * FROM d
+         WHERE nb NOT IN ('0','1','2','3','4','5','6','7')),
+m AS (
+  SELECT n.doc_id, min(k.doc_id) AS matched_known
+  FROM newd n JOIN known k
+    ON len(list_intersect(n.sh, k.sh))::DOUBLE / len(n.sh) >= 0.9
+  GROUP BY n.doc_id)
+SELECT n.doc_id,
+       CAST(COALESCE(m.matched_known, -1) AS BIGINT) AS matched_known,
+       CASE WHEN m.matched_known IS NULL THEN 'keep' ELSE 'drop' END AS action
+FROM newd n LEFT JOIN m USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
 ORDERS_PRICE_NTILE_SQL = """
 WITH s AS (
   SELECT o_orderkey,

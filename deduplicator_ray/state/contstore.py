@@ -1,0 +1,300 @@
+"""Persisted containment prefix index for incremental quote-of-known probes.
+
+Completes the persisted-index matrix's containment cell: exact
+(bloomstore), image near-dup (bandstore), doc near-dup (docbandstore),
+embedding near-dup (srpstore), ANN top-k (IVF) — and now DIRECTED
+shingle containment: "is this new document mostly a quote/subset of
+something the corpus already holds?" (decontamination against a known
+benchmark set, ingest-time quote suppression), answered without
+re-shingling the known corpus.
+
+build (once per corpus snapshot)
+    known docs → one posting row per distinct CONT_K-shingle hash
+    (sh:int64, doc_id) → hash-partition on sh → hive ``part=N/`` parquet.
+    Unlike the doc band store, postings do NOT carry text (a doc has
+    ~|text| shingle postings — carrying text would blow the index up
+    ~300×); the text lives ONCE per doc in a second keyed table
+    (``docs/dpart=N/``, hash-partitioned by doc_id) that the verify stage
+    reads by pruned lookup.  A third artifact, ``hot.parquet``, stores the
+    document frequency of every shingle with df ≥ ``hot_df`` (bounded by
+    ``hot_cap`` hottest) — KB-to-MB scale because hot shingles are by
+    definition few distinct values.
+
+probe (every new increment)
+    the new side marks each doc's ⌊(1-t)·n_windows⌋+1 RAREST shingles as
+    probes, ordering by the broadcast hot table (absent ⇒ df 1, ties by
+    hash) — the df-ascending PPJoin order WITHOUT a df join at probe time:
+    the hot table rides ray.put, so probe marking is a local per-batch
+    operation.  Recall does not depend on the ordering (the pigeonhole
+    bound holds under ANY global order — property-tested in
+    tests/test_properties.py), so a stale hot table after appends degrades
+    only candidate volume, never correctness.  Only the ``part=N``
+    posting directories the probe shingles hash into are opened, with an
+    sh-membership filter pushed into the fragment scan; candidates then
+    verify by exact shingle containment against the pruned ``docs/``
+    lookup.
+
+append (every accepted increment)
+    postings and docs are pure per-doc functions → append-only parquet in
+    the same hive partitions; build(A) + append(B) probes exactly like
+    build(A ∪ B).  The hot table is deliberately NOT rebuilt on append
+    (ordering heuristic only); rebuild it on the next snapshot build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from deduplicator_ray import io as dio
+from deduplicator_ray.stages.partitioned import (
+    _hash_cols,
+    drop_duplicates,
+    partitioned_groupby,
+)
+
+_PARAMS = "_params.json"
+
+
+def _shingle_rows(cont_k: int):
+    from deduplicator_ray.functions.text import char_shingle_hashes
+
+    schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64()),
+                        ("n_windows", pa.int64())])
+
+    def f(t: pa.Table) -> pa.Table:
+        sh, did, nw = [], [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            txt = str(txt or "")
+            h = char_shingle_hashes(txt, k=cont_k).view(np.int64)
+            sh.append(h)
+            did.append(np.full(len(h), int(d), np.int64))
+            nw.append(np.full(len(h), max(len(txt) - (cont_k - 1), 1),
+                              np.int64))
+        if not sh:
+            return pa.Table.from_batches([], schema=schema)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(sh)), pa.array(np.concatenate(did)),
+             pa.array(np.concatenate(nw))], schema=schema)
+
+    return f
+
+
+def _add_part(key: str, num_parts: int, out: str = "part"):
+    def f(t: pa.Table) -> pa.Table:
+        part = (_hash_cols(t, [key]) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column(out, pa.array(part))
+
+    return f
+
+
+def build_containment_index(known: rd.Dataset, index_dir: str,
+                            cont_k: int = 8, num_parts: int = 64,
+                            hot_df: int = 4,
+                            hot_cap: int = 1 << 20) -> dict:
+    """Persist postings + keyed texts + the hot-shingle df table."""
+    rows = known.map_batches(_shingle_rows(cont_k), batch_format="pyarrow")
+    (rows.map_batches(_add_part("sh", num_parts), batch_format="pyarrow")
+     .drop_columns(["n_windows"])
+     .write_parquet(os.path.join(index_dir, "postings"),
+                    partition_cols=["part"]))
+    (known.map_batches(_add_part("doc_id", num_parts, "dpart"),
+                       batch_format="pyarrow")
+     .write_parquet(os.path.join(index_dir, "docs"),
+                    partition_cols=["dpart"]))
+
+    # hot table: distributed df count, driver keeps only the ≥hot_df tail
+    df_schema = pa.schema([("sh", pa.int64()), ("df", pa.int64())])
+
+    def count_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("sh", sort=False, as_index=False)["doc_id"]
+               .nunique().rename(columns={"doc_id": "df"}))
+        return out[out["df"] >= hot_df]
+
+    hot = (partitioned_groupby(rows, ["sh"], count_df, out_schema=df_schema)
+           .to_pandas())
+    if len(hot) > hot_cap:
+        hot = hot.sort_values(["df", "sh"],
+                              ascending=[False, True]).head(hot_cap)
+    if hot.empty:
+        hot = df_schema.empty_table().to_pandas()
+    pq.write_table(pa.Table.from_pandas(hot, preserve_index=False),
+                           os.path.join(index_dir, "hot.parquet"))
+
+    params = {"num_parts": num_parts, "cont_k": cont_k, "hot_df": hot_df}
+    with open(os.path.join(index_dir, _PARAMS), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def append_containment_index(new: rd.Dataset, index_dir: str) -> int:
+    """Fold an increment append-only (postings + docs; hot table untouched —
+    ordering heuristic, not correctness).  Returns appended posting rows."""
+    params = _load_params(index_dir)
+    rows = (new.map_batches(_shingle_rows(params["cont_k"]),
+                            batch_format="pyarrow")
+            .map_batches(_add_part("sh", params["num_parts"]),
+                         batch_format="pyarrow")
+            .drop_columns(["n_windows"])
+            .materialize())
+    rows.write_parquet(os.path.join(index_dir, "postings"),
+                       partition_cols=["part"])
+    (new.map_batches(_add_part("doc_id", params["num_parts"], "dpart"),
+                     batch_format="pyarrow")
+     .write_parquet(os.path.join(index_dir, "docs"),
+                    partition_cols=["dpart"]))
+    return rows.count()
+
+
+def _load_params(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _PARAMS)) as f:
+        return json.load(f)
+
+
+def probe_containment_index(new: rd.Dataset, index_dir: str,
+                            threshold: float = 0.9,
+                            stats: dict | None = None) -> pd.DataFrame:
+    """(doc_id, matched_known, action) — for each NEW doc, the smallest
+    known doc that CONTAINS it (C(new→known) ≥ threshold), else -1/keep.
+    ``stats`` gets posting/doc partition read counts for pruning asserts."""
+    import pyarrow.dataset as pads
+
+    from deduplicator_ray.pipelines.queries import _shingle_set
+
+    params = _load_params(index_dir)
+    num_parts, cont_k = params["num_parts"], params["cont_k"]
+
+    hot_tbl = pq.read_table(os.path.join(index_dir, "hot.parquet"))
+    hot = dict(zip(hot_tbl["sh"].to_pylist(), hot_tbl["df"].to_pylist()))
+    hot_ref = ray.put(hot)
+
+    probe_schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64())])
+
+    def mark_probes(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        rows = _shingle_rows(cont_k)(t)
+        if rows.num_rows == 0:
+            return pa.Table.from_batches([], schema=probe_schema)
+        df = rows.to_pandas()
+        df["df"] = df["sh"].map(lambda s: h.get(s, 1)).astype(np.int64)
+        df = df.sort_values(["doc_id", "df", "sh"], kind="mergesort")
+        rank = df.groupby("doc_id", sort=False).cumcount()
+        p = np.floor((1.0 - threshold) * df["n_windows"].to_numpy()) + 1
+        keep = df[(rank < p).to_numpy()]
+        return pa.Table.from_arrays(
+            [pa.array(keep["sh"].to_numpy()),
+             pa.array(keep["doc_id"].to_numpy())], schema=probe_schema)
+
+    probes = (new.map_batches(mark_probes, batch_format="pyarrow")
+              .map_batches(_add_part("sh", num_parts),
+                           batch_format="pyarrow")
+              .materialize())  # the increment is the SMALL side by design
+
+    # partition- and shingle-level read pruning over the postings
+    parts: set[int] = set()
+    probe_sh: set[int] = set()
+    for b in probes.iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.update(b["part"].to_pylist())
+        probe_sh.update(b["sh"].to_pylist())
+    post_root = os.path.join(index_dir, "postings")
+    paths = [os.path.join(post_root, f"part={p}")
+             for p in sorted(parts)]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if stats is not None:
+        stats["post_parts_read"] = len(paths)
+        stats["post_parts_total"] = num_parts
+
+    new_ids = (new.select_columns(["doc_id"]).to_pandas()["doc_id"]
+               .astype(np.int64))
+    empty = pd.DataFrame({
+        "doc_id": new_ids.sort_values().to_numpy(),
+        "matched_known": np.full(len(new_ids), -1, np.int64),
+        "action": np.full(len(new_ids), "keep", object)})
+
+    if not paths or not probe_sh:
+        return empty.reset_index(drop=True)
+
+    expr = pads.field("sh").isin(pa.array(sorted(probe_sh), pa.int64()))
+    idx = dio.read_parquet(paths, filter=expr).map_batches(
+        lambda t: t.select(["sh", "doc_id"]).rename_columns(
+            ["sh", "known_id"]),
+        batch_format="pyarrow")
+
+    # candidates: probes × pruned postings, co-partitioned on sh
+    cand_schema = pa.schema([("doc_id", pa.int64()),
+                             ("known_id", pa.int64())])
+
+    def tag(side: str, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        did = t["doc_id"] if side == "p" else pa.array(
+            np.full(n, -1, np.int64))
+        kid = t["known_id"] if side == "i" else pa.array(
+            np.full(n, -1, np.int64))
+        return pa.Table.from_arrays(
+            [t["sh"], did, kid],
+            names=["sh", "doc_id", "known_id"])
+
+    unioned = (probes.map_batches(lambda t: tag("p", t),
+                                  batch_format="pyarrow")
+               .union(idx.map_batches(lambda t: tag("i", t),
+                                      batch_format="pyarrow")))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.loc[df["doc_id"] != -1, ["sh", "doc_id"]]
+        i = df.loc[df["known_id"] != -1, ["sh", "known_id"]]
+        if p.empty or i.empty:
+            return cand_schema.empty_table().to_pandas()
+        m = p.merge(i, on="sh")
+        return m[["doc_id", "known_id"]].drop_duplicates()
+
+    cands = drop_duplicates(
+        partitioned_groupby(unioned, ["sh"], emit, out_schema=cand_schema),
+        ["doc_id", "known_id"]).to_pandas()
+    if cands.empty or len(cands.columns) == 0:
+        return empty.reset_index(drop=True)
+
+    # verify: pruned keyed-text lookup for the matched known ids
+    kids = sorted(set(int(k) for k in cands["known_id"]))
+    kid_arr = pa.array(kids, pa.int64())
+    dparts = sorted(set(
+        int(x) for x in (_hash_cols(pa.table({"doc_id": kid_arr}),
+                                    ["doc_id"])
+                         % np.uint64(num_parts))))
+    droot = os.path.join(index_dir, "docs")
+    dpaths = [os.path.join(droot, f"dpart={p}") for p in dparts]
+    dpaths = [p for p in dpaths if os.path.isdir(p)]
+    if stats is not None:
+        stats["doc_parts_read"] = len(dpaths)
+        stats["doc_parts_total"] = num_parts
+    ktext = (dio.read_parquet(dpaths,
+                              filter=pads.field("doc_id").isin(kid_arr))
+             .select_columns(["doc_id", "text"]).to_pandas())
+    ksh = {int(i): _shingle_set(str(t), k=cont_k)
+           for i, t in zip(ktext["doc_id"], ktext["text"])}
+    ntext = new.select_columns(["doc_id", "text"]).to_pandas()
+    nsh = {int(i): _shingle_set(str(t), k=cont_k)
+           for i, t in zip(ntext["doc_id"], ntext["text"])}
+
+    matched: dict[int, int] = {}
+    for a, b in zip(cands["doc_id"], cands["known_id"]):
+        a, b = int(a), int(b)
+        sa = nsh.get(a)
+        sb = ksh.get(b)
+        if sa is None or sb is None:
+            continue
+        if len(sa & sb) / len(sa) >= threshold:
+            if a not in matched or b < matched[a]:
+                matched[a] = b
+    out = empty.copy()
+    mk = out["doc_id"].map(matched)
+    out["matched_known"] = mk.fillna(-1).astype(np.int64)
+    out["action"] = np.where(mk.isna(), "keep", "drop")
+    return out.reset_index(drop=True)

@@ -753,3 +753,65 @@ def test_doc_band_index_probe_append_drift(sf_small, tmp_path):
     with pytest.raises(ValueError, match="shingle_k"):
         docbandstore.probe_doc_band_index(
             new, idx, dataclasses.replace(cfg, shingle_k=7))
+
+
+def test_containment_index_probe_append_pruning(sf_small, tmp_path):
+    """Persisted containment prefix index (state/contstore.py): the probe
+    must equal the two-sided DuckDB containment relation on the same
+    sides; a tiny probe reads a strict posting-partition subset; and
+    build(A)+append(B) answers like build(A∪B) even though the hot table
+    stays stale (ordering is a heuristic, recall is pigeonhole-exact)."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import queries as q
+    from deduplicator_ray.state import contstore
+
+    docs = dio.read_parquet(os.path.join(sf_small, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def side(digits):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                (hashlib.md5(str(i).encode()).hexdigest()[0] in digits
+                 for i in ids), bool, count=len(ids))
+            return t.filter(pa.array(keep))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    known, new = side("01234567"), side("89abcdef")
+    idx = str(tmp_path / "contidx")
+    contstore.build_containment_index(known, idx, num_parts=64)
+    stats = {}
+    got = (contstore.probe_containment_index(new, idx, stats=stats)
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    want = con.execute(q.DOCS_CROSS_CONTAINMENT_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["action"] == "drop").any()   # quotes of knowns exist
+    assert stats["post_parts_total"] == 64
+
+    # read pruning: a 1-doc probe opens at most its <=floor(0.1*|text|)+1
+    # probe shingles' partitions — a strict subset of 64 by the length bound
+    stats2 = {}
+    contstore.probe_containment_index(new.limit(1), idx, stats=stats2)
+    assert 0 < stats2["post_parts_read"] < stats2["post_parts_total"]
+    assert 0 < stats2["doc_parts_read"] <= stats2["doc_parts_total"]
+
+    # append == union build (stale hot table and all)
+    idx2 = str(tmp_path / "contidx2")
+    contstore.build_containment_index(side("0123"), idx2, num_parts=16)
+    n = contstore.append_containment_index(side("4567"), idx2)
+    assert n > 0
+    got2 = (contstore.probe_containment_index(new, idx2)
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want)

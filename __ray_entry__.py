@@ -839,6 +839,39 @@ def _mm_frame_sample(sf_dir: str):
         ["image_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _mm_audio_features(sf_dir: str):
+    """Audio feature-extraction plumbing over synthetic audio rows (the
+    codec kernel is stubbed; fake=True drives the deterministic fake):
+    duration is REAL arithmetic over the payload length at 16 kHz 16-bit
+    mono PCM, loudness is the id-seeded hash — both re-derivable in SQL,
+    which is what the mirror checks.  The mfcc vector is schema-tested in
+    tests/ and excluded from the checked projection (list column)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.multimodal import audio_pipeline
+
+    ids = sorted(r["image_id"] for r in ip.load_images(sf_dir, _cfg())
+                 .select_columns(["image_id"]).take_all())[:64]
+    # payload length derives from the same md5 expression the mirror
+    # recomputes, so duration_ms is checkable without shipping the bytes
+    lens = [1000 + int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 5000
+            for i in ids]
+    import ray.data as rd
+
+    auds = pa.Table.from_pydict({
+        "image_id": ids,
+        "bytes": [b"\0" * n for n in lens],
+        "fmt": ["mp3"] * len(ids),
+    })
+    out = audio_pipeline(rd.from_arrow(auds), fake=True).to_pandas()
+    return (out[["image_id", "duration_ms", "sample_rate", "rms_e6",
+                 "fmt", "status"]]
+            .sort_values("image_id").reset_index(drop=True))
+
+
 def _mm_montage(sf_dir: str):
     """S7 montage-sink analog: per-cluster thumbnail grids (sizes only in
     the check output; the bytes column is exercised by tests)."""
@@ -1139,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize": _mm_resize,
         "mm_features": _mm_features,
         "mm_frame_sample": _mm_frame_sample,
+        "mm_audio_features": _mm_audio_features,
         "mm_montage": _mm_montage,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
@@ -1303,6 +1337,22 @@ def _fixture_mirrors() -> dict[str, str]:
             FROM (SELECT image_id FROM '{images}' ORDER BY image_id LIMIT 64)
             CROSS JOIN (VALUES (0), (1)) f(frame_idx)
             ORDER BY image_id, frame_idx
+        """,
+        # fake audio decoder: duration = payload length at 16kHz 16-bit
+        # mono PCM (the payload is SIZED by the md5 expression below, so
+        # the mirror re-derives it without the bytes); loudness = the
+        # id-seeded hash.  Pins the audio actor-pool plumbing end to end.
+        "mm_audio_features": f"""
+            SELECT image_id,
+                   CAST((1000 + CAST(('0x' || substr(md5(image_id), 1, 8))
+                                     AS BIGINT) % 5000) * 1000 // 32000
+                        AS BIGINT) AS duration_ms,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   CAST(CAST(('0x' || substr(md5(image_id), 1, 8)) AS BIGINT)
+                        % 1000000 AS BIGINT) AS rms_e6,
+                   'mp3' AS fmt, 'ok_fake' AS status
+            FROM (SELECT image_id FROM '{images}' ORDER BY image_id LIMIT 64)
+            ORDER BY image_id
         """,
         # per-doc text kernels (SimHash / winnowing / BPE-ish counts) ship
         # as a Ray-free sidecar recomputation; banding at 4×16 bits is

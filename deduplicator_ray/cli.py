@@ -385,6 +385,63 @@ def run_docband_append(input_dir: str, index_dir: str) -> dict:
             "wall_s": round(time.time() - t0, 3)}
 
 
+def run_cont_build(input_dir: str, index_dir: str,
+                   num_parts: int = 64) -> dict:
+    """Build the persisted containment prefix index (postings + keyed
+    texts + hot-shingle df table) from parquet shards of (doc_id, text)."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.state import contstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    params = contstore.build_containment_index(ds, index_dir,
+                                               num_parts=num_parts)
+    return {"mode": "cont-build", "index": index_dir, **params,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_cont_probe(input_dir: str, index_dir: str,
+                   output_dir: str) -> dict:
+    """Probe a doc increment for quote-of-known containment; writes
+    (doc_id, matched_known, action) decisions."""
+    _ensure_ray()
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from deduplicator_ray import tuning
+    from deduplicator_ray.state import contstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    stats: dict = {}
+    out = contstore.probe_containment_index(ds, index_dir, stats=stats)
+    os.makedirs(output_dir, exist_ok=True)
+    _pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                    os.path.join(output_dir, "decisions.parquet"))
+    return {"mode": "cont-probe", "output": output_dir,
+            "n_new": int(len(out)),
+            "n_dropped": int((out["action"] == "drop").sum()), **stats,
+            "wall_s": round(time.time() - t0, 3)}
+
+
+def run_cont_append(input_dir: str, index_dir: str) -> dict:
+    """Fold a doc increment into the containment index — append-only."""
+    _ensure_ray()
+    from deduplicator_ray import tuning
+    from deduplicator_ray.state import contstore
+
+    tuning.tune()
+    t0 = time.time()
+    ds = dio.read_parquet(input_dir, columns=["doc_id", "text"])
+    n = contstore.append_containment_index(ds, index_dir)
+    return {"mode": "cont-append", "index": index_dir,
+            "n_appended_rows": int(n),
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def run_curate(input_dir: str, output_dir: str, lang: str = "en",
                min_tokens: int = 20) -> dict:
     """Text-corpus curation job: lang gate → quality gate → near-dup
@@ -558,7 +615,9 @@ def main(argv: list[str] | None = None) -> None:
                                     "band-append", "band-prune",
                                     "srp-build", "srp-probe", "srp-append",
                                     "docband-build", "docband-probe",
-                                    "docband-append", "curate",
+                                    "docband-append",
+                                    "cont-build", "cont-probe",
+                                    "cont-append", "curate",
                                     "img-curate", "prune"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
@@ -617,11 +676,13 @@ def main(argv: list[str] | None = None) -> None:
                   "band-probe", "band-append",
                   "srp-build", "srp-probe", "srp-append",
                   "docband-build", "docband-probe",
-                  "docband-append") and not a.index:
+                  "docband-append", "cont-build", "cont-probe",
+                  "cont-append") and not a.index:
         p.error(f"{a.mode} requires --index")
     if (a.mode not in ("bloom-build", "band-build", "band-append",
                        "srp-build", "srp-append",
-                       "docband-build", "docband-append")
+                       "docband-build", "docband-append",
+                       "cont-build", "cont-append")
             and not a.output):
         p.error(f"{a.mode} requires --output")
     if a.mode == "bloom-build":
@@ -661,6 +722,15 @@ def main(argv: list[str] | None = None) -> None:
         return
     if a.mode == "docband-append":
         print(json.dumps(run_docband_append(a.input, a.index)))
+        return
+    if a.mode == "cont-build":
+        print(json.dumps(run_cont_build(a.input, a.index, a.num_parts)))
+        return
+    if a.mode == "cont-probe":
+        print(json.dumps(run_cont_probe(a.input, a.index, a.output)))
+        return
+    if a.mode == "cont-append":
+        print(json.dumps(run_cont_append(a.input, a.index)))
         return
     if a.mode == "curate":
         print(json.dumps(run_curate(a.input, a.output)))

@@ -325,3 +325,90 @@ def montage_pipeline(images: rd.Dataset, clusters: rd.Dataset,
                               ("n_members", pa.int64()),
                               ("status", pa.string())]),
     )
+
+
+class AudioFeatures:
+    """Actor-pool stage for audio feature extraction — the audio cell of
+    the multimodal matrix (images: ImageFeatures; video: FrameSample).
+
+    Plumbing is real: consumes (image_id, bytes, fmt) rows, emits one
+    feature row per audio-format input with duration/sample-rate/loudness
+    scalars plus a fixed-width mfcc-shaped vector, and routes non-audio
+    rows AROUND the stage (skipped) and undecodable audio into the
+    dead-letter taxonomy.  The codec kernel itself is STUBBED (no
+    libsndfile/ffmpeg in this sandbox): ``fake=True`` derives
+    deterministic features — duration from the true payload length at the
+    declared PCM rate, loudness and mfcc from an image_id-seeded hash
+    (the FrameSample convention) — so the schema/actor/fan-out path is
+    fully testable and SQL-mirrorable; ``fake=False`` dead-letters audio
+    rows with the UnsupportedFormatError message."""
+
+    AUDIO_FMTS = ("mp3", "wav", "flac", "ogg")
+    SAMPLE_RATE = 16000
+    N_MFCC = 13
+
+    OUT_SCHEMA = pa.schema([
+        ("image_id", pa.string()),
+        ("duration_ms", pa.int64()),
+        ("sample_rate", pa.int32()),
+        ("rms_e6", pa.int64()),
+        ("mfcc", pa.list_(pa.float32())),
+        ("fmt", pa.string()),
+        ("status", pa.string()),
+    ])
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        rows = {k: [] for k in ("image_id", "duration_ms", "sample_rate",
+                                "rms_e6", "mfcc", "fmt", "status")}
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        for iid, fmt, blob in zip(ids, fmts, payloads):
+            if fmt not in self.AUDIO_FMTS:
+                continue
+            if not self.fake or blob is None:
+                rows["image_id"].append(iid)
+                rows["duration_ms"].append(-1)
+                rows["sample_rate"].append(-1)
+                rows["rms_e6"].append(-1)
+                rows["mfcc"].append([])
+                rows["fmt"].append(fmt)
+                rows["status"].append(
+                    "error:UnsupportedFormatError: audio decode requires "
+                    "libsndfile/ffmpeg (stubbed; see codecs.STUB_FMTS)"
+                    if blob is not None else
+                    "error:NullPayload: null bytes column")
+                continue
+            # 16-bit mono PCM at the declared rate: duration is REAL
+            # arithmetic over the payload length; loudness/mfcc are
+            # id-seeded fakes (FrameSample convention)
+            dur = len(blob) * 1000 // (self.SAMPLE_RATE * 2)
+            h = int(hashlib.md5(iid.encode()).hexdigest()[:8], 16)
+            rng = np.random.default_rng(h)
+            rows["image_id"].append(iid)
+            rows["duration_ms"].append(int(dur))
+            rows["sample_rate"].append(self.SAMPLE_RATE)
+            rows["rms_e6"].append(int(h % 1_000_000))
+            rows["mfcc"].append(
+                rng.standard_normal(self.N_MFCC).astype(np.float32))
+            rows["fmt"].append(fmt)
+            rows["status"].append("ok_fake")
+        return pa.Table.from_pydict(rows, schema=self.OUT_SCHEMA)
+
+
+def audio_pipeline(ds: rd.Dataset, fake: bool = False) -> rd.Dataset:
+    """Audio feature extraction as an actor pool: decoder state (codec
+    tables, model weights in a real deployment) loads once per actor in
+    __init__; batches stay small because audio payloads are large."""
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )

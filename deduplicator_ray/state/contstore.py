@@ -212,8 +212,10 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
         stats["post_parts_read"] = len(paths)
         stats["post_parts_total"] = num_parts
 
-    new_ids = (new.select_columns(["doc_id"]).to_pandas()["doc_id"]
-               .astype(np.int64))
+    ntp = new.select_columns(["doc_id"]).to_pandas()
+    # an ALL-EMPTY dataset loses its schema at to_pandas (Ray 2.49)
+    new_ids = (ntp["doc_id"].astype(np.int64) if "doc_id" in ntp.columns
+               else pd.Series([], dtype=np.int64))
     empty = pd.DataFrame({
         "doc_id": new_ids.sort_values().to_numpy(),
         "matched_known": np.full(len(new_ids), -1, np.int64),

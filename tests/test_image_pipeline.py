@@ -711,3 +711,39 @@ def test_img_cluster_remove_matches_survivor_recompute(images_ds):
     assert gm == wm
     # non-vacuity: the prune actually dropped clustered rows
     assert len(gm) < len(fm)
+
+
+def test_audio_features_stage():
+    """AudioFeatures actor stage: audio rows fan through with the fake
+    decoder (real duration arithmetic, id-seeded loudness, 13-dim mfcc),
+    non-audio rows are skipped, fake=False dead-letters with the codec
+    taxonomy, and a null payload dead-letters even in fake mode."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines.multimodal import AudioFeatures
+
+    batch = pa.table({
+        "image_id": ["a/x.mp3", "b/y.wav", "c/z.png", "d/n.mp3"],
+        "bytes": [b"\0" * 32000, b"\0" * 64000, b"px", None],
+        "fmt": ["mp3", "wav", "png", "mp3"],
+    })
+    out = AudioFeatures(fake=True)(batch).to_pandas()
+    assert list(out["image_id"]) == ["a/x.mp3", "b/y.wav", "d/n.mp3"]
+    ok = out[out["status"] == "ok_fake"]
+    assert list(ok["duration_ms"]) == [1000, 2000]  # len*1000 // 32000
+    assert (ok["sample_rate"] == 16000).all()
+    h = int(hashlib.md5(b"a/x.mp3").hexdigest()[:8], 16)
+    assert ok.iloc[0]["rms_e6"] == h % 1_000_000
+    assert all(len(v) == 13 for v in ok["mfcc"])
+    dead = out[out["image_id"] == "d/n.mp3"].iloc[0]
+    assert dead["status"].startswith("error:NullPayload")
+
+    strict = AudioFeatures(fake=False)(batch).to_pandas()
+    assert (strict[strict["bytes"].notna() if "bytes" in strict else
+            strict["status"].str.startswith("error:")]["status"]
+            .str.startswith("error:")).all()
+    assert len(strict) == 3
+    assert strict.iloc[0]["status"].startswith(
+        "error:UnsupportedFormatError")

@@ -815,3 +815,48 @@ def test_containment_index_probe_append_pruning(sf_small, tmp_path):
     got2 = (contstore.probe_containment_index(new, idx2)
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_cli_cont_jobs(sf_small, tmp_path):
+    """cli cont-build / cont-probe / cont-append: artifacts land, the
+    probe decision table reconciles with the store API, and the append
+    surface folds an increment."""
+    import hashlib
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from deduplicator_ray import cli, io as dio
+
+    docs = dio.read_parquet(os.path.join(sf_small, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def side_tbl(digits):
+        t = docs.to_pandas()
+        keep = t["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()[0] in digits)
+        return t[keep].reset_index(drop=True)
+
+    known_dir = str(tmp_path / "known")
+    inc_dir = str(tmp_path / "inc")
+    new_dir = str(tmp_path / "new")
+    for d, digits in [(known_dir, "0123"), (inc_dir, "4567"),
+                      (new_dir, "89abcdef")]:
+        os.makedirs(d)
+        pq_.write_table(pa.Table.from_pandas(side_tbl(digits),
+                                             preserve_index=False),
+                        os.path.join(d, "documents.parquet"))
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    m1 = cli.run_cont_build(known_dir, idx, num_parts=16)
+    assert m1["num_parts"] == 16
+    m2 = cli.run_cont_append(inc_dir, idx)
+    assert m2["n_appended_rows"] > 0
+    m3 = cli.run_cont_probe(new_dir, idx, out)
+    dec = pq_.read_table(os.path.join(out, "decisions.parquet")).to_pandas()
+    assert m3["n_new"] == len(dec) > 0
+    assert m3["n_dropped"] == int((dec["action"] == "drop").sum()) > 0
+    assert set(dec.columns) == {"doc_id", "matched_known", "action"}

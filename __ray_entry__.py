@@ -839,6 +839,46 @@ def _mm_frame_sample(sf_dir: str):
         ["image_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _vid_signatures(sf_dir: str):
+    """Video frame-fingerprint kernel end to end: container parse → png
+    decode → per-frame dHash through the VideoFrames actor pool; the mirror
+    is the Ray-free sidecar recomputation of the same kernel
+    (fixtures.video_frames_path), so this value-checks the DISTRIBUTED
+    path — batching, fan-out, ordering — exactly like img hashing."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    out = vd.video_frames(vd.load_videos(sf_dir)).map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok"))
+                   .select(["video_id", "frame_idx", "frame_fp"]),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
+def _vid_dup_pairs(sf_dir: str):
+    """Frame-level video near-dup: stop-frame df cap + exact Jaccard over
+    frame-fp sets (re-encodes and clips match, teasers rejected).  The
+    mirror re-derives cap/intersection/threshold relationally over the
+    frames sidecar."""
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    out = vd.video_dup_pairs(
+        vd.video_frames(vd.load_videos(sf_dir))).to_pandas()
+    return out.sort_values(["video_id_a", "video_id_b"]).reset_index(drop=True)
+
+
+def _vid_clusters(sf_dir: str):
+    """Near-dup pairs → distributed CC → (video_id, cluster_id); mirrored
+    by the same recursive min-label propagation as img_extended_clusters."""
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    out = vd.video_clusters(
+        vd.video_frames(vd.load_videos(sf_dir))).to_pandas()
+    return out[["video_id", "cluster_id"]].sort_values(
+        "video_id").reset_index(drop=True)
+
+
 def _mm_audio_features(sf_dir: str):
     """Audio feature-extraction plumbing over synthetic audio rows (the
     codec kernel is stubbed; fake=True drives the deterministic fake):
@@ -1173,6 +1213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_features": _mm_features,
         "mm_frame_sample": _mm_frame_sample,
         "mm_audio_features": _mm_audio_features,
+        # video frame-level near-dup (vcon container → dHash per frame)
+        "vid_signatures": _vid_signatures,
+        "vid_dup_pairs": _vid_dup_pairs,
+        "vid_clusters": _vid_clusters,
         "mm_montage": _mm_montage,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
@@ -1227,6 +1271,10 @@ def _fixture_mirrors() -> dict[str, str]:
     proto = fixtures.proto_sidecar_path(sf)
     srp = fixtures.srp_sidecar_path(sf) + "/*.parquet"
     cdc = fixtures.cdc_sidecar_path(sf) + "/*.parquet"
+    vframes = fixtures.video_frames_path(sf) + "/*.parquet"
+    from deduplicator_ray.pipelines import video_dedup as _vd_mod
+    _VID_TAU = _vd_mod.TAU_E6_DEFAULT
+    _VID_CAP = _vd_mod.MAX_FP_DF_DEFAULT
     cfg = _cfg()
     kw = dict(images=images, shingle_k=cfg.shingle_k,
               jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
@@ -1353,6 +1401,66 @@ def _fixture_mirrors() -> dict[str, str]:
                    'mp3' AS fmt, 'ok_fake' AS status
             FROM (SELECT image_id FROM '{images}' ORDER BY image_id LIMIT 64)
             ORDER BY image_id
+        """,
+        # video frame-fp kernel: the parse→decode→dHash sidecar is the
+        # Ray-free recompute (hashes-sidecar policy); the pairs/clusters
+        # mirrors re-derive stop-frame cap, intersection join, Jaccard
+        # threshold and min-label CC relationally over it.
+        "vid_signatures": f"""
+            SELECT video_id, frame_idx, frame_fp FROM '{vframes}'
+            ORDER BY video_id, frame_idx
+        """,
+        "vid_dup_pairs": f"""
+            WITH fps AS (SELECT DISTINCT video_id, frame_fp FROM '{vframes}'),
+            df AS (SELECT frame_fp FROM fps GROUP BY frame_fp
+                   HAVING count(*) <= {_VID_CAP}),
+            live AS (SELECT f.video_id, f.frame_fp
+                     FROM fps f JOIN df USING (frame_fp)),
+            sizes AS (SELECT video_id, count(*) AS n FROM live
+                      GROUP BY video_id),
+            inter AS (SELECT a.video_id AS va, b.video_id AS vb,
+                             count(*) AS ns
+                      FROM live a JOIN live b USING (frame_fp)
+                      WHERE a.video_id < b.video_id GROUP BY 1, 2)
+            SELECT va AS video_id_a, vb AS video_id_b,
+                   CAST(ns AS BIGINT) AS n_shared,
+                   CAST(sa.n AS BIGINT) AS size_a,
+                   CAST(sb.n AS BIGINT) AS size_b,
+                   CAST(ns * 1000000 // (sa.n + sb.n - ns) AS BIGINT)
+                       AS jaccard_e6
+            FROM inter JOIN sizes sa ON sa.video_id = va
+                       JOIN sizes sb ON sb.video_id = vb
+            WHERE ns * 1000000 >= {_VID_TAU} * (sa.n + sb.n - ns)
+            ORDER BY video_id_a, video_id_b
+        """,
+        "vid_clusters": f"""
+            WITH RECURSIVE fps AS (
+              SELECT DISTINCT video_id, frame_fp FROM '{vframes}'),
+            df AS (SELECT frame_fp FROM fps GROUP BY frame_fp
+                   HAVING count(*) <= {_VID_CAP}),
+            live AS (SELECT f.video_id, f.frame_fp
+                     FROM fps f JOIN df USING (frame_fp)),
+            sizes AS (SELECT video_id, count(*) AS n FROM live
+                      GROUP BY video_id),
+            inter AS (SELECT a.video_id AS va, b.video_id AS vb,
+                             count(*) AS ns
+                      FROM live a JOIN live b USING (frame_fp)
+                      WHERE a.video_id < b.video_id GROUP BY 1, 2),
+            pairs AS MATERIALIZED (
+              SELECT va, vb FROM inter
+              JOIN sizes sa ON sa.video_id = va
+              JOIN sizes sb ON sb.video_id = vb
+              WHERE ns * 1000000 >= {_VID_TAU} * (sa.n + sb.n - ns)),
+            e AS MATERIALIZED (
+              SELECT va AS u, vb AS v FROM pairs
+              UNION SELECT vb, va FROM pairs),
+            r(node, lbl) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+              WHERE r.lbl < e.u)
+            SELECT node AS video_id, min(lbl) AS cluster_id
+            FROM r GROUP BY node ORDER BY video_id
         """,
         # per-doc text kernels (SimHash / winnowing / BPE-ish counts) ship
         # as a Ray-free sidecar recomputation; banding at 4×16 bits is

@@ -263,3 +263,50 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if (w or h) and (img.shape[0] != h or img.shape[1] != w):
         raise CodecError(f"decoded dims {img.shape[1]}x{img.shape[0]} != declared {w}x{h}")
     return img
+
+
+# ---------------------------------------------------------------------------
+# vcon: a length-prefixed PNG-frame container standing in for mp4/webm.
+# Real video demuxing needs ffmpeg (absent here, see STUB_FMTS); the video
+# DEDUP pipeline still needs genuine per-frame compute, so fixtures emit
+# this trivially parseable container and the frame-extraction stage does
+# REAL work on it (parse → png decode → dHash).  The reference's video
+# handling is md5-only (/root/reference/dupedb.py:92-101); frame-level
+# near-dup is part of this engine's training-data extension surface.
+
+VCON_MAGIC = b"VCON1"
+
+
+def encode_vcon(frames: list[bytes]) -> bytes:
+    """Pack encoded frame payloads into one container blob."""
+    parts = [VCON_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        parts.append(struct.pack("<I", len(f)))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def decode_vcon(data: bytes) -> list[bytes]:
+    """Unpack a vcon container into its frame payloads.
+
+    Raises CodecError for null/corrupt containers so the video stages'
+    dead-letter path matches the image decode taxonomy.
+    """
+    if data is None:
+        raise CodecError("null payload")
+    if not data.startswith(VCON_MAGIC) or len(data) < len(VCON_MAGIC) + 4:
+        raise CodecError("bad vcon magic")
+    off = len(VCON_MAGIC)
+    (n,) = struct.unpack_from("<I", data, off)
+    off += 4
+    frames: list[bytes] = []
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise CodecError("truncated vcon frame header")
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if off + ln > len(data):
+            raise CodecError("truncated vcon frame payload")
+        frames.append(data[off:off + ln])
+        off += ln
+    return frames

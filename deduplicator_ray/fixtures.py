@@ -957,3 +957,144 @@ def clone_rows(one: pa.Table, n: int, id_prefix: str = "hot/clone") -> pa.Table:
                                   type=one.schema.field(name).type)
     return pa.Table.from_arrays([cols[n_] for n_ in one.schema.names],
                                 schema=one.schema)
+
+
+# ---------------------------------------------------------------------------
+# video corpus + frame-fingerprint sidecar (vid_* queries)
+#
+# No video table exists in the driver testdata, so the corpus is synthesized
+# deterministically (same policy as the image corpus): videos are VCON1
+# containers of PNG "scene" frames; duplicate structure comes from SHARED
+# scene frames.  Per base video i (10 scenes at stride 8, so bases are
+# pairwise disjoint) one variant is emitted:
+#   i%3==0  re-encode  — same 10 scenes re-encoded at a different
+#                        compression level: different BYTES (md5 misses it),
+#                        identical pixels (frame fps match → Jaccard 1.0)
+#   i%3==1  clip       — last 8 of the 10 scenes (Jaccard 8/10)
+#   i%3==2  teaser     — first 3 scenes (Jaccard 3/10: candidate pair that
+#                        the >=0.5 verify must REJECT)
+# Every even-indexed video also carries the one HOT scene (a channel ident /
+# black-frame analog) to exercise the stop-frame df cap, and one corrupt
+# container exercises the dead-letter path.
+
+VID_SCENE_SEED = 771_000_003
+VID_SCENES_PER_BASE = 10
+VID_SCENE_STRIDE = 8
+VID_HOT_SCENE = -1
+
+
+def _scene_frame(scene: int, reencode: bool = False) -> bytes:
+    rng = np.random.default_rng(VID_SCENE_SEED + scene)
+    img = _base_image(rng)
+    return codecs.encode_png(img, level=9 if reencode else 1)
+
+
+def _video_rows(n_base: int) -> list[tuple[str, list[int], bool]]:
+    rows: list[tuple[str, list[int], bool]] = []
+    for i in range(n_base):
+        scenes = [i * VID_SCENE_STRIDE + j for j in range(VID_SCENES_PER_BASE)]
+        rows.append((f"vid/base{i:05d}.vcon", scenes, False))
+        if i % 3 == 0:
+            rows.append((f"vid/re{i:05d}.vcon", scenes, True))
+        elif i % 3 == 1:
+            rows.append((f"vid/clip{i:05d}.vcon", scenes[2:], False))
+        else:
+            rows.append((f"vid/teaser{i:05d}.vcon", scenes[:3], False))
+    return rows
+
+
+def videos_path(sf_dir: str) -> str:
+    """Deterministic video corpus for the vid_* family — one parquet of
+    (video_id, bytes, fmt, n_frames).  Size scales with the documents table
+    (n_base = max(8, n_docs // 8))."""
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"videos_{sf_name(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_base = max(8, n_docs // 8)
+    scene_cache: dict[tuple[int, bool], bytes] = {}
+
+    def frame(s: int, re_: bool) -> bytes:
+        key = (s, re_)
+        if key not in scene_cache:
+            scene_cache[key] = _scene_frame(s, re_)
+        return scene_cache[key]
+
+    ids, blobs, nf = [], [], []
+    for idx, (vid, scenes, re_) in enumerate(_video_rows(n_base)):
+        sc = scenes + ([VID_HOT_SCENE] if idx % 2 == 0 else [])
+        ids.append(vid)
+        blobs.append(codecs.encode_vcon([frame(s, re_) for s in sc]))
+        nf.append(len(sc))
+    # dead-letter surface: one corrupt container
+    ids.append("vid/corrupt00000.vcon")
+    blobs.append(codecs.VCON_MAGIC + b"\xff\xff\xff\xff trunc")
+    nf.append(0)
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"video_id": pa.array(ids, pa.string()),
+                  "bytes": pa.array(blobs, pa.binary()),
+                  "fmt": pa.array(["vcon"] * len(ids), pa.string()),
+                  "n_frames": pa.array(nf, pa.int32())}),
+        os.path.join(tmp, "videos.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def video_frames_path(sf_dir: str) -> str:
+    """Ray-free ORACLE recomputation of the per-frame fingerprint kernel
+    over the video corpus — one parquet of (video_id, frame_idx, frame_fp)
+    rows for decodable videos.  The parse→png-decode→dHash kernel is the
+    one thing SQL cannot express, so it ships as data (hashes-sidecar
+    policy); the vid_dup_pairs mirror re-derives the stop-frame cap,
+    intersection join and Jaccard threshold relationally."""
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"vidframes_{sf_name(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(videos_path(sf_dir), "videos.parquet"),
+                        columns=["video_id", "bytes"])
+    ids, idxs, fps = [], [], []
+    for vid, blob in zip(src["video_id"].to_pylist(),
+                         src["bytes"].to_pylist()):
+        try:
+            frames = codecs.decode_vcon(blob)
+            row_fps = [hashing.dhash_u64(codecs.decode_image(f, "png", 0, 0))
+                       for f in frames]
+        except codecs.CodecError:
+            continue
+        for j, fp in enumerate(row_fps):
+            ids.append(vid)
+            idxs.append(j)
+            fps.append(fp)
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"video_id": pa.array(ids, pa.string()),
+                  "frame_idx": pa.array(idxs, pa.int32()),
+                  "frame_fp": pa.array(
+                      np.asarray(fps, np.uint64).view(np.int64))}),
+        os.path.join(tmp, "frames.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

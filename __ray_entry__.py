@@ -879,6 +879,47 @@ def _vid_clusters(sf_dir: str):
         "video_id").reset_index(drop=True)
 
 
+def _aud_signatures(sf_dir: str):
+    """Audio window-fingerprint kernel end to end: container parse → PCM
+    → per-window band-energy-sign fp (Haitsma-Kalker shape) through the
+    AudioSignatures actor pool; the mirror is the Ray-free sidecar
+    recomputation of the same kernel (fixtures.audio_fps_path), so this
+    value-checks the DISTRIBUTED path — batching, fan-out, ordering —
+    exactly like vid_signatures."""
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    out = ad.audio_signatures(ad.load_audios(sf_dir)).map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok"))
+                   .select(["audio_id", "win_idx", "win_fp"]),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["audio_id", "win_idx"]).reset_index(drop=True)
+
+
+def _aud_dup_pairs(sf_dir: str):
+    """Waveform-level audio near-dup: stop-fp df cap + exact Jaccard over
+    window-fp sets (lossless re-encodes and clips match, teasers
+    rejected).  The mirror re-derives cap/intersection/threshold
+    relationally over the fps sidecar."""
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    out = ad.audio_dup_pairs(
+        ad.audio_signatures(ad.load_audios(sf_dir))).to_pandas()
+    return out.sort_values(["audio_id_a", "audio_id_b"]).reset_index(drop=True)
+
+
+def _aud_clusters(sf_dir: str):
+    """Near-dup pairs → distributed CC → (audio_id, cluster_id); mirrored
+    by the same recursive min-label propagation as vid_clusters."""
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    out = ad.audio_clusters(
+        ad.audio_signatures(ad.load_audios(sf_dir))).to_pandas()
+    return out[["audio_id", "cluster_id"]].sort_values(
+        "audio_id").reset_index(drop=True)
+
+
 def _mm_audio_features(sf_dir: str):
     """Audio feature-extraction plumbing over synthetic audio rows (the
     codec kernel is stubbed; fake=True drives the deterministic fake):
@@ -1217,6 +1258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vid_signatures": _vid_signatures,
         "vid_dup_pairs": _vid_dup_pairs,
         "vid_clusters": _vid_clusters,
+        "aud_signatures": _aud_signatures,
+        "aud_dup_pairs": _aud_dup_pairs,
+        "aud_clusters": _aud_clusters,
         "mm_montage": _mm_montage,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
@@ -1275,6 +1319,10 @@ def _fixture_mirrors() -> dict[str, str]:
     from deduplicator_ray.pipelines import video_dedup as _vd_mod
     _VID_TAU = _vd_mod.TAU_E6_DEFAULT
     _VID_CAP = _vd_mod.MAX_FP_DF_DEFAULT
+    afps = fixtures.audio_fps_path(sf) + "/*.parquet"
+    from deduplicator_ray.pipelines import audio_dedup as _ad_mod
+    _AUD_TAU = _ad_mod.TAU_E6_DEFAULT
+    _AUD_CAP = _ad_mod.MAX_FP_DF_DEFAULT
     cfg = _cfg()
     kw = dict(images=images, shingle_k=cfg.shingle_k,
               jaccard_min=cfg.jaccard_min, hamming_max=cfg.hamming_max)
@@ -1461,6 +1509,67 @@ def _fixture_mirrors() -> dict[str, str]:
               WHERE r.lbl < e.u)
             SELECT node AS video_id, min(lbl) AS cluster_id
             FROM r GROUP BY node ORDER BY video_id
+        """,
+        # audio window-fp kernel: the parse→PCM→band-energy-sign sidecar is
+        # the Ray-free recompute (hashes-sidecar policy); the pairs/clusters
+        # mirrors re-derive stop-fp cap, intersection join, Jaccard
+        # threshold and min-label CC relationally over it — the same
+        # relational shape as the vid_* family, over the audio sidecar.
+        "aud_signatures": f"""
+            SELECT audio_id, win_idx, win_fp FROM '{afps}'
+            ORDER BY audio_id, win_idx
+        """,
+        "aud_dup_pairs": f"""
+            WITH fps AS (SELECT DISTINCT audio_id, win_fp FROM '{afps}'),
+            df AS (SELECT win_fp FROM fps GROUP BY win_fp
+                   HAVING count(*) <= {_AUD_CAP}),
+            live AS (SELECT f.audio_id, f.win_fp
+                     FROM fps f JOIN df USING (win_fp)),
+            sizes AS (SELECT audio_id, count(*) AS n FROM live
+                      GROUP BY audio_id),
+            inter AS (SELECT a.audio_id AS va, b.audio_id AS vb,
+                             count(*) AS ns
+                      FROM live a JOIN live b USING (win_fp)
+                      WHERE a.audio_id < b.audio_id GROUP BY 1, 2)
+            SELECT va AS audio_id_a, vb AS audio_id_b,
+                   CAST(ns AS BIGINT) AS n_shared,
+                   CAST(sa.n AS BIGINT) AS size_a,
+                   CAST(sb.n AS BIGINT) AS size_b,
+                   CAST(ns * 1000000 // (sa.n + sb.n - ns) AS BIGINT)
+                       AS jaccard_e6
+            FROM inter JOIN sizes sa ON sa.audio_id = va
+                       JOIN sizes sb ON sb.audio_id = vb
+            WHERE ns * 1000000 >= {_AUD_TAU} * (sa.n + sb.n - ns)
+            ORDER BY audio_id_a, audio_id_b
+        """,
+        "aud_clusters": f"""
+            WITH RECURSIVE fps AS (
+              SELECT DISTINCT audio_id, win_fp FROM '{afps}'),
+            df AS (SELECT win_fp FROM fps GROUP BY win_fp
+                   HAVING count(*) <= {_AUD_CAP}),
+            live AS (SELECT f.audio_id, f.win_fp
+                     FROM fps f JOIN df USING (win_fp)),
+            sizes AS (SELECT audio_id, count(*) AS n FROM live
+                      GROUP BY audio_id),
+            inter AS (SELECT a.audio_id AS va, b.audio_id AS vb,
+                             count(*) AS ns
+                      FROM live a JOIN live b USING (win_fp)
+                      WHERE a.audio_id < b.audio_id GROUP BY 1, 2),
+            pairs AS MATERIALIZED (
+              SELECT va, vb FROM inter
+              JOIN sizes sa ON sa.audio_id = va
+              JOIN sizes sb ON sb.audio_id = vb
+              WHERE ns * 1000000 >= {_AUD_TAU} * (sa.n + sb.n - ns)),
+            e AS MATERIALIZED (
+              SELECT va AS u, vb AS v FROM pairs
+              UNION SELECT vb, va FROM pairs),
+            r(node, lbl) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+              WHERE r.lbl < e.u)
+            SELECT node AS audio_id, min(lbl) AS cluster_id
+            FROM r GROUP BY node ORDER BY audio_id
         """,
         # per-doc text kernels (SimHash / winnowing / BPE-ish counts) ship
         # as a Ray-free sidecar recomputation; banding at 4×16 bits is

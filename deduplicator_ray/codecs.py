@@ -310,3 +310,59 @@ def decode_vcon(data: bytes) -> list[bytes]:
         frames.append(data[off:off + ln])
         off += ln
     return frames
+
+
+# ---------------------------------------------------------------------------
+# acon: a trivially parseable PCM container standing in for wav/flac/mp3.
+# Real audio decoding needs libsndfile/ffmpeg (absent here, see STUB_FMTS);
+# the audio DEDUP pipeline still needs genuine per-window compute, so
+# fixtures emit this container and the signature stage does REAL work on it
+# (parse → PCM → band-energy fingerprint).  Two LOSSLESS codecs give the
+# "re-encode" duplicate class its PNG-compression-level analog: codec 0 is
+# raw little-endian int16, codec 1 stores wraparound int16 first-differences
+# — different bytes, identical decoded samples.  The reference's audio
+# handling is md5-only (non-image files, /root/reference/dupedb.py:92-101);
+# waveform-level near-dup is part of this engine's training-data extension
+# surface.
+
+ACON_MAGIC = b"ACON1"
+ACON_CODEC_RAW = 0
+ACON_CODEC_DELTA = 1
+
+
+def encode_acon(samples: np.ndarray, rate: int,
+                codec: int = ACON_CODEC_RAW) -> bytes:
+    """Pack a mono int16 PCM waveform into one container blob."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2")
+    if codec == ACON_CODEC_DELTA:
+        # wraparound first-difference: lossless, byte-distinct from raw
+        pcm = np.diff(pcm.astype(np.int32), prepend=np.int32(0))
+        pcm = (pcm & 0xFFFF).astype(np.uint16).astype("<u2")
+    elif codec != ACON_CODEC_RAW:
+        raise CodecError(f"unknown acon codec {codec}")
+    return b"".join([ACON_MAGIC, struct.pack("<BII", codec, rate,
+                                             len(samples)),
+                     pcm.tobytes()])
+
+
+def decode_acon(data: bytes) -> tuple[int, np.ndarray]:
+    """Unpack an acon container into (sample_rate, int16 waveform).
+
+    Raises CodecError for null/corrupt containers so the audio stages'
+    dead-letter path matches the image/video decode taxonomy.
+    """
+    if data is None:
+        raise CodecError("null payload")
+    hdr = len(ACON_MAGIC) + 9
+    if not data.startswith(ACON_MAGIC) or len(data) < hdr:
+        raise CodecError("bad acon magic")
+    codec, rate, n = struct.unpack_from("<BII", data, len(ACON_MAGIC))
+    if len(data) != hdr + 2 * n:
+        raise CodecError("truncated acon payload")
+    raw = np.frombuffer(data, dtype="<u2", offset=hdr)
+    if codec == ACON_CODEC_RAW:
+        return rate, raw.view("<i2").astype(np.int16)
+    if codec == ACON_CODEC_DELTA:
+        return rate, (np.cumsum(raw.astype(np.uint32)) & 0xFFFF) \
+            .astype(np.uint16).view(np.int16).astype(np.int16)
+    raise CodecError(f"unknown acon codec {codec}")

@@ -1098,3 +1098,154 @@ def video_frames_path(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# audio corpus + window-fingerprint sidecar (aud_* queries)
+#
+# No audio table exists in the driver testdata, so the corpus is synthesized
+# deterministically (same policy as the video corpus): recordings are ACON1
+# containers of 16-bit mono PCM; duplicate structure comes from SHARED
+# audio segments (each SEG = AUD_WINS_PER_SEG fingerprint windows, so clips
+# stay window-aligned).  Per base recording i (10 segments at stride 8, so
+# bases are pairwise disjoint) one variant is emitted:
+#   i%3==0  re-encode  — same samples in the delta codec: different BYTES
+#                        (md5 misses it), identical PCM (fps match →
+#                        Jaccard 1.0)
+#   i%3==1  clip       — last 8 of the 10 segments (Jaccard 8/10)
+#   i%3==2  teaser     — first 3 segments (Jaccard 3/10: candidate pair
+#                        the >=0.5 verify must REJECT)
+# Every even-indexed recording also appends the one HOT segment (digital
+# silence — the jingle/black-frame analog, fp 0 for every window) to
+# exercise the stop-fp df cap, and one corrupt container exercises the
+# dead-letter path.
+
+AUD_SEG_SEED = 881_000_007
+AUD_SEGS_PER_BASE = 10
+AUD_SEG_STRIDE = 8
+AUD_WINS_PER_SEG = 4
+AUD_HOT_SEG = -1
+AUD_RATE = 16_000
+
+
+def _audio_segment(seg: int) -> np.ndarray:
+    from deduplicator_ray.pipelines.audio_dedup import WINDOW
+
+    n = AUD_WINS_PER_SEG * WINDOW
+    if seg == AUD_HOT_SEG:
+        return np.zeros(n, np.int16)
+    rng = np.random.default_rng(AUD_SEG_SEED + seg)
+    return np.clip(rng.standard_normal(n) * 6000, -32000, 32000) \
+        .astype(np.int16)
+
+
+def _audio_rows(n_base: int) -> list[tuple[str, list[int], bool]]:
+    rows: list[tuple[str, list[int], bool]] = []
+    for i in range(n_base):
+        segs = [i * AUD_SEG_STRIDE + j for j in range(AUD_SEGS_PER_BASE)]
+        rows.append((f"aud/base{i:05d}.acon", segs, False))
+        if i % 3 == 0:
+            rows.append((f"aud/re{i:05d}.acon", segs, True))
+        elif i % 3 == 1:
+            rows.append((f"aud/clip{i:05d}.acon", segs[2:], False))
+        else:
+            rows.append((f"aud/teaser{i:05d}.acon", segs[:3], False))
+    return rows
+
+
+def audios_path(sf_dir: str) -> str:
+    """Deterministic audio corpus for the aud_* family — one parquet of
+    (audio_id, bytes, fmt, n_samples).  Size scales with the documents
+    table (n_base = max(8, n_docs // 8))."""
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"audios_{sf_name(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_base = max(8, n_docs // 8)
+    seg_cache: dict[int, np.ndarray] = {}
+
+    def seg(s: int) -> np.ndarray:
+        if s not in seg_cache:
+            seg_cache[s] = _audio_segment(s)
+        return seg_cache[s]
+
+    ids, blobs, ns = [], [], []
+    for idx, (aid, segs, re_) in enumerate(_audio_rows(n_base)):
+        sc = segs + ([AUD_HOT_SEG] if idx % 2 == 0 else [])
+        pcm = np.concatenate([seg(s) for s in sc])
+        ids.append(aid)
+        blobs.append(codecs.encode_acon(
+            pcm, AUD_RATE,
+            codecs.ACON_CODEC_DELTA if re_ else codecs.ACON_CODEC_RAW))
+        ns.append(len(pcm))
+    # dead-letter surface: one corrupt container
+    ids.append("aud/corrupt00000.acon")
+    blobs.append(codecs.ACON_MAGIC + b"\x00\xff trunc")
+    ns.append(0)
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"audio_id": pa.array(ids, pa.string()),
+                  "bytes": pa.array(blobs, pa.binary()),
+                  "fmt": pa.array(["acon"] * len(ids), pa.string()),
+                  "n_samples": pa.array(ns, pa.int64())}),
+        os.path.join(tmp, "audios.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def audio_fps_path(sf_dir: str) -> str:
+    """Ray-free ORACLE recomputation of the per-window fingerprint kernel
+    over the audio corpus — one parquet of (audio_id, win_idx, win_fp)
+    rows for decodable recordings.  The parse→PCM→band-energy-sign kernel
+    is the one thing SQL cannot express, so it ships as data
+    (hashes-sidecar policy); the aud_dup_pairs mirror re-derives the
+    stop-fp cap, intersection join and Jaccard threshold relationally."""
+    from deduplicator_ray.pipelines.audio_dedup import audio_window_fps
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"audfps_{sf_name(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(audios_path(sf_dir), "audios.parquet"),
+                        columns=["audio_id", "bytes"])
+    ids, idxs, fps = [], [], []
+    for aid, blob in zip(src["audio_id"].to_pylist(),
+                         src["bytes"].to_pylist()):
+        try:
+            _rate, pcm = codecs.decode_acon(blob)
+        except codecs.CodecError:
+            continue
+        row = audio_window_fps(pcm)
+        ids.extend([aid] * len(row))
+        idxs.extend(range(len(row)))
+        fps.extend(row.tolist())
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"audio_id": pa.array(ids, pa.string()),
+                  "win_idx": pa.array(idxs, pa.int32()),
+                  "win_fp": pa.array(np.asarray(fps, np.int64))}),
+        os.path.join(tmp, "fps.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

@@ -1175,6 +1175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cluster_remove": q.docs_cluster_remove,
         "docs_sample_stratified": q.docs_sample_stratified,
         "docs_repetition_stats": q.docs_repetition_stats,
+        "docs_pii_stats": q.docs_pii_stats,
+        "docs_pii_redact": q.docs_pii_redact,
         "docs_cdc_chunks": q.docs_cdc_chunks,
         "docs_cdc_containment": q.docs_cdc_containment,
         "docs_chunking": q.docs_chunking,
@@ -1320,6 +1322,7 @@ def _fixture_mirrors() -> dict[str, str]:
     _VID_TAU = _vd_mod.TAU_E6_DEFAULT
     _VID_CAP = _vd_mod.MAX_FP_DF_DEFAULT
     afps = fixtures.audio_fps_path(sf) + "/*.parquet"
+    pii = fixtures.docs_pii_path(sf) + "/*.parquet"
     from deduplicator_ray.pipelines import audio_dedup as _ad_mod
     _AUD_TAU = _ad_mod.TAU_E6_DEFAULT
     _AUD_CAP = _ad_mod.MAX_FP_DF_DEFAULT
@@ -1606,6 +1609,11 @@ def _fixture_mirrors() -> dict[str, str]:
         # CDC's cutpoint/content-hash kernel ships as a sidecar replay; the
         # mirror re-derives the shared-block count/election relationally
         "docs_cdc_chunks": q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc),
+        # the PII pass runs over the injected sidecar corpus in BOTH
+        # engines (Python re vs DuckDB RE2 over the same table) — a
+        # cross-engine regex-semantics check, not a sidecar replay
+        "docs_pii_stats": q.DOCS_PII_STATS_SQL.replace("{pii}", pii),
+        "docs_pii_redact": q.DOCS_PII_REDACT_SQL.replace("{pii}", pii),
         "docs_cdc_containment": q.DOCS_CDC_CONTAINMENT_SQL.replace(
             "{cdc}", cdc),
         # IVF's discrete decisions (vec→bucket, query→probed buckets) ship

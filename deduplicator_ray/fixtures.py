@@ -1249,3 +1249,59 @@ def audio_fps_path(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII-bearing document corpus (docs_pii_* queries)
+#
+# The driver's synthetic documents are PII-free word salad, so the PII
+# scrub operators would be vacuous over them.  This sidecar injects
+# deterministic PII spans (emails / IPv4s / phone numbers in rigid,
+# unambiguous formats) into a doc_id-derived subset of documents — the
+# engine (Python `re` kernels) and the DuckDB mirror (RE2 kernels) then
+# both run over the SAME injected table, making this a genuine
+# cross-engine regex-semantics check rather than a sidecar replay.
+
+def docs_pii_path(sf_dir: str) -> str:
+    """Deterministic PII-injected copy of the documents table — one
+    parquet of (doc_id, text)."""
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"docspii_{sf_name(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = src["doc_id"].to_pylist()
+    texts = src["text"].to_pylist()
+    inj = []
+    for did, txt in zip(ids, texts):
+        parts = [txt or ""]
+        if did % 5 == 0:
+            parts.append(f"contact user{did}@example.com for access")
+        if did % 7 == 0:
+            parts.append(f"origin host 10.{did % 256}.{(did * 3) % 256}."
+                         f"{(did * 7) % 256} logged")
+        if did % 11 == 0:
+            parts.append(f"support line +1 {100 + did % 900:03d}-"
+                         f"{100 + (did * 13) % 900:03d}-"
+                         f"{1000 + did % 9000:04d}")
+        if did % 35 == 0:
+            parts.append(f"cc billing{did}@corp.example.org")
+        inj.append(" ".join(parts))
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": src["doc_id"],
+                  "text": pa.array(inj, pa.string())}),
+        os.path.join(tmp, "docs_pii.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

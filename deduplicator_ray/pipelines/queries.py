@@ -5701,3 +5701,105 @@ SELECT doc_id, lang, n_tokens,
        CASE WHEN rn <= n * 10 // 100 THEN 'drop' ELSE 'keep' END AS action
 FROM r ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_pii_stats / q_docs_pii_redact — PII scrub, the standard
+# pre-training privacy pass (the reference has no text ops at all; this is
+# engine extension surface like lang-ID/quality).  Both run over the
+# PII-injected sidecar corpus (fixtures.docs_pii_path — the driver's
+# synthetic documents are PII-free word salad, so the operators would be
+# vacuous over them) and are mirrored by DuckDB's RE2 regex kernels over
+# the SAME table: a genuine cross-engine regex-semantics check, not a
+# sidecar replay.
+#
+# Scale shape: a pure per-row map over streamed batches — no shuffle, no
+# state; the regexes compile once at module import and pandas' str kernels
+# run them in C over each batch.  At 100 TB this is the cheapest class of
+# operator in the engine.  Patterns are deliberately RE2-safe (no
+# lookaround/backrefs) so Python `re` and DuckDB agree by construction.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+
+
+def _pii_docs(sf_dir: str):
+    import os as _os
+
+    from deduplicator_ray import fixtures
+
+    return dio.read_parquet(
+        _os.path.join(fixtures.docs_pii_path(sf_dir), "docs_pii.parquet"),
+        columns=["doc_id", "text"])
+
+
+def docs_pii_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document PII hit counts (emails / IPv4s / phone numbers)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        ne = s.str.count(PII_EMAIL_RE).astype(np.int64)
+        ni = s.str.count(PII_IPV4_RE).astype(np.int64)
+        np_ = s.str.count(PII_PHONE_RE).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_email": ne, "n_ipv4": ni, "n_phone": np_,
+            "n_pii": (ne + ni + np_).astype(np.int64)})
+
+    out = _pii_docs(sf_dir).map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PII_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT)
+           AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_phone,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{PII_IPV4_RE}'))
+            + len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_pii
+FROM '{{pii}}'
+ORDER BY doc_id
+"""
+
+
+def docs_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """Redacted corpus: every PII span replaced by a typed placeholder
+    (<EMAIL>/<IPV4>/<PHONE>, applied in that fixed order in both engines);
+    n_redacted counts the replacements so downstream token accounting can
+    reconcile."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        n = (s.str.count(PII_EMAIL_RE) + s.str.count(PII_IPV4_RE)
+             + s.str.count(PII_PHONE_RE)).astype(np.int64)
+        red = (s.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+                .str.replace(PII_IPV4_RE, "<IPV4>", regex=True)
+                .str.replace(PII_PHONE_RE, "<PHONE>", regex=True))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "text_redacted": red,
+            "n_redacted": n})
+
+    out = _pii_docs(sf_dir).map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PII_REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IPV4>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{PII_IPV4_RE}'))
+            + len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_redacted
+FROM '{{pii}}'
+ORDER BY doc_id
+"""

@@ -298,6 +298,18 @@ def run_bench() -> dict:
 
         timed("emb_srp_pairs", lambda: len(q.emb_srp_pairs(SF_DIR)))
 
+    if os.path.exists(os.path.join(SF_DIR, "documents.parquet")) \
+            and not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # frame/window fingerprint near-dup (the shared fp-set machinery:
+        # actor-pool kernel → fp groupby → stop-fp cap → exact Jaccard)
+        from deduplicator_ray.pipelines import audio_dedup as _ad
+        from deduplicator_ray.pipelines import video_dedup as _vd
+
+        timed("vid_dup_pairs", lambda: _vd.video_dup_pairs(
+            _vd.video_frames(_vd.load_videos(SF_DIR))).count())
+        timed("aud_dup_pairs", lambda: _ad.audio_dup_pairs(
+            _ad.audio_signatures(_ad.load_audios(SF_DIR))).count())
+
     headline = timings["img_extended_clusters"]
     result = {
         "metric": "end-to-end extended image dedup wall-clock (decode+hash+LSH+verify+CC)",

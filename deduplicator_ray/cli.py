@@ -607,6 +607,118 @@ def run_band_prune(index_dir: str, removed_input: str,
             "wall_s": round(time.time() - t0, 3)}
 
 
+
+
+def run_media_dedup(input_dir: str, output_dir: str, modality: str,
+                    tau_e6: int | None = None,
+                    max_fp_df: int | None = None,
+                    resume: bool = True) -> dict:
+    """Modality near-dup job (video frames / audio windows): the shared
+    fp-set pipeline as a resumable ray-job surface.
+
+        signatures/*.parquet   (id, idx, fp) per decodable item — the
+                               EXPENSIVE kernel output, persisted first
+        dead_letter/*.parquet  corrupt containers (badfiles taxonomy)
+        pairs/*.parquet        verified near-dup pairs (exact Jaccard)
+        clusters/*.parquet     (id, cluster_id) via distributed CC
+        report.json            counts + wall times
+
+    Resume: pairs/clusters are recomputed FROM the persisted signatures,
+    so a rerun (or a tau/df re-threshold) never re-decodes payloads —
+    pass a finished --output again and the kernel stage is skipped
+    (the `_sigs_done.json` marker records the completed kernel pass).
+    """
+    _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.compute as pc
+
+    from deduplicator_ray import tuning
+
+    tuning.tune()
+    if modality == "video":
+        from deduplicator_ray.pipelines import video_dedup as mod
+
+        id_col, fp_col = "video_id", "frame_fp"
+        kernel = mod.video_frames
+        tau = mod.TAU_E6_DEFAULT if tau_e6 is None else tau_e6
+        cap = mod.MAX_FP_DF_DEFAULT if max_fp_df is None else max_fp_df
+    elif modality == "audio":
+        from deduplicator_ray.pipelines import audio_dedup as mod
+
+        id_col, fp_col = "audio_id", "win_fp"
+        kernel = mod.audio_signatures
+        tau = mod.TAU_E6_DEFAULT if tau_e6 is None else tau_e6
+        cap = mod.MAX_FP_DF_DEFAULT if max_fp_df is None else max_fp_df
+    else:
+        raise ValueError(f"unknown modality {modality!r}")
+
+    from deduplicator_ray.stages.fpsets import fp_clusters, fp_dup_pairs
+
+    sig_dir = os.path.join(output_dir, "signatures")
+    dead_dir = os.path.join(output_dir, "dead_letter")
+    marker = os.path.join(output_dir, "_sigs_done.json")
+    t0 = time.time()
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            sig_meta = json.load(f)
+        t_sig = 0.0
+    else:
+        import shutil
+
+        for d in (sig_dir, dead_dir):   # write_parquet appends: reruns
+            shutil.rmtree(d, ignore_errors=True)   # must not accumulate
+        sigs = kernel(dio.read_parquet(input_dir,
+                                       columns=[id_col, "bytes"]))
+        sigs = sigs.materialize()   # kernel runs once, feeds two writes
+        ok = sigs.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "ok")),
+            batch_format="pyarrow")
+        dead = sigs.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["status"], "ok"))),
+            batch_format="pyarrow")
+        ok.write_parquet(sig_dir)
+        dead.write_parquet(dead_dir)
+        sig_meta = {"n_sig_rows": ok.count(), "n_dead": dead.count()}
+        with open(marker, "w") as f:
+            json.dump(sig_meta, f)
+        t_sig = round(time.time() - t0, 3)
+
+    # pairs + clusters from the PERSISTED signatures (narrow columns;
+    # a re-threshold run re-reads these, never the payloads)
+    t1 = time.time()
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(output_dir, "pairs"), ignore_errors=True)
+    _sh.rmtree(os.path.join(output_dir, "clusters"), ignore_errors=True)
+    live = dio.read_parquet(sig_dir, columns=[id_col, fp_col])
+    pairs = fp_dup_pairs(live, id_col=id_col, fp_col=fp_col,
+                         out_a=f"{id_col}_a", out_b=f"{id_col}_b",
+                         tau_e6=tau, max_fp_df=cap).materialize()
+    pairs.write_parquet(os.path.join(output_dir, "pairs"))
+    n_pairs = pairs.count()
+    t_pairs = round(time.time() - t1, 3)
+
+    t2 = time.time()
+    live2 = dio.read_parquet(sig_dir, columns=[id_col, fp_col])
+    clusters = fp_clusters(live2, id_col=id_col, fp_col=fp_col,
+                           tau_e6=tau, max_fp_df=cap).materialize()
+    clusters.write_parquet(os.path.join(output_dir, "clusters"))
+    n_clustered = clusters.count()
+    t_cc = round(time.time() - t2, 3)
+
+    report = {"modality": modality, "tau_e6": tau, "max_fp_df": cap,
+              **sig_meta, "n_pairs": n_pairs, "n_clustered": n_clustered,
+              "sig_resumed": t_sig == 0.0,
+              "wall_signatures_s": t_sig, "wall_pairs_s": t_pairs,
+              "wall_clusters_s": t_cc}
+    with open(os.path.join(output_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="deduplicator_ray.cli")
     p.add_argument("mode", choices=["reference", "extended",
@@ -618,7 +730,8 @@ def main(argv: list[str] | None = None) -> None:
                                     "docband-append",
                                     "cont-build", "cont-probe",
                                     "cont-append", "curate",
-                                    "img-curate", "prune"])
+                                    "img-curate", "prune",
+                                    "vid-dedup", "aud-dedup"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
     p.add_argument("--output", help="output directory for artifacts "
@@ -734,6 +847,12 @@ def main(argv: list[str] | None = None) -> None:
         return
     if a.mode == "curate":
         print(json.dumps(run_curate(a.input, a.output)))
+        return
+    if a.mode in ("vid-dedup", "aud-dedup"):
+        print(json.dumps(run_media_dedup(
+            a.input, a.output,
+            "video" if a.mode == "vid-dedup" else "audio",
+            resume=not a.no_resume)))
         return
     if a.mode == "img-curate":
         print(json.dumps(run_img_curate(a.input, a.output,

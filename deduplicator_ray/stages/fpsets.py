@@ -2,24 +2,30 @@
 
 A modality contributes one kernel — (id, payload) → rows of (id, fp) —
 and this module turns the fp rows into verified near-dup pairs and
-clusters by exact Jaccard over the per-id fp sets:
+clusters by exact Jaccard over the per-id fp sets, in THREE shuffle
+rounds total:
 
-    distinct (id, fp)                                   (one shuffle)
-    → stop-fp removal (document frequency > cap)        (in-partition)
-    → per-fp pair emission + per-id live-fp counts      (in-partition)
-    → n_shared groupby, sizes groupby, two joins        (pairs-only data)
-    → Jaccard >= tau filter                             (vectorized)
+    round 1 (partition by fp):   distinct (id, fp), stop-fp removal
+                                 (document frequency > cap), live-row
+                                 emission + per-fp pair emission
+    round 2 (partition by va/id): per-(a,b) intersection counts AND
+                                 per-id set sizes in ONE pass — pair rows
+                                 are keyed by their A endpoint, live rows
+                                 by their id, so size_a attaches locally;
+                                 sizes re-emit for round 3
+    round 3 (partition by vb/id): size_b attaches, Jaccard >= tau
+                                 filters, pairs emit
 
-Scale notes: the only full-data shuffle is the fp-key groupby (keys+ids,
-never payload bytes — payloads are dropped in the modality kernel); pair
+Scale notes: the only full-data shuffle is round 1 (keys+ids, never
+payload bytes — payloads are dropped in the modality kernel); pair
 emission is bounded per bucket by the stop-fp cap (a black frame /
 silence window / channel ident shared by millions of items is evidence
 of NOTHING, so fps with document frequency > max_fp_df are removed from
 both intersection and union — the stopword-removal convention, applied
-identically in the DuckDB mirrors); everything after banding is
-pairs-only, orders of magnitude smaller than the corpus.  Jaccard is
-exact over the capped fp sets, so there is no separate verify pass —
-the intersection count IS the verification.
+identically in the DuckDB mirrors); rounds 2-3 shuffle pairs-only data,
+orders of magnitude smaller than the corpus.  Jaccard is exact over the
+capped fp sets, so there is no separate verify pass — the intersection
+count IS the verification.
 
 Joins here are reduce-side over ``partitioned_groupby`` (NOT
 ``Dataset.join``: Ray's hash join emits schema-LESS empty blocks on
@@ -46,12 +52,22 @@ _PAIR_SCHEMA = pa.schema([
     ("jaccard_e6", pa.int64()),
 ])
 
-# intermediate banding emission: k=0 live (id, fp) rows for the per-id
-# size count, k=1 (a, b) candidate-pair rows for the intersection count
+# round-1 emission: k=0 live (id) rows for the per-id size count,
+# k=1 (a, b) candidate-pair rows for the intersection count
 _BAND_SCHEMA = pa.schema([
     ("k", pa.int8()),
     ("va", pa.string()),
     ("vb", pa.string()),
+])
+
+# round-2 emission: k=0 (id, size) rows re-emitted for round 3,
+# k=1 (va, vb, n_shared, size_a) half-attached pair rows
+_HALF_SCHEMA = pa.schema([
+    ("k", pa.int8()),
+    ("va", pa.string()),
+    ("vb", pa.string()),
+    ("n_shared", pa.int64()),
+    ("size_a", pa.int64()),
 ])
 
 
@@ -79,21 +95,77 @@ def _band_emit(max_fp_df: int):
         seg_start = np.concatenate([[0], seg[:-1]])
         a_local = np.arange(total) - np.repeat(seg_start, pos)
         a_idx = np.repeat(np.repeat(starts, counts), pos) + a_local
+        # orient each pair min,max so (va, vb) is canonical regardless of
+        # which fp bucket emitted it
+        pa_, pb_ = vids[a_idx], vids[b_idx]
+        lo = np.minimum(pa_, pb_)
+        hi = np.maximum(pa_, pb_)
         live = pd.DataFrame({"k": np.zeros(n, np.int8),
                              "va": vids, "vb": np.full(n, "", object)})
         pairs = pd.DataFrame({"k": np.ones(total, np.int8),
-                              "va": vids[a_idx], "vb": vids[b_idx]})
+                              "va": lo, "vb": hi})
         return pd.concat([live, pairs], ignore_index=True)
 
     return fn
 
 
-def _count_rows(keys: list[str], out_col: str):
+def _count_attach_a(df: pd.DataFrame) -> pd.DataFrame:
+    """Round 2, partitioned on va (pair rows) / id (live rows): count
+    n_shared per (va, vb), count size per id, attach size_a locally,
+    re-emit (id, size) rows for round 3."""
+    empty = pd.DataFrame({
+        "k": pd.Series([], dtype=np.int8),
+        "va": pd.Series([], dtype=object),
+        "vb": pd.Series([], dtype=object),
+        "n_shared": pd.Series([], dtype=np.int64),
+        "size_a": pd.Series([], dtype=np.int64)})
+    live = df[df["k"] == 0]
+    sizes = live.groupby("va", sort=False).size()
+    out = [pd.DataFrame({"k": np.zeros(len(sizes), np.int8),
+                         "va": sizes.index.to_numpy(),
+                         "vb": np.full(len(sizes), "", object),
+                         "n_shared": np.zeros(len(sizes), np.int64),
+                         "size_a": sizes.to_numpy().astype(np.int64)})]
+    p = df[df["k"] == 1]
+    if len(p):
+        ns = (p.groupby(["va", "vb"], sort=False).size()
+              .rename("n_shared").reset_index())
+        # size_a lookup is partition-local: pair rows are keyed by va and
+        # live rows by id, so every va's size row landed here
+        sa = ns["va"].map(sizes)
+        out.append(pd.DataFrame({
+            "k": np.ones(len(ns), np.int8),
+            "va": ns["va"].to_numpy(), "vb": ns["vb"].to_numpy(),
+            "n_shared": ns["n_shared"].to_numpy().astype(np.int64),
+            "size_a": sa.to_numpy().astype(np.int64)}))
+    res = pd.concat(out, ignore_index=True) if out else empty
+    return res if len(res) else empty
+
+
+def _attach_b_fold(tau_e6: int):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(keys, sort=False).size()
-             .rename(out_col).reset_index())
-        g[out_col] = g[out_col].astype(np.int64)
-        return g
+        empty = pd.DataFrame({c: pd.Series([], dtype=t.to_pandas_dtype())
+                              for c, t in zip(_PAIR_SCHEMA.names,
+                                              _PAIR_SCHEMA.types)})
+        sizes = df[df["k"] == 0]
+        szmap = dict(zip(sizes["va"], sizes["size_a"]))
+        p = df[df["k"] == 1]
+        if not len(p):
+            return empty
+        ns = p["n_shared"].to_numpy()
+        sa = p["size_a"].to_numpy()
+        sb = p["vb"].map(szmap).to_numpy().astype(np.int64)
+        union = sa + sb - ns
+        keep = ns * 1_000_000 >= tau_e6 * union
+        jac = np.zeros(len(ns), np.int64)
+        np.floor_divide(ns * 1_000_000, union, out=jac, where=union > 0)
+        out = pd.DataFrame({
+            "va": p["va"].to_numpy(), "vb": p["vb"].to_numpy(),
+            "n_shared": ns.astype(np.int64),
+            "size_a": sa.astype(np.int64), "size_b": sb,
+            "jaccard_e6": jac})
+        out = out[keep]
+        return out if len(out) else empty
 
     return fn
 
@@ -113,8 +185,6 @@ def fp_dup_pairs(
     the stop-fp-capped fp sets, fixed-point e6 for hash-stable output).
     Output columns: (out_a, out_b, n_shared, size_a, size_b, jaccard_e6),
     with out_a < out_b lexicographically."""
-    import pyarrow.compute as pc  # noqa: F401  (parity with callers)
-
     live = live.map_batches(
         lambda t: pa.Table.from_pydict(
             {"vid": t[id_col], "fp": t[fp_col]},
@@ -124,109 +194,28 @@ def fp_dup_pairs(
     banded = partitioned_groupby(
         live, ["fp"], _band_emit(max_fp_df),
         num_parts=num_parts, out_schema=_BAND_SCHEMA)
-    banded = banded.materialize()   # consumed twice (sizes + pairs)
 
-    import pyarrow.compute as pc
+    # round 2: ONE key space — pair rows keyed by va, live rows by their
+    # id ("va" carries both) — so intersection counts, size counts and
+    # the size_a attach all happen in the same partition pass
+    halves = partitioned_groupby(
+        banded, ["va"], _count_attach_a,
+        num_parts=max(8, num_parts // 4), out_schema=_HALF_SCHEMA)
 
-    sizes = partitioned_groupby(
-        banded.map_batches(
-            lambda t: t.filter(pc.equal(t["k"], 0)).select(["va"]),
-            batch_format="pyarrow"),
-        ["va"], _count_rows(["va"], "sz"),
-        num_parts=max(8, num_parts // 4),
-        out_schema=pa.schema([("va", pa.string()), ("sz", pa.int64())]))
-
-    n_shared = partitioned_groupby(
-        banded.map_batches(
-            lambda t: t.filter(pc.equal(t["k"], 1)).select(["va", "vb"]),
-            batch_format="pyarrow"),
-        ["va", "vb"], _count_rows(["va", "vb"], "n_shared"),
-        num_parts=max(8, num_parts // 4),
-        out_schema=pa.schema([("va", pa.string()), ("vb", pa.string()),
-                              ("n_shared", pa.int64())]))
-
-    # reduce-side size attachment: pass 1 keys each pair row under BOTH
-    # endpoints alongside the size rows and attaches the local side's
-    # size; pass 2 folds the two half-attached rows per pair.  Both
-    # passes shuffle pairs-only data.
-    uni = pa.schema([("v", pa.string()), ("va", pa.string()),
-                     ("vb", pa.string()), ("n_shared", pa.int64()),
-                     ("sz", pa.int64()), ("kind", pa.int8())])
-
-    def explode_pairs(t: pa.Table) -> pa.Table:
+    # round 3: key by the B endpoint (size rows carry their id in "va";
+    # re-key pair rows under vb so size_b attaches locally)
+    def rekey(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
         va = t["va"].to_pandas().to_numpy(dtype=object)
         vb = t["vb"].to_pandas().to_numpy(dtype=object)
-        ns = t["n_shared"].to_numpy(zero_copy_only=False)
-        n = len(va)
-        return pa.Table.from_pydict(
-            {"v": np.concatenate([va, vb]),
-             "va": np.concatenate([va, va]),
-             "vb": np.concatenate([vb, vb]),
-             "n_shared": np.concatenate([ns, ns]).astype(np.int64),
-             "sz": np.zeros(2 * n, np.int64),
-             "kind": np.zeros(2 * n, np.int8)},
-            schema=uni)
+        key = np.where(k == 1, vb, va)
+        return t.append_column("bkey", pa.array(key, pa.string()))
 
-    def lift_sizes(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.Table.from_pydict(
-            {"v": t["va"], "va": pa.array([""] * n, pa.string()),
-             "vb": pa.array([""] * n, pa.string()),
-             "n_shared": np.zeros(n, np.int64),
-             "sz": t["sz"].to_numpy(zero_copy_only=False).astype(np.int64),
-             "kind": np.ones(n, np.int8)},
-            schema=uni)
+    pairs = partitioned_groupby(
+        halves.map_batches(rekey, batch_format="pyarrow"),
+        ["bkey"], lambda df: _attach_b_fold(tau_e6)(df),
+        num_parts=max(8, num_parts // 4), out_schema=_PAIR_SCHEMA)
 
-    tagged = n_shared.map_batches(explode_pairs, batch_format="pyarrow") \
-        .union(sizes.map_batches(lift_sizes, batch_format="pyarrow"))
-
-    half_schema = pa.schema([("va", pa.string()), ("vb", pa.string()),
-                             ("n_shared", pa.int64()),
-                             ("size_a", pa.int64()), ("size_b", pa.int64())])
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        szmap = dict(zip(df.loc[df["kind"] == 1, "v"],
-                         df.loc[df["kind"] == 1, "sz"]))
-        p = df[df["kind"] == 0]
-        if not len(p):
-            return pd.DataFrame({c: pd.Series([], dtype=t.to_pandas_dtype())
-                                 for c, t in zip(half_schema.names,
-                                                 half_schema.types)})
-        s = p["v"].map(szmap).astype(np.int64)
-        is_a = (p["v"] == p["va"]).to_numpy()
-        return pd.DataFrame({
-            "va": p["va"].to_numpy(), "vb": p["vb"].to_numpy(),
-            "n_shared": p["n_shared"].to_numpy(),
-            "size_a": np.where(is_a, s, -1).astype(np.int64),
-            "size_b": np.where(is_a, -1, s).astype(np.int64)})
-
-    halves = partitioned_groupby(tagged, ["v"], attach,
-                                 num_parts=max(8, num_parts // 4),
-                                 out_schema=half_schema)
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["va", "vb"], sort=False)
-             .agg(n_shared=("n_shared", "first"),
-                  size_a=("size_a", "max"), size_b=("size_b", "max"))
-             .reset_index())
-        ns = g["n_shared"].to_numpy()
-        sa = g["size_a"].to_numpy()
-        sb = g["size_b"].to_numpy()
-        union = sa + sb - ns
-        keep = ns * 1_000_000 >= tau_e6 * union
-        jac = np.zeros(len(ns), np.int64)
-        np.floor_divide(ns * 1_000_000, union, out=jac, where=union > 0)
-        out = pd.DataFrame({
-            "va": g["va"].to_numpy(),
-            "vb": g["vb"].to_numpy(),
-            "n_shared": ns.astype(np.int64),
-            "size_a": sa.astype(np.int64), "size_b": sb.astype(np.int64),
-            "jaccard_e6": jac})
-        return out[keep]
-
-    pairs = partitioned_groupby(halves, ["va", "vb"], fold,
-                                num_parts=max(8, num_parts // 4),
-                                out_schema=_PAIR_SCHEMA)
     return pairs.map_batches(
         lambda t: t.rename_columns(
             [out_a if c == "va" else out_b if c == "vb" else c

@@ -194,6 +194,27 @@ def _img_sample_weights(sf_dir: str):
     return pdf.sort_values("image_id").reset_index(drop=True)
 
 
+def _img_dedup_tiers(sf_dir: str):
+    """Tiered duplicate classification: cheapest binding tier per live
+    image — byte (payload identity) → hash (proc_hash equality, the
+    reference's duplicate definition) → near (extended cluster) → unique;
+    dup_of = the binding tier's group minimum."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = ip.img_dedup_tiers(ip.load_images(sf_dir, _cfg()), _cfg())
+    pdf = _typed(out.to_pandas(), ip.TIERS_SCHEMA)
+    return pdf.sort_values("image_id").reset_index(drop=True)
+
+
+def _img_dedup_tiers_report(sf_dir: str):
+    """Per-tier rollup of img_dedup_tiers: marginal dedup yield of each
+    successive (more expensive) tier."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    return ip.img_dedup_tiers_report(ip.load_images(sf_dir, _cfg()), _cfg())
+
+
 def _img_cluster_size_hist(sf_dir: str):
     """Dup-family size spectrum over the extended clusters (clusters per
     size class + images they hold) — the dedup-savings rollup."""
@@ -1229,6 +1250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_hamming_knn": _img_hamming_knn,
         "img_bit_stats": _img_bit_stats,
         "img_cluster_size_hist": _img_cluster_size_hist,
+        "img_dedup_tiers": _img_dedup_tiers,
+        "img_dedup_tiers_report": _img_dedup_tiers_report,
         "img_sample_weights": _img_sample_weights,
         "img_leakage_split": _img_leakage_split,
         "img_curation": _img_curation,
@@ -1361,6 +1384,10 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.BIT_STATS_SQL, hashes=hashes, **kw),
         "img_cluster_size_hist": mirrors.compose(
             mirrors.CLUSTER_SIZE_HIST_SQL, hashes=hashes, **kw),
+        "img_dedup_tiers": mirrors.compose(
+            mirrors.DEDUP_TIERS_SQL, hashes=hashes, **kw),
+        "img_dedup_tiers_report": mirrors.compose(
+            mirrors.DEDUP_TIERS_REPORT_SQL, hashes=hashes, **kw),
         "img_sample_weights": mirrors.compose(
             mirrors.SAMPLE_WEIGHTS_SQL, hashes=hashes, **kw),
         # split assignment must re-derive identically in SQL: shared

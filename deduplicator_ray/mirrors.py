@@ -650,6 +650,48 @@ ORDER BY caption_md5
 """
 
 
+# tiered duplicate classification (image_dedup.img_dedup_tiers): cheapest
+# binding tier wins — byte (crc32:proc_hash composite byte identity; exact
+# for md5_only rows whose proc_hash IS the content md5) → hash (proc_hash
+# equality, the reference's duplicate definition, dupedb.py:253-257) →
+# near (extended-cluster member below its label) → unique.  Byte groups
+# nest inside hash groups, so both minima come from window functions over
+# the same live relation; the near channel reuses the shared extended CTE.
+_DEDUP_TIERS_CTE = _EXTENDED_CTE + """
+, ident AS (
+  SELECT image_id,
+         min(image_id) OVER (PARTITION BY crc32 || ':' || proc_hash)
+           AS byte_min,
+         min(image_id) OVER (PARTITION BY proc_hash) AS hash_min
+  FROM '{HASHES}'
+  WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')
+),
+cls AS (
+  SELECT i.image_id,
+         CASE WHEN i.byte_min < i.image_id THEN 'byte'
+              WHEN i.hash_min < i.image_id THEN 'hash'
+              WHEN a.cluster_id IS NOT NULL AND a.cluster_id < i.image_id
+                THEN 'near'
+              ELSE 'unique' END AS tier,
+         CASE WHEN i.byte_min < i.image_id THEN i.byte_min
+              WHEN i.hash_min < i.image_id THEN i.hash_min
+              WHEN a.cluster_id IS NOT NULL AND a.cluster_id < i.image_id
+                THEN a.cluster_id
+              ELSE i.image_id END AS dup_of
+  FROM ident i LEFT JOIN assigned a USING (image_id)
+)
+"""
+
+DEDUP_TIERS_SQL = _DEDUP_TIERS_CTE + """
+SELECT image_id, tier, dup_of FROM cls ORDER BY image_id
+"""
+
+DEDUP_TIERS_REPORT_SQL = _DEDUP_TIERS_CTE + """
+SELECT tier, CAST(count(*) AS BIGINT) AS n_images
+FROM cls GROUP BY tier ORDER BY tier
+"""
+
+
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             supp: str = "", truth: str = "", shingle_k: int = 5,
             jaccard_min: float = 0.8, hamming_max: int = 4,

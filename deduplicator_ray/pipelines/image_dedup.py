@@ -1510,3 +1510,137 @@ def img_sample_weights(images: rd.Dataset,
                          batch_format="pyarrow")
     return sample_weights_from_labels(ids, labels, id_col="image_id",
                                       num_parts=num_parts)
+
+
+# ---------------------------------------------------------------------------
+# Tiered duplicate classification — every live image labeled with the
+# CHEAPEST tier that already catches it as a duplicate.  The reference
+# interleaves these levels implicitly (strict-mode md5 routes byte dups,
+# dHash equality routes perceptual dups, /root/reference/dupedb.py:68-101);
+# the tier table makes the cascade explicit so an operator can see how much
+# of the dedup yield each successive (more expensive) tier buys:
+#
+#   byte   — byte-identical payload (crc32+proc_hash composite identity;
+#            for strict-mode md5_only media proc_hash IS the content md5,
+#            so their byte tier is exact)
+#   hash   — perceptual-hash-exact (proc_hash equality at cfg.hash_size —
+#            the reference's own duplicate definition, dupedb.py:253-257)
+#   near   — verified near-dup component member (Hamming/caption-Jaccard
+#            extended clusters) not already caught above
+#   unique — none of the above (includes every group/cluster keeper:
+#            the min-id member is the one the tier "keeps")
+#
+# dup_of = the min-id member of the binding tier's group (own id for
+# 'unique'), so `action = keep iff dup_of == image_id` at every tier.
+
+TIERS_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("tier", pa.string()),
+    ("dup_of", pa.string()),
+])
+
+_TIERS_MID = pa.schema([
+    ("image_id", pa.string()),
+    ("byte_min", pa.string()),
+    ("hash_min", pa.string()),
+    ("cluster_id", pa.string()),
+])
+
+
+def img_dedup_tiers(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    num_parts: int = 64) -> rd.Dataset:
+    """(image_id, tier, dup_of) per live image — tier = byte | hash | near |
+    unique, first (cheapest) binding tier wins; dup_of = that tier's group
+    minimum (own id when unique).
+
+    Scale shape: the fingerprint table (bytes dropped) is materialized once
+    and feeds both the near-dup machinery and the identity minima; byte
+    groups nest inside hash groups (the byte key is crc32:proc_hash), so ONE
+    proc_hash-partitioned groupby computes BOTH group minima; cluster labels
+    then union a 3-column minima projection and ONE image_id-partitioned
+    groupby classifies — all shuffles carry short strings only."""
+    import numpy as np
+    import pandas as pd
+
+    fp = _live(fingerprints(images, cfg), cfg).materialize()
+    edges = verified_edges_from_fp(fp, cfg).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, cfg)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": t["image_id"],
+            "proc_hash": t["proc_hash"],
+            "byte_key": pc.binary_join_element_wise(
+                t["crc32"], t["proc_hash"], ":"),
+        })
+
+    def minima(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["byte_min"] = df.groupby("byte_key")["image_id"].transform("min")
+        df["hash_min"] = df.groupby("proc_hash")["image_id"].transform("min")
+        df["cluster_id"] = ""
+        return df[["image_id", "byte_min", "hash_min", "cluster_id"]]
+
+    ident = partitioned_groupby(
+        fp.map_batches(proj, batch_format="pyarrow"),
+        ["proc_hash"], minima, num_parts=num_parts, out_schema=_TIERS_MID)
+
+    def lab(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.array([""] * n, pa.string())
+        return pa.table({"image_id": t["image_id"], "byte_min": empty,
+                         "hash_min": empty, "cluster_id": t["cluster_id"]})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("image_id")
+                .set_index("image_id")["cluster_id"])
+        base = df.loc[df["cluster_id"] == ""].copy()
+        if len(base) == 0:
+            return TIERS_SCHEMA.empty_table().to_pandas()
+        lbl = base["image_id"].map(lmap).fillna("")
+        own = base["image_id"]
+        is_byte = base["byte_min"] < own
+        is_hash = base["hash_min"] < own
+        is_near = (lbl != "") & (lbl < own)
+        base["tier"] = np.select(
+            [is_byte, is_hash, is_near],
+            ["byte", "hash", "near"], default="unique")
+        base["dup_of"] = np.select(
+            [is_byte, is_hash, is_near],
+            [base["byte_min"], base["hash_min"], lbl],
+            default=own)
+        return base[["image_id", "tier", "dup_of"]]
+
+    unioned = ident.union(labels.map_batches(lab, batch_format="pyarrow"))
+    return partitioned_groupby(unioned, ["image_id"], classify,
+                               num_parts=num_parts, out_schema=TIERS_SCHEMA)
+
+
+def img_dedup_tiers_report(images: rd.Dataset,
+                           cfg: PipelineConfig = DEFAULT_CONFIG,
+                           num_parts: int = 64):
+    """Per-tier rollup of ``img_dedup_tiers``: (tier, n_images) — the
+    marginal dedup yield of each successive tier.  Each classify partition
+    emits ≤ 4 partial rows; only those bounded partials reach the driver
+    for the final sum.  Returns a pandas DataFrame."""
+    import numpy as np
+    import pandas as pd
+
+    tiers = img_dedup_tiers(images, cfg, num_parts=num_parts)
+    part_schema = pa.schema([("tier", pa.string()), ("n_images", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["tier"].to_pandas().value_counts()
+        return pa.table({"tier": vc.index.astype(str),
+                         "n_images": vc.to_numpy().astype(np.int64)},
+                        schema=part_schema)
+
+    parts = tiers.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return part_schema.empty_table().to_pandas()
+    out = parts.groupby("tier", as_index=False)["n_images"].sum()
+    out["n_images"] = out["n_images"].astype(np.int64)
+    return out.sort_values("tier").reset_index(drop=True)

@@ -451,3 +451,27 @@ def test_sample_weights_mirror(sf_small, paths):
     mass = eng.groupby("weight_key")["weight_e6"].sum()
     n = eng.groupby("weight_key")["weight_e6"].size()
     assert ((mass <= 1_000_000) & (mass > 1_000_000 - n)).all()
+
+
+def test_dedup_tiers_mirror(sf_small, paths):
+    """Tiered classification: cheapest binding tier (byte → hash → near →
+    unique) and its group-minimum dup_of must match the SQL re-derivation
+    value-exactly; every tier must actually fire on the fixture corpus."""
+    eng = (ip.img_dedup_tiers(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    orc = duckdb.sql(_compose(mirrors.DEDUP_TIERS_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    assert set(eng["tier"]) == {"byte", "hash", "near", "unique"}
+    # keeper invariant: dup_of == own id exactly for the unique tier
+    keep = eng["dup_of"] == eng["image_id"]
+    assert (keep == (eng["tier"] == "unique")).all()
+
+
+def test_dedup_tiers_report_mirror(sf_small, paths):
+    """The per-tier rollup must equal the SQL aggregation AND reconcile
+    with the per-image table."""
+    eng = ip.img_dedup_tiers_report(ip.load_images(sf_small, CFG), CFG)
+    orc = duckdb.sql(_compose(mirrors.DEDUP_TIERS_REPORT_SQL, paths)).df()
+    _assert_frame_equal(eng, orc)
+    per_img = ip.img_dedup_tiers(ip.load_images(sf_small, CFG), CFG).to_pandas()
+    assert eng["n_images"].sum() == len(per_img)

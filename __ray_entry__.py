@@ -1210,6 +1210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q.events_distinct_users,
         "events_mode_type": q.events_mode_type,
         "docs_bow_dedup": q.docs_bow_dedup,
+        "docs_dedup_tiers": q.docs_dedup_tiers,
+        "docs_dedup_tiers_report": q.docs_dedup_tiers_report,
         "orders_price_quantiles": q.orders_price_quantiles,
         "docs_top_tokens": q.docs_top_tokens,
         "docs_rarity_score": q.docs_rarity_score,
@@ -1777,6 +1779,8 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": q.EVENTS_DISTINCT_USERS_SQL,
         "events_mode_type": q.EVENTS_MODE_TYPE_SQL,
         "docs_bow_dedup": q.DOCS_BOW_DEDUP_SQL,
+        "docs_dedup_tiers": q.DOCS_DEDUP_TIERS_SQL,
+        "docs_dedup_tiers_report": q.DOCS_DEDUP_TIERS_REPORT_SQL,
         "orders_price_quantiles": q.ORDERS_PRICE_QUANTILES_SQL,
         "docs_top_tokens": q.DOCS_TOP_TOKENS_SQL,
         "docs_rarity_score": q.DOCS_RARITY_SCORE_SQL,

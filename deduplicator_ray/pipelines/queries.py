@@ -5803,3 +5803,217 @@ SELECT doc_id,
 FROM '{{pii}}'
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Tiered duplicate classification over DOCUMENTS — the doc-side twin of
+# image_dedup.img_dedup_tiers, making the tier-dedup cascade explicit:
+# every doc labeled with the CHEAPEST tier that already catches it as a
+# duplicate (exact → reordered → near → unique), dup_of = the binding
+# tier's group minimum (own id when unique; VARCHAR order throughout, the
+# same key convention every doc mirror uses).
+#
+#   exact     — byte-identical text (md5 equality)
+#   reordered — same canonical bag-of-words (the docs_bow_dedup key) but
+#               not byte-identical: shuffled/re-ordered copies
+#   near      — member of a 5-gram-Jaccard ≥ 0.8 near-dup component below
+#               its min-label, not already caught above
+#   unique    — none of the above (every group/component keeper lands here)
+#
+# This corpus has no byte-identical doc pair (its bow-dedup docstring pins
+# that), so the exact tier is exercised over a deterministic AUGMENTED
+# relation both engines derive from the same parquet: documents ∪ verbatim
+# copies of every doc_id % 37 == 0 row re-keyed to doc_id + 1_000_000.  No
+# external data — the augmentation is a pure relational expression.
+
+DOCS_TIERS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tier", pa.string()),
+    ("dup_of", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+_DOCS_TIERS_MID = pa.schema([
+    ("doc_id", pa.string()),
+    ("exact_min", pa.string()),
+    ("bag_min", pa.string()),
+    ("cluster_id", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
+def _docs_aug(sf_dir: str) -> rd.Dataset:
+    """documents ∪ exact copies of the doc_id % 37 == 0 rows (re-keyed to
+    doc_id + 1_000_000) — the deterministic augmentation that makes the
+    exact tier non-vacuous; the SQL mirror derives the identical relation."""
+    ds = dio.read_parquet(_t(sf_dir, "documents"),
+                          columns=["doc_id", "text", "n_chars"])
+
+    def copies(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 37 == 0))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(sub["doc_id"], 1_000_000))
+
+    return ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+
+
+def docs_dedup_tiers(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, tier, dup_of, n_chars) per augmented doc — cheapest binding
+    tier wins.
+
+    Scale shape: one map stage emits (id, md5(text), bag_md5, n_chars) so
+    text never shuffles; exact groups nest inside bag groups (equal text ⇒
+    equal canonical bag), so ONE bag_md5-partitioned groupby computes BOTH
+    identity minima; near labels come from the shared doc_clusters
+    machinery; labels union the minima projection and ONE doc_id-partitioned
+    groupby classifies — all exchanges carry short strings + one int."""
+    import hashlib
+    import re
+
+    from deduplicator_ray.pipelines.doc_dedup import doc_clusters
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    aug = _docs_aug(sf_dir)
+    ws = re.compile(r"[ \t\r\n]+")
+
+    def proj(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        bags = [" ".join(sorted(set(ws.sub(" ", x).strip().lower().split(" "))))
+                for x in texts]
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "exact_md5": pa.array(
+                [hashlib.md5(x.encode()).hexdigest() for x in texts]),
+            "bag_md5": pa.array(
+                [hashlib.md5(b.encode()).hexdigest() for b in bags]),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        })
+
+    def minima(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["exact_min"] = df.groupby("exact_md5")["doc_id"].transform("min")
+        df["bag_min"] = df.groupby("bag_md5")["doc_id"].transform("min")
+        df["cluster_id"] = ""
+        return df[["doc_id", "exact_min", "bag_min", "cluster_id", "n_chars"]]
+
+    ident = partitioned_groupby(
+        aug.map_batches(proj, batch_format="pyarrow"),
+        ["bag_md5"], minima, num_parts=16, out_schema=_DOCS_TIERS_MID)
+
+    from deduplicator_ray.config import PipelineConfig
+
+    labels = doc_clusters(aug, PipelineConfig())
+
+    def lab(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.array([""] * n, pa.string())
+        return pa.table({"doc_id": t["image_id"], "exact_min": empty,
+                         "bag_min": empty, "cluster_id": t["cluster_id"],
+                         "n_chars": pa.array([0] * n, pa.int64())})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("doc_id")
+                .set_index("doc_id")["cluster_id"])
+        base = df.loc[df["cluster_id"] == ""].copy()
+        if len(base) == 0:
+            return DOCS_TIERS_SCHEMA.empty_table().to_pandas()
+        lbl = base["doc_id"].map(lmap).fillna("")
+        own = base["doc_id"]
+        is_exact = base["exact_min"] < own
+        is_bag = base["bag_min"] < own
+        is_near = (lbl != "") & (lbl < own)
+        base["tier"] = np.select(
+            [is_exact, is_bag, is_near],
+            ["exact", "reordered", "near"], default="unique")
+        base["dup_of"] = np.select(
+            [is_exact, is_bag, is_near],
+            [base["exact_min"], base["bag_min"], lbl], default=own)
+        base["n_chars"] = base["n_chars"].astype(np.int64)
+        return base[["doc_id", "tier", "dup_of", "n_chars"]]
+
+    unioned = ident.union(labels.map_batches(lab, batch_format="pyarrow"))
+    out = partitioned_groupby(unioned, ["doc_id"], classify,
+                              num_parts=16,
+                              out_schema=DOCS_TIERS_SCHEMA).to_pandas()
+    out = _typed(out, DOCS_TIERS_SCHEMA)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_dedup_tiers_report(sf_dir: str) -> pd.DataFrame:
+    """Per-tier rollup: (tier, n_docs, n_chars) — the marginal dedup yield
+    (docs caught, chars reclaimable) of each successively more expensive
+    tier.  Bounded partials (≤4 rows per batch) reach the driver."""
+    full = docs_dedup_tiers(sf_dir)
+    out = (full.groupby("tier", as_index=False)
+           .agg(n_docs=("doc_id", "size"), n_chars=("n_chars", "sum")))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("tier").reset_index(drop=True)
+
+
+_DOCS_AUG_SQL = """
+docs_aug AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR) AS doc_id, text, n_chars
+  FROM documents WHERE doc_id % 37 = 0
+)
+"""
+
+_DOCS_TIERS_CTES = "WITH RECURSIVE " + _DOCS_AUG_SQL + r""",
+ident AS (
+  SELECT doc_id, n_chars,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS exact_min,
+         min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(
+             list_distinct(string_split(lower(trim(regexp_replace(
+               text, '[ \t\r\n]+', ' ', 'g'))), ' '))), ' '))) AS bag_min
+  FROM docs_aug),
+d AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, greatest(len(text) - 3, 2))]) AS sh
+  FROM docs_aug),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.doc_id AS u, b.doc_id AS v,
+           len(list_intersect(a.sh, b.sh)) AS i,
+           len(a.sh) AS la, len(b.sh) AS lb
+    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+  WHERE i::DOUBLE / (la + lb - i) >= 0.8
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+),
+r(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+  WHERE r.lbl < e.u
+),
+lab AS (SELECT node AS doc_id, min(lbl) AS lbl FROM r GROUP BY node),
+cls AS (
+  SELECT i.doc_id,
+         CASE WHEN i.exact_min < i.doc_id THEN 'exact'
+              WHEN i.bag_min < i.doc_id THEN 'reordered'
+              WHEN l.lbl IS NOT NULL AND l.lbl < i.doc_id THEN 'near'
+              ELSE 'unique' END AS tier,
+         CASE WHEN i.exact_min < i.doc_id THEN i.exact_min
+              WHEN i.bag_min < i.doc_id THEN i.bag_min
+              WHEN l.lbl IS NOT NULL AND l.lbl < i.doc_id THEN l.lbl
+              ELSE i.doc_id END AS dup_of,
+         CAST(i.n_chars AS BIGINT) AS n_chars
+  FROM ident i LEFT JOIN lab l USING (doc_id)
+)
+"""
+
+DOCS_DEDUP_TIERS_SQL = _DOCS_TIERS_CTES + """
+SELECT doc_id, tier, dup_of, n_chars FROM cls ORDER BY doc_id
+"""
+
+DOCS_DEDUP_TIERS_REPORT_SQL = _DOCS_TIERS_CTES + """
+SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM cls GROUP BY tier ORDER BY tier
+"""

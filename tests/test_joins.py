@@ -827,3 +827,31 @@ def test_lang_length_gate_mirror(sf_small, con_docs):
     per = eng.groupby("lang").agg(n=("doc_id", "size"),
                                   d=("action", lambda s: (s == "drop").sum()))
     assert (per["d"] == per["n"] * 10 // 100).all()
+
+
+def test_docs_dedup_tiers_mirror(sf_small, con_docs):
+    """Tiered dedup cascade over the augmented doc relation: cheapest
+    binding tier (exact → reordered → near → unique) and its group-minimum
+    dup_of value-match the SQL re-derivation; every tier fires (exact via
+    the deterministic %37 copies, reordered via bag-equal shuffles, near
+    via Jaccard components)."""
+    eng = q.docs_dedup_tiers(sf_small)
+    orc = con_docs.execute(q.DOCS_DEDUP_TIERS_SQL).df()
+    _match(eng, orc)
+    assert set(eng["tier"]) == {"exact", "reordered", "near", "unique"}
+    # keeper invariant: dup_of == own id exactly for the unique tier
+    assert ((eng["dup_of"] == eng["doc_id"])
+            == (eng["tier"] == "unique")).all()
+    # every injected copy resolves: its original (or a smaller group member)
+    # is its dup_of at the exact tier
+    copies = eng[eng["doc_id"].astype(int) >= 1_000_000]
+    assert len(copies) > 0 and (copies["tier"] != "unique").any()
+
+
+def test_docs_dedup_tiers_report_mirror(sf_small, con_docs):
+    eng = q.docs_dedup_tiers_report(sf_small)
+    orc = con_docs.execute(q.DOCS_DEDUP_TIERS_REPORT_SQL).df()
+    _match(eng, orc)
+    full = q.docs_dedup_tiers(sf_small)
+    assert eng["n_docs"].sum() == len(full)
+    assert eng["n_chars"].sum() == full["n_chars"].sum()

@@ -1178,6 +1178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_update": q.emb_cluster_update,
         "emb_leakage_split": q.emb_leakage_split,
         "emb_sample_weights": q.emb_sample_weights,
+        "emb_dedup_tiers": q.emb_dedup_tiers,
+        "emb_dedup_tiers_report": q.emb_dedup_tiers_report,
         "emb_cluster_remove": q.emb_cluster_remove,
         "emb_semdedup": q.emb_semdedup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
@@ -1749,6 +1751,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_cluster_update": q.EMB_CLUSTER_UPDATE_SQL,
         "emb_leakage_split": q.EMB_LEAKAGE_SPLIT_SQL,
         "emb_sample_weights": q.EMB_SAMPLE_WEIGHTS_SQL,
+        "emb_dedup_tiers": q.EMB_DEDUP_TIERS_SQL,
+        "emb_dedup_tiers_report": q.EMB_DEDUP_TIERS_REPORT_SQL,
         "emb_cluster_remove": q.EMB_CLUSTER_REMOVE_SQL,
         "docs_jaccard_pairs": q.DOCS_JACCARD_PAIRS_SQL,
         "docs_containment_pairs": q.DOCS_CONTAINMENT_PAIRS_SQL,

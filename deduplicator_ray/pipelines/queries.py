@@ -852,18 +852,34 @@ def _emb_pad(v: np.ndarray) -> list[str]:
     return [f"{int(x):012d}" for x in v]
 
 
+def _emb_aug_tbl(t: pa.Table, copies_only: bool = False) -> pa.Table:
+    """Deterministic augmentation making the exact tier non-vacuous: verbatim
+    copies of every vec_id % 37 == 0 row re-keyed to vec_id + 1_000_000
+    (bit-identical embeddings — the copies ARE exact duplicates).  The SQL
+    mirror derives the identical relation from the same parquet."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    sub = t.filter(pa.array(ids % 37 == 0))
+    sub = sub.set_column(sub.schema.get_field_index("vec_id"), "vec_id",
+                         pc.add(sub["vec_id"], 1_000_000))
+    return sub if copies_only else pa.concat_tables([t, sub])
+
+
 def _emb_exact_edges(sf_dir: str, keep_vec, pair_keep,
-                     threshold: float = 0.35) -> rd.Dataset:
+                     threshold: float = 0.35, aug: bool = False) -> rd.Dataset:
     """Dataset[(src, dst)] (zero-padded strings, src < dst numerically) of
     exact cosine pairs ≥ threshold.  ``keep_vec(ids) -> mask`` restricts
     the node universe; ``pair_keep(ids_rows, ids_cols) -> mask`` restricts
-    emitted pairs (e.g. 'at least one endpoint new').  Broadcast-matrix
-    matmul per batch — the documented oracle shape (emb_near_dup); the
-    LSH/IVF paths are the approximate production alternatives."""
+    emitted pairs (e.g. 'at least one endpoint new').  ``aug`` adds the
+    deterministic %37-copy augmentation (emb_dedup_tiers) to both the
+    broadcast matrix and the streamed side.  Broadcast-matrix matmul per
+    batch — the documented oracle shape (emb_near_dup); the LSH/IVF paths
+    are the approximate production alternatives."""
     import pyarrow.parquet as pq
 
     tbl = _nonnull_vec_tbl(pq.read_table(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
+    if aug:
+        tbl = _emb_aug_tbl(tbl)
     ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(v, np.float64)
                     for v in tbl["embedding"].to_pylist()])
@@ -874,6 +890,10 @@ def _emb_exact_edges(sf_dir: str, keep_vec, pair_keep,
 
     ds = _nonnull_vec(dio.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
+    if aug:
+        ds = ds.union(ds.map_batches(
+            lambda t: _emb_aug_tbl(t, copies_only=True),
+            batch_format="pyarrow"))
     schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
     def edges(t: pa.Table) -> pa.Table:
@@ -6015,5 +6035,171 @@ SELECT doc_id, tier, dup_of, n_chars FROM cls ORDER BY doc_id
 DOCS_DEDUP_TIERS_REPORT_SQL = _DOCS_TIERS_CTES + """
 SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM cls GROUP BY tier ORDER BY tier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tiered duplicate classification for the EMBEDDING modality — closes the
+# tier matrix (img_dedup_tiers / docs_dedup_tiers / here): every non-null
+# vector labeled with the cheapest binding tier.
+#
+#   exact  — bit-identical vector (group key = the float32 payload itself;
+#            the corpus has no -0.0/NaN so value- and bit-equality agree,
+#            pinned by test) — exercised via the deterministic %37-copy
+#            augmentation (no two natural vectors collide)
+#   near   — exact-cosine ≥ 0.35 component below its min label
+#   unique — none of the above
+
+EMB_TIERS_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()),
+    ("tier", pa.string()),
+    ("dup_of", pa.int64()),
+])
+
+_EMB_TIERS_MID = pa.schema([
+    ("vec_id", pa.string()),
+    ("exact_min", pa.string()),
+    ("cluster_id", pa.string()),
+])
+
+
+def emb_dedup_tiers(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, tier, dup_of) per augmented non-null vector.
+
+    Scale shape: a map stage reduces each vector to its md5 byte key so no
+    payload shuffles; ONE key-partitioned groupby yields the exact-group
+    minima; near labels come from the shared padded-string CC machinery;
+    labels union the minima projection and ONE vec_id-partitioned groupby
+    classifies.  Padded 12-digit keys keep string order == numeric order;
+    ids cast back to int64 at the edge."""
+    import hashlib
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.components import connected_components
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    cfg = PipelineConfig()
+    edges = _emb_exact_edges(sf_dir, lambda v: np.ones_like(v, bool),
+                             lambda a, b: np.ones_like(a & b, bool),
+                             aug=True)
+    labels = connected_components(edges, cfg)
+
+    ds = _nonnull_vec(dio.read_parquet(_t(sf_dir, "embeddings"),
+                                       columns=["vec_id", "embedding"]))
+    aug = ds.union(ds.map_batches(
+        lambda t: _emb_aug_tbl(t, copies_only=True), batch_format="pyarrow"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        keys = [hashlib.md5(np.asarray(v, np.float32).tobytes()).hexdigest()
+                for v in t["embedding"].to_pylist()]
+        return pa.table({"vec_id": pa.array(_emb_pad(ids), pa.string()),
+                         "vec_key": pa.array(keys, pa.string())})
+
+    def minima(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["exact_min"] = df.groupby("vec_key")["vec_id"].transform("min")
+        df["cluster_id"] = ""
+        return df[["vec_id", "exact_min", "cluster_id"]]
+
+    ident = partitioned_groupby(
+        aug.map_batches(proj, batch_format="pyarrow"),
+        ["vec_key"], minima, num_parts=16, out_schema=_EMB_TIERS_MID)
+
+    def lab(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"vec_id": t["image_id"],
+                         "exact_min": pa.array([""] * n, pa.string()),
+                         "cluster_id": t["cluster_id"]})
+
+    mid_out = pa.schema([("vec_id", pa.string()), ("tier", pa.string()),
+                         ("dup_of", pa.string())])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("vec_id")
+                .set_index("vec_id")["cluster_id"])
+        base = df.loc[df["cluster_id"] == ""].copy()
+        if len(base) == 0:
+            return mid_out.empty_table().to_pandas()
+        lbl = base["vec_id"].map(lmap).fillna("")
+        own = base["vec_id"]
+        is_exact = base["exact_min"] < own
+        is_near = (lbl != "") & (lbl < own)
+        base["tier"] = np.select([is_exact, is_near], ["exact", "near"],
+                                 default="unique")
+        base["dup_of"] = np.select([is_exact, is_near],
+                                   [base["exact_min"], lbl], default=own)
+        return base[["vec_id", "tier", "dup_of"]]
+
+    unioned = ident.union(labels.map_batches(lab, batch_format="pyarrow"))
+    out = partitioned_groupby(unioned, ["vec_id"], classify,
+                              num_parts=16, out_schema=mid_out).to_pandas()
+    out = _typed(out, mid_out)
+    res = pd.DataFrame({
+        "vec_id": out["vec_id"].astype(np.int64),
+        "tier": out["tier"],
+        "dup_of": out["dup_of"].astype(np.int64),
+    })
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
+def emb_dedup_tiers_report(sf_dir: str) -> pd.DataFrame:
+    """Per-tier rollup: (tier, n_vecs)."""
+    full = emb_dedup_tiers(sf_dir)
+    out = (full.groupby("tier", as_index=False)
+           .agg(n_vecs=("vec_id", "size")))
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    return out.sort_values("tier").reset_index(drop=True)
+
+
+_EMB_TIERS_CTES = """
+WITH RECURSIVE emb_aug AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 37 = 0
+),
+ident AS (
+  SELECT vec_id,
+         min(vec_id) OVER (PARTITION BY embedding) AS exact_min
+  FROM emb_aug),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM emb_aug
+),
+edges AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM edges UNION SELECT v, u FROM edges
+),
+r(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+  WHERE r.lbl < e.u
+),
+lab AS (SELECT node AS vec_id, min(lbl) AS lbl FROM r GROUP BY node),
+cls AS (
+  SELECT i.vec_id,
+         CASE WHEN i.exact_min < i.vec_id THEN 'exact'
+              WHEN l.lbl IS NOT NULL AND l.lbl < i.vec_id THEN 'near'
+              ELSE 'unique' END AS tier,
+         CASE WHEN i.exact_min < i.vec_id THEN i.exact_min
+              WHEN l.lbl IS NOT NULL AND l.lbl < i.vec_id THEN l.lbl
+              ELSE i.vec_id END AS dup_of
+  FROM ident i LEFT JOIN lab l USING (vec_id)
+)
+"""
+
+EMB_DEDUP_TIERS_SQL = _EMB_TIERS_CTES + """
+SELECT vec_id, tier, CAST(dup_of AS BIGINT) AS dup_of
+FROM cls ORDER BY vec_id
+"""
+
+EMB_DEDUP_TIERS_REPORT_SQL = _EMB_TIERS_CTES + """
+SELECT tier, CAST(count(*) AS BIGINT) AS n_vecs
 FROM cls GROUP BY tier ORDER BY tier
 """

@@ -451,3 +451,31 @@ def test_emb_sample_weights_mirror(sf_small, con_emb):
     mass = eng.groupby("weight_key")["weight_e6"].sum()
     n = eng.groupby("weight_key")["weight_e6"].size()
     assert ((mass <= 1_000_000) & (mass > 1_000_000 - n)).all()
+
+
+def test_emb_dedup_tiers_mirror(sf_small):
+    """Embedding tier cascade (exact → near → unique) closes the tier
+    matrix across the three modalities; the exact tier fires via the
+    deterministic %37-copy augmentation (bit-identical vectors, so the
+    engine's md5-of-float32-bytes key and the mirror's list-equality
+    partition agree — the corpus has no -0.0/NaN to split them)."""
+    import duckdb
+
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = q.emb_dedup_tiers(sf_small)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_small}/embeddings.parquet')")
+    orc = con.execute(q.EMB_DEDUP_TIERS_SQL).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), orc.reset_index(drop=True))
+    assert set(eng["tier"]) == {"exact", "near", "unique"}
+    assert ((eng["dup_of"] == eng["vec_id"])
+            == (eng["tier"] == "unique")).all()
+    rep = q.emb_dedup_tiers_report(sf_small)
+    orep = con.execute(q.EMB_DEDUP_TIERS_REPORT_SQL).df()
+    pd.testing.assert_frame_equal(rep, orep)
+    assert rep["n_vecs"].sum() == len(eng)

@@ -93,6 +93,15 @@ def run_bench() -> dict:
             lambda: ip.dup_pairs(dio.read_parquet(images_path), cfg).count(),
         )
 
+        # tier cascade: the headline's near machinery + two narrow
+        # string-only shuffles (identity minima + classify) — the marginal
+        # cost of the tier table over the cluster assignment
+        timed(
+            "img_dedup_tiers",
+            lambda: ip.img_dedup_tiers(
+                dio.read_parquet(images_path), cfg).count(),
+        )
+
         # incremental scan vs a known snapshot (Bloom index build + probe
         # + exact verify over the unified proc_hash keyspace).  Fingerprints
         # are scanned ONCE into a parquet sidecar — the production flow,

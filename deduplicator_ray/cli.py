@@ -585,6 +585,52 @@ def run_img_curate(input_dir: str, output_dir: str,
     return metrics
 
 
+def run_tiers(input_dir: str, output_dir: str, hash_size: int = 8) -> dict:
+    """Tier-dedup job: classify every live image with the cheapest tier
+    that catches it as a duplicate (byte → hash → near → unique,
+    image_dedup.img_dedup_tiers) and write:
+
+        tiers/*.parquet   per-image (image_id, tier, dup_of)
+        report.json       per-tier image counts + wall time
+
+    The per-tier report is the operational readout of the tier cascade —
+    how much dedup yield each successively more expensive tier buys."""
+    _ensure_ray()
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from deduplicator_ray import tuning
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    tuning.tune()
+    cfg = PipelineConfig(hash_size=hash_size)
+    t0 = time.time()
+    tiers = ip.img_dedup_tiers(dio.read_parquet(input_dir), cfg).materialize()
+    tiers.write_parquet(os.path.join(output_dir, "tiers"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        vc = t["tier"].to_pandas().value_counts()
+        return pa.table({"tier": pa.array(vc.index.astype(str)),
+                         "n_images": pa.array(
+                             vc.to_numpy().astype(np.int64))})
+
+    parts = tiers.map_batches(combine, batch_format="pyarrow").to_pandas()
+    report = (parts.groupby("tier", as_index=False)["n_images"].sum()
+              .sort_values("tier"))
+    metrics = {"mode": "tiers", "input": input_dir,
+               "report": report.to_dict("records"),
+               "total_wall_s": round(time.time() - t0, 3)}
+    with open(os.path.join(output_dir, "report.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
 def run_band_prune(index_dir: str, removed_input: str,
                    hash_size: int = 8, id_col: str = "image_id") -> dict:
     """Retire vanished ids from a persisted band index — the index-side
@@ -730,7 +776,7 @@ def main(argv: list[str] | None = None) -> None:
                                     "docband-append",
                                     "cont-build", "cont-probe",
                                     "cont-append", "curate",
-                                    "img-curate", "prune",
+                                    "img-curate", "tiers", "prune",
                                     "vid-dedup", "aud-dedup"])
     p.add_argument("--input", help="directory of input parquet shards "
                    "(all modes except prune)")
@@ -857,6 +903,12 @@ def main(argv: list[str] | None = None) -> None:
     if a.mode == "img-curate":
         print(json.dumps(run_img_curate(a.input, a.output,
                                         hash_size=a.hash_size)))
+        return
+    if a.mode == "tiers":
+        if not (a.input and a.output):
+            p.error("tiers requires --input --output")
+        print(json.dumps(run_tiers(a.input, a.output,
+                                   hash_size=a.hash_size)))
         return
     m = run(a.mode, a.input, a.output, resume=not a.no_resume,
             hash_size=a.hash_size, files_exempt=tuple(a.files_exempt),

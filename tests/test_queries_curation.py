@@ -479,3 +479,24 @@ def test_emb_dedup_tiers_mirror(sf_small):
     orep = con.execute(q.EMB_DEDUP_TIERS_REPORT_SQL).df()
     pd.testing.assert_frame_equal(rep, orep)
     assert rep["n_vecs"].sum() == len(eng)
+
+
+def test_cli_tiers_job(sf_small, tmp_path):
+    """cli tiers: tier table + report artifacts; the report reconciles
+    with the per-image table and every tier key is valid."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    from deduplicator_ray import cli, fixtures
+
+    out = str(tmp_path / "tiersout")
+    m = cli.run_tiers(fixtures.images_path(sf_small, 8), out)
+    tiers = pads.dataset(os.path.join(out, "tiers"),
+                         format="parquet").to_table().to_pandas()
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert set(tiers["tier"]) <= {"byte", "hash", "near", "unique"}
+    assert sum(r["n_images"] for r in rep["report"]) == len(tiers) > 0
+    assert m["total_wall_s"] > 0

@@ -194,6 +194,17 @@ def _img_sample_weights(sf_dir: str):
     return pdf.sort_values("image_id").reset_index(drop=True)
 
 
+def _img_kernel_agreement(sf_dir: str):
+    """Perceptual-kernel agreement audit: dup-group membership per kernel
+    keyspace (dHash vs pHash) for every image live in both."""
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = ip.img_kernel_agreement(ip.load_images(sf_dir, _cfg()), _cfg())
+    pdf = _typed(out.to_pandas(), ip.AGREEMENT_SCHEMA)
+    return pdf.sort_values("image_id").reset_index(drop=True)
+
+
 def _img_dedup_tiers(sf_dir: str):
     """Tiered duplicate classification: cheapest binding tier per live
     image — byte (payload identity) → hash (proc_hash equality, the
@@ -1255,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_bit_stats": _img_bit_stats,
         "img_cluster_size_hist": _img_cluster_size_hist,
         "img_dedup_tiers": _img_dedup_tiers,
+        "img_kernel_agreement": _img_kernel_agreement,
         "img_dedup_tiers_report": _img_dedup_tiers_report,
         "img_sample_weights": _img_sample_weights,
         "img_leakage_split": _img_leakage_split,
@@ -1390,6 +1402,10 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.CLUSTER_SIZE_HIST_SQL, hashes=hashes, **kw),
         "img_dedup_tiers": mirrors.compose(
             mirrors.DEDUP_TIERS_SQL, hashes=hashes, **kw),
+        "img_kernel_agreement": mirrors.compose(
+            mirrors.KERNEL_AGREEMENT_SQL, hashes=hashes,
+            phashes=fixtures.hashes_path(sf, 8, "phash") + "/*.parquet",
+            **kw),
         "img_dedup_tiers_report": mirrors.compose(
             mirrors.DEDUP_TIERS_REPORT_SQL, hashes=hashes, **kw),
         "img_sample_weights": mirrors.compose(

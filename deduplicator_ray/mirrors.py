@@ -692,13 +692,48 @@ FROM cls GROUP BY tier ORDER BY tier
 """
 
 
+# perceptual-kernel agreement audit (image_dedup.img_kernel_agreement):
+# dup-group membership per kernel keyspace over the two oracle sidecars
+# (dHash = {HASHES}, pHash = {PHASHES}); universe = images live in BOTH
+# keyspaces (the zero-hash poison sets differ between kernels).
+KERNEL_AGREEMENT_SQL = """
+WITH ld AS (
+  SELECT image_id, proc_hash FROM '{HASHES}'
+  WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')),
+lp AS (
+  SELECT image_id, proc_hash FROM '{PHASHES}'
+  WHERE status IN ('ok','md5_only') AND NOT regexp_matches(proc_hash, '^0+$')),
+dd AS (
+  SELECT image_id,
+         CASE WHEN count(*) OVER (PARTITION BY proc_hash) >= 2
+              THEN 1 ELSE 0 END AS dup_dhash
+  FROM ld),
+pp AS (
+  SELECT image_id,
+         CASE WHEN count(*) OVER (PARTITION BY proc_hash) >= 2
+              THEN 1 ELSE 0 END AS dup_phash
+  FROM lp)
+SELECT d.image_id,
+       CAST(d.dup_dhash AS BIGINT) AS dup_dhash,
+       CAST(p.dup_phash AS BIGINT) AS dup_phash,
+       CASE WHEN d.dup_dhash = 1 AND p.dup_phash = 1 THEN 'both'
+            WHEN d.dup_dhash = 1 THEN 'dhash_only'
+            WHEN p.dup_phash = 1 THEN 'phash_only'
+            ELSE 'neither' END AS agreement
+FROM dd d JOIN pp p USING (image_id)
+ORDER BY d.image_id
+"""
+
+
 def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
-            supp: str = "", truth: str = "", shingle_k: int = 5,
+            supp: str = "", truth: str = "", phashes: str = "",
+            shingle_k: int = 5,
             jaccard_min: float = 0.8, hamming_max: int = 4,
             img_ham_expr: str = "bit_count(xor(a.dh, b.dh))") -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
     contain regex braces (``{36}``) that ``str.format`` would eat."""
     return (template
+            .replace("{PHASHES}", phashes)
             .replace("{HASHES}", hashes)
             .replace("{IMAGES}", images)
             .replace("{ALTNS}", altns)

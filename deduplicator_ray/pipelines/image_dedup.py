@@ -1644,3 +1644,131 @@ def img_dedup_tiers_report(images: rd.Dataset,
     out = parts.groupby("tier", as_index=False)["n_images"].sum()
     out["n_images"] = out["n_images"].astype(np.int64)
     return out.sort_values("tier").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-kernel agreement audit: which duplicate groups each hash
+# kernel (dHash vs pHash) catches on this corpus.  The reference offers
+# exactly one similarity knob (hash size); an operator choosing a kernel
+# for a new corpus needs the disagreement surface — images dup-grouped by
+# one kernel but not the other are where the kernels' failure modes
+# (gradient-sign vs DCT low-frequency) diverge.  One decode pass emits BOTH
+# keys; md5_only media share the md5 key in both keyspaces by construction.
+
+AGREEMENT_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("dup_dhash", pa.int64()),
+    ("dup_phash", pa.int64()),
+    ("agreement", pa.string()),
+])
+
+
+def img_kernel_agreement(images: rd.Dataset,
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         num_parts: int = 64) -> rd.Dataset:
+    """(image_id, dup_dhash, dup_phash, agreement) for every image live in
+    BOTH kernel keyspaces (status ok/md5_only, zero-hash poison excluded
+    per keyspace — the poison sets differ between kernels, so the audit
+    universe is their intersection).
+
+    Scale shape: ONE decode pass (the expensive stage) computes both
+    64-bit fingerprints from the same pixel array; each keyspace then runs
+    one narrow (key, id) groupby for its ≥2-members flag; the two flag
+    streams union and ONE image_id-partitioned groupby joins them — no
+    payload ever shuffles and nothing decodes twice."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicator_ray import codecs, hashing
+    from deduplicator_ray.stages.decode_hash import MAX_IMAGE_PIXELS
+
+    hash_size = cfg.hash_size
+
+    dual_schema = pa.schema([("image_id", pa.string()),
+                             ("key_d", pa.string()),
+                             ("key_p", pa.string()),
+                             ("status", pa.string())])
+
+    def dual(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = [str(x) for x in batch["image_id"].to_pylist()]
+        payloads = batch["bytes"].to_pylist()
+        ws = np.nan_to_num(
+            batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hs = np.nan_to_num(
+            batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        fmts = batch["fmt"].to_pylist()
+        key_d, key_p, status = [""] * n, [""] * n, ["ok"] * n
+        for i in range(n):
+            data = payloads[i]
+            if data is None:
+                status[i] = "error"
+                continue
+            try:
+                if int(ws[i]) * int(hs[i]) > MAX_IMAGE_PIXELS:
+                    raise codecs.CodecError("decompression bomb")
+                img = codecs.decode_image(data, fmts[i], int(ws[i]),
+                                          int(hs[i]))
+                key_d[i] = hashing.bits_to_hex(
+                    hashing.dhash_bits(img, hash_size))
+                key_p[i] = hashing.bits_to_hex(
+                    hashing.phash_bits(img, hash_size))
+            except codecs.UnsupportedFormatError:
+                md5 = hashing.md5_hex(data)
+                status[i] = "md5_only"
+                key_d[i] = md5
+                key_p[i] = md5
+            except (codecs.CodecError, MemoryError):
+                status[i] = "error"
+        return pa.table({"image_id": ids, "key_d": key_d, "key_p": key_p,
+                         "status": status}, schema=dual_schema)
+
+    fp = images.map_batches(dual, batch_format="pyarrow",
+                            batch_size=cfg.decode_batch_size)
+    fp = fp.map_batches(
+        lambda t: t.filter(pc.is_in(t["status"],
+                                    value_set=pa.array(["ok", "md5_only"]))),
+        batch_format="pyarrow").materialize()
+
+    flag_schema = pa.schema([("image_id", pa.string()),
+                             ("side", pa.string()),
+                             ("dup", pa.int64())])
+
+    def branch(key_col: str, side: str) -> rd.Dataset:
+        def live(t: pa.Table) -> pa.Table:
+            keep = pc.invert(
+                pc.match_substring_regex(t[key_col], r"^0+$"))
+            return pa.table({"image_id": t.filter(keep)["image_id"],
+                             "key": t.filter(keep)[key_col]})
+
+        def flags(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["dup"] = (df.groupby("key")["image_id"].transform("size")
+                         >= 2).astype(np.int64)
+            df["side"] = side
+            return df[["image_id", "side", "dup"]]
+
+        return partitioned_groupby(
+            fp.map_batches(live, batch_format="pyarrow"),
+            ["key"], flags, num_parts=num_parts, out_schema=flag_schema)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index="image_id", columns="side",
+                              values="dup", aggfunc="first")
+        if "d" not in wide.columns or "p" not in wide.columns:
+            return AGREEMENT_SCHEMA.empty_table().to_pandas()
+        wide = wide.dropna(subset=["d", "p"]).reset_index()
+        if len(wide) == 0:
+            return AGREEMENT_SCHEMA.empty_table().to_pandas()
+        d = wide["d"].astype(np.int64)
+        p = wide["p"].astype(np.int64)
+        agreement = np.select(
+            [(d == 1) & (p == 1), (d == 1) & (p == 0), (d == 0) & (p == 1)],
+            ["both", "dhash_only", "phash_only"], default="neither")
+        return pd.DataFrame({"image_id": wide["image_id"], "dup_dhash": d,
+                             "dup_phash": p, "agreement": agreement})
+
+    unioned = branch("key_d", "d").union(branch("key_p", "p"))
+    return partitioned_groupby(unioned, ["image_id"], join,
+                               num_parts=num_parts,
+                               out_schema=AGREEMENT_SCHEMA)

@@ -475,3 +475,21 @@ def test_dedup_tiers_report_mirror(sf_small, paths):
     _assert_frame_equal(eng, orc)
     per_img = ip.img_dedup_tiers(ip.load_images(sf_small, CFG), CFG).to_pandas()
     assert eng["n_images"].sum() == len(per_img)
+
+
+def test_kernel_agreement_mirror(sf_small, paths):
+    """dHash-vs-pHash dup-group agreement over one decode pass must equal
+    the two-sidecar SQL re-derivation; the disagreement classes must
+    actually fire (the kernels genuinely group differently)."""
+    eng = (ip.img_kernel_agreement(ip.load_images(sf_small, CFG), CFG)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    sql = mirrors.compose(
+        mirrors.KERNEL_AGREEMENT_SQL, hashes=paths["hashes"],
+        phashes=fixtures.hashes_path(sf_small, 8, "phash") + "/*.parquet")
+    orc = duckdb.sql(sql).df()
+    _assert_frame_equal(eng, orc)
+    assert {"both", "neither"} <= set(eng["agreement"])
+    assert (eng["agreement"] != "both").any()
+    # flags and class label are consistent
+    both = eng["agreement"] == "both"
+    assert ((eng["dup_dhash"] == 1) & (eng["dup_phash"] == 1)).equals(both)

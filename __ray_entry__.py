@@ -1211,6 +1211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_pii_stats": q.docs_pii_stats,
         "docs_pii_redact": q.docs_pii_redact,
+        "docs_line_dedup": q.docs_line_dedup,
+        "docs_boilerplate_lines": q.docs_boilerplate_lines,
         "docs_cdc_chunks": q.docs_cdc_chunks,
         "docs_cdc_containment": q.docs_cdc_containment,
         "docs_chunking": q.docs_chunking,
@@ -1362,6 +1364,7 @@ def _fixture_mirrors() -> dict[str, str]:
     _VID_CAP = _vd_mod.MAX_FP_DF_DEFAULT
     afps = fixtures.audio_fps_path(sf) + "/*.parquet"
     pii = fixtures.docs_pii_path(sf) + "/*.parquet"
+    dlines = fixtures.docs_lines_path(sf) + "/*.parquet"
     from deduplicator_ray.pipelines import audio_dedup as _ad_mod
     _AUD_TAU = _ad_mod.TAU_E6_DEFAULT
     _AUD_CAP = _ad_mod.MAX_FP_DF_DEFAULT
@@ -1661,6 +1664,9 @@ def _fixture_mirrors() -> dict[str, str]:
         # cross-engine regex-semantics check, not a sidecar replay
         "docs_pii_stats": q.DOCS_PII_STATS_SQL.replace("{pii}", pii),
         "docs_pii_redact": q.DOCS_PII_REDACT_SQL.replace("{pii}", pii),
+        "docs_line_dedup": q.DOCS_LINE_DEDUP_SQL.replace("{lines}", dlines),
+        "docs_boilerplate_lines": q.DOCS_BOILERPLATE_LINES_SQL.replace(
+            "{lines}", dlines),
         "docs_cdc_containment": q.DOCS_CDC_CONTAINMENT_SQL.replace(
             "{cdc}", cdc),
         # IVF's discrete decisions (vec→bucket, query→probed buckets) ship

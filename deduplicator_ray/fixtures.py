@@ -1305,3 +1305,72 @@ def docs_pii_path(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-line document corpus (docs_line_dedup / docs_boilerplate_lines)
+#
+# The driver's synthetic documents are single-line word salad, so
+# line-level dedup (the CCNet/RefinedWeb boilerplate-removal pass:
+# drop any line whose exact content recurs across >= 2 distinct
+# documents) would be vacuous over them.  This sidecar re-wraps each
+# document into 8-word lines and injects deterministic boilerplate lines
+# (nav/footer strings shared by doc_id-derived subsets) plus occasional
+# empty lines — the engine and the DuckDB mirror both run over the SAME
+# table, so the check exercises real cross-document line recurrence
+# (including word-salad chunk collisions, not only the injected strings).
+
+_BOILERPLATE_LINES = [
+    "subscribe to our newsletter for weekly updates",
+    "all rights reserved terms of service apply",
+    "click here to read the full article",
+    "share this story on your favorite network",
+    "sign in to continue reading this content",
+    "copyright example media group contact legal",
+]
+
+
+def docs_lines_path(sf_dir: str) -> str:
+    """Deterministic multi-line copy of the documents table — one parquet
+    of (doc_id, text) where text contains newline-separated lines."""
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"docslines_{sf_name(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = src["doc_id"].to_pylist()
+    texts = src["text"].to_pylist()
+    docs = []
+    for did, txt in zip(ids, texts):
+        words = (txt or "").split()
+        lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+        if not lines:
+            lines = [""]
+        # injected boilerplate: header for even ids, footer for ids%3==0,
+        # a second footer family for ids%7 — enough overlap that most
+        # boilerplate lines span many docs while some docs carry none
+        if did % 2 == 0:
+            lines.insert(0, _BOILERPLATE_LINES[did % 3])
+        if did % 3 == 0:
+            lines.append(_BOILERPLATE_LINES[3 + (did // 3) % 3])
+        if did % 7 == 0:
+            lines.insert(len(lines) // 2, "")  # empty lines are never removed
+        docs.append("\n".join(lines))
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": src["doc_id"],
+                  "text": pa.array(docs, pa.string())}),
+        os.path.join(tmp, "docs_lines.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

@@ -6203,3 +6203,164 @@ EMB_DEDUP_TIERS_REPORT_SQL = _EMB_TIERS_CTES + """
 SELECT tier, CAST(count(*) AS BIGINT) AS n_vecs
 FROM cls GROUP BY tier ORDER BY tier
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_line_dedup / q_docs_boilerplate_lines — CCNet-style cross-document
+# LINE-level dedup (Wenzek et al. 2020 dedup the corpus by hashed line;
+# RefinedWeb/Gopher use the same pass for nav/footer boilerplate).  A line
+# is removed iff its exact content occurs in >= 2 DISTINCT documents and is
+# non-empty; within-doc repeats alone never qualify.  Runs over the
+# multi-line sidecar corpus (fixtures.docs_lines_path — the driver's
+# synthetic documents are single-line, so the pass would be vacuous over
+# them); the DuckDB mirror computes the same relation over the SAME table.
+#
+# Scale shape: two hash-partitioned exchanges of the narrow line table —
+# (1) partition by LINE CONTENT: every copy of a line is co-located, so the
+# distinct-doc count and the removal flag are decided locally per
+# partition (no global dup-line set is ever collected or broadcast — the
+# boilerplate set of a web corpus is itself huge); (2) partition by doc_id:
+# reassemble each document from its kept lines in line_idx order.  Line
+# text crosses the wire twice; nothing is materialized on the driver.
+# At 100 TB both exchanges stream block-by-block and the per-partition
+# kernels are vectorized pandas (one groupby-transform, one sort + join).
+
+def _lines_docs(sf_dir: str):
+    import os as _os
+
+    from deduplicator_ray import fixtures
+
+    return dio.read_parquet(
+        _os.path.join(fixtures.docs_lines_path(sf_dir), "docs_lines.parquet"),
+        columns=["doc_id", "text"])
+
+
+def _explode_lines(t: pa.Table) -> pa.Table:
+    """(doc_id, text) -> flat (doc_id, line_idx, line) — vectorized Arrow
+    split + offset arithmetic, no per-row Python."""
+    lines = pc.split_pattern(t["text"], "\n")
+    lens = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+    # per-list 0-based index: global arange minus each row's start offset
+    starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    idx = np.arange(int(lens.sum()), dtype=np.int64) - starts
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "line_idx": pa.array(idx, pa.int64()),
+        "line": pc.list_flatten(lines),
+    })
+
+
+_LINE_FLAG_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("line_idx", pa.int64()),
+    ("line", pa.string()), ("removed", pa.bool_())])
+_LINE_DEDUP_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_lines", pa.int64()),
+    ("n_removed", pa.int64()), ("clean_text", pa.string())])
+
+
+def _flag_dup_lines(df: pd.DataFrame) -> pd.DataFrame:
+    nd = df.groupby("line", sort=False)["doc_id"].transform("nunique")
+    df = df.copy()
+    df["removed"] = (nd >= 2) & (df["line"].str.len() > 0)
+    return df
+
+
+def _rebuild_docs(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["doc_id", "line_idx"], kind="mergesort")
+    g = df.groupby("doc_id", sort=False)
+    stats = g.agg(n_lines=("line", "size"), n_removed=("removed", "sum"))
+    kept = df[~df["removed"]]
+    joined = kept.groupby("doc_id", sort=False)["line"].agg("\n".join)
+    out = stats.join(joined.rename("clean_text")).reset_index()
+    out["clean_text"] = out["clean_text"].fillna("")
+    out["n_removed"] = out["n_removed"].astype(np.int64)
+    return out[["doc_id", "n_lines", "n_removed", "clean_text"]]
+
+
+def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Per-document line-dedup result: line counts, removed-line counts and
+    the cleaned text with cross-document duplicate lines dropped."""
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    lines = _lines_docs(sf_dir).map_batches(
+        _explode_lines, batch_format="pyarrow")
+    flagged = partitioned_groupby(
+        lines, ["line"], _flag_dup_lines, out_schema=_LINE_FLAG_SCHEMA)
+    out = partitioned_groupby(
+        flagged, ["doc_id"], _rebuild_docs, out_schema=_LINE_DEDUP_SCHEMA)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_LINE_DEDUP_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(0, len(string_split(text, chr(10))))) AS line_idx
+  FROM '{lines}'
+), dup AS (
+  SELECT line FROM l WHERE length(line) > 0
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.line_idx), '') AS clean_text
+FROM l LEFT JOIN dup d USING (line)
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+"""
+
+
+def docs_boilerplate_lines(sf_dir: str) -> pd.DataFrame:
+    """The duplicated-line table itself (the corpus's boilerplate
+    dictionary): each removed line with how many distinct documents and
+    total copies carry it — the threshold-tuning diagnostic for the
+    line-dedup pass.  Same content-partitioned exchange as
+    docs_line_dedup, with a per-batch (line, doc_id)-distinct combiner so
+    only one row per (line, doc) reaches the shuffle."""
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    lines = _lines_docs(sf_dir).map_batches(
+        _explode_lines, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "line"]).to_pandas()
+        df = df[df["line"].str.len() > 0]
+        g = (df.groupby(["line", "doc_id"], sort=False)
+               .size().rename("n_copies").reset_index())
+        # metadata stripped — the b'pandas' schema blob is unhashable and
+        # trips Ray's schema dedup (partitioned.py has the same note)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def per_line(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("line", sort=False).agg(
+            n_docs=("doc_id", "nunique"), n_copies=("n_copies", "sum"))
+        g = g[g["n_docs"] >= 2].reset_index()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_copies"] = g["n_copies"].astype(np.int64)
+        return g[["line", "n_docs", "n_copies"]]
+
+    schema = pa.schema([("line", pa.string()), ("n_docs", pa.int64()),
+                        ("n_copies", pa.int64())])
+    out = partitioned_groupby(
+        lines.map_batches(combine, batch_format="pyarrow"),
+        ["line"], per_line, out_schema=schema)
+    return out.to_pandas().sort_values("line").reset_index(drop=True)
+
+
+DOCS_BOILERPLATE_LINES_SQL = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM '{lines}'
+)
+SELECT line,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM l WHERE length(line) > 0
+GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+ORDER BY line
+"""

@@ -1184,6 +1184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipdate_head": q.lineitem_shipdate_head,
         "emb_near_dup": q.emb_near_dup,
         "emb_srp_pairs": q.emb_srp_pairs,
+        "emb_pq_topk": q.emb_pq_topk,
+        "emb_pq_rerank": q.emb_pq_rerank,
         "emb_prototypicality": q.emb_prototypicality,
         "emb_bucket_outliers": q.emb_bucket_outliers,
         "emb_cluster_update": q.emb_cluster_update,
@@ -1365,6 +1367,7 @@ def _fixture_mirrors() -> dict[str, str]:
     afps = fixtures.audio_fps_path(sf) + "/*.parquet"
     pii = fixtures.docs_pii_path(sf) + "/*.parquet"
     dlines = fixtures.docs_lines_path(sf) + "/*.parquet"
+    pqsc = fixtures.pq_sidecar_path(sf)
     from deduplicator_ray.pipelines import audio_dedup as _ad_mod
     _AUD_TAU = _ad_mod.TAU_E6_DEFAULT
     _AUD_CAP = _ad_mod.MAX_FP_DF_DEFAULT
@@ -1656,6 +1659,8 @@ def _fixture_mirrors() -> dict[str, str]:
         # the persisted cross-corpus probe: CROSS-side co-bucketed pairs,
         # same sidecar, portable vec_id % 5 side split
         "emb_cross_srp_indexed": q.EMB_CROSS_SRP_SQL.replace("{srp}", srp),
+        "emb_pq_topk": q.EMB_PQ_TOPK_SQL.replace("{pq}", pqsc),
+        "emb_pq_rerank": q.EMB_PQ_RERANK_SQL.replace("{pq}", pqsc),
         # CDC's cutpoint/content-hash kernel ships as a sidecar replay; the
         # mirror re-derives the shared-block count/election relationally
         "docs_cdc_chunks": q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc),

@@ -1374,3 +1374,69 @@ def docs_lines_path(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# PQ sidecar (codebook-encode + ADC lookup-table replay) for the
+# emb_pq_topk mirror
+
+
+def pq_sidecar_path(sf_dir: str) -> str:
+    """Ray-free replay of the product-quantization DISCRETE decisions —
+    each vector's per-subspace code and each query's e6 ADC lookup table —
+    as two parquet tables (``codes``: (vec_id, sub, code); ``lut``:
+    (query_id, sub, code, dot_e6)).  The codebooks are what SQL cannot
+    derive (iterative k-means), so they ship as data through the LUT; the
+    mirror then reduces emb_pq_topk to a join + grouped sum + rank —
+    checking the engine's distributed encode/scan/merge against a
+    single-process replay of the same math (engine kernels
+    functions.vector.train_pq_codebooks / pq_encode / pq_lut_e6, same
+    vec_id-sorted absolute sample cap as IVF/prototypicality)."""
+    from deduplicator_ray.functions import vector as vfn
+
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"pq_{os.path.basename(os.path.normpath(sf_dir))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    src = src.filter(pc.is_valid(src["embedding"]))  # null vectors drop
+    ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    x = np.stack(src["embedding"].to_pylist()).astype(np.float64)[order]
+    books = vfn.train_pq_codebooks(x[:65536])
+    codes = vfn.pq_encode(x, books)
+    qmask = ids < 4
+    lut = vfn.pq_lut_e6(x[qmask], books)
+    qids = ids[qmask]
+    m, k = books.shape[0], books.shape[1]
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "vec_id": np.repeat(ids, m),
+            "sub": np.tile(np.arange(m, dtype=np.int64), len(ids)),
+            "code": codes.reshape(-1),
+        }),
+        os.path.join(tmp, "codes.parquet"))
+    pq.write_table(
+        pa.table({
+            "query_id": np.repeat(qids, m * k),
+            "sub": np.tile(np.repeat(np.arange(m, dtype=np.int64), k),
+                           len(qids)),
+            "code": np.tile(np.arange(k, dtype=np.int64), len(qids) * m),
+            "dot_e6": lut.reshape(-1),
+        }),
+        os.path.join(tmp, "lut.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

@@ -386,3 +386,89 @@ def srp_band_rows(t: pa.Table, nbands: int = SRP_BANDS,
          pa.FixedSizeListArray.from_arrays(
              pa.array(x32[rep].reshape(-1)), dim)],
         names=["band", "bkey", "vec_id", "allkeys", "emb"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public literature): the COMPRESSED-domain ANN
+# member beside brute force (exact), IVF (trained partitioning) and
+# SRP-LSH (training-free banding).  Vectors are split into PQ_M subspaces;
+# each subvector is replaced by the index of its nearest per-subspace
+# k-means codeword (PQ_K codes → one byte each), and a query scans codes
+# with an additive lookup table (ADC) instead of touching floats — at
+# 100 TB the scan reads M bytes per vector instead of 4·d.
+#
+# Determinism: codebooks train on the same vec_id-sorted absolute-cap
+# sample as IVF/prototypicality (sample_rows_absolute); encode ties break
+# to the lowest code via np.argmin; ADC contributions are e6-quantized
+# int64 per (query, subspace, code), so the total score is integer-exact
+# under any batch split and the sidecar replay is bit-identical.
+
+PQ_M = 8
+PQ_K = 16
+PQ_SEED = 29
+
+
+def train_pq_codebooks(sample: np.ndarray, m: int = PQ_M, k: int = PQ_K,
+                       iters: int = 8, seed: int = PQ_SEED) -> np.ndarray:
+    """(m, k, d/m) float64 codebooks: per-subspace Lloyd k-means (L2) on
+    the NORMALIZED sample — cosine on unit vectors is inner product, which
+    ADC reconstructs additively across subspaces."""
+    x = _normalize(np.asarray(sample, np.float64))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by PQ_M={m}")
+    dsub = d // m
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        idx = rng.choice(len(sub), size=min(k, len(sub)), replace=False)
+        c = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub ** 2).sum(1, keepdims=True)
+                  - 2.0 * (sub @ c.T) + (c ** 2).sum(1))
+            a = np.argmin(d2, axis=1)
+            for t in range(len(c)):
+                mem = sub[a == t]
+                if len(mem):
+                    c[t] = mem.mean(axis=0)
+        books[j] = np.vstack([c, np.zeros((k - len(c), dsub))]) \
+            if len(c) < k else c
+    return books
+
+
+def pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes: nearest codeword per subspace of the NORMALIZED
+    input (ties → lowest code)."""
+    xn = _normalize(np.asarray(x, np.float64))
+    m, k, dsub = books.shape
+    codes = np.empty((len(xn), m), np.int64)
+    for j in range(m):
+        sub = xn[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub ** 2).sum(1, keepdims=True)
+              - 2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(1))
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_lut_e6(queries: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(Q, m, k) int64 ADC lookup table: e6-quantized inner product of each
+    normalized query subvector with each codeword.  The e6 rounding happens
+    PER CELL, so summing over subspaces is integer-exact everywhere."""
+    qn = _normalize(np.asarray(queries, np.float64))
+    m, k, dsub = books.shape
+    lut = np.empty((len(qn), m, k), np.int64)
+    for j in range(m):
+        qsub = qn[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = np.floor(qsub @ books[j].T * 1e6 + 0.5).astype(np.int64)
+    return lut
+
+
+def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(Q, n) int64 ADC scores: additive lookup over the code matrix."""
+    nq, m, _ = lut.shape
+    out = np.zeros((nq, len(codes)), np.int64)
+    for j in range(m):
+        out += lut[:, j, :][:, codes[:, j]]
+    return out

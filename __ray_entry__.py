@@ -952,6 +952,41 @@ def _aud_clusters(sf_dir: str):
         "audio_id").reset_index(drop=True)
 
 
+def _vid_dedup_tiers(sf_dir: str):
+    """Tier-dedup cascade over videos: byte identity → frame-fp-SET
+    identity → Jaccard near-dup → unique, cheapest binding tier wins
+    (stages/fpsets.identity_tiers — the video twin of img_dedup_tiers)."""
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    out = vd.video_dedup_tiers(
+        vd.video_tier_frames(vd.load_videos(sf_dir))).to_pandas()
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+def _vid_dedup_tiers_report(sf_dir: str):
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    return vd.video_dedup_tiers_report(
+        vd.video_tier_frames(vd.load_videos(sf_dir)))
+
+
+def _aud_dedup_tiers(sf_dir: str):
+    """Tier-dedup cascade over audio: byte identity → window-fp-SET
+    identity (lossless re-encode) → Jaccard near-dup → unique."""
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    out = ad.audio_dedup_tiers(
+        ad.audio_tier_signatures(ad.load_audios(sf_dir))).to_pandas()
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+def _aud_dedup_tiers_report(sf_dir: str):
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    return ad.audio_dedup_tiers_report(
+        ad.audio_tier_signatures(ad.load_audios(sf_dir)))
+
+
 def _mm_audio_features(sf_dir: str):
     """Audio feature-extraction plumbing over synthetic audio rows (the
     codec kernel is stubbed; fake=True drives the deterministic fake):
@@ -1303,6 +1338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vid_signatures": _vid_signatures,
         "vid_dup_pairs": _vid_dup_pairs,
         "vid_clusters": _vid_clusters,
+        "vid_dedup_tiers": _vid_dedup_tiers,
+        "vid_dedup_tiers_report": _vid_dedup_tiers_report,
+        "aud_dedup_tiers": _aud_dedup_tiers,
+        "aud_dedup_tiers_report": _aud_dedup_tiers_report,
         "aud_signatures": _aud_signatures,
         "aud_dup_pairs": _aud_dup_pairs,
         "aud_clusters": _aud_clusters,
@@ -1325,6 +1364,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cross_srp_indexed": _emb_cross_srp_indexed,
         "docs_cross_dedup_indexed": _docs_cross_dedup_indexed,
     }
+
+
+def _fp_tier_sql(src: str, idc: str, fpc: str, cap: int, tau: int,
+                 report_alias: str | None = None) -> str:
+    """Mirror SQL for the fp-set tier cascade (vid/aud): near-dup CC over
+    the capped Jaccard relation (same CTEs as the *_clusters mirrors) +
+    byte/fpset identity minima + cheapest-tier-wins classification."""
+    ctes = f"""
+        WITH RECURSIVE fps AS (
+          SELECT DISTINCT {idc}, {fpc} FROM '{src}'),
+        dfq AS (SELECT {fpc} FROM fps GROUP BY {fpc}
+                HAVING count(*) <= {cap}),
+        live AS (SELECT f.{idc}, f.{fpc}
+                 FROM fps f JOIN dfq USING ({fpc})),
+        sizes AS (SELECT {idc}, count(*) AS n FROM live GROUP BY {idc}),
+        inter AS (SELECT a.{idc} AS va, b.{idc} AS vb, count(*) AS ns
+                  FROM live a JOIN live b USING ({fpc})
+                  WHERE a.{idc} < b.{idc} GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT va, vb FROM inter
+          JOIN sizes sa ON sa.{idc} = va
+          JOIN sizes sb ON sb.{idc} = vb
+          WHERE ns * 1000000 >= {tau} * (sa.n + sb.n - ns)),
+        e AS MATERIALIZED (
+          SELECT va AS u, vb AS v FROM pairs
+          UNION SELECT vb, va FROM pairs),
+        r(node, lbl) AS (
+          SELECT u, u FROM e
+          UNION
+          SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
+          WHERE r.lbl < e.u),
+        lab AS (SELECT node AS {idc}, min(lbl) AS cluster_id
+                FROM r GROUP BY node),
+        ident AS (
+          SELECT {idc}, min(md5) AS byte_key,
+                 string_agg(CAST({fpc} AS VARCHAR), ',' ORDER BY {fpc})
+                     AS fpset_key
+          FROM (SELECT DISTINCT {idc}, {fpc}, md5 FROM '{src}')
+          GROUP BY {idc}),
+        mins AS (
+          SELECT {idc},
+                 min({idc}) OVER (PARTITION BY byte_key) AS byte_min,
+                 min({idc}) OVER (PARTITION BY fpset_key) AS fpset_min
+          FROM ident),
+        cls AS (
+          SELECT m.{idc},
+                 CASE WHEN m.byte_min < m.{idc} THEN 'byte'
+                      WHEN m.fpset_min < m.{idc} THEN 'fpset'
+                      WHEN l.cluster_id IS NOT NULL
+                           AND l.cluster_id < m.{idc} THEN 'near'
+                      ELSE 'unique' END AS tier,
+                 CASE WHEN m.byte_min < m.{idc} THEN m.byte_min
+                      WHEN m.fpset_min < m.{idc} THEN m.fpset_min
+                      WHEN l.cluster_id IS NOT NULL
+                           AND l.cluster_id < m.{idc} THEN l.cluster_id
+                      ELSE m.{idc} END AS dup_of
+          FROM mins m LEFT JOIN lab l USING ({idc}))
+    """
+    if report_alias:
+        return ctes + (f"SELECT tier, CAST(count(*) AS BIGINT) AS "
+                       f"{report_alias} FROM cls GROUP BY tier ORDER BY tier")
+    return ctes + f"SELECT {idc}, tier, dup_of FROM cls ORDER BY {idc}"
 
 
 def _fixture_mirrors() -> dict[str, str]:
@@ -1627,6 +1728,21 @@ def _fixture_mirrors() -> dict[str, str]:
             SELECT node AS audio_id, min(lbl) AS cluster_id
             FROM r GROUP BY node ORDER BY audio_id
         """,
+        # tier-dedup cascade for the fp-set modalities: the byte key
+        # (payload md5 — DuckDB md5() is VARCHAR-only, so it rides the
+        # kernel sidecar), the fp-SET key (ordered distinct fp list) and
+        # the near-dup CC labels compose in SQL exactly as
+        # stages/fpsets.identity_tiers composes them distributed
+        "vid_dedup_tiers": _fp_tier_sql(
+            vframes, "video_id", "frame_fp", _VID_CAP, _VID_TAU),
+        "vid_dedup_tiers_report": _fp_tier_sql(
+            vframes, "video_id", "frame_fp", _VID_CAP, _VID_TAU,
+            report_alias="n_videos"),
+        "aud_dedup_tiers": _fp_tier_sql(
+            afps, "audio_id", "win_fp", _AUD_CAP, _AUD_TAU),
+        "aud_dedup_tiers_report": _fp_tier_sql(
+            afps, "audio_id", "win_fp", _AUD_CAP, _AUD_TAU,
+            report_alias="n_audios"),
         # per-doc text kernels (SimHash / winnowing / BPE-ish counts) ship
         # as a Ray-free sidecar recomputation; banding at 4×16 bits is
         # pigeonhole-LOSSLESS for Hamming ≤ 3, so the engine's banded pair

@@ -1031,6 +1031,25 @@ def videos_path(sf_dir: str) -> str:
         ids.append(vid)
         blobs.append(codecs.encode_vcon([frame(s, re_) for s in sc]))
         nf.append(len(sc))
+    # tier-cascade surface (vid_dedup_tiers): byte-identical copies and
+    # re-encoded remuxes carrying the IDENTICAL frame set (same dHashes,
+    # different container bytes) — without them the byte/fpset tiers are
+    # vacuous on this corpus
+    blob_by_id = dict(zip(ids, blobs))
+    nf_by_id = dict(zip(ids, nf))
+    for i in range(n_base):
+        if i % 5 == 0:
+            b = f"vid/base{i:05d}.vcon"
+            ids.append(f"vid/copy{i:05d}.vcon")
+            blobs.append(blob_by_id[b])
+            nf.append(nf_by_id[b])
+        if i % 4 == 0:
+            # base rows sit at even positions, so they always carry HOT
+            sc = [i * VID_SCENE_STRIDE + j
+                  for j in range(VID_SCENES_PER_BASE)] + [VID_HOT_SCENE]
+            ids.append(f"vid/remux{i:05d}.vcon")
+            blobs.append(codecs.encode_vcon([frame(s, True) for s in sc]))
+            nf.append(len(sc))
     # dead-letter surface: one corrupt container
     ids.append("vid/corrupt00000.vcon")
     blobs.append(codecs.VCON_MAGIC + b"\xff\xff\xff\xff trunc")
@@ -1069,7 +1088,7 @@ def video_frames_path(sf_dir: str) -> str:
         return out
     src = pq.read_table(os.path.join(videos_path(sf_dir), "videos.parquet"),
                         columns=["video_id", "bytes"])
-    ids, idxs, fps = [], [], []
+    ids, idxs, fps, md5s = [], [], [], []
     for vid, blob in zip(src["video_id"].to_pylist(),
                          src["bytes"].to_pylist()):
         try:
@@ -1078,17 +1097,23 @@ def video_frames_path(sf_dir: str) -> str:
                        for f in frames]
         except codecs.CodecError:
             continue
+        # payload md5 rides the sidecar (byte-tier key for the
+        # vid_dedup_tiers mirror — DuckDB's md5() is VARCHAR-only, so the
+        # BLOB hash is kernel data like the fps)
+        m = hashing.md5_hex(blob)
         for j, fp in enumerate(row_fps):
             ids.append(vid)
             idxs.append(j)
             fps.append(fp)
+            md5s.append(m)
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(
         pa.table({"video_id": pa.array(ids, pa.string()),
                   "frame_idx": pa.array(idxs, pa.int32()),
                   "frame_fp": pa.array(
-                      np.asarray(fps, np.uint64).view(np.int64))}),
+                      np.asarray(fps, np.uint64).view(np.int64)),
+                  "md5": pa.array(md5s, pa.string())}),
         os.path.join(tmp, "frames.parquet"))
     if os.path.exists(out):
         import shutil
@@ -1183,6 +1208,26 @@ def audios_path(sf_dir: str) -> str:
             pcm, AUD_RATE,
             codecs.ACON_CODEC_DELTA if re_ else codecs.ACON_CODEC_RAW))
         ns.append(len(pcm))
+    # tier-cascade surface (aud_dedup_tiers): byte-identical copies and
+    # lossless delta re-encodes of the IDENTICAL sample stream (same
+    # window fps, different container bytes)
+    blob_by_id = dict(zip(ids, blobs))
+    ns_by_id = dict(zip(ids, ns))
+    for i in range(n_base):
+        if i % 5 == 0:
+            b = f"aud/base{i:05d}.acon"
+            ids.append(f"aud/copy{i:05d}.acon")
+            blobs.append(blob_by_id[b])
+            ns.append(ns_by_id[b])
+        if i % 4 == 0:
+            # base rows sit at even positions, so they always carry HOT
+            sc = [i * AUD_SEG_STRIDE + j
+                  for j in range(AUD_SEGS_PER_BASE)] + [AUD_HOT_SEG]
+            pcm = np.concatenate([seg(s) for s in sc])
+            ids.append(f"aud/delta{i:05d}.acon")
+            blobs.append(codecs.encode_acon(
+                pcm, AUD_RATE, codecs.ACON_CODEC_DELTA))
+            ns.append(len(pcm))
     # dead-letter surface: one corrupt container
     ids.append("aud/corrupt00000.acon")
     blobs.append(codecs.ACON_MAGIC + b"\x00\xff trunc")
@@ -1223,7 +1268,7 @@ def audio_fps_path(sf_dir: str) -> str:
         return out
     src = pq.read_table(os.path.join(audios_path(sf_dir), "audios.parquet"),
                         columns=["audio_id", "bytes"])
-    ids, idxs, fps = [], [], []
+    ids, idxs, fps, md5s = [], [], [], []
     for aid, blob in zip(src["audio_id"].to_pylist(),
                          src["bytes"].to_pylist()):
         try:
@@ -1231,15 +1276,20 @@ def audio_fps_path(sf_dir: str) -> str:
         except codecs.CodecError:
             continue
         row = audio_window_fps(pcm)
+        # payload md5 rides the sidecar (byte-tier key for the
+        # aud_dedup_tiers mirror; DuckDB md5() is VARCHAR-only)
+        m = hashing.md5_hex(blob)
         ids.extend([aid] * len(row))
         idxs.extend(range(len(row)))
         fps.extend(row.tolist())
+        md5s.extend([m] * len(row))
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(
         pa.table({"audio_id": pa.array(ids, pa.string()),
                   "win_idx": pa.array(idxs, pa.int32()),
-                  "win_fp": pa.array(np.asarray(fps, np.int64))}),
+                  "win_fp": pa.array(np.asarray(fps, np.int64)),
+                  "md5": pa.array(md5s, pa.string())}),
         os.path.join(tmp, "fps.parquet"))
     if os.path.exists(out):
         import shutil

@@ -127,3 +127,113 @@ def video_clusters(frames: rd.Dataset,
     return fp_clusters(
         _live_fps(frames), id_col="video_id", fp_col="frame_fp",
         tau_e6=tau_e6, max_fp_df=max_fp_df)
+
+
+# ---------------------------------------------------------------------------
+# Tiered duplicate classification (the tier-dedup cascade over videos):
+# byte identity → frame-fingerprint-SET identity → Jaccard near-dup →
+# unique, cheapest binding tier wins (stages/fpsets.identity_tiers; the
+# video analog of image_dedup.img_dedup_tiers).  One decode pass emits
+# frame rows WITH the payload md5, so byte/fpset/near all derive from a
+# single scan of the payload bytes.
+
+TIER_FRAME_SCHEMA = pa.schema([
+    ("video_id", pa.string()),
+    ("frame_idx", pa.int32()),
+    ("frame_fp", pa.int64()),
+    ("status", pa.string()),
+    ("md5", pa.string()),
+])
+
+
+class VideoFramesMd5(VideoFrames):
+    """VideoFrames plus the payload md5 on every frame row — the byte-tier
+    key rides the same single decode pass (payloads are read once)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduplicator_ray import hashing as _h
+
+        base = super().__call__(
+            batch.select(["video_id", "bytes"]))
+        md5s = {vid: _h.md5_hex(blob)
+                for vid, blob in zip(batch["video_id"].to_pylist(),
+                                     batch["bytes"].to_pylist())}
+        col = pa.array([md5s[v] for v in base["video_id"].to_pylist()],
+                       pa.string())
+        return base.append_column("md5", col).cast(TIER_FRAME_SCHEMA)
+
+
+def video_tier_frames(videos: rd.Dataset, hash_size: int = 8) -> rd.Dataset:
+    return videos.map_batches(
+        VideoFramesMd5,
+        fn_constructor_kwargs={"hash_size": hash_size},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+
+
+def video_dedup_tiers(frames_md5: rd.Dataset,
+                      tau_e6: int = TAU_E6_DEFAULT,
+                      max_fp_df: int = MAX_FP_DF_DEFAULT,
+                      num_parts: int = 64) -> rd.Dataset:
+    """(video_id, tier, dup_of) per decodable video.  The fpset key is the
+    FULL sorted distinct fp list (identity needs no stop-frame cap — set
+    equality is not pair enumeration); the near tier reuses the capped
+    Jaccard machinery."""
+    import pandas as pd
+
+    from deduplicator_ray.stages.fpsets import identity_tiers
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    live = frames_md5.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok"))
+                   .select(["video_id", "frame_fp", "md5"]),
+        batch_format="pyarrow")
+    labels = fp_clusters(
+        live.select_columns(["video_id", "frame_fp"]),
+        id_col="video_id", fp_col="frame_fp",
+        tau_e6=tau_e6, max_fp_df=max_fp_df, num_parts=num_parts)
+
+    ident_schema = pa.schema([("video_id", pa.string()),
+                              ("byte_key", pa.string()),
+                              ("fpset_key", pa.string())])
+
+    def per_video(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates(["video_id", "frame_fp"])
+               .sort_values(["video_id", "frame_fp"]))
+        d["fp_s"] = d["frame_fp"].astype(str)
+        g = d.groupby("video_id", sort=False)
+        out = g.agg(byte_key=("md5", "first"),
+                    fpset_key=("fp_s", ",".join)).reset_index()
+        return out[["video_id", "byte_key", "fpset_key"]]
+
+    ident = partitioned_groupby(live, ["video_id"], per_video,
+                                num_parts=num_parts, out_schema=ident_schema)
+    return identity_tiers(ident, labels, "video_id", num_parts=num_parts)
+
+
+def video_dedup_tiers_report(frames_md5: rd.Dataset,
+                             tau_e6: int = TAU_E6_DEFAULT,
+                             max_fp_df: int = MAX_FP_DF_DEFAULT,
+                             num_parts: int = 64):
+    """Per-tier rollup: (tier, n_videos) — marginal yield of each tier;
+    ≤ 4 partial rows per classify partition reach the driver."""
+    import pandas as pd
+
+    tiers = video_dedup_tiers(frames_md5, tau_e6, max_fp_df, num_parts)
+    part_schema = pa.schema([("tier", pa.string()),
+                             ("n_videos", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["tier"].to_pandas().value_counts()
+        return pa.table({"tier": vc.index.astype(str),
+                         "n_videos": vc.to_numpy().astype(np.int64)},
+                        schema=part_schema)
+
+    parts = tiers.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return part_schema.empty_table().to_pandas()
+    out = parts.groupby("tier", as_index=False)["n_videos"].sum()
+    out["n_videos"] = out["n_videos"].astype(np.int64)
+    return out.sort_values("tier").reset_index(drop=True)

@@ -249,3 +249,91 @@ def fp_clusters(
         lambda t: t.rename_columns(
             [id_col if c == "image_id" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Tiered duplicate classification for fp-SET modalities (video/audio): the
+# modality-generic twin of image_dedup.img_dedup_tiers.  Tier = the
+# CHEAPEST test that already catches the duplicate:
+#   byte   — identical payload bytes (md5), free at ingest
+#   fpset  — identical distinct-fingerprint SET (re-encode/re-mux of the
+#            same content: the decode kernel ran, no pair machinery)
+#   near   — Jaccard >= tau verified component (full pair machinery)
+#   unique — none of the above
+# dup_of = that tier's group minimum (own id when unique).  Byte groups
+# nest inside fpset groups (identical bytes decode to identical frames),
+# so ONE fpset_key-partitioned groupby yields BOTH identity minima; the
+# near labels then union in and ONE id-partitioned groupby classifies —
+# every shuffle carries short strings only.
+
+_TIERS_MID = pa.schema([
+    ("id", pa.string()),
+    ("byte_min", pa.string()),
+    ("fpset_min", pa.string()),
+    ("cluster_id", pa.string()),
+])
+
+_TIERS_OUT = pa.schema([
+    ("id", pa.string()),
+    ("tier", pa.string()),
+    ("dup_of", pa.string()),
+])
+
+
+def identity_tiers(ident: rd.Dataset, labels: rd.Dataset,
+                   id_col: str, num_parts: int = 64) -> rd.Dataset:
+    """``ident``: one row per live item (id_col, byte_key, fpset_key);
+    ``labels``: (id_col, cluster_id) for near-dup component members.
+    Returns (id_col, tier, dup_of)."""
+
+    def norm_ident(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t[id_col].cast(pa.string()),
+                         "byte_key": t["byte_key"],
+                         "fpset_key": t["fpset_key"]})
+
+    def minima(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["byte_min"] = df.groupby("byte_key")["id"].transform("min")
+        df["fpset_min"] = df.groupby("fpset_key")["id"].transform("min")
+        df["cluster_id"] = ""
+        return df[["id", "byte_min", "fpset_min", "cluster_id"]]
+
+    mins = partitioned_groupby(
+        ident.map_batches(norm_ident, batch_format="pyarrow"),
+        ["fpset_key"], minima, num_parts=num_parts, out_schema=_TIERS_MID)
+
+    def norm_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.array([""] * n, pa.string())
+        return pa.table({"id": t[id_col].cast(pa.string()),
+                         "byte_min": empty, "fpset_min": empty,
+                         "cluster_id": t["cluster_id"].cast(pa.string())})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates("id")
+                .set_index("id")["cluster_id"])
+        base = df.loc[df["cluster_id"] == ""].copy()
+        if len(base) == 0:
+            return _TIERS_OUT.empty_table().to_pandas()
+        lbl = base["id"].map(lmap).fillna("")
+        own = base["id"]
+        is_byte = base["byte_min"] < own
+        is_fpset = base["fpset_min"] < own
+        is_near = (lbl != "") & (lbl < own)
+        base["tier"] = np.select(
+            [is_byte, is_fpset, is_near],
+            ["byte", "fpset", "near"], default="unique")
+        base["dup_of"] = np.select(
+            [is_byte, is_fpset, is_near],
+            [base["byte_min"], base["fpset_min"], lbl],
+            default=own)
+        return base[["id", "tier", "dup_of"]]
+
+    unioned = mins.union(labels.map_batches(norm_labels,
+                                            batch_format="pyarrow"))
+    out = partitioned_groupby(unioned, ["id"], classify,
+                              num_parts=num_parts, out_schema=_TIERS_OUT)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [id_col if c == "id" else c for c in t.column_names]),
+        batch_format="pyarrow")

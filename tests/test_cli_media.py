@@ -36,7 +36,10 @@ def test_media_job_artifacts_and_counts(sf_small, aud_job):
         fixtures.audio_fps_path(sf_small), "fps.parquet")).to_pandas()
     g = got[["audio_id", "win_idx", "win_fp"]].sort_values(
         ["audio_id", "win_idx"]).reset_index(drop=True)
-    w = want.sort_values(["audio_id", "win_idx"]).reset_index(drop=True)
+    # the sidecar also carries the payload md5 (tier-mirror byte key);
+    # the signature store persists the kernel columns only
+    w = want[["audio_id", "win_idx", "win_fp"]].sort_values(
+        ["audio_id", "win_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
 
 

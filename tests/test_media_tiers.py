@@ -1,0 +1,74 @@
+"""Tier-dedup cascade for the fp-set modalities (video/audio): the engine
+(stages/fpsets.identity_tiers over one decode pass) must value-match the
+DuckDB mirror, and the fixture's construction pins each tier's semantics —
+byte copies bind at 'byte', lossless re-encodes with the identical fp set
+at 'fpset', clips/re-variants at 'near'."""
+
+import duckdb
+import pandas as pd
+
+from deduplicator_ray import fixtures
+
+
+def _check(eng, sql):
+    orc = duckdb.sql(sql).df()
+    assert list(eng.columns) == list(orc.columns)
+    assert [str(t) for t in eng.dtypes] == [str(t) for t in orc.dtypes]
+    a = eng.sort_values(list(eng.columns)).reset_index(drop=True)
+    b = orc.sort_values(list(orc.columns)).reset_index(drop=True)
+    assert a.equals(b)
+    return eng
+
+
+def test_vid_dedup_tiers_mirror_and_semantics(ray_session, sf_small):
+    import __ray_entry__ as e
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    vframes = fixtures.video_frames_path(sf_small) + "/*.parquet"
+    tiers_df = e._vid_dedup_tiers(sf_small)
+    _check(tiers_df, e._fp_tier_sql(
+        vframes, "video_id", "frame_fp",
+        vd.MAX_FP_DF_DEFAULT, vd.TAU_E6_DEFAULT))
+    rep = _check(e._vid_dedup_tiers_report(sf_small), e._fp_tier_sql(
+        vframes, "video_id", "frame_fp",
+        vd.MAX_FP_DF_DEFAULT, vd.TAU_E6_DEFAULT, report_alias="n_videos"))
+    tiers = tiers_df.set_index("video_id")
+    assert set(rep["tier"]) == {"byte", "fpset", "near", "unique"}
+    assert rep["n_videos"].sum() == len(tiers)
+    # fixture structure: every copy is byte-identical to its base; every
+    # remux carries the identical frame set; re/clip variants are near
+    copies = [v for v in tiers.index if v.startswith("vid/copy")]
+    assert copies and all(tiers.loc[v, "tier"] == "byte" for v in copies)
+    for v in copies:
+        assert tiers.loc[v, "dup_of"] == v.replace("copy", "base")
+    remuxes = [v for v in tiers.index if v.startswith("vid/remux")]
+    assert remuxes and all(tiers.loc[v, "tier"] == "fpset" for v in remuxes)
+    res = [v for v in tiers.index if v.startswith("vid/re")
+           and not v.startswith("vid/remux")]
+    assert res and all(tiers.loc[v, "tier"] == "near" for v in res)
+    # keeper invariant: dup_of never exceeds the member id
+    assert (tiers["dup_of"] <= tiers.index.to_series()).all()
+
+
+def test_aud_dedup_tiers_mirror_and_semantics(ray_session, sf_small):
+    import __ray_entry__ as e
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    afps = fixtures.audio_fps_path(sf_small) + "/*.parquet"
+    tiers_df = e._aud_dedup_tiers(sf_small)
+    _check(tiers_df, e._fp_tier_sql(
+        afps, "audio_id", "win_fp",
+        ad.MAX_FP_DF_DEFAULT, ad.TAU_E6_DEFAULT))
+    rep = _check(e._aud_dedup_tiers_report(sf_small), e._fp_tier_sql(
+        afps, "audio_id", "win_fp",
+        ad.MAX_FP_DF_DEFAULT, ad.TAU_E6_DEFAULT, report_alias="n_audios"))
+    tiers = tiers_df.set_index("audio_id")
+    assert set(rep["tier"]) == {"byte", "fpset", "near", "unique"}
+    assert rep["n_audios"].sum() == len(tiers)
+    copies = [a for a in tiers.index if a.startswith("aud/copy")]
+    assert copies and all(tiers.loc[a, "tier"] == "byte" for a in copies)
+    deltas = [a for a in tiers.index if a.startswith("aud/delta")]
+    assert deltas and all(tiers.loc[a, "tier"] == "fpset" for a in deltas)
+    res = [a for a in tiers.index if a.startswith("aud/re")]
+    assert res and all(tiers.loc[a, "tier"] == "near" for a in res)
+    assert (tiers["dup_of"] <= tiers.index.to_series()).all()

@@ -1221,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_srp_pairs": q.emb_srp_pairs,
         "emb_pq_topk": q.emb_pq_topk,
         "emb_pq_rerank": q.emb_pq_rerank,
+        "ann_ivfpq_topk": q.ann_ivfpq_topk,
         "emb_prototypicality": q.emb_prototypicality,
         "emb_bucket_outliers": q.emb_bucket_outliers,
         "emb_cluster_update": q.emb_cluster_update,
@@ -1777,6 +1778,8 @@ def _fixture_mirrors() -> dict[str, str]:
         "emb_cross_srp_indexed": q.EMB_CROSS_SRP_SQL.replace("{srp}", srp),
         "emb_pq_topk": q.EMB_PQ_TOPK_SQL.replace("{pq}", pqsc),
         "emb_pq_rerank": q.EMB_PQ_RERANK_SQL.replace("{pq}", pqsc),
+        "ann_ivfpq_topk": q.ANN_IVFPQ_TOPK_SQL.replace("{pq}", pqsc)
+                                              .replace("{ivf}", ivf),
         # CDC's cutpoint/content-hash kernel ships as a sidecar replay; the
         # mirror re-derives the shared-block count/election relationally
         "docs_cdc_chunks": q.DOCS_CDC_CHUNKS_SQL.replace("{cdc}", cdc),

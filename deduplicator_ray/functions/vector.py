@@ -472,3 +472,113 @@ def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
     for j in range(m):
         out += lut[:, j, :][:, codes[:, j]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (Jégou et al. 2011 §III — the classic combination): IVF buckets
+# prune WHICH files are read (I/O ∝ nprobe/n_centroids of the corpus),
+# PQ codes compress WHAT is read (M int8 codes per vector instead of 4·d
+# float bytes), and the scan is additive lookups.  This is the production
+# scale path for embedding ANN at 100 TB: the float embeddings are
+# touched exactly once (at build), every search reads a few pruned
+# partitions of byte codes.  Codebooks are trained on the FULL vectors
+# (not residuals) so the ADC table composes with the standalone PQ sidecar
+# replay — recall rides the same nprobe/rerank knobs measured in tests.
+
+def build_ivfpq_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_rows: int = 65536,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Write (id, bucket, codes int8[M]) parquet PARTITIONED BY ivf_bucket;
+    persist centroids + codebooks next to it.  One streaming pass over the
+    floats; the index holds no float payload at all."""
+    sample = sample_rows_absolute(ds, sample_rows, vec_col, id_col=id_col)
+    cents = train_centroids(sample, n_centroids)
+    books = train_pq_codebooks(sample)
+    ref = ray.put((cents, books))
+
+    def enc(t: pa.Table) -> pa.Table:
+        c, b = ray.get(ref)
+        m = embeddings_matrix(t, vec_col).astype(np.float64)
+        xn = _normalize(m)
+        bks = np.argmax(xn @ c.T, axis=1).astype(np.int32)
+        codes = pq_encode(m, b).astype(np.int8)
+        return pa.table({
+            id_col: t[id_col],
+            "ivf_bucket": pa.array(bks, pa.int32()),
+            "bucket": pa.array(bks, pa.int32()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.int8()), codes.shape[1]),
+        })
+
+    ds.map_batches(enc, batch_format="pyarrow", batch_size=8192) \
+        .write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(index_dir, "pq_books.npy"), books)
+    return cents, books
+
+
+def ivfpq_search(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> "pd.DataFrame":
+    """ADC search over a persisted IVFPQ index: read ONLY the probed
+    buckets' code files, score by e6-integer lookup sums (deterministic
+    under any batch split), merge partial top-k."""
+    import pandas as pd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "pq_books.npy"))
+    qn = _normalize(np.asarray(queries, np.float64))
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    lut = pq_lut_e6(qn, books)
+    files, _total = probed_files(index_dir, np.unique(probes))
+    cols = ["query_id", "rank", "vec_id", "score_e6"]
+    if not files:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    ds = dio.read_parquet(files, columns=[id_col, "bucket", "codes"])
+    q_ref = ray.put((lut, np.asarray(query_ids, np.int64), probes))
+    m_subs = books.shape[0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        lt, qids, prb = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bks = t["bucket"].to_numpy(zero_copy_only=False)
+        arr = t["codes"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        codes = arr.values.to_numpy(zero_copy_only=False).astype(
+            np.int64).reshape(-1, m_subs)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(bks, prb[qi])
+            if not mask.any():
+                continue
+            sc = pq_adc_scores(codes[mask], lt[qi:qi + 1])[0]
+            sel = ids[mask]
+            kk = min(k + 1, len(sc))
+            idx = np.argpartition(-sc, kk - 1)[:kk]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_id.extend(sel[idx].tolist())
+            out_s.extend(sc[idx].tolist())
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score_e6": pa.array(out_s, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    parts = parts[parts["query_id"] != parts["vec_id"]]
+    parts = parts.sort_values(["query_id", "score_e6", "vec_id"],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return out[cols]

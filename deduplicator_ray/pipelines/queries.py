@@ -6538,3 +6538,56 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_e6 FROM (
   FROM ex)
 WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+# q_ann_ivfpq_topk — IVFADC, the classic IVF × PQ combination (Jégou et
+# al. 2011 §III): the persisted index holds NO floats (M int8 codes per
+# vector, hive-partitioned by ivf_bucket), search reads ONLY the probed
+# buckets' code files and scores by additive e6 lookups.  I/O is pruned
+# by IVF AND compressed by PQ — the production embedding-ANN scale path.
+# The mirror composes the two existing sidecar replays: probed-bucket
+# membership from the IVF sidecar, code/LUT scoring from the PQ sidecar.
+
+def ann_ivfpq_topk(sf_dir: str, k: int = 5, nprobe: int = 4) -> pd.DataFrame:
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from deduplicator_ray.functions import vector as vfn
+
+    cols = ["query_id", "rank", "vec_id", "score_e6"]
+    ds = _nonnull_vec(dio.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
+    idx = _os.path.join(_tf.gettempdir(), "dedup_ray_ivfpq_index")
+    _sh.rmtree(idx, ignore_errors=True)
+    vfn.build_ivfpq_index(ds, idx)
+    qtbl = _nonnull_vec_tbl(_pq.read_table(_t(sf_dir, "embeddings")))
+    qdf = qtbl.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+    if not len(qdf):
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    return vfn.ivfpq_search(
+        idx, np.stack(qdf["embedding"].to_numpy()),
+        qdf["vec_id"].to_numpy(), k=k, nprobe=nprobe)
+
+
+ANN_IVFPQ_TOPK_SQL = """
+WITH s AS (
+  SELECT l.query_id, c.vec_id, CAST(sum(l.dot_e6) AS BIGINT) AS score_e6
+  FROM '{pq}/codes.parquet' c
+  JOIN '{ivf}/assign.parquet' a USING (vec_id)
+  JOIN '{ivf}/probes.parquet' p
+    ON p.bucket = a.bucket AND p.query_id != c.vec_id
+  JOIN '{pq}/lut.parquet' l
+    ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score_e6 FROM (
+  SELECT query_id, vec_id, score_e6,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_e6 DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""

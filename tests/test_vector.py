@@ -274,3 +274,45 @@ def test_emb_pq_matches_sidecar_mirror(ray_session):
     assert len(adc & bset) / len(bset) >= 0.2
     assert len(rer & bset) / len(bset) >= 0.7
     assert len(rer & bset) >= len(adc & bset)
+
+
+def test_ann_ivfpq_matches_mirror_and_prunes(ray_session):
+    """IVFADC: the persisted index holds NO float payload (int8 codes
+    only), search reads only the probed buckets' files, and the result
+    equals the composed sidecar mirror (IVF probes × PQ codes/LUT)
+    value- and dtype-exactly."""
+    import glob
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from deduplicator_ray import fixtures
+    from deduplicator_ray.functions.vector import probed_files
+    from deduplicator_ray.pipelines import queries as q
+
+    eng = q.ann_ivfpq_topk(SF)
+    sql = (q.ANN_IVFPQ_TOPK_SQL
+           .replace("{pq}", fixtures.pq_sidecar_path(SF))
+           .replace("{ivf}", fixtures.ivf_sidecar_path(SF)))
+    orc = duckdb.sql(sql).df()
+    assert list(eng.columns) == list(orc.columns)
+    assert [str(t) for t in eng.dtypes] == [str(t) for t in orc.dtypes]
+    assert eng.reset_index(drop=True).equals(orc.reset_index(drop=True))
+    assert len(eng) == 20
+
+    idx = os.path.join(tempfile.gettempdir(), "dedup_ray_ivfpq_index")
+    # compression: the index schema carries int8 codes, no embedding col
+    f0 = glob.glob(os.path.join(idx, "ivf_bucket=*", "*.parquet"))[0]
+    schema = pq.read_schema(f0)
+    assert "embedding" not in schema.names and "codes" in schema.names
+    # pruning: probing a strict bucket subset touches a strict file subset
+    hit, total = probed_files(idx, np.array([0, 1]))
+    assert 0 < len(hit) < total
+    # composition recall floor (ADC-only; exact re-rank is emb_pq_rerank's
+    # job): measured 0.35 at sf0.01
+    bf = q.ann_cosine_topk(SF)
+    bset = set(zip(bf["query_id"], bf["vec_id"]))
+    iset = set(zip(eng["query_id"], eng["vec_id"]))
+    assert len(iset & bset) / len(bset) >= 0.15

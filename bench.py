@@ -300,12 +300,19 @@ def run_bench() -> dict:
 
         timed("docs_cdc_chunks", lambda: len(q.docs_cdc_chunks(SF_DIR)))
 
+        # CCNet-style line-level dedup (two content/doc-partitioned
+        # exchanges of the narrow line table)
+        timed("docs_line_dedup", lambda: len(q.docs_line_dedup(SF_DIR)))
+
     emb = os.path.join(SF_DIR, "embeddings.parquet")
     if os.path.exists(emb):
         # SRP-LSH embedding near-dup (banding → owner-band exact verify)
         from deduplicator_ray.pipelines import queries as q
 
         timed("emb_srp_pairs", lambda: len(q.emb_srp_pairs(SF_DIR)))
+
+        # IVFADC build + probed-read ADC search (the float-free code index)
+        timed("ann_ivfpq_topk", lambda: len(q.ann_ivfpq_topk(SF_DIR)))
 
     if os.path.exists(os.path.join(SF_DIR, "documents.parquet")) \
             and not os.environ.get("GRAFT_HEADLINE_ONLY"):

@@ -662,12 +662,14 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
     """Modality near-dup job (video frames / audio windows): the shared
     fp-set pipeline as a resumable ray-job surface.
 
-        signatures/*.parquet   (id, idx, fp) per decodable item — the
+        signatures/*.parquet   (id, idx, fp, md5) per decodable item — the
                                EXPENSIVE kernel output, persisted first
         dead_letter/*.parquet  corrupt containers (badfiles taxonomy)
         pairs/*.parquet        verified near-dup pairs (exact Jaccard)
         clusters/*.parquet     (id, cluster_id) via distributed CC
-        report.json            counts + wall times
+        tiers/*.parquet        (id, tier, dup_of) — byte/fpset/near/unique
+                               cascade from the same persisted signatures
+        report.json            counts + tier histogram + wall times
 
     Resume: pairs/clusters are recomputed FROM the persisted signatures,
     so a rerun (or a tau/df re-threshold) never re-decodes payloads —
@@ -688,14 +690,16 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
         from deduplicator_ray.pipelines import video_dedup as mod
 
         id_col, fp_col = "video_id", "frame_fp"
-        kernel = mod.video_frames
+        kernel = mod.video_tier_frames   # fp rows + payload md5, one pass
+        tiers_fn = mod.video_dedup_tiers
         tau = mod.TAU_E6_DEFAULT if tau_e6 is None else tau_e6
         cap = mod.MAX_FP_DF_DEFAULT if max_fp_df is None else max_fp_df
     elif modality == "audio":
         from deduplicator_ray.pipelines import audio_dedup as mod
 
         id_col, fp_col = "audio_id", "win_fp"
-        kernel = mod.audio_signatures
+        kernel = mod.audio_tier_signatures
+        tiers_fn = mod.audio_dedup_tiers
         tau = mod.TAU_E6_DEFAULT if tau_e6 is None else tau_e6
         cap = mod.MAX_FP_DF_DEFAULT if max_fp_df is None else max_fp_df
     else:
@@ -755,11 +759,39 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
     n_clustered = clusters.count()
     t_cc = round(time.time() - t2, 3)
 
+    # tier cascade from the SAME persisted signatures (md5 rides the
+    # kernel rows, so byte/fpset/near classify without re-decoding; an
+    # old signature store without the md5 column skips tiers gracefully)
+    t3 = time.time()
+    tier_hist: dict[str, int] = {}
+    if "md5" in dio.read_parquet(sig_dir).schema().names:
+        _sh.rmtree(os.path.join(output_dir, "tiers"), ignore_errors=True)
+        live3 = dio.read_parquet(
+            sig_dir, columns=[id_col, fp_col, "md5", "status"])
+        tiers = tiers_fn(live3, tau, cap).materialize()
+        tiers.write_parquet(os.path.join(output_dir, "tiers"))
+
+        def _tier_partial(t):
+            import numpy as _np
+            import pyarrow as _pa
+
+            vc = t["tier"].to_pandas().value_counts()
+            return _pa.table({"tier": vc.index.astype(str),
+                              "n": vc.to_numpy().astype(_np.int64)})
+
+        parts = tiers.map_batches(
+            _tier_partial, batch_format="pyarrow").to_pandas()
+        if len(parts):
+            tier_hist = {str(k): int(v) for k, v in
+                         parts.groupby("tier")["n"].sum().items()}
+    t_tiers = round(time.time() - t3, 3)
+
     report = {"modality": modality, "tau_e6": tau, "max_fp_df": cap,
               **sig_meta, "n_pairs": n_pairs, "n_clustered": n_clustered,
+              "tier_hist": tier_hist,
               "sig_resumed": t_sig == 0.0,
               "wall_signatures_s": t_sig, "wall_pairs_s": t_pairs,
-              "wall_clusters_s": t_cc}
+              "wall_clusters_s": t_cc, "wall_tiers_s": t_tiers}
     with open(os.path.join(output_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     return report

@@ -66,3 +66,20 @@ def test_media_job_resume_skips_kernel(sf_small, aud_job):
     report3 = run_media_dedup(inp, out2, "audio", resume=False)
     assert not report3["sig_resumed"]
     assert report3["n_pairs"] == _report["n_pairs"]
+
+
+def test_media_job_tier_artifacts(sf_small, aud_job):
+    """The job's tiers/ table equals the direct tier pipeline and the
+    report histogram reconciles with it."""
+    inp, out, report = aud_job
+    assert os.path.isdir(os.path.join(out, "tiers"))
+    got = pq.read_table(os.path.join(out, "tiers")).to_pandas()
+    got = got.sort_values("audio_id").reset_index(drop=True)
+    want = ad.audio_dedup_tiers(
+        ad.audio_tier_signatures(ad.load_audios(sf_small))).to_pandas()
+    want = want.sort_values("audio_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+    hist = report["tier_hist"]
+    assert set(hist) == {"byte", "fpset", "near", "unique"}
+    assert sum(hist.values()) == len(got)
+    assert hist == got["tier"].value_counts().to_dict()

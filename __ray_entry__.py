@@ -987,6 +987,49 @@ def _aud_dedup_tiers_report(sf_dir: str):
         ad.audio_tier_signatures(ad.load_audios(sf_dir)))
 
 
+def _vid_sample_weights(sf_dir: str):
+    """Dedup-aware sampling weights for the VIDEO modality — closes the
+    weights matrix (docs/img/emb/here): every decodable video weighs
+    1e6 // its frame-Jaccard near-dup family size; the mirror re-derives
+    family keys from the frames sidecar through the shared CC CTEs."""
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    out = vd.video_sample_weights(
+        vd.video_frames(vd.load_videos(sf_dir))).to_pandas()
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+def _vid_leakage_split(sf_dir: str):
+    """Near-dup-aware train/val split for the VIDEO modality — all members
+    of a frame-Jaccard component share one assignment; the md5-prefix
+    bucket hash is engine-portable so DuckDB re-derives it exactly."""
+    from deduplicator_ray.pipelines import video_dedup as vd
+
+    out = vd.video_leakage_split(
+        vd.video_frames(vd.load_videos(sf_dir))).to_pandas()
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+def _aud_sample_weights(sf_dir: str):
+    """Dedup-aware sampling weights for the AUDIO modality (the audio twin
+    of vid_sample_weights, over window-fp Jaccard components)."""
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    out = ad.audio_sample_weights(
+        ad.audio_signatures(ad.load_audios(sf_dir))).to_pandas()
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+def _aud_leakage_split(sf_dir: str):
+    """Near-dup-aware train/val split for the AUDIO modality (the audio
+    twin of vid_leakage_split)."""
+    from deduplicator_ray.pipelines import audio_dedup as ad
+
+    out = ad.audio_leakage_split(
+        ad.audio_signatures(ad.load_audios(sf_dir))).to_pandas()
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
 def _mm_audio_features(sf_dir: str):
     """Audio feature-extraction plumbing over synthetic audio rows (the
     codec kernel is stubbed; fake=True drives the deterministic fake):
@@ -1346,6 +1389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aud_signatures": _aud_signatures,
         "aud_dup_pairs": _aud_dup_pairs,
         "aud_clusters": _aud_clusters,
+        "vid_sample_weights": _vid_sample_weights,
+        "vid_leakage_split": _vid_leakage_split,
+        "aud_sample_weights": _aud_sample_weights,
+        "aud_leakage_split": _aud_leakage_split,
         "mm_montage": _mm_montage,
         # text near-dup + fingerprints
         "docs_dup_pairs": _docs_dup_pairs,
@@ -1367,12 +1414,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _fp_tier_sql(src: str, idc: str, fpc: str, cap: int, tau: int,
-                 report_alias: str | None = None) -> str:
-    """Mirror SQL for the fp-set tier cascade (vid/aud): near-dup CC over
-    the capped Jaccard relation (same CTEs as the *_clusters mirrors) +
-    byte/fpset identity minima + cheapest-tier-wins classification."""
-    ctes = f"""
+def _fp_cc_ctes(src: str, idc: str, fpc: str, cap: int, tau: int) -> str:
+    """Shared CTE chain for the fp-set modality mirrors: distinct fps →
+    stop-fp cap → exact-Jaccard pairs → min-label CC → ``lab``
+    ({idc}, cluster_id)."""
+    return f"""
         WITH RECURSIVE fps AS (
           SELECT DISTINCT {idc}, {fpc} FROM '{src}'),
         dfq AS (SELECT {fpc} FROM fps GROUP BY {fpc}
@@ -1397,8 +1443,17 @@ def _fp_tier_sql(src: str, idc: str, fpc: str, cap: int, tau: int,
           SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.node
           WHERE r.lbl < e.u),
         lab AS (SELECT node AS {idc}, min(lbl) AS cluster_id
-                FROM r GROUP BY node),
-        ident AS (
+                FROM r GROUP BY node)
+    """
+
+
+def _fp_tier_sql(src: str, idc: str, fpc: str, cap: int, tau: int,
+                 report_alias: str | None = None) -> str:
+    """Mirror SQL for the fp-set tier cascade (vid/aud): near-dup CC over
+    the capped Jaccard relation (same CTEs as the *_clusters mirrors) +
+    byte/fpset identity minima + cheapest-tier-wins classification."""
+    ctes = _fp_cc_ctes(src, idc, fpc, cap, tau) + f"""
+        , ident AS (
           SELECT {idc}, min(md5) AS byte_key,
                  string_agg(CAST({fpc} AS VARCHAR), ',' ORDER BY {fpc})
                      AS fpset_key
@@ -1427,6 +1482,45 @@ def _fp_tier_sql(src: str, idc: str, fpc: str, cap: int, tau: int,
         return ctes + (f"SELECT tier, CAST(count(*) AS BIGINT) AS "
                        f"{report_alias} FROM cls GROUP BY tier ORDER BY tier")
     return ctes + f"SELECT {idc}, tier, dup_of FROM cls ORDER BY {idc}"
+
+
+def _fp_weights_sql(src: str, idc: str, fpc: str, cap: int, tau: int) -> str:
+    """Mirror SQL for fp-set dedup-aware sampling weights: near-dup CC
+    (shared CTEs) → family key = cluster label else own id → weight =
+    1e6 // family size (the vid/aud twin of DOCS_SAMPLE_WEIGHTS_SQL)."""
+    return _fp_cc_ctes(src, idc, fpc, cap, tau) + f"""
+        , base AS (SELECT DISTINCT {idc} FROM '{src}'),
+        asg AS (
+          SELECT b.{idc}, coalesce(l.cluster_id, b.{idc}) AS weight_key
+          FROM base b LEFT JOIN lab l USING ({idc})),
+        sz AS (SELECT weight_key, count(*) AS n FROM asg GROUP BY weight_key)
+        SELECT {idc}, weight_key,
+               CAST(n AS BIGINT) AS family_size,
+               CAST(1000000 // n AS BIGINT) AS weight_e6
+        FROM asg JOIN sz USING (weight_key)
+        ORDER BY {idc}
+    """
+
+
+def _fp_split_sql(src: str, idc: str, fpc: str, cap: int, tau: int,
+                  train_pct: int = 90) -> str:
+    """Mirror SQL for fp-set leakage-safe splits: near-dup CC (shared
+    CTEs) → split key = cluster label else own id → engine-portable
+    md5-prefix bucket (the vid/aud twin of DOCS_LEAKAGE_SPLIT_SQL)."""
+    return _fp_cc_ctes(src, idc, fpc, cap, tau) + f"""
+        , base AS (SELECT DISTINCT {idc} FROM '{src}'),
+        asg AS (
+          SELECT b.{idc}, coalesce(l.cluster_id, b.{idc}) AS split_key
+          FROM base b LEFT JOIN lab l USING ({idc}))
+        SELECT {idc}, split_key,
+               CAST(('0x' || substr(md5(split_key), 1, 8)) AS BIGINT)
+                   % 100 AS bucket,
+               CASE WHEN CAST(('0x' || substr(md5(split_key), 1, 8))
+                             AS BIGINT) % 100 < {train_pct}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM asg
+        ORDER BY {idc}
+    """
 
 
 def _fixture_mirrors() -> dict[str, str]:
@@ -1744,6 +1838,17 @@ def _fixture_mirrors() -> dict[str, str]:
         "aud_dedup_tiers_report": _fp_tier_sql(
             afps, "audio_id", "win_fp", _AUD_CAP, _AUD_TAU,
             report_alias="n_audios"),
+        # training-loader surfaces over the fp-set near-dup relation:
+        # sampling weights + leakage-safe splits re-derived from the same
+        # shared CC CTEs (family key = cluster label else own id)
+        "vid_sample_weights": _fp_weights_sql(
+            vframes, "video_id", "frame_fp", _VID_CAP, _VID_TAU),
+        "vid_leakage_split": _fp_split_sql(
+            vframes, "video_id", "frame_fp", _VID_CAP, _VID_TAU),
+        "aud_sample_weights": _fp_weights_sql(
+            afps, "audio_id", "win_fp", _AUD_CAP, _AUD_TAU),
+        "aud_leakage_split": _fp_split_sql(
+            afps, "audio_id", "win_fp", _AUD_CAP, _AUD_TAU),
         # per-doc text kernels (SimHash / winnowing / BPE-ish counts) ship
         # as a Ray-free sidecar recomputation; banding at 4×16 bits is
         # pigeonhole-LOSSLESS for Hamming ≤ 3, so the engine's banded pair

@@ -162,6 +162,31 @@ def audio_clusters(sigs: rd.Dataset,
         tau_e6=tau_e6, max_fp_df=max_fp_df)
 
 
+def audio_sample_weights(sigs: rd.Dataset,
+                         tau_e6: int = TAU_E6_DEFAULT,
+                         max_fp_df: int = MAX_FP_DF_DEFAULT) -> rd.Dataset:
+    """Dedup-aware sampling weights over the audio corpus: every decodable
+    recording weighs 1e6 // its near-dup family size (the audio twin of
+    img_sample_weights — same shared reducers via stages/fpsets)."""
+    from deduplicator_ray.stages.fpsets import fp_sample_weights
+
+    return fp_sample_weights(
+        _live_fps(sigs), id_col="audio_id", fp_col="win_fp",
+        tau_e6=tau_e6, max_fp_df=max_fp_df)
+
+
+def audio_leakage_split(sigs: rd.Dataset, train_pct: int = 90,
+                        tau_e6: int = TAU_E6_DEFAULT,
+                        max_fp_df: int = MAX_FP_DF_DEFAULT) -> rd.Dataset:
+    """Near-dup-aware train/val split over the audio corpus: all members
+    of a window-Jaccard component land on one side of the boundary."""
+    from deduplicator_ray.stages.fpsets import fp_leakage_split
+
+    return fp_leakage_split(
+        _live_fps(sigs), id_col="audio_id", fp_col="win_fp",
+        tau_e6=tau_e6, max_fp_df=max_fp_df, train_pct=train_pct)
+
+
 # ---------------------------------------------------------------------------
 # Tiered duplicate classification (the tier-dedup cascade over audio):
 # byte identity → window-fingerprint-SET identity (lossless re-encode /

@@ -243,7 +243,10 @@ def sample_weights_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,
     def resolve_key(df: pd.DataFrame) -> pd.DataFrame:
         lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates(id_col)
                 .set_index(id_col)["cluster_id"])
-        out = df.loc[df["cluster_id"] == "", [id_col]].copy()
+        # drop_duplicates: fp-set modalities project one row per
+        # frame/window, and the global dedupe rides THIS shuffle for free
+        out = (df.loc[df["cluster_id"] == "", [id_col]]
+               .drop_duplicates(id_col).copy())
         out["weight_key"] = out[id_col].map(lmap).fillna(out[id_col])
         return out
 
@@ -309,7 +312,9 @@ def leakage_split_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         lmap = (df.loc[df["cluster_id"] != ""].drop_duplicates(id_col)
                 .set_index(id_col)["cluster_id"])
-        out = df.loc[df["cluster_id"] == "", [id_col]].copy()
+        # drop_duplicates: see sample_weights_from_labels.resolve_key
+        out = (df.loc[df["cluster_id"] == "", [id_col]]
+               .drop_duplicates(id_col).copy())
         out["split_key"] = out[id_col].map(lmap).fillna(out[id_col])
         out["bucket"] = np.fromiter(
             (int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 100

@@ -129,6 +129,31 @@ def video_clusters(frames: rd.Dataset,
         tau_e6=tau_e6, max_fp_df=max_fp_df)
 
 
+def video_sample_weights(frames: rd.Dataset,
+                         tau_e6: int = TAU_E6_DEFAULT,
+                         max_fp_df: int = MAX_FP_DF_DEFAULT) -> rd.Dataset:
+    """Dedup-aware sampling weights over the video corpus: every decodable
+    video weighs 1e6 // its near-dup family size (the video twin of
+    img_sample_weights — same shared reducers via stages/fpsets)."""
+    from deduplicator_ray.stages.fpsets import fp_sample_weights
+
+    return fp_sample_weights(
+        _live_fps(frames), id_col="video_id", fp_col="frame_fp",
+        tau_e6=tau_e6, max_fp_df=max_fp_df)
+
+
+def video_leakage_split(frames: rd.Dataset, train_pct: int = 90,
+                        tau_e6: int = TAU_E6_DEFAULT,
+                        max_fp_df: int = MAX_FP_DF_DEFAULT) -> rd.Dataset:
+    """Near-dup-aware train/val split over the video corpus: all members
+    of a frame-Jaccard component land on one side of the boundary."""
+    from deduplicator_ray.stages.fpsets import fp_leakage_split
+
+    return fp_leakage_split(
+        _live_fps(frames), id_col="video_id", fp_col="frame_fp",
+        tau_e6=tau_e6, max_fp_df=max_fp_df, train_pct=train_pct)
+
+
 # ---------------------------------------------------------------------------
 # Tiered duplicate classification (the tier-dedup cascade over videos):
 # byte identity → frame-fingerprint-SET identity → Jaccard near-dup →

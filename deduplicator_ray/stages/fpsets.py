@@ -337,3 +337,78 @@ def identity_tiers(ident: rd.Dataset, labels: rd.Dataset,
         lambda t: t.rename_columns(
             [id_col if c == "id" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Training-loader surfaces over the fp-set near-dup relation: dedup-aware
+# sampling weights and cluster-aware train/val splits (the video/audio
+# twins of doc_sample_weights / img_leakage_split — same shared reducers,
+# same engine-portable md5 bucket hash, so the DuckDB mirrors re-derive
+# identical assignments).
+
+
+def _distinct_ids(live: rd.Dataset, id_col: str) -> rd.Dataset:
+    """One-string-column id projection of an fp-row dataset.  Only
+    batch-LOCAL distinct — frames of one item share a read block, so this
+    collapses ~n_frames× before the shuffle; the global dedupe rides the
+    reducer's drop_duplicates inside the weights/split groupby."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.string())
+        return pa.table({id_col: ids.unique() if t.num_rows else ids})
+
+    return live.map_batches(proj, batch_format="pyarrow")
+
+
+def _labels_as_cc(labels: rd.Dataset, id_col: str) -> rd.Dataset:
+    """Rename (id_col, cluster_id) back to the connected_components shape
+    (image_id, cluster_id) the shared label reducers consume."""
+    return labels.map_batches(
+        lambda t: t.rename_columns(
+            ["image_id" if c == id_col else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def fp_sample_weights(
+    live: rd.Dataset,
+    *,
+    id_col: str,
+    fp_col: str,
+    tau_e6: int,
+    max_fp_df: int,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Dedup-aware sampling weights over an fp-set modality: every item
+    weighs 1e6 // its exact-Jaccard near-dup family size, so each
+    duplicate family contributes one unit of sampling mass."""
+    from deduplicator_ray.pipelines.doc_dedup import sample_weights_from_labels
+
+    labels = fp_clusters(live, id_col=id_col, fp_col=fp_col,
+                         tau_e6=tau_e6, max_fp_df=max_fp_df,
+                         num_parts=num_parts)
+    return sample_weights_from_labels(
+        _distinct_ids(live, id_col), _labels_as_cc(labels, id_col),
+        id_col=id_col, num_parts=num_parts)
+
+
+def fp_leakage_split(
+    live: rd.Dataset,
+    *,
+    id_col: str,
+    fp_col: str,
+    tau_e6: int,
+    max_fp_df: int,
+    train_pct: int = 90,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Near-dup-aware train/val split over an fp-set modality: all members
+    of a Jaccard component share one split assignment (no leakage across
+    the boundary); singletons key on their own id."""
+    from deduplicator_ray.pipelines.doc_dedup import leakage_split_from_labels
+
+    labels = fp_clusters(live, id_col=id_col, fp_col=fp_col,
+                         tau_e6=tau_e6, max_fp_df=max_fp_df,
+                         num_parts=num_parts)
+    return leakage_split_from_labels(
+        _distinct_ids(live, id_col), _labels_as_cc(labels, id_col),
+        id_col=id_col, train_pct=train_pct, num_parts=num_parts)

@@ -159,3 +159,40 @@ def test_audio_clusters_match_union_find(sf_small):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert dict(zip(got["audio_id"], got["cluster_id"])) == want
+
+
+def test_audio_sample_weights_and_leakage_split(sf_small):
+    """Training-loader surfaces over the audio corpus (the audio twin of
+    the video test): one row per decodable recording, family size =
+    component size, shared split per component, portable bucket hash."""
+    import hashlib
+
+    sigs = ad.audio_signatures(ad.load_audios(sf_small))
+    labels = ad.audio_clusters(sigs).to_pandas()
+    wts = ad.audio_sample_weights(sigs).to_pandas()
+    spl = ad.audio_leakage_split(sigs).to_pandas()
+
+    live = set(pq.read_table(
+        os.path.join(fixtures.audio_fps_path(sf_small), "fps.parquet"),
+        columns=["audio_id"])["audio_id"].to_pylist())
+    assert set(wts["audio_id"]) == live and len(wts) == len(live)
+    assert set(spl["audio_id"]) == live and len(spl) == len(live)
+
+    lmap = dict(zip(labels["audio_id"], labels["cluster_id"]))
+    sizes = labels.groupby("cluster_id").size()
+    for aid, key, fam, w in zip(wts["audio_id"], wts["weight_key"],
+                                wts["family_size"], wts["weight_e6"]):
+        assert key == lmap.get(aid, aid)
+        assert fam == (sizes[key] if aid in lmap else 1)
+        assert w == 1_000_000 // fam
+    assert (wts["family_size"] > 1).any()
+
+    smap = dict(zip(spl["audio_id"], spl["split"]))
+    for aid, key, bucket, split in zip(spl["audio_id"], spl["split_key"],
+                                       spl["bucket"], spl["split"]):
+        assert key == lmap.get(aid, aid)
+        want = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 100
+        assert bucket == want
+        assert split == ("train" if bucket < 90 else "val")
+    for aid, cl in lmap.items():
+        assert smap[aid] == smap[cl]

@@ -153,3 +153,42 @@ def test_video_clusters_match_union_find(sf_small):
     want = {v: find(v) for v in parent}
     # engine labels components by min member id (same as the union-find)
     assert dict(zip(got["video_id"], got["cluster_id"])) == want
+
+
+def test_video_sample_weights_and_leakage_split(sf_small):
+    """Training-loader surfaces: every decodable video appears exactly
+    once; family size equals its cluster size (singletons weigh 1e6);
+    all members of a component share one split and the bucket is the
+    engine-portable md5-prefix hash of the split key."""
+    import hashlib
+
+    frames = vd.video_frames(vd.load_videos(sf_small))
+    labels = vd.video_clusters(frames).to_pandas()
+    wts = vd.video_sample_weights(frames).to_pandas()
+    spl = vd.video_leakage_split(frames).to_pandas()
+
+    live = set(pq.read_table(
+        os.path.join(fixtures.video_frames_path(sf_small),
+                     "frames.parquet"),
+        columns=["video_id"])["video_id"].to_pylist())
+    assert set(wts["video_id"]) == live and len(wts) == len(live)
+    assert set(spl["video_id"]) == live and len(spl) == len(live)
+
+    lmap = dict(zip(labels["video_id"], labels["cluster_id"]))
+    sizes = labels.groupby("cluster_id").size()
+    for vid, key, fam, w in zip(wts["video_id"], wts["weight_key"],
+                                wts["family_size"], wts["weight_e6"]):
+        assert key == lmap.get(vid, vid)
+        assert fam == (sizes[key] if vid in lmap else 1)
+        assert w == 1_000_000 // fam
+    assert (wts["family_size"] > 1).any()
+
+    smap = dict(zip(spl["video_id"], spl["split"]))
+    for vid, key, bucket, split in zip(spl["video_id"], spl["split_key"],
+                                       spl["bucket"], spl["split"]):
+        assert key == lmap.get(vid, vid)
+        want = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 100
+        assert bucket == want
+        assert split == ("train" if bucket < 90 else "val")
+    for vid, cl in lmap.items():
+        assert smap[vid] == smap[cl]

@@ -1300,6 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_layout": q.docs_pack_layout,
         "docs_token_budget": q.docs_token_budget,
         "docs_decontaminate": q.docs_decontaminate,
+        "docs_gopher_repetition": q.docs_gopher_repetition,
+        "docs_gopher_gate": q.docs_gopher_gate,
         "events_asof_orders": q.events_asof_orders,
         "events_range_join": q.events_range_join,
         "events_hopping_window": q.events_hopping_window,
@@ -2028,6 +2030,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_layout": q.DOCS_PACK_LAYOUT_SQL,
         "docs_token_budget": q.DOCS_TOKEN_BUDGET_SQL,
         "docs_decontaminate": q.DOCS_DECONTAMINATE_SQL,
+        "docs_gopher_repetition": q.DOCS_GOPHER_REPETITION_SQL,
+        "docs_gopher_gate": q.DOCS_GOPHER_GATE_SQL,
         "events_asof_orders": q.EVENTS_ASOF_ORDERS_SQL,
         "events_range_join": q.EVENTS_RANGE_JOIN_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_WINDOW_SQL,

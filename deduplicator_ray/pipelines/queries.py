@@ -6591,3 +6591,255 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score_e6 FROM (
   FROM s)
 WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# q_docs_gopher_repetition / q_docs_gopher_gate — intra-document repetition
+# signals and the quality gate built on them (the Gopher repetition filters,
+# Rae et al. 2021 arXiv:2112.11446 App. A — the standard pre-training text
+# hygiene pass alongside dedup/decontamination).  All fractions are e6
+# fixed-point integers with the SAME floor-division formula on both engines
+# so the DuckDB mirror is value-exact:
+#   dup_line_frac_e6       = (n_lines - n_distinct_lines) * 1e6 // n_lines
+#   dup_line_char_frac_e6  = chars in lines whose text repeats * 1e6 // chars
+#   topNgram_char_frac_e6  = count(top n-gram) * len(top) * 1e6 // W
+#   dup5gram_char_frac_e6  = Σ count*len over n-grams with count>1 * 1e6 // W
+# where W = len(' '.join(lowercased whitespace tokens)); the top n-gram is
+# max count, ties to the lexicographically smallest gram; the dup-5-gram sum
+# counts overlapping occurrences (documented over-count — deterministic and
+# relationally expressible, unlike Gopher's unspecified overlap handling).
+# Scale shape: map-only — per-batch shifted-concat window build (the
+# decontamination kernel's trick) + C-level pandas groupbys; no shuffle.
+
+GOPHER_MAX_DUP_LINE_FRAC_E6 = 300_000       # Gopher: 30 %
+GOPHER_MAX_DUP_LINE_CHAR_E6 = 200_000       # Gopher: 20 %
+GOPHER_MAX_TOP2GRAM_CHAR_E6 = 200_000       # Gopher: 20 %
+GOPHER_MAX_TOP3GRAM_CHAR_E6 = 180_000       # Gopher: 18 %
+GOPHER_MAX_DUP5GRAM_CHAR_E6 = 150_000       # Gopher: 15 %
+
+
+def _doc_tokens(texts) -> tuple[pd.Series, np.ndarray, np.ndarray]:
+    """Lowercased whitespace tokens of a batch: (flat token Series,
+    doc_idx per token, token counts per doc) with empty tokens dropped."""
+    low = pc.utf8_lower(pc.cast(texts, pa.string()))
+    toks = pc.split_pattern_regex(low, r"\s+")
+    cc = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    counts0 = np.diff(np.asarray(cc.offsets, np.int64))
+    flat = pd.Series(pc.list_flatten(toks).to_pylist(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(counts0)), counts0)
+    keep = flat.to_numpy() != ""
+    flat = flat[keep].reset_index(drop=True)
+    doc_idx = doc_idx[keep]
+    counts = np.bincount(doc_idx, minlength=len(counts0)).astype(np.int64)
+    return flat, doc_idx, counts
+
+
+def _ngram_counts(flat: pd.Series, doc_idx: np.ndarray, counts: np.ndarray,
+                  n: int) -> pd.DataFrame:
+    """(doc, g, c, cov) rows: per-doc n-gram counts with char coverage
+    cov = c * len(g), built by shifted concat over the flat token stream
+    (windows crossing a doc boundary masked out)."""
+    w = flat.copy()
+    for j in range(1, n):
+        w = w + " " + flat.shift(-j)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(flat)) - np.repeat(offsets[:-1], counts)
+    valid = pos + n <= np.repeat(counts, counts)
+    df = pd.DataFrame({"doc": doc_idx[valid], "g": w.to_numpy()[valid]})
+    cnt = df.groupby(["doc", "g"], sort=False).size().reset_index(name="c")
+    cnt["cov"] = cnt["c"] * cnt["g"].str.len()
+    return cnt
+
+
+def _top_frac_e6(cnt: pd.DataFrame, W: np.ndarray, n_docs: int) -> np.ndarray:
+    """Per-doc most-frequent-n-gram char coverage fraction (ties to the
+    lexicographically smallest gram), e6 floor division."""
+    out = np.zeros(n_docs, np.int64)
+    if not len(cnt):
+        return out
+    top = (cnt.sort_values(["doc", "c", "g"], ascending=[True, False, True])
+           .drop_duplicates("doc"))
+    d = top["doc"].to_numpy()
+    ok = W[d] > 0
+    out[d[ok]] = top["cov"].to_numpy()[ok] * 1_000_000 // W[d[ok]]
+    return out
+
+
+def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
+    docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, doc_idx, counts = _doc_tokens(t["text"])
+        tok_chars = np.zeros(n, np.int64)
+        if len(flat):
+            np.add.at(tok_chars, doc_idx,
+                      flat.str.len().to_numpy(np.int64))
+        W = tok_chars + np.maximum(counts - 1, 0)
+
+        top2 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 2), W, n)
+        top3 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 3), W, n)
+        c5 = _ngram_counts(flat, doc_idx, counts, 5)
+        dup5 = np.zeros(n, np.int64)
+        if len(c5):
+            d = c5.loc[c5["c"] > 1].groupby("doc")["cov"].sum()
+            idx = d.index.to_numpy()
+            ok = W[idx] > 0
+            dup5[idx[ok]] = d.to_numpy()[ok] * 1_000_000 // W[idx[ok]]
+
+        # lines: strip each, drop empties; dup = text occurs > once in doc
+        ls = pc.split_pattern(pc.cast(t["text"], pa.string()), "\n")
+        lcc = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
+        lcounts0 = np.diff(np.asarray(lcc.offsets, np.int64))
+        lflat = pd.Series(pc.list_flatten(ls).to_pylist(),
+                          dtype=object).str.strip()
+        ldoc = np.repeat(np.arange(len(lcounts0)), lcounts0)
+        lkeep = lflat.to_numpy() != ""
+        lflat, ldoc = lflat[lkeep].reset_index(drop=True), ldoc[lkeep]
+        n_lines = np.bincount(ldoc, minlength=n).astype(np.int64)
+        dupl = np.zeros(n, np.int64)
+        duplc = np.zeros(n, np.int64)
+        if len(lflat):
+            lc = (pd.DataFrame({"doc": ldoc, "line": lflat.to_numpy()})
+                  .groupby(["doc", "line"], sort=False).size()
+                  .reset_index(name="c"))
+            lc["len"] = lc["line"].str.len()
+            nd = lc.groupby("doc").size()
+            dupl[nd.index.to_numpy()] = (
+                n_lines[nd.index.to_numpy()] - nd.to_numpy())
+            tot = np.zeros(n, np.int64)
+            np.add.at(tot, lc["doc"].to_numpy(),
+                      (lc["c"] * lc["len"]).to_numpy())
+            dupc = lc.loc[lc["c"] > 1]
+            dchars = np.zeros(n, np.int64)
+            if len(dupc):
+                np.add.at(dchars, dupc["doc"].to_numpy(),
+                          (dupc["c"] * dupc["len"]).to_numpy())
+            ok = tot > 0
+            duplc[ok] = dchars[ok] * 1_000_000 // tot[ok]
+        ok = n_lines > 0
+        dupl_frac = np.zeros(n, np.int64)
+        dupl_frac[ok] = dupl[ok] * 1_000_000 // n_lines[ok]
+
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(counts), pa.array(n_lines),
+             pa.array(dupl_frac), pa.array(duplc),
+             pa.array(top2), pa.array(top3), pa.array(dup5)],
+            names=["doc_id", "n_words", "n_lines",
+                   "dup_line_frac_e6", "dup_line_char_frac_e6",
+                   "top2gram_char_frac_e6", "top3gram_char_frac_e6",
+                   "dup5gram_char_frac_e6"])
+
+    out = docs.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_gopher_gate(sf_dir: str) -> pd.DataFrame:
+    """keep/drop per document by the Gopher repetition thresholds; reason
+    is the FIRST failing rule in the documented order (line-frac,
+    line-char, top2, top3, dup5), '' for keepers."""
+    st = docs_gopher_repetition(sf_dir)
+    rules = [
+        ("dup_line_frac", st["dup_line_frac_e6"],
+         GOPHER_MAX_DUP_LINE_FRAC_E6),
+        ("dup_line_char_frac", st["dup_line_char_frac_e6"],
+         GOPHER_MAX_DUP_LINE_CHAR_E6),
+        ("top2gram_char_frac", st["top2gram_char_frac_e6"],
+         GOPHER_MAX_TOP2GRAM_CHAR_E6),
+        ("top3gram_char_frac", st["top3gram_char_frac_e6"],
+         GOPHER_MAX_TOP3GRAM_CHAR_E6),
+        ("dup5gram_char_frac", st["dup5gram_char_frac_e6"],
+         GOPHER_MAX_DUP5GRAM_CHAR_E6),
+    ]
+    reason = pd.Series([""] * len(st), dtype=object)
+    for name, col, cap in reversed(rules):
+        reason = reason.where(~(col > cap), name)
+    return pd.DataFrame({
+        "doc_id": st["doc_id"],
+        "action": np.where(reason == "", "keep", "drop"),
+        "reason": reason,
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+def _gopher_ngram_cte(n: int, tag: str) -> str:
+    cat = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]"
+                             for j in range(n))
+    return f"""
+g{tag} AS (
+  SELECT doc_id, W, unnest([{cat} FOR i IN range(1, len(ws) - {n - 2})]) AS g
+  FROM wl),
+c{tag} AS (SELECT doc_id, W, g, count(*) AS c FROM g{tag} GROUP BY ALL)"""
+
+
+DOCS_GOPHER_REPETITION_SQL = f"""
+WITH b AS (SELECT doc_id, text FROM documents),
+w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM b),
+wl AS (SELECT doc_id, ws, len(ws) AS n_words,
+              CASE WHEN len(ws) = 0 THEN 0
+                   ELSE length(array_to_string(ws, ' ')) END AS W
+       FROM w),
+{_gopher_ngram_cte(2, '2')},
+{_gopher_ngram_cte(3, '3')},
+{_gopher_ngram_cte(5, '5')},
+t2 AS (SELECT doc_id, c * length(g) * 1000000 // W AS f,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g) AS rn
+       FROM c2 WHERE W > 0),
+t3 AS (SELECT doc_id, c * length(g) * 1000000 // W AS f,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g) AS rn
+       FROM c3 WHERE W > 0),
+d5 AS (SELECT doc_id,
+              coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0)
+                  * 1000000 // any_value(W) AS f
+       FROM c5 WHERE W > 0 GROUP BY doc_id),
+ln AS (SELECT doc_id, trim(x) AS line
+       FROM b, unnest(string_split(text, chr(10))) AS u(x)),
+lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+       FROM ln WHERE line <> '' GROUP BY ALL),
+la AS (SELECT doc_id, sum(c) AS n_lines,
+              (sum(c) - count(*)) * 1000000 // sum(c) AS dup_line_frac,
+              coalesce(sum(CASE WHEN c > 1 THEN c * len END), 0)
+                  * 1000000 // sum(c * len) AS dup_line_char_frac
+       FROM lc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(wl.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(la.dup_line_frac, 0) AS BIGINT) AS dup_line_frac_e6,
+       CAST(coalesce(la.dup_line_char_frac, 0) AS BIGINT)
+           AS dup_line_char_frac_e6,
+       CAST(coalesce(t2.f, 0) AS BIGINT) AS top2gram_char_frac_e6,
+       CAST(coalesce(t3.f, 0) AS BIGINT) AS top3gram_char_frac_e6,
+       CAST(coalesce(d5.f, 0) AS BIGINT) AS dup5gram_char_frac_e6
+FROM b
+JOIN wl USING (doc_id)
+LEFT JOIN la USING (doc_id)
+LEFT JOIN (SELECT doc_id, f FROM t2 WHERE rn = 1) t2 USING (doc_id)
+LEFT JOIN (SELECT doc_id, f FROM t3 WHERE rn = 1) t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+DOCS_GOPHER_GATE_SQL = f"""
+WITH st AS ({DOCS_GOPHER_REPETITION_SQL.replace("ORDER BY b.doc_id", "")}),
+r AS (SELECT doc_id,
+             CASE WHEN dup_line_frac_e6 > {GOPHER_MAX_DUP_LINE_FRAC_E6}
+                      THEN 'dup_line_frac'
+                  WHEN dup_line_char_frac_e6 > {GOPHER_MAX_DUP_LINE_CHAR_E6}
+                      THEN 'dup_line_char_frac'
+                  WHEN top2gram_char_frac_e6 > {GOPHER_MAX_TOP2GRAM_CHAR_E6}
+                      THEN 'top2gram_char_frac'
+                  WHEN top3gram_char_frac_e6 > {GOPHER_MAX_TOP3GRAM_CHAR_E6}
+                      THEN 'top3gram_char_frac'
+                  WHEN dup5gram_char_frac_e6 > {GOPHER_MAX_DUP5GRAM_CHAR_E6}
+                      THEN 'dup5gram_char_frac'
+                  ELSE '' END AS reason
+      FROM st)
+SELECT doc_id, CASE WHEN reason = '' THEN 'keep' ELSE 'drop' END AS action,
+       reason
+FROM r ORDER BY doc_id
+"""

@@ -500,3 +500,66 @@ def test_cli_tiers_job(sf_small, tmp_path):
     assert set(tiers["tier"]) <= {"byte", "hash", "near", "unique"}
     assert sum(r["n_images"] for r in rep["report"]) == len(tiers) > 0
     assert m["total_wall_s"] > 0
+
+
+def test_gopher_repetition_mirror_and_kernel(sf_small, con):
+    """Gopher repetition filters: engine must value-match the mirror at
+    sf-small, and the kernel must reproduce hand-computed fractions on
+    synthetic multiline docs (the sf corpus is single-line, so the line
+    metrics are only exercised here)."""
+    eng = q.docs_gopher_repetition(sf_small)
+    orc = con.execute(q.DOCS_GOPHER_REPETITION_SQL).df()
+    _match(eng, orc)
+    assert (eng["top2gram_char_frac_e6"] > 0).any()
+
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [
+            # 4 non-empty lines, 'dup line' ×2 (8 chars each of 8+6+8+3=25)
+            "dup line\nunique\n\ndup line\nabc",
+            # 'a b' ×3 of W=len('a b a b a b c')=13 → top2 = 3*3*1e6//13
+            "A b a B a b c",
+            "",                                   # empty text: all zeros
+        ],
+    })
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(docs, f"{td}/documents.parquet")
+        st = q.docs_gopher_repetition(td).set_index("doc_id")
+        c2 = duckdb.connect()
+        c2.execute("CREATE VIEW documents AS SELECT * FROM "
+                   f"read_parquet('{td}/documents.parquet')")
+        _match(st.reset_index(), c2.execute(q.DOCS_GOPHER_REPETITION_SQL).df())
+
+    assert st.loc[0, "n_lines"] == 4
+    assert st.loc[0, "dup_line_frac_e6"] == 1 * 1_000_000 // 4
+    assert st.loc[0, "dup_line_char_frac_e6"] == 16 * 1_000_000 // 25
+    assert st.loc[1, "top2gram_char_frac_e6"] == 3 * 3 * 1_000_000 // 13
+    assert st.loc[2].tolist() == [0] * 7
+
+
+def test_gopher_gate_mirror(sf_small, con):
+    eng = q.docs_gopher_gate(sf_small)
+    orc = con.execute(q.DOCS_GOPHER_GATE_SQL).df()
+    _match(eng, orc)
+    # both actions occur and every drop names the FIRST failing rule
+    assert set(eng["action"]) == {"keep", "drop"}
+    st = q.docs_gopher_repetition(sf_small).set_index("doc_id")
+    for _, r in eng.loc[eng["action"] == "drop"].iterrows():
+        row = st.loc[r["doc_id"]]
+        order = [("dup_line_frac", row["dup_line_frac_e6"],
+                  q.GOPHER_MAX_DUP_LINE_FRAC_E6),
+                 ("dup_line_char_frac", row["dup_line_char_frac_e6"],
+                  q.GOPHER_MAX_DUP_LINE_CHAR_E6),
+                 ("top2gram_char_frac", row["top2gram_char_frac_e6"],
+                  q.GOPHER_MAX_TOP2GRAM_CHAR_E6),
+                 ("top3gram_char_frac", row["top3gram_char_frac_e6"],
+                  q.GOPHER_MAX_TOP3GRAM_CHAR_E6),
+                 ("dup5gram_char_frac", row["dup5gram_char_frac_e6"],
+                  q.GOPHER_MAX_DUP5GRAM_CHAR_E6)]
+        first = next(n for n, v, cap in order if v > cap)
+        assert r["reason"] == first

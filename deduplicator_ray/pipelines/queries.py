@@ -6665,73 +6665,78 @@ def _top_frac_e6(cnt: pd.DataFrame, W: np.ndarray, n_docs: int) -> np.ndarray:
     return out
 
 
+def gopher_repetition_batch(t: pa.Table) -> pa.Table:
+    """The per-batch Gopher repetition kernel (module-level so tests can
+    drive it Ray-free); formulas in the block comment above."""
+    n = t.num_rows
+    flat, doc_idx, counts = _doc_tokens(t["text"])
+    tok_chars = np.zeros(n, np.int64)
+    if len(flat):
+        np.add.at(tok_chars, doc_idx,
+                  flat.str.len().to_numpy(np.int64))
+    W = tok_chars + np.maximum(counts - 1, 0)
+
+    top2 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 2), W, n)
+    top3 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 3), W, n)
+    c5 = _ngram_counts(flat, doc_idx, counts, 5)
+    dup5 = np.zeros(n, np.int64)
+    if len(c5):
+        d = c5.loc[c5["c"] > 1].groupby("doc")["cov"].sum()
+        idx = d.index.to_numpy()
+        ok = W[idx] > 0
+        dup5[idx[ok]] = d.to_numpy()[ok] * 1_000_000 // W[idx[ok]]
+
+    # lines: strip each, drop empties; dup = text occurs > once in doc
+    ls = pc.split_pattern(pc.cast(t["text"], pa.string()), "\n")
+    lcc = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
+    lcounts0 = np.diff(np.asarray(lcc.offsets, np.int64))
+    lflat = pd.Series(pc.list_flatten(ls).to_pylist(),
+                      dtype=object).str.strip()
+    ldoc = np.repeat(np.arange(len(lcounts0)), lcounts0)
+    lkeep = lflat.to_numpy() != ""
+    lflat, ldoc = lflat[lkeep].reset_index(drop=True), ldoc[lkeep]
+    n_lines = np.bincount(ldoc, minlength=n).astype(np.int64)
+    dupl = np.zeros(n, np.int64)
+    duplc = np.zeros(n, np.int64)
+    if len(lflat):
+        lc = (pd.DataFrame({"doc": ldoc, "line": lflat.to_numpy()})
+              .groupby(["doc", "line"], sort=False).size()
+              .reset_index(name="c"))
+        lc["len"] = lc["line"].str.len()
+        nd = lc.groupby("doc").size()
+        dupl[nd.index.to_numpy()] = (
+            n_lines[nd.index.to_numpy()] - nd.to_numpy())
+        tot = np.zeros(n, np.int64)
+        np.add.at(tot, lc["doc"].to_numpy(),
+                  (lc["c"] * lc["len"]).to_numpy())
+        dupc = lc.loc[lc["c"] > 1]
+        dchars = np.zeros(n, np.int64)
+        if len(dupc):
+            np.add.at(dchars, dupc["doc"].to_numpy(),
+                      (dupc["c"] * dupc["len"]).to_numpy())
+        ok = tot > 0
+        duplc[ok] = dchars[ok] * 1_000_000 // tot[ok]
+    ok = n_lines > 0
+    dupl_frac = np.zeros(n, np.int64)
+    dupl_frac[ok] = dupl[ok] * 1_000_000 // n_lines[ok]
+
+    return pa.Table.from_arrays(
+        [t["doc_id"], pa.array(counts), pa.array(n_lines),
+         pa.array(dupl_frac), pa.array(duplc),
+         pa.array(top2), pa.array(top3), pa.array(dup5)],
+        names=["doc_id", "n_words", "n_lines",
+               "dup_line_frac_e6", "dup_line_char_frac_e6",
+               "top2gram_char_frac_e6", "top3gram_char_frac_e6",
+               "dup5gram_char_frac_e6"])
+
+
 def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     docs = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def stats(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        flat, doc_idx, counts = _doc_tokens(t["text"])
-        tok_chars = np.zeros(n, np.int64)
-        if len(flat):
-            np.add.at(tok_chars, doc_idx,
-                      flat.str.len().to_numpy(np.int64))
-        W = tok_chars + np.maximum(counts - 1, 0)
-
-        top2 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 2), W, n)
-        top3 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 3), W, n)
-        c5 = _ngram_counts(flat, doc_idx, counts, 5)
-        dup5 = np.zeros(n, np.int64)
-        if len(c5):
-            d = c5.loc[c5["c"] > 1].groupby("doc")["cov"].sum()
-            idx = d.index.to_numpy()
-            ok = W[idx] > 0
-            dup5[idx[ok]] = d.to_numpy()[ok] * 1_000_000 // W[idx[ok]]
-
-        # lines: strip each, drop empties; dup = text occurs > once in doc
-        ls = pc.split_pattern(pc.cast(t["text"], pa.string()), "\n")
-        lcc = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
-        lcounts0 = np.diff(np.asarray(lcc.offsets, np.int64))
-        lflat = pd.Series(pc.list_flatten(ls).to_pylist(),
-                          dtype=object).str.strip()
-        ldoc = np.repeat(np.arange(len(lcounts0)), lcounts0)
-        lkeep = lflat.to_numpy() != ""
-        lflat, ldoc = lflat[lkeep].reset_index(drop=True), ldoc[lkeep]
-        n_lines = np.bincount(ldoc, minlength=n).astype(np.int64)
-        dupl = np.zeros(n, np.int64)
-        duplc = np.zeros(n, np.int64)
-        if len(lflat):
-            lc = (pd.DataFrame({"doc": ldoc, "line": lflat.to_numpy()})
-                  .groupby(["doc", "line"], sort=False).size()
-                  .reset_index(name="c"))
-            lc["len"] = lc["line"].str.len()
-            nd = lc.groupby("doc").size()
-            dupl[nd.index.to_numpy()] = (
-                n_lines[nd.index.to_numpy()] - nd.to_numpy())
-            tot = np.zeros(n, np.int64)
-            np.add.at(tot, lc["doc"].to_numpy(),
-                      (lc["c"] * lc["len"]).to_numpy())
-            dupc = lc.loc[lc["c"] > 1]
-            dchars = np.zeros(n, np.int64)
-            if len(dupc):
-                np.add.at(dchars, dupc["doc"].to_numpy(),
-                          (dupc["c"] * dupc["len"]).to_numpy())
-            ok = tot > 0
-            duplc[ok] = dchars[ok] * 1_000_000 // tot[ok]
-        ok = n_lines > 0
-        dupl_frac = np.zeros(n, np.int64)
-        dupl_frac[ok] = dupl[ok] * 1_000_000 // n_lines[ok]
-
-        return pa.Table.from_arrays(
-            [t["doc_id"], pa.array(counts), pa.array(n_lines),
-             pa.array(dupl_frac), pa.array(duplc),
-             pa.array(top2), pa.array(top3), pa.array(dup5)],
-            names=["doc_id", "n_words", "n_lines",
-                   "dup_line_frac_e6", "dup_line_char_frac_e6",
-                   "top2gram_char_frac_e6", "top3gram_char_frac_e6",
-                   "dup5gram_char_frac_e6"])
-
-    out = docs.map_batches(stats, batch_format="pyarrow").to_pandas()
+    out = docs.map_batches(gopher_repetition_batch,
+                           batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
 
 
 def docs_gopher_gate(sf_dir: str) -> pd.DataFrame:

@@ -275,3 +275,63 @@ def test_containment_prefix_selection_recall(texts, t):
                 assert prefix & set(hb.tolist()), (
                     f"recall hole: pair ({i},{j}) C="
                     f"{len(sa & sb) / len(sa):.3f} missed by prefix")
+
+
+# --- Gopher repetition kernel vs a per-doc pure-Python reference ----------
+
+_doc_text = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "Dd", "e"]),
+             min_size=0, max_size=30).map(" ".join),
+    min_size=0, max_size=6,
+).map("\n".join)
+
+
+def _gopher_ref_one(text: str) -> dict:
+    """Slow per-doc reference of the documented formulas."""
+    import re
+    from collections import Counter
+
+    words = [w for w in re.split(r"\s+", text.lower()) if w]
+    W = len(" ".join(words))
+    out = {"n_words": len(words)}
+
+    def top(n):
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        if not grams or W == 0:
+            return 0
+        cnt = Counter(grams)
+        g = min(sorted(cnt), key=lambda x: (-cnt[x], x))
+        return cnt[g] * len(g) * 1_000_000 // W
+
+    out["top2gram_char_frac_e6"] = top(2)
+    out["top3gram_char_frac_e6"] = top(3)
+    g5 = Counter(" ".join(words[i:i + 5]) for i in range(len(words) - 4))
+    dup = sum(c * len(g) for g, c in g5.items() if c > 1)
+    out["dup5gram_char_frac_e6"] = dup * 1_000_000 // W if W else 0
+    lines = [s for s in (l.strip() for l in text.split("\n")) if s]
+    lc = Counter(lines)
+    tot = sum(len(l) for l in lines)
+    out["n_lines"] = len(lines)
+    out["dup_line_frac_e6"] = ((len(lines) - len(lc)) * 1_000_000
+                               // len(lines) if lines else 0)
+    out["dup_line_char_frac_e6"] = (
+        sum(c * len(l) for l, c in lc.items() if c > 1) * 1_000_000 // tot
+        if tot else 0)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_gopher_kernel_matches_per_doc_reference(texts):
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines.queries import gopher_repetition_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = gopher_repetition_batch(t).to_pandas().set_index("doc_id")
+    for i, text in enumerate(texts):
+        want = _gopher_ref_one(text)
+        for k, v in want.items():
+            assert got.loc[i, k] == v, (k, text)

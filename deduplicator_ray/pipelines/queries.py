@@ -6594,34 +6594,62 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
-# q_docs_gopher_repetition / q_docs_gopher_gate — intra-document repetition
-# signals and the quality gate built on them (the Gopher repetition filters,
-# Rae et al. 2021 arXiv:2112.11446 App. A — the standard pre-training text
-# hygiene pass alongside dedup/decontamination).  All fractions are e6
-# fixed-point integers with the SAME floor-division formula on both engines
-# so the DuckDB mirror is value-exact:
-#   dup_line_frac_e6       = (n_lines - n_distinct_lines) * 1e6 // n_lines
-#   dup_line_char_frac_e6  = chars in lines whose text repeats * 1e6 // chars
-#   topNgram_char_frac_e6  = count(top n-gram) * len(top) * 1e6 // W
-#   dup5gram_char_frac_e6  = Σ count*len over n-grams with count>1 * 1e6 // W
-# where W = len(' '.join(lowercased whitespace tokens)); the top n-gram is
-# max count, ties to the lexicographically smallest gram; the dup-5-gram sum
-# counts overlapping occurrences (documented over-count — deterministic and
-# relationally expressible, unlike Gopher's unspecified overlap handling).
-# Scale shape: map-only — per-batch shifted-concat window build (the
-# decontamination kernel's trick) + C-level pandas groupbys; no shuffle.
+# q_docs_gopher_repetition / q_docs_gopher_gate — the FULL Gopher repetition
+# filter set (Rae et al. 2021 arXiv:2112.11446 Table A1: 13 signals) and the
+# keep/drop quality gate at the published thresholds — the standard
+# pre-training text hygiene pass alongside dedup/decontamination.  All
+# fractions are e6 fixed-point integers with the SAME formulas on both
+# engines so the DuckDB mirror is value-exact:
+#   dup_{line|para}_frac_e6      = (n - n_distinct) * 1e6 // n
+#   dup_{line|para}_char_frac_e6 = chars in segments whose text repeats
+#                                  * 1e6 // total segment chars
+#   top{2,3,4}gram_char_frac_e6  = count(top n-gram) * len(top) * 1e6 // W
+#   dup{5..10}gram_char_frac_e6  = Σ count*len over repeated n-grams
+#                                  * 1e6 // W
+# where W = len(' '.join(lowercased whitespace tokens)); segments are lines
+# (split on \n) / paragraphs (split on \n\n), each stripped of ' \t\r' and
+# dropped when empty — the SQL mirror trims the IDENTICAL charset (plain
+# trim() would diverge on CRLF/tab-padded corpora); NULL text is '' on both
+# sides; the top n-gram is max count with ties to the lexicographically
+# smallest gram; the dup-n-gram sums count overlapping occurrences
+# (documented over-count — deterministic and relationally expressible,
+# unlike Gopher's unspecified overlap handling).  Scale shape: map-only —
+# one shifted-concat window build per batch extended incrementally to
+# n=10 (the decontamination kernel's trick) + C-level pandas groupbys;
+# no shuffle.
 
-GOPHER_MAX_DUP_LINE_FRAC_E6 = 300_000       # Gopher: 30 %
-GOPHER_MAX_DUP_LINE_CHAR_E6 = 200_000       # Gopher: 20 %
-GOPHER_MAX_TOP2GRAM_CHAR_E6 = 200_000       # Gopher: 20 %
-GOPHER_MAX_TOP3GRAM_CHAR_E6 = 180_000       # Gopher: 18 %
-GOPHER_MAX_DUP5GRAM_CHAR_E6 = 150_000       # Gopher: 15 %
+GOPHER_SEG_STRIP = " \t\r"
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+# (rule name, stats column, threshold) in Gopher Table-A1 order — the gate's
+# reason is the FIRST failing rule in this order
+GOPHER_RULES = (
+    ("dup_line_frac", "dup_line_frac_e6", 300_000),
+    ("dup_para_frac", "dup_para_frac_e6", 300_000),
+    ("dup_line_char_frac", "dup_line_char_frac_e6", 200_000),
+    ("dup_para_char_frac", "dup_para_char_frac_e6", 200_000),
+    ("top2gram_char_frac", "top2gram_char_frac_e6", 200_000),
+    ("top3gram_char_frac", "top3gram_char_frac_e6", 180_000),
+    ("top4gram_char_frac", "top4gram_char_frac_e6", 160_000),
+    ("dup5gram_char_frac", "dup5gram_char_frac_e6", 150_000),
+    ("dup6gram_char_frac", "dup6gram_char_frac_e6", 140_000),
+    ("dup7gram_char_frac", "dup7gram_char_frac_e6", 130_000),
+    ("dup8gram_char_frac", "dup8gram_char_frac_e6", 120_000),
+    ("dup9gram_char_frac", "dup9gram_char_frac_e6", 110_000),
+    ("dup10gram_char_frac", "dup10gram_char_frac_e6", 100_000),
+)
+GOPHER_COLUMNS = (["doc_id", "n_words", "n_lines", "n_paras",
+                   "dup_line_frac_e6", "dup_line_char_frac_e6",
+                   "dup_para_frac_e6", "dup_para_char_frac_e6"]
+                  + [f"top{n}gram_char_frac_e6" for n in GOPHER_TOP_NS]
+                  + [f"dup{n}gram_char_frac_e6" for n in GOPHER_DUP_NS])
 
 
 def _doc_tokens(texts) -> tuple[pd.Series, np.ndarray, np.ndarray]:
     """Lowercased whitespace tokens of a batch: (flat token Series,
-    doc_idx per token, token counts per doc) with empty tokens dropped."""
-    low = pc.utf8_lower(pc.cast(texts, pa.string()))
+    doc_idx per token, token counts per doc); empty tokens dropped,
+    NULL text treated as ''."""
+    low = pc.utf8_lower(pc.fill_null(pc.cast(texts, pa.string()), ""))
     toks = pc.split_pattern_regex(low, r"\s+")
     cc = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     counts0 = np.diff(np.asarray(cc.offsets, np.int64))
@@ -6634,21 +6662,28 @@ def _doc_tokens(texts) -> tuple[pd.Series, np.ndarray, np.ndarray]:
     return flat, doc_idx, counts
 
 
-def _ngram_counts(flat: pd.Series, doc_idx: np.ndarray, counts: np.ndarray,
-                  n: int) -> pd.DataFrame:
-    """(doc, g, c, cov) rows: per-doc n-gram counts with char coverage
-    cov = c * len(g), built by shifted concat over the flat token stream
+def _ngram_counts_multi(flat: pd.Series, doc_idx: np.ndarray,
+                        counts: np.ndarray,
+                        ns: tuple[int, ...]) -> dict[int, pd.DataFrame]:
+    """Per-doc n-gram count frames (doc, g, c, cov=c*len(g)) for every n
+    in ``ns``, sharing ONE incrementally extended shifted-concat window
     (windows crossing a doc boundary masked out)."""
-    w = flat.copy()
-    for j in range(1, n):
-        w = w + " " + flat.shift(-j)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     pos = np.arange(len(flat)) - np.repeat(offsets[:-1], counts)
-    valid = pos + n <= np.repeat(counts, counts)
-    df = pd.DataFrame({"doc": doc_idx[valid], "g": w.to_numpy()[valid]})
-    cnt = df.groupby(["doc", "g"], sort=False).size().reset_index(name="c")
-    cnt["cov"] = cnt["c"] * cnt["g"].str.len()
-    return cnt
+    rep_counts = np.repeat(counts, counts)
+    out: dict[int, pd.DataFrame] = {}
+    w = flat.copy()
+    for j in range(1, max(ns)):
+        w = w + " " + flat.shift(-j)
+        n = j + 1
+        if n not in ns:
+            continue
+        valid = pos + n <= rep_counts
+        df = pd.DataFrame({"doc": doc_idx[valid], "g": w.to_numpy()[valid]})
+        cnt = df.groupby(["doc", "g"], sort=False).size().reset_index(name="c")
+        cnt["cov"] = cnt["c"] * cnt["g"].str.len()
+        out[n] = cnt
+    return out
 
 
 def _top_frac_e6(cnt: pd.DataFrame, W: np.ndarray, n_docs: int) -> np.ndarray:
@@ -6665,6 +6700,58 @@ def _top_frac_e6(cnt: pd.DataFrame, W: np.ndarray, n_docs: int) -> np.ndarray:
     return out
 
 
+def _dup_frac_e6(cnt: pd.DataFrame, W: np.ndarray, n_docs: int) -> np.ndarray:
+    """Per-doc repeated-n-gram char coverage fraction, e6 floor division."""
+    out = np.zeros(n_docs, np.int64)
+    if not len(cnt):
+        return out
+    d = cnt.loc[cnt["c"] > 1].groupby("doc")["cov"].sum()
+    idx = d.index.to_numpy()
+    ok = W[idx] > 0
+    out[idx[ok]] = d.to_numpy()[ok] * 1_000_000 // W[idx[ok]]
+    return out
+
+
+def _segment_fracs(texts, sep: str, n_docs: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_segments, dup_frac_e6, dup_char_frac_e6) per doc for segments of
+    ``texts`` split on ``sep``, stripped of GOPHER_SEG_STRIP, empties
+    dropped — the shared line/paragraph metric kernel."""
+    col = pc.fill_null(pc.cast(texts, pa.string()), "")
+    ls = pc.split_pattern(col, sep)
+    lcc = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
+    counts0 = np.diff(np.asarray(lcc.offsets, np.int64))
+    flat = pd.Series(pc.list_flatten(ls).to_pylist(),
+                     dtype=object).str.strip(GOPHER_SEG_STRIP)
+    doc = np.repeat(np.arange(len(counts0)), counts0)
+    keep = flat.to_numpy() != ""
+    flat, doc = flat[keep].reset_index(drop=True), doc[keep]
+    n_seg = np.bincount(doc, minlength=n_docs).astype(np.int64)
+    dup_frac = np.zeros(n_docs, np.int64)
+    dup_char = np.zeros(n_docs, np.int64)
+    if len(flat):
+        lc = (pd.DataFrame({"doc": doc, "seg": flat.to_numpy()})
+              .groupby(["doc", "seg"], sort=False).size()
+              .reset_index(name="c"))
+        lc["len"] = lc["seg"].str.len()
+        nd = lc.groupby("doc").size()
+        di = nd.index.to_numpy()
+        dup_frac[di] = n_seg[di] - nd.to_numpy()
+        tot = np.zeros(n_docs, np.int64)
+        np.add.at(tot, lc["doc"].to_numpy(), (lc["c"] * lc["len"]).to_numpy())
+        dupc = lc.loc[lc["c"] > 1]
+        dchars = np.zeros(n_docs, np.int64)
+        if len(dupc):
+            np.add.at(dchars, dupc["doc"].to_numpy(),
+                      (dupc["c"] * dupc["len"]).to_numpy())
+        ok = tot > 0
+        dup_char[ok] = dchars[ok] * 1_000_000 // tot[ok]
+    ok = n_seg > 0
+    out_frac = np.zeros(n_docs, np.int64)
+    out_frac[ok] = dup_frac[ok] * 1_000_000 // n_seg[ok]
+    return n_seg, out_frac, dup_char
+
+
 def gopher_repetition_batch(t: pa.Table) -> pa.Table:
     """The per-batch Gopher repetition kernel (module-level so tests can
     drive it Ray-free); formulas in the block comment above."""
@@ -6672,62 +6759,23 @@ def gopher_repetition_batch(t: pa.Table) -> pa.Table:
     flat, doc_idx, counts = _doc_tokens(t["text"])
     tok_chars = np.zeros(n, np.int64)
     if len(flat):
-        np.add.at(tok_chars, doc_idx,
-                  flat.str.len().to_numpy(np.int64))
+        np.add.at(tok_chars, doc_idx, flat.str.len().to_numpy(np.int64))
     W = tok_chars + np.maximum(counts - 1, 0)
 
-    top2 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 2), W, n)
-    top3 = _top_frac_e6(_ngram_counts(flat, doc_idx, counts, 3), W, n)
-    c5 = _ngram_counts(flat, doc_idx, counts, 5)
-    dup5 = np.zeros(n, np.int64)
-    if len(c5):
-        d = c5.loc[c5["c"] > 1].groupby("doc")["cov"].sum()
-        idx = d.index.to_numpy()
-        ok = W[idx] > 0
-        dup5[idx[ok]] = d.to_numpy()[ok] * 1_000_000 // W[idx[ok]]
+    grams = _ngram_counts_multi(flat, doc_idx, counts,
+                                GOPHER_TOP_NS + GOPHER_DUP_NS)
+    tops = [_top_frac_e6(grams[g], W, n) for g in GOPHER_TOP_NS]
+    dups = [_dup_frac_e6(grams[g], W, n) for g in GOPHER_DUP_NS]
 
-    # lines: strip each, drop empties; dup = text occurs > once in doc
-    ls = pc.split_pattern(pc.cast(t["text"], pa.string()), "\n")
-    lcc = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
-    lcounts0 = np.diff(np.asarray(lcc.offsets, np.int64))
-    lflat = pd.Series(pc.list_flatten(ls).to_pylist(),
-                      dtype=object).str.strip()
-    ldoc = np.repeat(np.arange(len(lcounts0)), lcounts0)
-    lkeep = lflat.to_numpy() != ""
-    lflat, ldoc = lflat[lkeep].reset_index(drop=True), ldoc[lkeep]
-    n_lines = np.bincount(ldoc, minlength=n).astype(np.int64)
-    dupl = np.zeros(n, np.int64)
-    duplc = np.zeros(n, np.int64)
-    if len(lflat):
-        lc = (pd.DataFrame({"doc": ldoc, "line": lflat.to_numpy()})
-              .groupby(["doc", "line"], sort=False).size()
-              .reset_index(name="c"))
-        lc["len"] = lc["line"].str.len()
-        nd = lc.groupby("doc").size()
-        dupl[nd.index.to_numpy()] = (
-            n_lines[nd.index.to_numpy()] - nd.to_numpy())
-        tot = np.zeros(n, np.int64)
-        np.add.at(tot, lc["doc"].to_numpy(),
-                  (lc["c"] * lc["len"]).to_numpy())
-        dupc = lc.loc[lc["c"] > 1]
-        dchars = np.zeros(n, np.int64)
-        if len(dupc):
-            np.add.at(dchars, dupc["doc"].to_numpy(),
-                      (dupc["c"] * dupc["len"]).to_numpy())
-        ok = tot > 0
-        duplc[ok] = dchars[ok] * 1_000_000 // tot[ok]
-    ok = n_lines > 0
-    dupl_frac = np.zeros(n, np.int64)
-    dupl_frac[ok] = dupl[ok] * 1_000_000 // n_lines[ok]
+    n_lines, dupl_frac, dupl_char = _segment_fracs(t["text"], "\n", n)
+    n_paras, dupp_frac, dupp_char = _segment_fracs(t["text"], "\n\n", n)
 
     return pa.Table.from_arrays(
         [t["doc_id"], pa.array(counts), pa.array(n_lines),
-         pa.array(dupl_frac), pa.array(duplc),
-         pa.array(top2), pa.array(top3), pa.array(dup5)],
-        names=["doc_id", "n_words", "n_lines",
-               "dup_line_frac_e6", "dup_line_char_frac_e6",
-               "top2gram_char_frac_e6", "top3gram_char_frac_e6",
-               "dup5gram_char_frac_e6"])
+         pa.array(n_paras), pa.array(dupl_frac), pa.array(dupl_char),
+         pa.array(dupp_frac), pa.array(dupp_char)]
+        + [pa.array(x) for x in tops] + [pa.array(x) for x in dups],
+        names=GOPHER_COLUMNS)
 
 
 def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
@@ -6737,28 +6785,13 @@ def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-
-
 def docs_gopher_gate(sf_dir: str) -> pd.DataFrame:
-    """keep/drop per document by the Gopher repetition thresholds; reason
-    is the FIRST failing rule in the documented order (line-frac,
-    line-char, top2, top3, dup5), '' for keepers."""
+    """keep/drop per document by the 13 Gopher repetition thresholds;
+    reason is the FIRST failing rule in Table-A1 order, '' for keepers."""
     st = docs_gopher_repetition(sf_dir)
-    rules = [
-        ("dup_line_frac", st["dup_line_frac_e6"],
-         GOPHER_MAX_DUP_LINE_FRAC_E6),
-        ("dup_line_char_frac", st["dup_line_char_frac_e6"],
-         GOPHER_MAX_DUP_LINE_CHAR_E6),
-        ("top2gram_char_frac", st["top2gram_char_frac_e6"],
-         GOPHER_MAX_TOP2GRAM_CHAR_E6),
-        ("top3gram_char_frac", st["top3gram_char_frac_e6"],
-         GOPHER_MAX_TOP3GRAM_CHAR_E6),
-        ("dup5gram_char_frac", st["dup5gram_char_frac_e6"],
-         GOPHER_MAX_DUP5GRAM_CHAR_E6),
-    ]
     reason = pd.Series([""] * len(st), dtype=object)
-    for name, col, cap in reversed(rules):
-        reason = reason.where(~(col > cap), name)
+    for name, col, cap in reversed(GOPHER_RULES):
+        reason = reason.where(~(st[col] > cap), name)
     return pd.DataFrame({
         "doc_id": st["doc_id"],
         "action": np.where(reason == "", "keep", "drop"),
@@ -6766,85 +6799,112 @@ def docs_gopher_gate(sf_dir: str) -> pd.DataFrame:
     }).sort_values("doc_id").reset_index(drop=True)
 
 
-def _gopher_ngram_cte(n: int, tag: str) -> str:
+def _gopher_ngram_cte(n: int) -> str:
     cat = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]"
                              for j in range(n))
     return f"""
-g{tag} AS (
+g{n} AS (
   SELECT doc_id, W, unnest([{cat} FOR i IN range(1, len(ws) - {n - 2})]) AS g
   FROM wl),
-c{tag} AS (SELECT doc_id, W, g, count(*) AS c FROM g{tag} GROUP BY ALL)"""
+c{n} AS (SELECT doc_id, W, g, count(*) AS c FROM g{n} GROUP BY ALL)"""
 
 
-DOCS_GOPHER_REPETITION_SQL = f"""
+def _gopher_top_cte(n: int) -> str:
+    return f"""
+t{n} AS (SELECT doc_id, c * length(g) * 1000000 // W AS f,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g) AS rn
+       FROM c{n} WHERE W > 0)"""
+
+
+def _gopher_dup_cte(n: int) -> str:
+    return f"""
+d{n} AS (SELECT doc_id,
+              coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0)
+                  * 1000000 // any_value(W) AS f
+       FROM c{n} WHERE W > 0 GROUP BY doc_id)"""
+
+
+def _gopher_seg_cte(tag: str, sep_sql: str) -> str:
+    """Line/paragraph segment CTEs: split on ``sep_sql``, trim the SAME
+    ' \\t\\r' charset the engine strips, drop empties."""
+    return f"""
+{tag}raw AS (SELECT doc_id, trim(x, ' ' || chr(9) || chr(13)) AS seg
+       FROM b, unnest(string_split(coalesce(text, ''), {sep_sql})) AS u(x)),
+{tag}c AS (SELECT doc_id, seg, count(*) AS c, length(seg) AS len
+       FROM {tag}raw WHERE seg <> '' GROUP BY ALL),
+{tag}a AS (SELECT doc_id, sum(c) AS n_seg,
+              (sum(c) - count(*)) * 1000000 // sum(c) AS dup_frac,
+              coalesce(sum(CASE WHEN c > 1 THEN c * len END), 0)
+                  * 1000000 // sum(c * len) AS dup_char_frac
+       FROM {tag}c GROUP BY doc_id)"""
+
+
+def _gopher_repetition_sql() -> str:
+    ns = GOPHER_TOP_NS + GOPHER_DUP_NS
+    ctes = "".join("," + _gopher_ngram_cte(n) for n in ns)
+    ctes += "".join("," + _gopher_top_cte(n) for n in GOPHER_TOP_NS)
+    ctes += "".join("," + _gopher_dup_cte(n) for n in GOPHER_DUP_NS)
+    ctes += "," + _gopher_seg_cte("ln", "chr(10)")
+    ctes += "," + _gopher_seg_cte("pp", "chr(10) || chr(10)")
+    top_cols = "".join(
+        f",\n       CAST(coalesce(t{n}.f, 0) AS BIGINT)"
+        f" AS top{n}gram_char_frac_e6" for n in GOPHER_TOP_NS)
+    dup_cols = "".join(
+        f",\n       CAST(coalesce(d{n}.f, 0) AS BIGINT)"
+        f" AS dup{n}gram_char_frac_e6" for n in GOPHER_DUP_NS)
+    top_joins = "".join(
+        f"\nLEFT JOIN (SELECT doc_id, f FROM t{n} WHERE rn = 1) t{n}"
+        f" USING (doc_id)" for n in GOPHER_TOP_NS)
+    dup_joins = "".join(f"\nLEFT JOIN d{n} USING (doc_id)"
+                        for n in GOPHER_DUP_NS)
+    return f"""
 WITH b AS (SELECT doc_id, text FROM documents),
 w AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+'),
                          x -> x <> '') AS ws
       FROM b),
 wl AS (SELECT doc_id, ws, len(ws) AS n_words,
               CASE WHEN len(ws) = 0 THEN 0
                    ELSE length(array_to_string(ws, ' ')) END AS W
-       FROM w),
-{_gopher_ngram_cte(2, '2')},
-{_gopher_ngram_cte(3, '3')},
-{_gopher_ngram_cte(5, '5')},
-t2 AS (SELECT doc_id, c * length(g) * 1000000 // W AS f,
-              row_number() OVER (PARTITION BY doc_id
-                                 ORDER BY c DESC, g) AS rn
-       FROM c2 WHERE W > 0),
-t3 AS (SELECT doc_id, c * length(g) * 1000000 // W AS f,
-              row_number() OVER (PARTITION BY doc_id
-                                 ORDER BY c DESC, g) AS rn
-       FROM c3 WHERE W > 0),
-d5 AS (SELECT doc_id,
-              coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0)
-                  * 1000000 // any_value(W) AS f
-       FROM c5 WHERE W > 0 GROUP BY doc_id),
-ln AS (SELECT doc_id, trim(x) AS line
-       FROM b, unnest(string_split(text, chr(10))) AS u(x)),
-lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
-       FROM ln WHERE line <> '' GROUP BY ALL),
-la AS (SELECT doc_id, sum(c) AS n_lines,
-              (sum(c) - count(*)) * 1000000 // sum(c) AS dup_line_frac,
-              coalesce(sum(CASE WHEN c > 1 THEN c * len END), 0)
-                  * 1000000 // sum(c * len) AS dup_line_char_frac
-       FROM lc GROUP BY doc_id)
+       FROM w){ctes}
 SELECT b.doc_id,
        CAST(wl.n_words AS BIGINT) AS n_words,
-       CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
-       CAST(coalesce(la.dup_line_frac, 0) AS BIGINT) AS dup_line_frac_e6,
-       CAST(coalesce(la.dup_line_char_frac, 0) AS BIGINT)
+       CAST(coalesce(lna.n_seg, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(ppa.n_seg, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(lna.dup_frac, 0) AS BIGINT) AS dup_line_frac_e6,
+       CAST(coalesce(lna.dup_char_frac, 0) AS BIGINT)
            AS dup_line_char_frac_e6,
-       CAST(coalesce(t2.f, 0) AS BIGINT) AS top2gram_char_frac_e6,
-       CAST(coalesce(t3.f, 0) AS BIGINT) AS top3gram_char_frac_e6,
-       CAST(coalesce(d5.f, 0) AS BIGINT) AS dup5gram_char_frac_e6
+       CAST(coalesce(ppa.dup_frac, 0) AS BIGINT) AS dup_para_frac_e6,
+       CAST(coalesce(ppa.dup_char_frac, 0) AS BIGINT)
+           AS dup_para_char_frac_e6{top_cols}{dup_cols}
 FROM b
 JOIN wl USING (doc_id)
-LEFT JOIN la USING (doc_id)
-LEFT JOIN (SELECT doc_id, f FROM t2 WHERE rn = 1) t2 USING (doc_id)
-LEFT JOIN (SELECT doc_id, f FROM t3 WHERE rn = 1) t3 USING (doc_id)
-LEFT JOIN d5 USING (doc_id)
+LEFT JOIN lna USING (doc_id)
+LEFT JOIN ppa USING (doc_id){top_joins}{dup_joins}
 ORDER BY b.doc_id
 """
 
 
-DOCS_GOPHER_GATE_SQL = f"""
+DOCS_GOPHER_REPETITION_SQL = _gopher_repetition_sql()
+
+
+def _gopher_gate_sql() -> str:
+    whens = "\n".join(
+        f"                  WHEN {col} > {cap} THEN '{name}'"
+        for name, col, cap in GOPHER_RULES)
+    return f"""
 WITH st AS ({DOCS_GOPHER_REPETITION_SQL.replace("ORDER BY b.doc_id", "")}),
 r AS (SELECT doc_id,
-             CASE WHEN dup_line_frac_e6 > {GOPHER_MAX_DUP_LINE_FRAC_E6}
-                      THEN 'dup_line_frac'
-                  WHEN dup_line_char_frac_e6 > {GOPHER_MAX_DUP_LINE_CHAR_E6}
-                      THEN 'dup_line_char_frac'
-                  WHEN top2gram_char_frac_e6 > {GOPHER_MAX_TOP2GRAM_CHAR_E6}
-                      THEN 'top2gram_char_frac'
-                  WHEN top3gram_char_frac_e6 > {GOPHER_MAX_TOP3GRAM_CHAR_E6}
-                      THEN 'top3gram_char_frac'
-                  WHEN dup5gram_char_frac_e6 > {GOPHER_MAX_DUP5GRAM_CHAR_E6}
-                      THEN 'dup5gram_char_frac'
+             CASE
+{whens}
                   ELSE '' END AS reason
       FROM st)
 SELECT doc_id, CASE WHEN reason = '' THEN 'keep' ELSE 'drop' END AS action,
        reason
 FROM r ORDER BY doc_id
 """
+
+
+DOCS_GOPHER_GATE_SQL = _gopher_gate_sql()

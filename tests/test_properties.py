@@ -280,10 +280,11 @@ def test_containment_prefix_selection_recall(texts, t):
 # --- Gopher repetition kernel vs a per-doc pure-Python reference ----------
 
 _doc_text = st.lists(
-    st.lists(st.sampled_from(["a", "bb", "ccc", "Dd", "e"]),
+    st.lists(st.sampled_from(["a", "bb", "ccc", "Dd", "e", "\ta", "b\r"]),
              min_size=0, max_size=30).map(" ".join),
     min_size=0, max_size=6,
-).map("\n".join)
+).flatmap(lambda segs: st.sampled_from(["\n", "\n\n"]).map(
+    lambda sep: sep.join(segs)))
 
 
 def _gopher_ref_one(text: str) -> dict:
@@ -291,33 +292,43 @@ def _gopher_ref_one(text: str) -> dict:
     import re
     from collections import Counter
 
+    from deduplicator_ray.pipelines.queries import GOPHER_SEG_STRIP
+
     words = [w for w in re.split(r"\s+", text.lower()) if w]
     W = len(" ".join(words))
     out = {"n_words": len(words)}
 
-    def top(n):
-        grams = [" ".join(words[i:i + n])
-                 for i in range(len(words) - n + 1)]
-        if not grams or W == 0:
-            return 0
-        cnt = Counter(grams)
-        g = min(sorted(cnt), key=lambda x: (-cnt[x], x))
-        return cnt[g] * len(g) * 1_000_000 // W
+    def grams(n):
+        return [" ".join(words[i:i + n])
+                for i in range(len(words) - n + 1)]
 
-    out["top2gram_char_frac_e6"] = top(2)
-    out["top3gram_char_frac_e6"] = top(3)
-    g5 = Counter(" ".join(words[i:i + 5]) for i in range(len(words) - 4))
-    dup = sum(c * len(g) for g, c in g5.items() if c > 1)
-    out["dup5gram_char_frac_e6"] = dup * 1_000_000 // W if W else 0
-    lines = [s for s in (l.strip() for l in text.split("\n")) if s]
-    lc = Counter(lines)
-    tot = sum(len(l) for l in lines)
-    out["n_lines"] = len(lines)
-    out["dup_line_frac_e6"] = ((len(lines) - len(lc)) * 1_000_000
-                               // len(lines) if lines else 0)
-    out["dup_line_char_frac_e6"] = (
-        sum(c * len(l) for l, c in lc.items() if c > 1) * 1_000_000 // tot
-        if tot else 0)
+    for n in (2, 3, 4):
+        gs = grams(n)
+        if not gs or W == 0:
+            out[f"top{n}gram_char_frac_e6"] = 0
+            continue
+        cnt = Counter(gs)
+        g = min(sorted(cnt), key=lambda x: (-cnt[x], x))
+        out[f"top{n}gram_char_frac_e6"] = cnt[g] * len(g) * 1_000_000 // W
+    for n in (5, 6, 7, 8, 9, 10):
+        cnt = Counter(grams(n))
+        dup = sum(c * len(g) for g, c in cnt.items() if c > 1)
+        out[f"dup{n}gram_char_frac_e6"] = dup * 1_000_000 // W if W else 0
+
+    def segs(sep, tag):
+        parts = [s for s in (x.strip(GOPHER_SEG_STRIP)
+                             for x in text.split(sep)) if s]
+        lc = Counter(parts)
+        tot = sum(len(x) for x in parts)
+        out[f"n_{tag}s"] = len(parts)
+        out[f"dup_{tag}_frac_e6"] = ((len(parts) - len(lc)) * 1_000_000
+                                     // len(parts) if parts else 0)
+        out[f"dup_{tag}_char_frac_e6"] = (
+            sum(c * len(x) for x, c in lc.items() if c > 1) * 1_000_000
+            // tot if tot else 0)
+
+    segs("\n", "line")
+    segs("\n\n", "para")
     return out
 
 

@@ -505,8 +505,10 @@ def test_cli_tiers_job(sf_small, tmp_path):
 def test_gopher_repetition_mirror_and_kernel(sf_small, con):
     """Gopher repetition filters: engine must value-match the mirror at
     sf-small, and the kernel must reproduce hand-computed fractions on
-    synthetic multiline docs (the sf corpus is single-line, so the line
-    metrics are only exercised here)."""
+    synthetic multiline docs (the sf corpus is single-line, so the
+    line/paragraph metrics are only exercised here) — including the
+    CRLF/tab-padded and NULL-text cases where naive trim()/strip()
+    semantics diverge between engines."""
     eng = q.docs_gopher_repetition(sf_small)
     orc = con.execute(q.DOCS_GOPHER_REPETITION_SQL).df()
     _match(eng, orc)
@@ -518,13 +520,17 @@ def test_gopher_repetition_mirror_and_kernel(sf_small, con):
     import pyarrow.parquet as pq
 
     docs = pa.table({
-        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
         "text": [
             # 4 non-empty lines, 'dup line' ×2 (8 chars each of 8+6+8+3=25)
             "dup line\nunique\n\ndup line\nabc",
             # 'a b' ×3 of W=len('a b a b a b c')=13 → top2 = 3*3*1e6//13
             "A b a B a b c",
             "",                                   # empty text: all zeros
+            # CRLF + tab padding: both engines strip ' \t\r' → 3 dup 'x'
+            "x\r\n\tx\nx",
+            # 2 duplicate paragraphs of 3
+            "p q\n\np q\n\nr",
         ],
     })
     with tempfile.TemporaryDirectory() as td:
@@ -534,32 +540,36 @@ def test_gopher_repetition_mirror_and_kernel(sf_small, con):
         c2.execute("CREATE VIEW documents AS SELECT * FROM "
                    f"read_parquet('{td}/documents.parquet')")
         _match(st.reset_index(), c2.execute(q.DOCS_GOPHER_REPETITION_SQL).df())
+        # NULL text must agree too (engine zeros == mirror coalesce(''))
+        c2.execute("CREATE VIEW documents2 AS SELECT doc_id, "
+                   "CASE WHEN doc_id = 2 THEN NULL ELSE text END AS text "
+                   "FROM documents")
+        orc_null = c2.execute(q.DOCS_GOPHER_REPETITION_SQL.replace(
+            "FROM documents", "FROM documents2")).df()
+        assert orc_null.set_index("doc_id").loc[2].tolist() == [0] * 16
 
     assert st.loc[0, "n_lines"] == 4
     assert st.loc[0, "dup_line_frac_e6"] == 1 * 1_000_000 // 4
     assert st.loc[0, "dup_line_char_frac_e6"] == 16 * 1_000_000 // 25
     assert st.loc[1, "top2gram_char_frac_e6"] == 3 * 3 * 1_000_000 // 13
-    assert st.loc[2].tolist() == [0] * 7
+    assert st.loc[2].tolist() == [0] * 16
+    assert st.loc[3, "n_lines"] == 3
+    assert st.loc[3, "dup_line_frac_e6"] == 2 * 1_000_000 // 3
+    assert st.loc[4, "n_paras"] == 3
+    assert st.loc[4, "dup_para_frac_e6"] == 1 * 1_000_000 // 3
+    assert st.loc[4, "dup_para_char_frac_e6"] == 6 * 1_000_000 // 7
 
 
 def test_gopher_gate_mirror(sf_small, con):
     eng = q.docs_gopher_gate(sf_small)
     orc = con.execute(q.DOCS_GOPHER_GATE_SQL).df()
     _match(eng, orc)
-    # both actions occur and every drop names the FIRST failing rule
+    # both actions occur and every drop names the FIRST failing rule in
+    # the Table-A1 order (all 13 rules, straight from GOPHER_RULES)
     assert set(eng["action"]) == {"keep", "drop"}
     st = q.docs_gopher_repetition(sf_small).set_index("doc_id")
     for _, r in eng.loc[eng["action"] == "drop"].iterrows():
         row = st.loc[r["doc_id"]]
-        order = [("dup_line_frac", row["dup_line_frac_e6"],
-                  q.GOPHER_MAX_DUP_LINE_FRAC_E6),
-                 ("dup_line_char_frac", row["dup_line_char_frac_e6"],
-                  q.GOPHER_MAX_DUP_LINE_CHAR_E6),
-                 ("top2gram_char_frac", row["top2gram_char_frac_e6"],
-                  q.GOPHER_MAX_TOP2GRAM_CHAR_E6),
-                 ("top3gram_char_frac", row["top3gram_char_frac_e6"],
-                  q.GOPHER_MAX_TOP3GRAM_CHAR_E6),
-                 ("dup5gram_char_frac", row["dup5gram_char_frac_e6"],
-                  q.GOPHER_MAX_DUP5GRAM_CHAR_E6)]
-        first = next(n for n, v, cap in order if v > cap)
+        first = next(name for name, col, cap in q.GOPHER_RULES
+                     if row[col] > cap)
         assert r["reason"] == first

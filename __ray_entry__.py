@@ -179,7 +179,7 @@ def _img_bit_stats(sf_dir: str):
     64 partial rows; the combine is a driver-side 64-key sum."""
     from deduplicator_ray.pipelines import image_dedup as ip
 
-    return ip.phash_bit_stats(ip.load_images(sf_dir, _cfg()), _cfg())
+    return ip.dhash_bit_stats(ip.load_images(sf_dir, _cfg()), _cfg())
 
 
 def _img_sample_weights(sf_dir: str):

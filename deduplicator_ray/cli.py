@@ -612,17 +612,16 @@ def run_tiers(input_dir: str, output_dir: str, hash_size: int = 8) -> dict:
     cfg = PipelineConfig(hash_size=hash_size)
     t0 = time.time()
     tiers = ip.img_dedup_tiers(dio.read_parquet(input_dir), cfg).materialize()
+    import shutil as _sh
+
+    # write_parquet appends: a rerun into the same --output must not
+    # accumulate duplicate tier rows beside a fresh report.json
+    _sh.rmtree(os.path.join(output_dir, "tiers"), ignore_errors=True)
     tiers.write_parquet(os.path.join(output_dir, "tiers"))
 
-    def combine(t: pa.Table) -> pa.Table:
-        vc = t["tier"].to_pandas().value_counts()
-        return pa.table({"tier": pa.array(vc.index.astype(str)),
-                         "n_images": pa.array(
-                             vc.to_numpy().astype(np.int64))})
+    from deduplicator_ray.stages.fpsets import fp_tier_report
 
-    parts = tiers.map_batches(combine, batch_format="pyarrow").to_pandas()
-    report = (parts.groupby("tier", as_index=False)["n_images"].sum()
-              .sort_values("tier"))
+    report = fp_tier_report(tiers, "n_images")
     metrics = {"mode": "tiers", "input": input_dir,
                "report": report.to_dict("records"),
                "total_wall_s": round(time.time() - t0, 3)}
@@ -691,7 +690,6 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
 
         id_col, fp_col = "video_id", "frame_fp"
         kernel = mod.video_tier_frames   # fp rows + payload md5, one pass
-        tiers_fn = mod.video_dedup_tiers
         tau = mod.TAU_E6_DEFAULT if tau_e6 is None else tau_e6
         cap = mod.MAX_FP_DF_DEFAULT if max_fp_df is None else max_fp_df
     elif modality == "audio":
@@ -699,13 +697,12 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
 
         id_col, fp_col = "audio_id", "win_fp"
         kernel = mod.audio_tier_signatures
-        tiers_fn = mod.audio_dedup_tiers
         tau = mod.TAU_E6_DEFAULT if tau_e6 is None else tau_e6
         cap = mod.MAX_FP_DF_DEFAULT if max_fp_df is None else max_fp_df
     else:
         raise ValueError(f"unknown modality {modality!r}")
 
-    from deduplicator_ray.stages.fpsets import fp_clusters, fp_dup_pairs
+    from deduplicator_ray.stages.fpsets import fp_dup_pairs
 
     sig_dir = os.path.join(output_dir, "signatures")
     dead_dir = os.path.join(output_dir, "dead_letter")
@@ -718,6 +715,12 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
     else:
         import shutil
 
+        # invalidate the done-marker BEFORE touching the store: a crash
+        # between the rmtree and the marker rewrite would otherwise leave
+        # a stale marker beside a missing/partial store, and the next
+        # resume run would silently skip the kernel over truncated data
+        if os.path.exists(marker):
+            os.remove(marker)
         for d in (sig_dir, dead_dir):   # write_parquet appends: reruns
             shutil.rmtree(d, ignore_errors=True)   # must not accumulate
         sigs = kernel(dio.read_parquet(input_dir,
@@ -751,39 +754,43 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
     n_pairs = pairs.count()
     t_pairs = round(time.time() - t1, 3)
 
+    # clusters = CC over the ALREADY-materialized pair table — not a
+    # second run of the 3-round pair machinery
     t2 = time.time()
-    live2 = dio.read_parquet(sig_dir, columns=[id_col, fp_col])
-    clusters = fp_clusters(live2, id_col=id_col, fp_col=fp_col,
-                           tau_e6=tau, max_fp_df=cap).materialize()
+    from deduplicator_ray.stages.fpsets import (
+        fp_clusters_from_pairs,
+        fp_dedup_tiers,
+        fp_tier_report,
+    )
+
+    clusters = fp_clusters_from_pairs(
+        pairs, id_col=id_col,
+        a_col=f"{id_col}_a", b_col=f"{id_col}_b").materialize()
     clusters.write_parquet(os.path.join(output_dir, "clusters"))
     n_clustered = clusters.count()
     t_cc = round(time.time() - t2, 3)
 
-    # tier cascade from the SAME persisted signatures (md5 rides the
-    # kernel rows, so byte/fpset/near classify without re-decoding; an
-    # old signature store without the md5 column skips tiers gracefully)
+    # tier cascade from the SAME persisted signatures and the SAME cluster
+    # labels (md5 rides the kernel rows, so byte/fpset/near classify
+    # without re-decoding OR re-clustering; an old signature store without
+    # the md5 column skips tiers gracefully)
     t3 = time.time()
     tier_hist: dict[str, int] = {}
-    if "md5" in dio.read_parquet(sig_dir).schema().names:
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    sig_files = sorted(glob.glob(os.path.join(sig_dir, "*.parquet")))
+    if sig_files and "md5" in _pq.read_schema(sig_files[0]).names:
         _sh.rmtree(os.path.join(output_dir, "tiers"), ignore_errors=True)
-        live3 = dio.read_parquet(
-            sig_dir, columns=[id_col, fp_col, "md5", "status"])
-        tiers = tiers_fn(live3, tau, cap).materialize()
+        live3 = dio.read_parquet(sig_dir, columns=[id_col, fp_col, "md5"])
+        tiers = fp_dedup_tiers(live3, id_col=id_col, fp_col=fp_col,
+                               tau_e6=tau, max_fp_df=cap,
+                               labels=clusters).materialize()
         tiers.write_parquet(os.path.join(output_dir, "tiers"))
-
-        def _tier_partial(t):
-            import numpy as _np
-            import pyarrow as _pa
-
-            vc = t["tier"].to_pandas().value_counts()
-            return _pa.table({"tier": vc.index.astype(str),
-                              "n": vc.to_numpy().astype(_np.int64)})
-
-        parts = tiers.map_batches(
-            _tier_partial, batch_format="pyarrow").to_pandas()
-        if len(parts):
-            tier_hist = {str(k): int(v) for k, v in
-                         parts.groupby("tier")["n"].sum().items()}
+        rep = fp_tier_report(tiers, "n")
+        tier_hist = {str(k): int(v)
+                     for k, v in zip(rep["tier"], rep["n"])}
     t_tiers = round(time.time() - t3, 3)
 
     report = {"modality": modality, "tau_e6": tau, "max_fp_df": cap,

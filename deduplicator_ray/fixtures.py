@@ -651,7 +651,10 @@ def ivf_sidecar_path(sf_dir: str, n_centroids: int = 16, nprobe: int = 4,
     src = src.filter(pc.is_valid(src["embedding"]))  # null vectors drop
     ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
-    sample = x[:65536]  # engine cap: sample_rows_absolute(..., 65536)
+    # vec_id-sorted prefix — the engine's sample_rows_absolute sorts by id
+    # before truncating, and train_centroids' seeded index choice depends
+    # on row ORDER, not just the set (same policy as pq_sidecar_path)
+    sample = x[np.argsort(ids, kind="stable")][:65536]
     cents = vfn.train_centroids(sample, n_centroids)
     xn = vfn._normalize(x)
     assign = np.argmax(xn @ cents.T, axis=1).astype(np.int64)
@@ -759,7 +762,9 @@ def proto_sidecar_path(sf_dir: str, n_centroids: int = 16) -> str:
     src = src.filter(pc.is_valid(src["embedding"]))  # null vectors drop
     ids = src["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = np.stack(src["embedding"].to_pylist()).astype(np.float64)
-    cents = vfn.train_centroids(x[:65536], n_centroids)
+    # vec_id-sorted prefix — see ivf sidecar note (order-sensitive k-means)
+    cents = vfn.train_centroids(
+        x[np.argsort(ids, kind="stable")][:65536], n_centroids)
     xn = vfn._normalize(x)
     assign = np.argmax(xn @ cents.T, axis=1).astype(np.int64)
     nb, dim = cents.shape

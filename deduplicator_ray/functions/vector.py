@@ -52,6 +52,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def topk_boundary(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Deterministic per-batch top-``kk`` candidate indices under the
+    global (score DESC, id ASC) order.  ``np.argpartition`` alone leaves
+    boundary TIES in unspecified order, which breaks the mirrors'
+    ``row_number()`` determinism whenever equal scores straddle the
+    cutoff — routine for integer ADC scores, and real for float cosine
+    too (planted duplicate embeddings give bit-equal similarities)."""
+    order = np.lexsort((ids, -scores))
+    return order[:kk]
+
+
 def brute_force_topk(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -80,7 +91,7 @@ def brute_force_topk(
         out_q, out_id, out_cos = [], [], []
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            idx = topk_boundary(sims[qi], ids, kk)
             out_q.extend([int(qids[qi])] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_cos.extend(sims[qi][idx].tolist())
@@ -142,7 +153,10 @@ def sample_rows_absolute(ds: rd.Dataset, n_rows: int,
     """Bounded training sample: an ABSOLUTE row cap, never a fraction of the
     corpus.  ``ds.count()`` on parquet answers from footer metadata; the
     sample fraction is sized so the expected draw is ~2× the cap and the
-    driver-side slice enforces the hard bound.
+    driver-side slice enforces the hard bound; the FULL sampled stream is
+    consumed before sorting (an early row-budget break would truncate at
+    whatever blocks arrived first under the streaming executor's
+    nondeterministic order, making the sampled SET itself run-dependent).
 
     The collected rows are SORTED by ``id_col`` before truncation: Ray's
     streaming executor delivers blocks in nondeterministic arrival order, so
@@ -150,21 +164,17 @@ def sample_rows_absolute(ds: rd.Dataset, n_rows: int,
     k-means (seeded index choice) lands on different centroids — which broke
     the sidecar-replay mirrors intermittently.  Below the cap (every sidecar
     scale) the sorted sample is exactly the file-order prefix the sidecar
-    replays; above it, determinism of the SET additionally rides on the
-    seeded random_sample."""
+    replays; above it, the seeded random_sample fixes the SET and the
+    sort fixes the order."""
     total = ds.count()
     frac = min(1.0, (2.0 * n_rows) / max(total, 1))
     sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     chunks: list[np.ndarray] = []
     id_chunks: list[np.ndarray] = []
-    got = 0
     for b in sampled.iter_batches(batch_size=8192, batch_format="pyarrow"):
         m = embeddings_matrix(b, vec_col)
         chunks.append(m)
         id_chunks.append(b[id_col].to_numpy(zero_copy_only=False))
-        got += len(m)
-        if got >= 2 * n_rows:
-            break
     if not chunks:
         return np.zeros((0, 1), np.float32)
     out = np.concatenate(chunks)
@@ -246,7 +256,7 @@ def ivf_search(
             sims = m[mask] @ qmat[qi]
             sel_ids = ids[mask]
             kk = min(k + 1, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = topk_boundary(sims, sel_ids, kk)
             out_q.extend([int(qids[qi])] * len(idx))
             out_id.extend(sel_ids[idx].tolist())
             out_cos.extend(sims[idx].tolist())
@@ -565,7 +575,7 @@ def ivfpq_search(
             sc = pq_adc_scores(codes[mask], lt[qi:qi + 1])[0]
             sel = ids[mask]
             kk = min(k + 1, len(sc))
-            idx = np.argpartition(-sc, kk - 1)[:kk]
+            idx = topk_boundary(sc, sel, kk)
             out_q.extend([int(qids[qi])] * len(idx))
             out_id.extend(sel[idx].tolist())
             out_s.extend(sc[idx].tolist())

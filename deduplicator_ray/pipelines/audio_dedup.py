@@ -232,38 +232,17 @@ def audio_dedup_tiers(sigs_md5: rd.Dataset,
                       tau_e6: int = TAU_E6_DEFAULT,
                       max_fp_df: int = MAX_FP_DF_DEFAULT,
                       num_parts: int = 64) -> rd.Dataset:
-    """(audio_id, tier, dup_of) per decodable recording (tier ∈ byte |
-    fpset | near | unique, cheapest binding tier wins)."""
-    import pandas as pd
-
-    from deduplicator_ray.stages.fpsets import identity_tiers
-    from deduplicator_ray.stages.partitioned import partitioned_groupby
+    """(audio_id, tier, dup_of) per decodable recording (the generic
+    stages/fpsets.fp_dedup_tiers cascade over the window-fp relation)."""
+    from deduplicator_ray.stages.fpsets import fp_dedup_tiers
 
     live = sigs_md5.map_batches(
         lambda t: t.filter(pc.equal(t["status"], "ok"))
                    .select(["audio_id", "win_fp", "md5"]),
         batch_format="pyarrow")
-    labels = fp_clusters(
-        live.select_columns(["audio_id", "win_fp"]),
-        id_col="audio_id", fp_col="win_fp",
-        tau_e6=tau_e6, max_fp_df=max_fp_df, num_parts=num_parts)
-
-    ident_schema = pa.schema([("audio_id", pa.string()),
-                              ("byte_key", pa.string()),
-                              ("fpset_key", pa.string())])
-
-    def per_audio(df: pd.DataFrame) -> pd.DataFrame:
-        d = (df.drop_duplicates(["audio_id", "win_fp"])
-               .sort_values(["audio_id", "win_fp"]))
-        d["fp_s"] = d["win_fp"].astype(str)
-        g = d.groupby("audio_id", sort=False)
-        out = g.agg(byte_key=("md5", "first"),
-                    fpset_key=("fp_s", ",".join)).reset_index()
-        return out[["audio_id", "byte_key", "fpset_key"]]
-
-    ident = partitioned_groupby(live, ["audio_id"], per_audio,
-                                num_parts=num_parts, out_schema=ident_schema)
-    return identity_tiers(ident, labels, "audio_id", num_parts=num_parts)
+    return fp_dedup_tiers(live, id_col="audio_id", fp_col="win_fp",
+                          tau_e6=tau_e6, max_fp_df=max_fp_df,
+                          num_parts=num_parts)
 
 
 def audio_dedup_tiers_report(sigs_md5: rd.Dataset,
@@ -271,21 +250,8 @@ def audio_dedup_tiers_report(sigs_md5: rd.Dataset,
                              max_fp_df: int = MAX_FP_DF_DEFAULT,
                              num_parts: int = 64):
     """Per-tier rollup: (tier, n_audios)."""
-    import pandas as pd
+    from deduplicator_ray.stages.fpsets import fp_tier_report
 
-    tiers = audio_dedup_tiers(sigs_md5, tau_e6, max_fp_df, num_parts)
-    part_schema = pa.schema([("tier", pa.string()),
-                             ("n_audios", pa.int64())])
-
-    def partial(t: pa.Table) -> pa.Table:
-        vc = t["tier"].to_pandas().value_counts()
-        return pa.table({"tier": vc.index.astype(str),
-                         "n_audios": vc.to_numpy().astype(np.int64)},
-                        schema=part_schema)
-
-    parts = tiers.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if len(parts) == 0:
-        return part_schema.empty_table().to_pandas()
-    out = parts.groupby("tier", as_index=False)["n_audios"].sum()
-    out["n_audios"] = out["n_audios"].astype(np.int64)
-    return out.sort_values("tier").reset_index(drop=True)
+    return fp_tier_report(
+        audio_dedup_tiers(sigs_md5, tau_e6, max_fp_df, num_parts),
+        "n_audios")

@@ -1436,7 +1436,7 @@ def hamming_knn(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
             .reset_index(drop=True))
 
 
-def phash_bit_stats(images: rd.Dataset,
+def dhash_bit_stats(images: rd.Dataset,
                     cfg: PipelineConfig = DEFAULT_CONFIG) -> "pd.DataFrame":
     """Per-bit occupancy of the dHash over the live corpus — the hash-health
     audit: a well-behaved perceptual hash has every bit near 50% set; a bit
@@ -1623,27 +1623,12 @@ def img_dedup_tiers_report(images: rd.Dataset,
                            cfg: PipelineConfig = DEFAULT_CONFIG,
                            num_parts: int = 64):
     """Per-tier rollup of ``img_dedup_tiers``: (tier, n_images) — the
-    marginal dedup yield of each successive tier.  Each classify partition
-    emits ≤ 4 partial rows; only those bounded partials reach the driver
-    for the final sum.  Returns a pandas DataFrame."""
-    import numpy as np
-    import pandas as pd
+    marginal dedup yield of each successive tier (shared rollup:
+    stages/fpsets.fp_tier_report).  Returns a pandas DataFrame."""
+    from deduplicator_ray.stages.fpsets import fp_tier_report
 
-    tiers = img_dedup_tiers(images, cfg, num_parts=num_parts)
-    part_schema = pa.schema([("tier", pa.string()), ("n_images", pa.int64())])
-
-    def partial(t: pa.Table) -> pa.Table:
-        vc = t["tier"].to_pandas().value_counts()
-        return pa.table({"tier": vc.index.astype(str),
-                         "n_images": vc.to_numpy().astype(np.int64)},
-                        schema=part_schema)
-
-    parts = tiers.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if len(parts) == 0:
-        return part_schema.empty_table().to_pandas()
-    out = parts.groupby("tier", as_index=False)["n_images"].sum()
-    out["n_images"] = out["n_images"].astype(np.int64)
-    return out.sort_values("tier").reset_index(drop=True)
+    return fp_tier_report(img_dedup_tiers(images, cfg, num_parts=num_parts),
+                          "n_images")
 
 
 # ---------------------------------------------------------------------------

@@ -6413,7 +6413,7 @@ def emb_pq_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
         kk = min(k + 1, scores.shape[1])  # +1 absorbs the self hit
         out_q, out_id, out_s = [], [], []
         for qi in range(scores.shape[0]):
-            idx = np.argpartition(-scores[qi], kk - 1)[:kk]
+            idx = vf.topk_boundary(scores[qi], ids, kk)
             out_q.extend([int(qids[qi])] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_s.extend(scores[qi][idx].tolist())

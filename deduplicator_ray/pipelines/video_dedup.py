@@ -202,63 +202,26 @@ def video_dedup_tiers(frames_md5: rd.Dataset,
                       tau_e6: int = TAU_E6_DEFAULT,
                       max_fp_df: int = MAX_FP_DF_DEFAULT,
                       num_parts: int = 64) -> rd.Dataset:
-    """(video_id, tier, dup_of) per decodable video.  The fpset key is the
-    FULL sorted distinct fp list (identity needs no stop-frame cap — set
-    equality is not pair enumeration); the near tier reuses the capped
-    Jaccard machinery."""
-    import pandas as pd
-
-    from deduplicator_ray.stages.fpsets import identity_tiers
-    from deduplicator_ray.stages.partitioned import partitioned_groupby
+    """(video_id, tier, dup_of) per decodable video (the generic
+    stages/fpsets.fp_dedup_tiers cascade over the frame-fp relation)."""
+    from deduplicator_ray.stages.fpsets import fp_dedup_tiers
 
     live = frames_md5.map_batches(
         lambda t: t.filter(pc.equal(t["status"], "ok"))
                    .select(["video_id", "frame_fp", "md5"]),
         batch_format="pyarrow")
-    labels = fp_clusters(
-        live.select_columns(["video_id", "frame_fp"]),
-        id_col="video_id", fp_col="frame_fp",
-        tau_e6=tau_e6, max_fp_df=max_fp_df, num_parts=num_parts)
-
-    ident_schema = pa.schema([("video_id", pa.string()),
-                              ("byte_key", pa.string()),
-                              ("fpset_key", pa.string())])
-
-    def per_video(df: pd.DataFrame) -> pd.DataFrame:
-        d = (df.drop_duplicates(["video_id", "frame_fp"])
-               .sort_values(["video_id", "frame_fp"]))
-        d["fp_s"] = d["frame_fp"].astype(str)
-        g = d.groupby("video_id", sort=False)
-        out = g.agg(byte_key=("md5", "first"),
-                    fpset_key=("fp_s", ",".join)).reset_index()
-        return out[["video_id", "byte_key", "fpset_key"]]
-
-    ident = partitioned_groupby(live, ["video_id"], per_video,
-                                num_parts=num_parts, out_schema=ident_schema)
-    return identity_tiers(ident, labels, "video_id", num_parts=num_parts)
+    return fp_dedup_tiers(live, id_col="video_id", fp_col="frame_fp",
+                          tau_e6=tau_e6, max_fp_df=max_fp_df,
+                          num_parts=num_parts)
 
 
 def video_dedup_tiers_report(frames_md5: rd.Dataset,
                              tau_e6: int = TAU_E6_DEFAULT,
                              max_fp_df: int = MAX_FP_DF_DEFAULT,
                              num_parts: int = 64):
-    """Per-tier rollup: (tier, n_videos) — marginal yield of each tier;
-    ≤ 4 partial rows per classify partition reach the driver."""
-    import pandas as pd
+    """Per-tier rollup: (tier, n_videos) — marginal yield of each tier."""
+    from deduplicator_ray.stages.fpsets import fp_tier_report
 
-    tiers = video_dedup_tiers(frames_md5, tau_e6, max_fp_df, num_parts)
-    part_schema = pa.schema([("tier", pa.string()),
-                             ("n_videos", pa.int64())])
-
-    def partial(t: pa.Table) -> pa.Table:
-        vc = t["tier"].to_pandas().value_counts()
-        return pa.table({"tier": vc.index.astype(str),
-                         "n_videos": vc.to_numpy().astype(np.int64)},
-                        schema=part_schema)
-
-    parts = tiers.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if len(parts) == 0:
-        return part_schema.empty_table().to_pandas()
-    out = parts.groupby("tier", as_index=False)["n_videos"].sum()
-    out["n_videos"] = out["n_videos"].astype(np.int64)
-    return out.sort_values("tier").reset_index(drop=True)
+    return fp_tier_report(
+        video_dedup_tiers(frames_md5, tau_e6, max_fp_df, num_parts),
+        "n_videos")

@@ -223,6 +223,26 @@ def fp_dup_pairs(
         batch_format="pyarrow")
 
 
+def fp_clusters_from_pairs(pairs: rd.Dataset, *, id_col: str,
+                           a_col: str = "va",
+                           b_col: str = "vb") -> rd.Dataset:
+    """Pair table → distributed CC → (id_col, cluster_id).  Lets a job
+    that already materialized its pair table derive clusters without
+    re-running the 3-round pair machinery."""
+    from deduplicator_ray.stages.components import connected_components
+
+    edges = pairs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t[a_col], "dst": t[b_col]},
+            schema=pa.schema([("src", pa.string()), ("dst", pa.string())])),
+        batch_format="pyarrow")
+    cc = connected_components(edges)
+    return cc.map_batches(
+        lambda t: t.rename_columns(
+            [id_col if c == "image_id" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def fp_clusters(
     live: rd.Dataset,
     *,
@@ -234,21 +254,10 @@ def fp_clusters(
 ) -> rd.Dataset:
     """(id, fp) rows → near-dup pairs → distributed CC →
     (id_col, cluster_id)."""
-    from deduplicator_ray.stages.components import connected_components
-
     pairs = fp_dup_pairs(live, id_col=id_col, fp_col=fp_col,
                          out_a="va", out_b="vb", tau_e6=tau_e6,
                          max_fp_df=max_fp_df, num_parts=num_parts)
-    edges = pairs.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"src": t["va"], "dst": t["vb"]},
-            schema=pa.schema([("src", pa.string()), ("dst", pa.string())])),
-        batch_format="pyarrow")
-    cc = connected_components(edges)
-    return cc.map_batches(
-        lambda t: t.rename_columns(
-            [id_col if c == "image_id" else c for c in t.column_names]),
-        batch_format="pyarrow")
+    return fp_clusters_from_pairs(pairs, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -412,3 +421,58 @@ def fp_leakage_split(
     return leakage_split_from_labels(
         _distinct_ids(live, id_col), _labels_as_cc(labels, id_col),
         id_col=id_col, train_pct=train_pct, num_parts=num_parts)
+
+
+def fp_dedup_tiers(live_md5: rd.Dataset, *, id_col: str, fp_col: str,
+                   tau_e6: int, max_fp_df: int, num_parts: int = 64,
+                   labels: rd.Dataset | None = None) -> rd.Dataset:
+    """Tier cascade over an fp-set modality: (id_col, fp_col, md5) live
+    rows → (id_col, tier, dup_of), tier ∈ byte | fpset | near | unique,
+    cheapest binding tier wins.  The fpset key is the FULL sorted distinct
+    fp list (identity needs no stop-fp cap — set equality is not pair
+    enumeration); the near tier reuses the capped Jaccard machinery.  Pass
+    ``labels`` to reuse an already-computed cluster assignment (a job that
+    materialized its pair table derives labels via fp_clusters_from_pairs
+    instead of re-running the pair rounds)."""
+    if labels is None:
+        labels = fp_clusters(
+            live_md5.select_columns([id_col, fp_col]),
+            id_col=id_col, fp_col=fp_col,
+            tau_e6=tau_e6, max_fp_df=max_fp_df, num_parts=num_parts)
+
+    ident_schema = pa.schema([(id_col, pa.string()),
+                              ("byte_key", pa.string()),
+                              ("fpset_key", pa.string())])
+
+    def per_item(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates([id_col, fp_col])
+               .sort_values([id_col, fp_col]))
+        d["fp_s"] = d[fp_col].astype(str)
+        g = d.groupby(id_col, sort=False)
+        out = g.agg(byte_key=("md5", "first"),
+                    fpset_key=("fp_s", ",".join)).reset_index()
+        return out[[id_col, "byte_key", "fpset_key"]]
+
+    ident = partitioned_groupby(live_md5, [id_col], per_item,
+                                num_parts=num_parts, out_schema=ident_schema)
+    return identity_tiers(ident, labels, id_col, num_parts=num_parts)
+
+
+def fp_tier_report(tiers: rd.Dataset, alias: str) -> pd.DataFrame:
+    """Per-tier rollup (tier, <alias>): ≤ 4 partial rows per classify
+    partition reach the driver — the shared rollup the modality reports
+    and CLI jobs previously each re-implemented."""
+    part_schema = pa.schema([("tier", pa.string()), (alias, pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["tier"].to_pandas().value_counts()
+        return pa.table({"tier": vc.index.astype(str),
+                         alias: vc.to_numpy().astype(np.int64)},
+                        schema=part_schema)
+
+    parts = tiers.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return part_schema.empty_table().to_pandas()
+    out = parts.groupby("tier", as_index=False)[alias].sum()
+    out[alias] = out[alias].astype(np.int64)
+    return out.sort_values("tier").reset_index(drop=True)

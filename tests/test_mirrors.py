@@ -427,7 +427,7 @@ def test_hamming_knn_mirror(sf_small, paths):
 def test_bit_stats_mirror(sf_small, paths):
     """Per-bit dHash occupancy: 64 rows, mirror-exact, constant n_rows, and
     the corpus actually exercises both bit values (no degenerate hash)."""
-    eng = ip.phash_bit_stats(ip.load_images(sf_small, CFG), CFG)
+    eng = ip.dhash_bit_stats(ip.load_images(sf_small, CFG), CFG)
     orc = duckdb.sql(_compose(mirrors.BIT_STATS_SQL, paths)).df()
     _assert_frame_equal(eng, orc)
     assert len(eng) == 64

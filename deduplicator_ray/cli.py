@@ -538,12 +538,17 @@ def run_img_curate(input_dir: str, output_dir: str,
     t_dec = round(time.time() - t0, 3)
 
     t1 = time.time()
-    keep_ids = pa.concat_tables(
+    keep_schema = pa.schema([("image_id", pa.string())])
+    keep_batches = list(
         dec.map_batches(
             lambda t: t.filter(pc.equal(t["action"], "keep"))
                        .select(["image_id"]),
             batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))["image_id"]
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    # pa.concat_tables([]) raises on a zero-row corpus — seed the schema
+    keep_ids = pa.concat_tables(
+        keep_batches or [keep_schema.empty_table()],
+        promote_options="permissive")["image_id"]
     import ray
 
     # ray.put once so the keep set ships to the object store a single time
@@ -559,23 +564,7 @@ def run_img_curate(input_dir: str, output_dir: str,
     kept.write_parquet(os.path.join(output_dir, "kept"))
     t_kept = round(time.time() - t1, 3)
 
-    def combine(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "action": t["action"].to_pylist(),
-            "filesize": t["filesize"].to_numpy(zero_copy_only=False)})
-        g = (df.groupby("action", as_index=False)
-             .agg(n_images=("action", "size"),
-                  total_bytes=("filesize", "sum")))
-        return pa.table({
-            "action": pa.array(g["action"].tolist(), pa.string()),
-            "n_images": pa.array(g["n_images"].to_numpy(np.int64)),
-            "total_bytes": pa.array(g["total_bytes"].to_numpy(np.int64))})
-
-    parts = dec.map_batches(combine, batch_format="pyarrow").to_pandas()
-    report = (parts.groupby("action", as_index=False)
-              .agg(n_images=("n_images", "sum"),
-                   total_bytes=("total_bytes", "sum"))
-              .sort_values("action"))
+    report = ip.curation_rollup(dec)
     metrics = {"mode": "img-curate", "input": input_dir,
                "report": report.to_dict("records"),
                "decisions_wall_s": t_dec, "kept_wall_s": t_kept,

@@ -195,15 +195,13 @@ def doc_leakage_split(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     materialization, output streamed.  md5 here is per-ROW but C-speed
     and runs on the id string, not the text payload.
 
-    Output: (doc_id, split_key, bucket∈[0,100), split∈{train,val})."""
+    Output: (doc_id, split_key, bucket∈[0,100), split∈{train,val}).  The
+    shared reducer's own projection casts/prunes, so ``ds`` passes
+    through directly."""
     labels = doc_clusters(ds, cfg)
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.string())})
-
     return leakage_split_from_labels(
-        ds.map_batches(proj, batch_format="pyarrow"), labels,
-        id_col="doc_id", train_pct=train_pct, num_parts=num_parts)
+        ds, labels, id_col="doc_id", train_pct=train_pct,
+        num_parts=num_parts)
 
 
 SAMPLE_WEIGHTS_SCHEMA_TMPL = [("weight_key", pa.string()),
@@ -272,15 +270,12 @@ def sample_weights_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,
 def doc_sample_weights(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                        num_parts: int = 64) -> rd.Dataset:
     """Dedup-aware sampling weights for documents: family =
-    ``doc_clusters`` component (exact-Jaccard-verified near-dups)."""
+    ``doc_clusters`` component (exact-Jaccard-verified near-dups).  The
+    shared reducer's own projection casts/prunes, so ``ds`` passes
+    through directly."""
     labels = doc_clusters(ds, cfg)
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.string())})
-
-    return sample_weights_from_labels(
-        ds.map_batches(proj, batch_format="pyarrow"), labels,
-        id_col="doc_id", num_parts=num_parts)
+    return sample_weights_from_labels(ds, labels,
+                                      id_col="doc_id", num_parts=num_parts)
 
 
 def leakage_split_from_labels(ids: rd.Dataset, labels: rd.Dataset, *,

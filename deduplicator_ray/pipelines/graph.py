@@ -161,7 +161,11 @@ def pagerank_e6(edges: rd.Dataset, iters: int = 5,
     # dedup pipeline that derived the edges
     sym_edges = edges.map_batches(_sym, batch_format="pyarrow").materialize()
 
-    n_edges = sym_edges.count()
+    # the cap is documented in RAW undirected pairs (the CC policy,
+    # stages/components.py cc_driver_edge_cap); sym_edges carries each
+    # pair twice, so halve before comparing — otherwise the driver
+    # cutover and the shuffle-width scaling fire at half the threshold
+    n_edges = sym_edges.count() // 2
     if n_edges == 0:
         return rd.from_arrow(_RANK_SCHEMA.empty_table())
     if n_edges <= driver_edge_cap:

@@ -621,6 +621,10 @@ def img_curation(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     def elect(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        # density is a pure function of the two preceding keys, so it can
+        # never break a (pixels, filesize) tie — it is carried ONLY for
+        # parity with the reference's quality tuple (dedupc.py:62-68 has
+        # the same order-inert 4th key); the mirror carries it identically
         df["density"] = df["filesize"] / np.maximum(df["pixels"], 1)
         df = df.sort_values(
             ["proc_hash", "pixels", "filesize", "density", "image_id"],
@@ -635,17 +639,13 @@ def img_curation(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     return gated.union(elected)
 
 
-def img_curation_report(images: rd.Dataset,
-                        cfg: PipelineConfig = DEFAULT_CONFIG,
-                        min_pixels: int = IMG_CURATION_MIN_PIXELS) -> pd.DataFrame:
-    """Dataset-card rollup of ``img_curation`` (per action: images + bytes)
-    — the image sibling of ``docs_curation_report``.  Per-batch combiner
-    emits ≤6 partial rows per batch, so the exchange is a few hundred bytes
-    regardless of corpus size; the final merge is driver-side."""
+def curation_rollup(decisions: rd.Dataset) -> "pd.DataFrame":
+    """Per-action (n_images, total_bytes) rollup of a curation decision
+    table — shared by ``img_curation_report`` and the ``cli img-curate``
+    job so the CLI's report.json cannot drift from the query.  Per-batch
+    combiner emits ≤6 partial rows per batch; final merge is driver-side."""
     import numpy as np
     import pandas as pd
-
-    ds = img_curation(images, cfg, min_pixels=min_pixels)
 
     def combine(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -660,11 +660,28 @@ def img_curation_report(images: rd.Dataset,
             "total_bytes": pa.array(g["total_bytes"].to_numpy(np.int64)),
         })
 
-    parts = ds.map_batches(combine, batch_format="pyarrow").to_pandas()
+    parts = decisions.map_batches(combine, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # zero-row corpus: typed empty frame, not a KeyError
+        return pd.DataFrame({"action": pd.Series(dtype=object),
+                             "n_images": pd.Series(dtype=np.int64),
+                             "total_bytes": pd.Series(dtype=np.int64)})
     out = (parts.groupby("action", as_index=False)
            .agg(n_images=("n_images", "sum"),
                 total_bytes=("total_bytes", "sum"))
            .sort_values("action").reset_index(drop=True))
+    out["n_images"] = out["n_images"].astype(np.int64)
+    out["total_bytes"] = out["total_bytes"].astype(np.int64)
+    return out
+
+
+def img_curation_report(images: rd.Dataset,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        min_pixels: int = IMG_CURATION_MIN_PIXELS) -> pd.DataFrame:
+    """Dataset-card rollup of ``img_curation`` (per action: images + bytes)
+    — the image sibling of ``docs_curation_report``."""
+    import numpy as np
+
+    out = curation_rollup(img_curation(images, cfg, min_pixels=min_pixels))
     out["n_images"] = out["n_images"].astype(np.int64)
     out["total_bytes"] = out["total_bytes"].astype(np.int64)
     return out

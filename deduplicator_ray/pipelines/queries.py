@@ -972,17 +972,12 @@ def emb_cluster_remove(sf_dir: str) -> pd.DataFrame:
     return _emb_unpad(out)
 
 
-def emb_leakage_split(sf_dir: str, train_pct: int = 90) -> pd.DataFrame:
-    """Near-dup-aware train/val split for the EMBEDDING modality — closes
-    the leakage-split matrix (docs_leakage_split / img_leakage_split /
-    here): every non-null vector gets a split assignment and all members
-    of an exact cos ≥ 0.35 component share it.  The component machinery is
-    the same padded-string CC the emb maintenance queries use (string
-    min-label == numeric min), and the md5 bucket hashes the SAME
-    zero-padded 12-digit key in both engines so DuckDB re-derives the
-    identical assignment."""
+def _emb_cc_labels(sf_dir: str):
+    """Shared preamble of the emb training-loader surfaces: exact
+    cos ≥ 0.35 edges → CC labels, plus the padded-string id projection of
+    every non-null vector — extracted so emb_leakage_split and
+    emb_sample_weights cannot drift apart in threshold or padding."""
     from deduplicator_ray.config import PipelineConfig
-    from deduplicator_ray.pipelines.doc_dedup import leakage_split_from_labels
     from deduplicator_ray.stages.components import connected_components
 
     cfg = PipelineConfig()
@@ -996,9 +991,23 @@ def emb_leakage_split(sf_dir: str, train_pct: int = 90) -> pd.DataFrame:
         v = np.asarray(t["vec_id"].to_pylist(), np.int64)
         return pa.table({"vec_id": pa.array(_emb_pad(v), pa.string())})
 
+    return ids.map_batches(proj, batch_format="pyarrow"), labels
+
+
+def emb_leakage_split(sf_dir: str, train_pct: int = 90) -> pd.DataFrame:
+    """Near-dup-aware train/val split for the EMBEDDING modality — closes
+    the leakage-split matrix (docs_leakage_split / img_leakage_split /
+    here): every non-null vector gets a split assignment and all members
+    of an exact cos ≥ 0.35 component share it.  The component machinery is
+    the same padded-string CC the emb maintenance queries use (string
+    min-label == numeric min), and the md5 bucket hashes the SAME
+    zero-padded 12-digit key in both engines so DuckDB re-derives the
+    identical assignment."""
+    from deduplicator_ray.pipelines.doc_dedup import leakage_split_from_labels
+
+    ids, labels = _emb_cc_labels(sf_dir)
     out = leakage_split_from_labels(
-        ids.map_batches(proj, batch_format="pyarrow"), labels,
-        id_col="vec_id", train_pct=train_pct).to_pandas()
+        ids, labels, id_col="vec_id", train_pct=train_pct).to_pandas()
     res = pd.DataFrame({
         "vec_id": out["vec_id"].astype(np.int64),
         "split_key": out["split_key"].astype(np.int64),
@@ -1012,26 +1021,12 @@ def emb_sample_weights(sf_dir: str) -> pd.DataFrame:
     """Dedup-aware sampling weights for the EMBEDDING modality — closes the
     weights matrix (docs_sample_weights / img_sample_weights / here):
     every non-null vector weighs 1e6 // its exact cos ≥ 0.35 component
-    size.  Same padded-string CC machinery as emb_leakage_split; keys cast
-    back to int64 at the edge."""
-    from deduplicator_ray.config import PipelineConfig
+    size.  Same padded-string CC machinery as emb_leakage_split (shared
+    via _emb_cc_labels); keys cast back to int64 at the edge."""
     from deduplicator_ray.pipelines.doc_dedup import sample_weights_from_labels
-    from deduplicator_ray.stages.components import connected_components
 
-    cfg = PipelineConfig()
-    edges = _emb_exact_edges(sf_dir, lambda v: np.ones_like(v, bool),
-                             lambda a, b: np.ones_like(a & b, bool))
-    labels = connected_components(edges, cfg)
-    ids = _nonnull_vec(dio.read_parquet(_t(sf_dir, "embeddings"),
-                                        columns=["vec_id", "embedding"]))
-
-    def proj(t: pa.Table) -> pa.Table:
-        v = np.asarray(t["vec_id"].to_pylist(), np.int64)
-        return pa.table({"vec_id": pa.array(_emb_pad(v), pa.string())})
-
-    out = sample_weights_from_labels(
-        ids.map_batches(proj, batch_format="pyarrow"), labels,
-        id_col="vec_id").to_pandas()
+    ids, labels = _emb_cc_labels(sf_dir)
+    out = sample_weights_from_labels(ids, labels, id_col="vec_id").to_pandas()
     out = _typed(out, pa.schema([
         ("vec_id", pa.string()), ("weight_key", pa.string()),
         ("family_size", pa.int64()), ("weight_e6", pa.int64())]))
@@ -5632,8 +5627,13 @@ def docs_lang_length_gate(sf_dir: str, pct: int = 10) -> pd.DataFrame:
         # NULL text maps to the 2**62 sentinel (max rank); the SQL mirror
         # coalesces to the SAME literal so the emitted n_tokens agrees too
         n_tok = pc.fill_null(n_tok.cast(pa.int64()), 2**62)
+        # NULL lang becomes an internal sentinel partition: pandas groupby
+        # silently DROPS NaN keys, which would exempt null-lang docs from
+        # the gate while the mirror's PARTITION BY lang gates them as
+        # their own partition; decide() restores the null at the output
+        lang = pc.fill_null(t["lang"], "\x00")
         return pa.Table.from_arrays(
-            [t["doc_id"], t["lang"], n_tok],
+            [t["doc_id"], lang, n_tok],
             names=["doc_id", "lang", "n_tokens"])
 
     feats = ds.map_batches(featurize, batch_format="pyarrow",
@@ -5691,10 +5691,12 @@ def docs_lang_length_gate(sf_dir: str, pct: int = 10) -> pd.DataFrame:
     def decide(df: pd.DataFrame) -> pd.DataFrame:
         bnds, tids = ray.get(bounds_ref)
         vs = df["lang"].map(lambda l: bnds.get(l, (np.int64(-1), 0))[0])
-        drop = (df["n_tokens"] < vs) | (
-            (df["n_tokens"] == vs)
-            & [d in tids.get(l, ()) for l, d in zip(df["lang"], df["doc_id"])])
+        in_ties = np.fromiter(
+            (d in tids.get(l, ()) for l, d in zip(df["lang"], df["doc_id"])),
+            bool, count=len(df))
+        drop = (df["n_tokens"] < vs) | ((df["n_tokens"] == vs) & in_ties)
         out = df[["doc_id", "lang", "n_tokens"]].copy()
+        out["lang"] = out["lang"].where(out["lang"] != "\x00", other=None)
         out["action"] = np.where(drop, "drop", "keep")
         return out
 

@@ -829,6 +829,33 @@ def test_lang_length_gate_mirror(sf_small, con_docs):
     assert (per["d"] == per["n"] * 10 // 100).all()
 
 
+def test_lang_length_gate_null_lang_partition(sf_small):
+    """NULL-lang docs form their own gated partition exactly like the
+    mirror's PARTITION BY lang (a pandas dropna groupby would silently
+    exempt them — the review-confirmed divergence this pins)."""
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "lang": pa.array(["en"] * 10 + [None] * 10, pa.string()),
+        "text": [" ".join(["w"] * (i + 1)) for i in range(20)],
+    })
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(t, f"{td}/documents.parquet")
+        eng = q.docs_lang_length_gate(td)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{td}/documents.parquet')")
+        orc = con.execute(q.DOCS_LANG_LENGTH_GATE_SQL).df()
+    _match(eng, orc)
+    nulls = eng[eng["lang"].isna()]
+    assert len(nulls) == 10 and (nulls["action"] == "drop").sum() == 1
+
+
 def test_docs_dedup_tiers_mirror(sf_small, con_docs):
     """Tiered dedup cascade over the augmented doc relation: cheapest
     binding tier (exact → reordered → near → unique) and its group-minimum

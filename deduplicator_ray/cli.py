@@ -40,6 +40,16 @@ def _ensure_ray() -> None:
                  include_dashboard=False, logging_level="ERROR")
 
 
+def _fresh(path: str) -> str:
+    """Clear an output subdirectory before write_parquet (which APPENDS):
+    a rerun into the same --output must not accumulate duplicate rows
+    beside a fresh report/manifest."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
         hash_size: int = 8, files_exempt: tuple[str, ...] = (),
         threshold: int = 2, explain: bool = False,
@@ -96,7 +106,7 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     if mode == "reference":
         t0 = time.time()
         dec = ip.reference_decisions_from_fp(fp, cfg)
-        dec.write_parquet(os.path.join(output_dir, "decisions"))
+        dec.write_parquet(_fresh(os.path.join(output_dir, "decisions")))
         metrics["decisions_wall_s"] = round(time.time() - t0, 3)
     else:
         # stage 2-4 — signatures → banding → verify → CC; when resuming,
@@ -121,7 +131,7 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
             batch_format="pyarrow",
         )
         clusters = connected_components(real, cfg).materialize()
-        clusters.write_parquet(os.path.join(output_dir, "clusters"))
+        clusters.write_parquet(_fresh(os.path.join(output_dir, "clusters")))
         overflow = stats.to_pandas()
         metrics["cluster_wall_s"] = round(time.time() - t0, 3)
         metrics["n_overflow_buckets"] = int(len(overflow))
@@ -468,7 +478,7 @@ def run_curate(input_dir: str, output_dir: str, lang: str = "en",
     t0 = time.time()
     dec = q._curation_decisions("", lang=lang, min_tokens=min_tokens,
                                 docs_path=input_dir).materialize()
-    dec.write_parquet(os.path.join(output_dir, "decisions"))
+    dec.write_parquet(_fresh(os.path.join(output_dir, "decisions")))
     t_dec = round(time.time() - t0, 3)
 
     # trimmed text for the kept docs (substring spans applied)
@@ -485,7 +495,7 @@ def run_curate(input_dir: str, output_dir: str, lang: str = "en",
         lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep_ids)),
         batch_format="pyarrow")
     trimmed = q.trim_spans(kept, substring_dup_spans(kept))
-    trimmed.write_parquet(os.path.join(output_dir, "trimmed"))
+    trimmed.write_parquet(_fresh(os.path.join(output_dir, "trimmed")))
     t_trim = round(time.time() - t1, 3)
 
     report = (pdf.groupby("action", as_index=False)
@@ -534,7 +544,7 @@ def run_img_curate(input_dir: str, output_dir: str,
     cfg = PipelineConfig(hash_size=hash_size)
     t0 = time.time()
     dec = ip.img_curation(dio.read_parquet(input_dir), cfg).materialize()
-    dec.write_parquet(os.path.join(output_dir, "decisions"))
+    dec.write_parquet(_fresh(os.path.join(output_dir, "decisions")))
     t_dec = round(time.time() - t0, 3)
 
     t1 = time.time()
@@ -561,7 +571,7 @@ def run_img_curate(input_dir: str, output_dir: str,
 
     kept = dio.read_parquet(input_dir).map_batches(
         keep_filter, batch_format="pyarrow")
-    kept.write_parquet(os.path.join(output_dir, "kept"))
+    kept.write_parquet(_fresh(os.path.join(output_dir, "kept")))
     t_kept = round(time.time() - t1, 3)
 
     report = ip.curation_rollup(dec)
@@ -755,7 +765,7 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
     clusters = fp_clusters_from_pairs(
         pairs, id_col=id_col,
         a_col=f"{id_col}_a", b_col=f"{id_col}_b").materialize()
-    clusters.write_parquet(os.path.join(output_dir, "clusters"))
+    clusters.write_parquet(_fresh(os.path.join(output_dir, "clusters")))
     n_clustered = clusters.count()
     t_cc = round(time.time() - t2, 3)
 

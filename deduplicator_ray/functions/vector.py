@@ -58,8 +58,20 @@ def topk_boundary(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     boundary TIES in unspecified order, which breaks the mirrors'
     ``row_number()`` determinism whenever equal scores straddle the
     cutoff — routine for integer ADC scores, and real for float cosine
-    too (planted duplicate embeddings give bit-equal similarities)."""
-    order = np.lexsort((ids, -scores))
+    too (planted duplicate embeddings give bit-equal similarities).
+
+    Cost stays near-linear: O(n) argpartition to the cutoff score, widen
+    to every row tied with it, then lexsort only that candidate set —
+    a full-batch lexsort would pay O(n log n) per query in the hot ANN
+    scan loops for ties that touch a handful of rows."""
+    n = len(scores)
+    if kk >= n:
+        order = np.lexsort((ids, -scores))
+        return order[:kk]
+    part = np.argpartition(-scores, kk - 1)
+    cut = scores[part[kk - 1]]
+    cand = np.flatnonzero(scores >= cut)
+    order = cand[np.lexsort((ids[cand], -scores[cand]))]
     return order[:kk]
 
 

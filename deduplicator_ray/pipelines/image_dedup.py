@@ -679,12 +679,7 @@ def img_curation_report(images: rd.Dataset,
                         min_pixels: int = IMG_CURATION_MIN_PIXELS) -> pd.DataFrame:
     """Dataset-card rollup of ``img_curation`` (per action: images + bytes)
     — the image sibling of ``docs_curation_report``."""
-    import numpy as np
-
-    out = curation_rollup(img_curation(images, cfg, min_pixels=min_pixels))
-    out["n_images"] = out["n_images"].astype(np.int64)
-    out["total_bytes"] = out["total_bytes"].astype(np.int64)
-    return out
+    return curation_rollup(img_curation(images, cfg, min_pixels=min_pixels))
 
 
 # aspect-ratio bucket ladder for training-shape bucketing: (index, rw, rh).

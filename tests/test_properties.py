@@ -346,3 +346,20 @@ def test_gopher_kernel_matches_per_doc_reference(texts):
         want = _gopher_ref_one(text)
         for k, v in want.items():
             assert got.loc[i, k] == v, (k, text)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_topk_boundary_equals_full_lexsort(n, seed):
+    """Deterministic boundary selection: the near-linear argpartition +
+    tie-widening path must equal a full (score DESC, id ASC) lexsort for
+    every kk — including heavy integer-score ties at the cutoff."""
+    from deduplicator_ray.functions.vector import topk_boundary
+
+    rng = np.random.default_rng(seed)
+    scores = rng.integers(0, 5, n)       # small range → ties are routine
+    ids = rng.permutation(n).astype(np.int64)
+    for kk in (1, n // 2 + 1, n):
+        got = topk_boundary(scores, ids, kk)
+        want = np.lexsort((ids, -scores))[:kk]
+        assert np.array_equal(got, want)

@@ -987,6 +987,36 @@ def _aud_dedup_tiers_report(sf_dir: str):
         ad.audio_tier_signatures(ad.load_audios(sf_dir)))
 
 
+def _mm_dedup_tier_matrix(sf_dir: str):
+    """ONE table for the whole dedup-tier matrix: (modality, tier,
+    n_items) across all five modalities (img/docs/emb/vid/aud) — the
+    cross-modality rollup of the per-modality tier cascades, so a corpus
+    operator reads the cheapest-binding-tier yield of the entire corpus
+    from a single artifact.  The mirror is the UNION ALL of the five
+    per-modality report mirrors, each projected onto the common shape."""
+    import pandas as pd
+
+    from deduplicator_ray.pipelines import queries as q
+
+    specs = [
+        ("aud", _aud_dedup_tiers_report, "n_audios"),
+        ("docs", q.docs_dedup_tiers_report, "n_docs"),
+        ("emb", q.emb_dedup_tiers_report, "n_vecs"),
+        ("img", _img_dedup_tiers_report, "n_images"),
+        ("vid", _vid_dedup_tiers_report, "n_videos"),
+    ]
+    out = []
+    for modality, fn, alias in specs:
+        df = fn(sf_dir)
+        out.append(pd.DataFrame({
+            "modality": modality,
+            "tier": df["tier"].astype(str),
+            "n_items": df[alias].astype("int64"),
+        }))
+    res = pd.concat(out, ignore_index=True)
+    return res.sort_values(["modality", "tier"]).reset_index(drop=True)
+
+
 def _vid_sample_weights(sf_dir: str):
     """Dedup-aware sampling weights for the VIDEO modality — closes the
     weights matrix (docs/img/emb/here): every decodable video weighs
@@ -1388,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vid_dedup_tiers_report": _vid_dedup_tiers_report,
         "aud_dedup_tiers": _aud_dedup_tiers,
         "aud_dedup_tiers_report": _aud_dedup_tiers_report,
+        "mm_dedup_tier_matrix": _mm_dedup_tier_matrix,
         "aud_signatures": _aud_signatures,
         "aud_dup_pairs": _aud_dup_pairs,
         "aud_clusters": _aud_clusters,
@@ -1979,7 +2010,7 @@ def _fixture_mirrors() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     from deduplicator_ray.pipelines import queries as q
 
-    return _fixture_mirrors() | {
+    out = _fixture_mirrors() | {
         "pricing_summary": q.PRICING_SUMMARY_SQL,
         "top_customers": q.TOP_CUSTOMERS_SQL,
         "events_window": q.EVENTS_WINDOW_SQL,
@@ -2079,3 +2110,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_pagerank": q.DOCS_PAGERANK_SQL,
         "docs_triangles": q.DOCS_TRIANGLES_SQL,
     }
+    out["mm_dedup_tier_matrix"] = " UNION ALL ".join(
+        f"SELECT '{m}' AS modality, tier, {alias} AS n_items "
+        f"FROM ({out[key]})"
+        for m, key, alias in (
+            ("aud", "aud_dedup_tiers_report", "n_audios"),
+            ("docs", "docs_dedup_tiers_report", "n_docs"),
+            ("emb", "emb_dedup_tiers_report", "n_vecs"),
+            ("img", "img_dedup_tiers_report", "n_images"),
+            ("vid", "vid_dedup_tiers_report", "n_videos"),
+        )) + " ORDER BY modality, tier"
+    return out

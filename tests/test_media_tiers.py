@@ -72,3 +72,23 @@ def test_aud_dedup_tiers_mirror_and_semantics(ray_session, sf_small):
     res = [a for a in tiers.index if a.startswith("aud/re")]
     assert res and all(tiers.loc[a, "tier"] == "near" for a in res)
     assert (tiers["dup_of"] <= tiers.index.to_series()).all()
+
+
+def test_mm_dedup_tier_matrix(sf_small):
+    """Cross-modality tier matrix: one (modality, tier, n_items) table
+    that must agree row-for-row with each per-modality report."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    mat = q["mm_dedup_tier_matrix"](sf_small)
+    assert set(mat["modality"]) == {"img", "docs", "emb", "vid", "aud"}
+    assert (mat["n_items"] > 0).all()
+    for modality, key, alias in (
+            ("img", "img_dedup_tiers_report", "n_images"),
+            ("vid", "vid_dedup_tiers_report", "n_videos"),
+            ("aud", "aud_dedup_tiers_report", "n_audios")):
+        rep = q[key](sf_small)
+        got = dict(zip(mat.loc[mat["modality"] == modality, "tier"],
+                       mat.loc[mat["modality"] == modality, "n_items"]))
+        want = dict(zip(rep["tier"], rep[alias].astype(int)))
+        assert got == want, modality

@@ -144,6 +144,23 @@ def hash_strings_u64(strs: list[str]) -> np.ndarray:
     return hash_tokens(strs)
 
 
+def char_shingle_hashes_chars(text: str, k: int = 5) -> np.ndarray:
+    """Distinct uint64 hashes of the CHARACTER k-shingles of ``text`` —
+    the exact ``_shingle_set`` space the containment relation verifies
+    over.  The containment stores' pigeonhole recall bound counts CHAR
+    windows, so their postings/probes must hash the same space:
+    ``char_shingle_hashes`` hashes k-BYTE windows of the UTF-8 encoding,
+    which over-fragments multi-byte text (a novel region spans up to 4×
+    more byte windows than char windows) and silently breaks the bound
+    on non-ASCII corpora.  Short texts hash as one whole-text shingle,
+    matching ``_shingle_set``'s behavior."""
+    if len(text) < k:
+        shingles = [text]
+    else:
+        shingles = [text[i:i + k] for i in range(len(text) - k + 1)]
+    return np.unique(hash_tokens(shingles))
+
+
 # ---------------------------------------------------------------------------
 # MinHash
 

@@ -1434,7 +1434,12 @@ def docs_containment_pairs_prefix(sf_dir: str,
         sh, did, pb = [], [], []
         for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             txt = str(txt or "")
-            h = textfn.char_shingle_hashes(txt, k=CONT_K).view(np.int64)
+            # CHAR-shingle hashes: the pigeonhole bound below counts CHAR
+            # windows, so the hashed space must match (byte-window hashing
+            # breaks recall on multi-byte text — see
+            # char_shingle_hashes_chars)
+            h = textfn.char_shingle_hashes_chars(
+                txt, k=CONT_K).view(np.int64)
             # prefix bound from the TOTAL window count (≥ distinct |Sa|):
             # safe upper bound, immune to hash-collision undercounting
             n_windows = max(len(txt) - (CONT_K - 1), 1)

@@ -84,6 +84,11 @@ def build_band_index(known_fp: rd.Dataset, cfg: PipelineConfig,
     params = {"num_parts": num_parts, "hash_size": cfg.hash_size,
               "hamming_max": cfg.hamming_max,
               "channels": list(channels)}
+    if "cap" in channels:
+        # the caption channel's band keys depend on the MinHash params —
+        # pin them too, or a probe with a drifted cfg silently misses
+        # caption near-dups (the docbandstore._PIN policy)
+        params.update({k: getattr(cfg, k) for k in _CAP_PIN})
     with open(os.path.join(index_dir, _PARAMS), "w") as f:
         json.dump(params, f)
     return params
@@ -111,15 +116,61 @@ def append_band_index(new_fp: rd.Dataset, index_dir: str,
     return rows.count()
 
 
+# caption-channel banding params: drift here changes the persisted band
+# KEYS just as surely as hash_size does on the image channel (verify-time
+# thresholds like jaccard_min stay unpinned — re-thresholding a built
+# index is a supported workflow)
+_CAP_PIN = ("shingle_k", "num_perm", "bands", "rows_per_band")
+
+
 def _load_params(index_dir: str, cfg: PipelineConfig) -> dict:
     with open(os.path.join(index_dir, _PARAMS)) as f:
         params = json.load(f)
-    for k in ("hash_size", "hamming_max"):
+    pins = ["hash_size", "hamming_max"]
+    if "cap" in params.get("channels", []):
+        pins += [k for k in _CAP_PIN if k in params]  # old indexes lack them
+    for k in pins:
         if params[k] != getattr(cfg, k):
             raise ValueError(
                 f"band index was built with {k}={params[k]}, probe cfg has "
                 f"{getattr(cfg, k)} — matches would be silently wrong")
     return params
+
+
+def _probe_prune(probe: rd.Dataset, index_dir: str, num_parts: int,
+                 stats: dict | None):
+    """Two-level read pruning shared by the index probes, both exact:
+
+      1. partition level — only ``part=`` directories the probe's own
+         band rows hash into (wins when the increment is minuscule);
+      2. bucket level — the probe's (band, key) membership pushed down
+         into the parquet fragment scan, so index rows outside probed
+         buckets never enter the object store or the verify shuffle
+         (wins at ANY increment size: a 2% increment touches every
+         partition but ~2-15% of each band's key space).
+
+    Returns (existing partition paths, pyarrow.dataset filter expr)."""
+    key_by_band: dict[int, set[int]] = {}
+    nparts: set[int] = set()
+    for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
+        nparts.update(b["part"].to_pylist())
+        for band, key in zip(b["band"].to_pylist(), b["key"].to_pylist()):
+            key_by_band.setdefault(int(band), set()).add(key)
+    paths = [os.path.join(index_dir, f"part={p}")
+             for p in sorted(int(p) for p in nparts)]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if stats is not None:
+        stats["parts_read"] = len(paths)
+        stats["parts_total"] = num_parts
+
+    import pyarrow.dataset as pads
+
+    expr = None
+    for band, ks in sorted(key_by_band.items()):
+        e = ((pads.field("band") == band)
+             & pads.field("key").isin(pa.array(sorted(ks), pa.int64())))
+        expr = e if expr is None else (expr | e)
+    return paths, expr
 
 
 def probe_band_delta_edges(new_fp: rd.Dataset, index_dir: str,
@@ -145,36 +196,10 @@ def probe_band_delta_edges(new_fp: rd.Dataset, index_dir: str,
 
     edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
-    # two levels of read pruning, both exact (the delta verify ignores
-    # all-known buckets anyway, so dropping known rows outside probe-
-    # touched buckets cannot change the result):
-    #   1. partition level — only `part=` directories the increment's own
-    #      band rows hash into (wins when the increment is minuscule);
-    #   2. bucket level — the probe's (band, key) membership pushed down
-    #      into the parquet fragment scan, so index rows outside probed
-    #      buckets never enter the object store or the verify shuffle
-    #      (wins at ANY increment size: a 2% increment touches every
-    #      partition but ~2-15% of each band's key space).
-    key_by_band: dict[int, set[int]] = {}
-    nparts: set[int] = set()
-    for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
-        nparts.update(b["part"].to_pylist())
-        for band, key in zip(b["band"].to_pylist(), b["key"].to_pylist()):
-            key_by_band.setdefault(int(band), set()).add(key)
-    paths = [os.path.join(index_dir, f"part={p}")
-             for p in sorted(int(p) for p in nparts)]
-    paths = [p for p in paths if os.path.isdir(p)]
-    if stats is not None:
-        stats["parts_read"] = len(paths)
-        stats["parts_total"] = num_parts
-
-    import pyarrow.dataset as pads
-
-    expr = None
-    for band, ks in sorted(key_by_band.items()):
-        e = ((pads.field("band") == band)
-             & pads.field("key").isin(pa.array(sorted(ks), pa.int64())))
-        expr = e if expr is None else (expr | e)
+    # two-level read pruning (_probe_prune), both exact here: the delta
+    # verify ignores all-known buckets anyway, so dropping known rows
+    # outside probe-touched buckets cannot change the result
+    paths, expr = _probe_prune(probe, index_dir, num_parts, stats)
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -216,12 +241,10 @@ def probe_band_index(new_fp: rd.Dataset, index_dir: str,
              .map_batches(_add_part(num_parts), batch_format="pyarrow")
              .materialize())  # the increment is the SMALL side by design
 
-    parts = sorted(int(p) for p in probe.unique("part"))
-    paths = [os.path.join(index_dir, f"part={p}") for p in parts]
-    paths = [p for p in paths if os.path.isdir(p)]
-    if stats is not None:
-        stats["parts_read"] = len(paths)
-        stats["parts_total"] = num_parts
+    # same two-level pruning as the delta probe — exact here too: a match
+    # can only arise in a bucket the probe itself occupies, so unprobed
+    # (band, key) index rows cannot change any new row's verdict
+    paths, expr = _probe_prune(probe, index_dir, num_parts, stats)
     if not paths:
         return rd.from_arrow(CROSS_MATCH_SCHEMA.empty_table())
 
@@ -232,7 +255,7 @@ def probe_band_index(new_fp: rd.Dataset, index_dir: str,
 
         return f
 
-    idx_rows = dio.read_parquet(paths).map_batches(
+    idx_rows = dio.read_parquet(paths, filter=expr).map_batches(
         tag(0), batch_format="pyarrow")
     probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
     return cross_min_from_band_rows(idx_rows.union(probe_rows), cfg)

@@ -58,7 +58,10 @@ class BandShardActor:
 def _band_rows_for(image_id: str, dhash_u64: int, caption: str,
                    cfg: PipelineConfig) -> list[tuple[int, int, str]]:
     rows = []
-    dh = np.uint64(dhash_u64)
+    # fingerprint tables carry dhash as SIGNED int64 — mask to the u64
+    # keyspace here so callers can pass them verbatim (np.uint64(-x) is
+    # a DeprecationWarning on numpy 1.x and an OverflowError on 2.x)
+    dh = np.uint64(int(dhash_u64) & (2**64 - 1))
     for bi, (start, width) in enumerate(_IMG_SLICES):
         key = int((dh >> np.uint64(start)) & np.uint64((1 << width) - 1))
         rows.append((bi, key, image_id))

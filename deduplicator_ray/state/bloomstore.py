@@ -234,7 +234,11 @@ class _VerifyExact:
                 ok[i] = mlo[i] in klo[left[i]:right[i]]
             dup[mask] = ok
         status = np.where(dup, "dup_known", "new")
-        keep = [i for i, n in enumerate(t.schema.names) if n not in _AUX]
+        # drop aux cols AND any pre-existing 'status' (fingerprint rows
+        # carry one) — appending unconditionally would emit a duplicate
+        # column name that breaks downstream column selection
+        keep = [i for i, n in enumerate(t.schema.names)
+                if n not in _AUX and n != "status"]
         return pa.Table.from_arrays(
             [t.column(i) for i in keep] + [pa.array(status, pa.string())],
             names=[t.schema.names[i] for i in keep] + ["status"],

@@ -49,6 +49,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -65,7 +66,11 @@ _PARAMS = "_params.json"
 
 
 def _shingle_rows(cont_k: int):
-    from deduplicator_ray.functions.text import char_shingle_hashes
+    # CHAR-shingle hashes: n_windows below counts CHAR windows and the
+    # verify stage intersects CHAR shingle sets, so the hashed postings
+    # space must match (byte-window hashing breaks the pigeonhole recall
+    # bound on multi-byte text — see char_shingle_hashes_chars)
+    from deduplicator_ray.functions.text import char_shingle_hashes_chars
 
     schema = pa.schema([("sh", pa.int64()), ("doc_id", pa.int64()),
                         ("n_windows", pa.int64())])
@@ -74,7 +79,7 @@ def _shingle_rows(cont_k: int):
         sh, did, nw = [], [], []
         for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             txt = str(txt or "")
-            h = char_shingle_hashes(txt, k=cont_k).view(np.int64)
+            h = char_shingle_hashes_chars(txt, k=cont_k).view(np.int64)
             sh.append(h)
             did.append(np.full(len(h), int(d), np.int64))
             nw.append(np.full(len(h), max(len(txt) - (cont_k - 1), 1),
@@ -171,6 +176,11 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
 
     params = _load_params(index_dir)
     num_parts, cont_k = params["num_parts"], params["cont_k"]
+
+    # materialized ONCE: the probe consumes `new` three times (probe
+    # marking, the id scan, the candidate-text pull) — unmaterialized,
+    # each consumption re-executes the upstream lineage
+    new = new.materialize()
 
     hot_tbl = pq.read_table(os.path.join(index_dir, "hot.parquet"))
     hot = dict(zip(hot_tbl["sh"].to_pylist(), hot_tbl["df"].to_pylist()))
@@ -281,7 +291,14 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
              .select_columns(["doc_id", "text"]).to_pandas())
     ksh = {int(i): _shingle_set(str(t), k=cont_k)
            for i, t in zip(ktext["doc_id"], ktext["text"])}
-    ntext = new.select_columns(["doc_id", "text"]).to_pandas()
+    # only candidate-bearing new docs need their shingle sets — pull just
+    # those texts to the driver, not the whole increment
+    cand_new = pa.array(sorted(set(int(x) for x in cands["doc_id"])),
+                        pa.int64())
+    ntext = (new.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_new))
+                   .select(["doc_id", "text"]),
+        batch_format="pyarrow").to_pandas())
     nsh = {int(i): _shingle_set(str(t), k=cont_k)
            for i, t in zip(ntext["doc_id"], ntext["text"])}
 

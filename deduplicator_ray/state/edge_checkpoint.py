@@ -34,7 +34,10 @@ from deduplicator_ray import io as dio
 
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.stages.banding import make_banding
-from deduplicator_ray.stages.candidates import make_partition_verify
+from deduplicator_ray.stages.candidates import (
+    VERIFY_SCHEMA,
+    make_partition_verify,
+)
 from deduplicator_ray.stages.partitioned import _hash_cols, partitioned_groupby
 from deduplicator_ray.stages.signatures import CaptionSignatures
 
@@ -127,6 +130,10 @@ def checkpoint_verified_edges(
         edges = partitioned_groupby(
             band_rows().map_batches(this_part, batch_format="pyarrow"),
             ["band", "key"], make_partition_verify(cfg), num_parts=4,
+            # typed empty blocks: an EMPTY band partition must checkpoint
+            # as n_edges=0, not write zero parquet files and crash the
+            # immediate read-back
+            out_schema=VERIFY_SCHEMA,
         )
         tmp = out_dir + ".tmp"
         if os.path.exists(tmp):

@@ -42,8 +42,11 @@ STAGE_FINGERPRINT = "fingerprint"
 
 
 def shard_digest(path: str) -> str:
+    # nanosecond mtime: whole-second truncation let a same-size shard
+    # rewritten within one second resume STALE (the exact staleness the
+    # manifest exists to catch)
     st = os.stat(path)
-    return f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}"
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
 
 
 def _manifest_path(ckpt_dir: str, shard_name: str) -> str:

@@ -860,3 +860,44 @@ def test_cli_cont_jobs(sf_small, tmp_path):
     assert m3["n_new"] == len(dec) > 0
     assert m3["n_dropped"] == int((dec["action"] == "drop").sum()) > 0
     assert set(dec.columns) == {"doc_id", "matched_known", "action"}
+
+
+def test_containment_probe_recall_on_multibyte_text(ray_session, tmp_path):
+    """Pigeonhole recall must hold for NON-ASCII text: the bound counts
+    CHAR windows, so postings/probes must hash char shingles — byte-window
+    hashing over-fragments multi-byte text (up to 4× more byte windows
+    than char windows) and could leave every probed hash novel, silently
+    keeping a contained doc.  A CJK-range corpus with char containment
+    just above threshold pins the fixed behavior."""
+    import numpy as np
+    import ray.data as rd
+
+    from deduplicator_ray.state import contstore
+
+    alphabet = [chr(0x4E00 + i) for i in range(64)]  # 3-byte UTF-8 chars
+
+    def doc(n, seed):
+        r = np.random.default_rng(seed)
+        return "".join(r.choice(alphabet, size=n))
+
+    # 8 byte-identical known copies make every SHARED shingle hot
+    # (df=8 ≥ hot_df), so the df-ascending probe prefix is exactly the
+    # NOVEL shingles — the regime where byte-window hashing had ≥ p novel
+    # hashes (13 byte windows from a 2-char/6-byte edit vs p=10 probes)
+    # and recall silently broke; char hashing leaves 9 novel < 10 probes
+    base = doc(100, 7)
+    known_texts = [base] * 8
+    # new docs: the known text with its first 2 chars replaced —
+    # char containment 84/93 ≈ 0.903 ≥ 0.9 at cont_k=8
+    new_texts = ["两两" + base[2:] for _ in range(8)]
+    known = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(known_texts)])
+    new = rd.from_items(
+        [{"doc_id": 100 + i, "text": t} for i, t in enumerate(new_texts)])
+
+    idx = str(tmp_path / "contidx")
+    contstore.build_containment_index(known, idx, cont_k=8, num_parts=8)
+    out = contstore.probe_containment_index(new, idx, threshold=0.9)
+    assert (out["action"] == "drop").all(), out
+    # identical known copies: the smallest containing known id wins
+    assert (out["matched_known"] == 0).all()

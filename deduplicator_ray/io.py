@@ -21,14 +21,20 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _walk_parquet_files(path: str) -> list[str]:
+    """Every .parquet file under ``path``, deterministic order.  sorted()
+    materializes the walk, so root order alone fixes the sequence."""
+    out: list[str] = []
+    for root, _dirs, files in sorted(os.walk(path)):
+        out.extend(os.path.join(root, f) for f in sorted(files)
+                   if f.endswith(".parquet"))
+    return out
+
+
 def _first_parquet_file(path: str) -> str | None:
     if os.path.isdir(path):
-        for root, dirs, files in sorted(os.walk(path)):
-            dirs.sort()
-            for f in sorted(files):
-                if f.endswith(".parquet"):
-                    return os.path.join(root, f)
-        return None
+        files = _walk_parquet_files(path)
+        return files[0] if files else None
     return path
 
 
@@ -47,20 +53,17 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kw) -> rd.Dataset
     from deduplicator_ray import tuning
 
     tuning.tune()  # every pipeline reads through here: one tuning chokepoint
-    if isinstance(paths, (list, tuple)) and len(paths) > 1:
-        # Ray's parquet datasource rejects a MIXED list once a schema is
-        # supplied (directories error as unreadable files) — expand each
-        # directory entry to its parquet files so multi-source unions
-        # (e.g. corpus ∪ alt-namespace) read through one datasource.
+    if isinstance(paths, (list, tuple)):
+        # Ray's parquet datasource rejects a directory entry in a LIST
+        # once a schema is supplied (errors as an unreadable file) — a
+        # one-element list included — so expand every directory entry to
+        # its parquet files.
         flat: list[str] = []
         for p in paths:
-            if os.path.isdir(p):
-                for root, dirs, files in sorted(os.walk(p)):
-                    dirs.sort()
-                    flat.extend(os.path.join(root, f) for f in sorted(files)
-                                if f.endswith(".parquet"))
-            else:
-                flat.append(p)
+            flat.extend(_walk_parquet_files(p) if os.path.isdir(p) else [p])
+        if not flat:
+            raise ValueError(
+                f"read_parquet: no parquet files under {list(paths)!r}")
         paths = flat
     if "schema" not in kw:
         first = paths[0] if isinstance(paths, (list, tuple)) else paths
@@ -186,7 +189,10 @@ def read_image_files(root: str) -> rd.Dataset:
         for path, data in zip(t["path"].to_pylist(),
                               t["bytes"].to_pylist()):
             rel = os.path.relpath(path, root)
-            ext = rel.rsplit(".", 1)[-1].lower() if "." in rel else ""
+            # extension from the BASENAME: a dotted directory segment
+            # (batch.v2/IMG0001) must not leak into fmt
+            base = os.path.basename(rel)
+            ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
             w = h = 0
             ph = 0
             if ext in ("png", "bmp", "ppm"):

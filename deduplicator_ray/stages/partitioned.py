@@ -20,6 +20,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -32,9 +33,16 @@ def _hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
     MUST be process-deterministic: Python's builtin ``hash()`` is salted per
     interpreter (PYTHONHASHSEED), so using it would scatter the same key
     into different partitions from different workers and silently break
-    every partitioned groupby.  Strings use zlib.crc32 (C-speed,
-    deterministic); only partition spread is needed here, not 64-bit
-    collision resistance."""
+    every partitioned groupby.  Strings use pandas' C-level siphash with a
+    FIXED key (process-deterministic, unlike builtin hash); only partition
+    spread is needed here, not 64-bit collision resistance.
+
+    Integer columns are null-filled BEFORE numpy conversion: a nullable
+    int64 block converts via float64, where large keys lose low bits —
+    the same key would hash differently depending on whether its block
+    happened to contain a null, breaking the key-equal-rows-share-a-
+    partition invariant every partitioned op relies on (nulls simply
+    co-partition with the fill value, which is harmless)."""
     import zlib
 
     acc = np.zeros(t.num_rows, np.uint64)
@@ -42,7 +50,14 @@ def _hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
         for k in keys:
             col = t[k]
             if pa.types.is_integer(col.type):
-                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+                v = (pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+                     .astype(np.int64).view(np.uint64))
+            elif pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                s = pc.fill_null(col, "").to_pandas()
+                v = pd.util.hash_array(s.to_numpy(dtype=object),
+                                       hash_key="dedup_ray_part16",
+                                       categorize=False).view(np.uint64)
             else:
                 v = np.fromiter(
                     (zlib.crc32(str(x).encode()) for x in col.to_pylist()),
@@ -181,8 +196,18 @@ def partitioned_merge_str(
                 r = g.loc[g["__side"] == "r", right_cols]
                 out = l.merge(r, how=how, left_on=left_on, right_on=right_on)
                 if len(out):
-                    outs.append(out[out_cols]
-                                if set(out_cols) <= set(out.columns) else out)
+                    if not set(out_cols) <= set(out.columns):
+                        # non-disjoint side columns got suffixed — fail at
+                        # the cause, not in a downstream concat/from_pandas
+                        raise ValueError(
+                            "partitioned_merge_str: non-key columns must "
+                            f"be disjoint; merge produced {list(out.columns)}"
+                            f" but expected {out_cols}")
+                    if how != "inner":
+                        # unmatched right side: the module's missing-string
+                        # sentinel is '', not null
+                        out = out.fillna("")
+                    outs.append(out[out_cols])
         if not outs:
             yield empty_out
             return

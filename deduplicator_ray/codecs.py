@@ -130,6 +130,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# header-level decompression-bomb cap, same 160 MP bound the metadata-level
+# guard uses (decode_hash.MAX_IMAGE_PIXELS, /root/reference/dupedb.py:33)
+MAX_DECODE_PIXELS = 160_000_000
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
@@ -170,6 +174,14 @@ def decode_png(data: bytes) -> np.ndarray:
                 w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
                 if depth != 8 or color != 2 or interlace != 0:
                     raise CodecError(f"unsupported png: depth={depth} color={color}")
+                # bomb guard on the PAYLOAD's own header, before inflating:
+                # the caller-side metadata guard (decode_hash) can be
+                # spoofed by a row whose w/h columns understate the IHDR
+                # dims — the reference's PIL MAX_IMAGE_PIXELS reads the
+                # header for the same reason (/root/reference/dupedb.py:33)
+                if w * h > MAX_DECODE_PIXELS:
+                    raise CodecError(
+                        f"decompression bomb: png header {w}x{h}")
             elif tag == b"IDAT":
                 idat.extend(payload)
             elif tag == b"IEND":

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from deduplicator_ray.config import PipelineConfig
 from deduplicator_ray.functions import text as textfn
@@ -106,8 +107,9 @@ def _md5_key64(md5_hex: str) -> int:
     """First 64 bits of the md5 as int64 (bucket key only — the verify step
     compares the FULL hex, so a 64-bit collision costs a comparison, never a
     false edge)."""
-    u = int(md5_hex[:16] or "0", 16)
-    return u - (1 << 64) if u >= (1 << 63) else u
+    from deduplicator_ray.hashing import u64_to_i64
+
+    return u64_to_i64(int(md5_hex[:16] or "0", 16))
 
 
 def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")):
@@ -119,7 +121,12 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
 
     def banding(batch: pa.Table) -> pa.Table:
         ids_all = np.asarray(batch["image_id"].to_pylist(), dtype=object)
-        dh_all = batch["dhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        # fill_null BEFORE numpy conversion: a nullable int64 block
+        # converts via float64, and .view(np.uint64) would reinterpret the
+        # FLOAT bit patterns as hashes (garbage keys; two null rows would
+        # verify Hamming-0 against each other) — the _hash_cols hazard
+        dh_all = (pc.fill_null(batch["dhash"], 0)
+                  .to_numpy(zero_copy_only=False).view(np.uint64))
         if "status" in batch.column_names:
             ok_mask = np.asarray(batch["status"].to_pylist(), dtype=object) == "ok"
         else:
@@ -165,10 +172,21 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
                 dh_out.append(zeros)
                 cap_out.append(hexes)
         if "img" in channels:
-            if not ok_mask.all() and "content_md5" in batch.column_names:
-                md5s = [m for m, ok in
-                        zip(batch["content_md5"].to_pylist(), ok_mask) if not ok]
-                m_ids = ids_all[~ok_mask].tolist()
+            # md5 band: STRICT-MODE media only (status == "md5_only").  A
+            # plain not-ok mask would also scoop status == "error"
+            # quarantine rows, whose content_md5 is '' — every failed
+            # download in a bucket would share key 0 AND the '' verify
+            # payload, welding them into one bogus byte-identical cluster
+            if "status" in batch.column_names:
+                md5_mask = (np.asarray(batch["status"].to_pylist(),
+                                       dtype=object) == "md5_only")
+            else:
+                md5_mask = np.zeros(len(ids_all), bool)
+            if md5_mask.any() and "content_md5" in batch.column_names:
+                md5s = [m for m, sel in
+                        zip(batch["content_md5"].to_pylist(), md5_mask)
+                        if sel]
+                m_ids = ids_all[md5_mask].tolist()
                 m = len(m_ids)
                 bands_out.append(np.full(m, MD5_BAND, np.int32))
                 keys_out.append(np.fromiter((_md5_key64(x) for x in md5s),

@@ -55,36 +55,41 @@ _ASSIGN_SCHEMA = pa.schema([("image_id", pa.string()),
                             ("cluster_id", pa.string())])
 
 
-def _checksum(assign: rd.Dataset) -> int:
-    """Order-independent 64-bit checksum of a (node, label) assignment —
+def _pair_checksum(ds: rd.Dataset, col_a: str, col_b: str) -> int:
+    """Order-independent 64-bit checksum of a two-string-column relation —
     per-batch mod-2^64 partials reduced driver-side with Python big-ints
-    (no int64-overflow hazard at any scale).  Used by tests and manifests."""
+    (no int64-overflow hazard at any scale).
+
+    The per-batch partial ships as a SIGNED int64 (Arrow storage), so the
+    driver reduction must add the ``1 << 63`` offset back per partial
+    before the mod — summing the offset partials raw would make the
+    checksum depend on the PARITY OF THE BATCH COUNT, not just the row
+    multiset (two identical assignments with different block structure
+    would checksum differently, and the CC fixpoint comparing consecutive
+    rounds could miss an already-converged graph)."""
 
     def h(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_pylist()
-        label = batch["label"].to_pylist()
-        hv = hash_strings_u64([f"{n}\x00{l}" for n, l in zip(node, label)])
+        a = batch[col_a].to_pylist()
+        b = batch[col_b].to_pylist()
+        hv = hash_strings_u64([f"{x}\x00{y}" for x, y in zip(a, b)])
         with np.errstate(over="ignore"):
             s = int(hv.sum(dtype=np.uint64))
         return pa.Table.from_pydict({"h": [s - (1 << 63)]})
 
-    parts = assign.map_batches(h, batch_format="pyarrow").take_all()
-    return sum(p["h"] for p in parts) % (1 << 64)
+    parts = ds.map_batches(h, batch_format="pyarrow").take_all()
+    return sum(p["h"] + (1 << 63) for p in parts) % (1 << 64)
+
+
+def _checksum(assign: rd.Dataset) -> int:
+    """Order- and block-structure-independent checksum of a (node, label)
+    assignment.  Used by tests and manifests."""
+    return _pair_checksum(assign, "node", "label")
 
 
 def _edge_checksum(edges: rd.Dataset) -> int:
-    """Order-independent checksum over (src, dst) edge rows."""
-
-    def h(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_pylist()
-        dst = batch["dst"].to_pylist()
-        hv = hash_strings_u64([f"{a}\x00{b}" for a, b in zip(src, dst)])
-        with np.errstate(over="ignore"):
-            s = int(hv.sum(dtype=np.uint64))
-        return pa.Table.from_pydict({"h": [s - (1 << 63)]})
-
-    parts = edges.map_batches(h, batch_format="pyarrow").take_all()
-    return sum(p["h"] for p in parts) % (1 << 64)
+    """Order- and block-structure-independent checksum over (src, dst)
+    edge rows (drives the CC fixpoint detection)."""
+    return _pair_checksum(edges, "src", "dst")
 
 
 def _symmetrize(b: pa.Table) -> pa.Table:

@@ -59,3 +59,23 @@ def test_bmp_row_padding():
     img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
     out = codecs.decode_bmp(codecs.encode_bmp(img))
     assert (out == img).all()
+
+
+def test_png_header_bomb_guard():
+    """Bomb guard at the CODEC layer: a payload whose IHDR declares 1.6 G
+    pixels must be rejected before inflating, even when caller-side
+    metadata (the table's w/h) understates the dims (spoofed rows bypass
+    the decode_hash metadata guard)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return struct.pack(">I", len(payload)) + tag + payload + b"\0\0\0\0"
+
+    bomb = (codecs._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\0" * 100))
+            + chunk(b"IEND", b""))
+    with pytest.raises(codecs.CodecError, match="bomb"):
+        codecs.decode_png(bomb)

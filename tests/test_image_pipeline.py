@@ -747,3 +747,48 @@ def test_audio_features_stage():
     assert len(strict) == 3
     assert strict.iloc[0]["status"].startswith(
         "error:UnsupportedFormatError")
+
+
+def test_md5_band_excludes_error_rows(ray_session):
+    """The md5 band takes STRICT-MODE media only: status='error'
+    quarantine rows (content_md5='') must never enter the band keyspace —
+    a not-ok mask would weld every failed download into one bogus
+    byte-identical cluster."""
+    import pyarrow as pa
+
+    from deduplicator_ray.stages.banding import MD5_BAND, make_banding
+
+    batch = pa.table({
+        "image_id": ["a", "b", "c", "d"],
+        "dhash": pa.array([111, 0, 0, 0], pa.int64()),
+        "dhash_hex": ["%016x" % 111, "0" * 16, "0" * 16, "0" * 16],
+        "status": ["ok", "md5_only", "error", "error"],
+        "content_md5": ["a1" * 16, "b2" * 16, "", ""],
+        "caption": ["", "", "", ""],
+        "minhash": pa.array([[0] * 128] * 4, pa.list_(pa.int64(), 128)),
+        "simhash": pa.array([0] * 4, pa.int64()),
+    })
+    out = make_banding(__import__(
+        "deduplicator_ray.config", fromlist=["PipelineConfig"]
+    ).PipelineConfig(), channels=("img",))(batch)
+    md5_rows = out.filter(
+        pa.compute.equal(out["band"], MD5_BAND)).to_pydict()
+    assert md5_rows["image_id"] == ["b"]  # md5_only only, no error rows
+
+
+def test_cluster_checksum_block_structure_independent(ray_session):
+    """The order-independent checksum must also be BLOCK-structure
+    independent: identical assignments with different partition counts
+    checksum equally (the CC fixpoint compares consecutive rounds whose
+    block counts can differ)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.stages.components import _checksum
+
+    rows = [{"node": f"n{i:03d}", "label": f"l{i % 7}"} for i in range(100)]
+    t = pa.Table.from_pylist(rows)
+    sums = {_checksum(rd.from_arrow(t)),
+            _checksum(rd.from_arrow(t).repartition(2)),
+            _checksum(rd.from_arrow(t).repartition(5))}
+    assert len(sums) == 1

@@ -70,8 +70,13 @@ def decode_ppm(data: bytes) -> np.ndarray:
                     pos += 1
                 continue
             start = pos
-            while not data[pos : pos + 1].isspace():
+            # data[pos:pos+1] is b'' past EOF — NOT whitespace — so the
+            # scan must terminate explicitly or a truncated header hangs
+            # the decoding actor forever instead of dead-lettering
+            while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
+            if pos == start:
+                raise CodecError("truncated ppm header")
             fields.append(int(data[start:pos]))
         pos += 1  # single whitespace after maxval
     except (IndexError, ValueError) as e:
@@ -79,6 +84,11 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise CodecError(f"unsupported ppm maxval {maxval}")
+    if w <= 0 or h <= 0:
+        # negative dims reshape to a ValueError that ESCAPES the
+        # CodecError dead-letter handlers; zero dims decode to empty
+        # images whose dHash 0 welds them into one false cluster
+        raise CodecError(f"bad ppm dims {w}x{h}")
     body = data[pos : pos + w * h * 3]
     if len(body) != w * h * 3:
         raise CodecError("truncated ppm body")
@@ -114,6 +124,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise CodecError(f"unsupported bmp: bpp={bpp} compression={compression}")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise CodecError(f"bad bmp dims {w}x{h}")
     row_size = (w * 3 + 3) & ~3
     body = data[offset : offset + row_size * h]
     if len(body) != row_size * h:
@@ -189,10 +201,18 @@ def decode_png(data: bytes) -> np.ndarray:
             pos += 12 + length
         if w is None:
             raise CodecError("png missing IHDR")
-        decomp = zlib.decompress(bytes(idat))
+        stride = 1 + w * 3
+        # bound the INFLATION, not just the declared dims: a payload whose
+        # IHDR says 2x2 but whose IDAT inflates to gigabytes would pass
+        # the header guard and balloon worker memory before the size
+        # check — cap the decompressor at the scanline budget and reject
+        # any surplus compressed input
+        d = zlib.decompressobj()
+        decomp = d.decompress(bytes(idat), stride * h + 1)
+        if len(decomp) > stride * h or d.unconsumed_tail:
+            raise CodecError("png IDAT inflates past the scanline budget")
     except (struct.error, zlib.error) as e:
         raise CodecError(f"bad png: {e}") from e
-    stride = 1 + w * 3
     if len(decomp) != stride * h:
         raise CodecError("bad png scanline payload size")
     scan = np.frombuffer(decomp, np.uint8).reshape(h, stride)
@@ -206,22 +226,36 @@ def decode_png(data: bytes) -> np.ndarray:
         if f == 0:
             out[y] = cur
         elif f == 1:  # sub
+            # scalar-int loops for the left-dependent filters: each byte
+            # depends on the reconstructed byte bpp to its left, so the
+            # row can't vectorize — but plain ints beat per-byte numpy
+            # scalar/array churn by an order of magnitude
+            row = cur.tolist()
             for x in range(bpp, w * 3):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-            out[y] = cur
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+            out[y] = row
         elif f == 2:  # up
             out[y] = cur + prev
         elif f == 3:  # average
+            row = cur.tolist()
+            pr = prev.tolist()
             for x in range(w * 3):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-            out[y] = cur
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + pr[x]) >> 1)) & 0xFF
+            out[y] = row
         elif f == 4:  # paeth
+            row = cur.tolist()
+            pr = prev.tolist()
             for x in range(w * 3):
-                a = cur[x - bpp] if x >= bpp else np.uint8(0)
-                c = prev[x - bpp] if x >= bpp else np.uint8(0)
-                cur[x] = (int(cur[x]) + int(_paeth(np.array(a), np.array(prev[x]), np.array(c)))) & 0xFF
-            out[y] = cur
+                a = row[x - bpp] if x >= bpp else 0
+                b = pr[x]
+                c = pr[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c)
+                row[x] = (row[x] + pred) & 0xFF
+            out[y] = row
         else:
             raise CodecError(f"bad png filter {f}")
     return out.reshape(h, w, 3)

@@ -48,12 +48,16 @@ def dhash_bits(rgb: np.ndarray, hash_size: int = 8) -> np.ndarray:
 
 
 def pack_bits_u64(bits: np.ndarray) -> int:
-    """Pack a bit matrix (row-major, MSB-first) into a Python int."""
-    flat = bits.flatten()
-    v = 0
-    for b in flat:
-        v = (v << 1) | int(b)
-    return v
+    """Pack a bit matrix (row-major, MSB-first) into a Python int —
+    np.packbits + int.from_bytes, not a per-bit Python loop (this runs
+    once per image in the dHash/pHash hot path).  packbits pads the LAST
+    byte's low bits with zeros, so shift the surplus off for non-multiple-
+    of-8 widths to keep the MSB-first semantics bit-exact."""
+    flat = np.asarray(bits).flatten()
+    n = len(flat)
+    v = int.from_bytes(np.packbits(flat.astype(np.uint8)).tobytes(), "big")
+    pad = (-n) % 8
+    return v >> pad
 
 
 def bits_to_hex(bits: np.ndarray) -> str:

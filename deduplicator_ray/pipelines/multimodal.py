@@ -25,6 +25,16 @@ from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.resize import grayscale_u8, resize_u8
 
 
+def _dims_i64(batch: "pa.Table") -> tuple[np.ndarray, np.ndarray]:
+    """null w/h → 0 (codec validation rejects what it must) — shared by the
+    decode stages so the coercion cannot drift between them."""
+    ws = np.nan_to_num(
+        batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    hs = np.nan_to_num(
+        batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    return ws, hs
+
+
 class ResizeImages:
     """Actor-pool stage: decode → Lanczos resize → re-encode.
 
@@ -38,12 +48,8 @@ class ResizeImages:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         payloads = batch["bytes"].to_pylist()
-        # null w/h → 0 (codec validation rejects what it must); null bytes
-        # raise CodecError inside decode_image and take the error path
-        ws = np.nan_to_num(
-            batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        hs = np.nan_to_num(
-            batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        # null bytes raise CodecError inside decode_image (error path)
+        ws, hs = _dims_i64(batch)
         fmts = batch["fmt"].to_pylist()
         out_bytes, status = [], []
         for i in range(n):
@@ -74,12 +80,8 @@ class ImageFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         payloads = batch["bytes"].to_pylist()
-        # null w/h → 0 (codec validation rejects what it must); null bytes
-        # raise CodecError inside decode_image and take the error path
-        ws = np.nan_to_num(
-            batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        hs = np.nan_to_num(
-            batch["h"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        # null bytes raise CodecError inside decode_image (error path)
+        ws, hs = _dims_i64(batch)
         fmts = batch["fmt"].to_pylist()
         mean_rgb = np.zeros((n, 3), np.float32)
         hist = np.zeros((n, self.bins), np.float32)
@@ -343,7 +345,7 @@ class AudioFeatures:
     fully testable and SQL-mirrorable; ``fake=False`` dead-letters audio
     rows with the UnsupportedFormatError message."""
 
-    AUDIO_FMTS = ("mp3", "wav", "flac", "ogg")
+    AUDIO_FMTS = ("acon", "mp3", "wav", "flac", "ogg")
     SAMPLE_RATE = 16000
     N_MFCC = 13
 
@@ -370,6 +372,33 @@ class AudioFeatures:
         payloads = batch["bytes"].to_pylist()
         for iid, fmt, blob in zip(ids, fmts, payloads):
             if fmt not in self.AUDIO_FMTS:
+                continue
+            if fmt == "acon" and blob is not None and not self.fake:
+                # the engine's own container has a REAL decoder
+                # (codecs.decode_acon) — only foreign formats stub
+                from deduplicator_ray import codecs as _codecs
+
+                try:
+                    rate, pcm = _codecs.decode_acon(blob)
+                    rms = float(np.sqrt(np.mean(
+                        pcm.astype(np.float64) ** 2))) if len(pcm) else 0.0
+                    rows["image_id"].append(iid)
+                    rows["duration_ms"].append(
+                        int(len(pcm) * 1000 // max(rate, 1)))
+                    rows["sample_rate"].append(int(rate))
+                    rows["rms_e6"].append(int(rms * 1_000_000 / 32768))
+                    rows["mfcc"].append([])
+                    rows["fmt"].append(fmt)
+                    rows["status"].append("ok")
+                except _codecs.CodecError as e:
+                    rows["image_id"].append(iid)
+                    rows["duration_ms"].append(-1)
+                    rows["sample_rate"].append(-1)
+                    rows["rms_e6"].append(-1)
+                    rows["mfcc"].append([])
+                    rows["fmt"].append(fmt)
+                    rows["status"].append(
+                        f"error:{type(e).__name__}: {e}")
                 continue
             if not self.fake or blob is None:
                 rows["image_id"].append(iid)

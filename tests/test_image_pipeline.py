@@ -792,3 +792,27 @@ def test_cluster_checksum_block_structure_independent(ray_session):
             _checksum(rd.from_arrow(t).repartition(2)),
             _checksum(rd.from_arrow(t).repartition(5))}
     assert len(sums) == 1
+
+
+def test_audio_features_real_acon_decode():
+    """The engine's own acon container decodes for REAL in AudioFeatures
+    (fake=False) — only foreign formats (mp3/wav/...) stub; a corrupt
+    acon payload dead-letters with the codec taxonomy."""
+    import pyarrow as pa
+
+    from deduplicator_ray import codecs
+    from deduplicator_ray.pipelines.multimodal import AudioFeatures
+
+    pcm = (np.sin(np.linspace(0, 200, 16000)) * 8000).astype(np.int16)
+    blob = codecs.encode_acon(pcm, rate=16000)
+    batch = pa.table({
+        "image_id": ["a/x.acon", "b/bad.acon"],
+        "bytes": [blob, b"not-an-acon"],
+        "fmt": ["acon", "acon"],
+    })
+    out = AudioFeatures(fake=False)(batch).to_pandas().set_index("image_id")
+    good = out.loc["a/x.acon"]
+    assert good["status"] == "ok"
+    assert good["duration_ms"] == 1000 and good["sample_rate"] == 16000
+    assert good["rms_e6"] > 0
+    assert out.loc["b/bad.acon", "status"].startswith("error:")

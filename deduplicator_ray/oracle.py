@@ -35,16 +35,24 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
     cols = images.to_pydict()
     for i in range(images.num_rows):
         row = {k: cols[k][i] for k in images.column_names}
+        # null-tolerant like the engine (decode_hash null-coerces w/h and
+        # dead-letters null payloads) — the oracle must survive the same
+        # web-dirty rows or the dead-letter path can never be golden-tested
+        data = row["bytes"] if row["bytes"] is not None else b""
+        w = int(row["w"] or 0)
+        h = int(row["h"] or 0)
         rec = {
             "image_id": row["image_id"],
             "caption": row["caption"],
-            "pixels": row["w"] * row["h"],
-            "filesize": len(row["bytes"]),
-            "md5": hashing.md5_hex(row["bytes"]),
+            "pixels": w * h,
+            "filesize": len(data),
+            "md5": hashing.md5_hex(data),
             "stored_phash": row["phash"],
         }
         try:
-            img = codecs.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+            if row["bytes"] is None:
+                raise codecs.CodecError("NullPayload: bytes is null")
+            img = codecs.decode_image(data, row["fmt"], w, h)
             bits_fn = (hashing.dhash_bits if cfg.hash_fn == "dhash"
                        else hashing.phash_bits)
             bits = bits_fn(img, cfg.hash_size)
@@ -145,11 +153,10 @@ def verified_pairs(rows: list[dict], cfg: PipelineConfig) -> set[tuple[str, str]
                 if j in cand or str(ok[j]["caption"] or "") == "":
                     continue
                 sj = shingles[j]
-                if len(si) == 0 and len(sj) == 0:
-                    jac = 1.0
-                else:
-                    inter = len(np.intersect1d(si, sj, assume_unique=True))
-                    jac = inter / (len(si) + len(sj) - inter)
+                # shingle arrays are never empty (char_shingle_hashes pads
+                # short texts to one window), so plain Jaccard suffices
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                jac = inter / (len(si) + len(sj) - inter)
                 if jac >= cfg.jaccard_min:
                     cand.add(j)
         for j in cand:
@@ -179,7 +186,15 @@ def connected_components(pairs: set[tuple[str, str]]) -> dict[str, str]:
 def reference_clusters_hidealts(rows: list[dict], cfg: PipelineConfig) -> dict[str, list[str]]:
     """loadDuplicates with hide-alts (compare.py:519-560): a bucket survives
     iff its alt-suppressed member list still meets the threshold; surviving
-    buckets keep FULL membership (the reference stores ``filelist``)."""
+    buckets keep FULL membership (the reference stores ``filelist``).
+
+    Namespace scope: this golden uses the BUCKET as the smart-method
+    search namespace (suppress_alt_members' default), matching the
+    engine's default mode.  The reference globs the LIVE FILESYSTEM, so
+    a series base outside the bucket can change a verdict — the engine
+    surfaces that mode as ``namespace='corpus'``
+    (pipelines/image_dedup.py); goldens for it must pass the full id
+    universe here explicitly."""
     from deduplicator_ray.stages.alts import suppress_alt_members
 
     out = {}

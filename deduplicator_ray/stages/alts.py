@@ -31,11 +31,10 @@ Faithfulness notes (bug-for-bug):
 
 from __future__ import annotations
 
-import fnmatch
 import os
 import re
 
-from deduplicator_ray.stages.ranking import series_info
+from deduplicator_ray.stages.ranking import series_info, split_path
 
 MATCH_EXTS = [".jpg", ".gif", ".webm", ".png"]  # compare.py:30
 
@@ -47,6 +46,21 @@ _COMMON_BASE_PATTERNS = [
     (r" otn$", r"*"),
     (r"(\\\w+\-pn_\d+_)[^\\]+$", r"\g<1>*"),
 ]  # compare.py:155-162
+
+
+_GLOB_CACHE: dict[str, "re.Pattern[str]"] = {}
+
+
+def _glob_like(pat: str) -> "re.Pattern[str]":
+    """Compile a common-base pattern with filesystem-glob semantics:
+    every non-* char literal (incl. brackets), * confined to one path
+    segment.  Cached — the same few patterns recur across a bucket."""
+    rx = _GLOB_CACHE.get(pat)
+    if rx is None:
+        rx = re.compile("[^/]*".join(re.escape(p) for p in pat.split("*"))
+                        + r"\Z")
+        _GLOB_CACHE[pat] = rx
+    return rx
 
 
 def find_base_for_path(path: str, namespace: list[str]) -> str | bool:
@@ -67,7 +81,15 @@ def find_base_for_path(path: str, namespace: list[str]) -> str | bool:
     for pattern, sub in _COMMON_BASE_PATTERNS:
         if re.search(pattern, name):
             pat = re.sub(pattern, sub, name)
-            g = sorted(x for x in namespace if fnmatch.fnmatchcase(x, pat))
+            # GLOB semantics, not fnmatch: the reference escapes [ ] before
+            # glob.glob (compare.py:164) so brackets are LITERAL, and
+            # glob's * never crosses '/' — fnmatch would interpret
+            # brackets as character classes (missing literal-bracket ids)
+            # and let * match into subdirectories (spurious suppressions),
+            # making this broadcast path disagree with the self-join path
+            # (derive_probes), which already matches glob semantics.
+            rx = _glob_like(pat)
+            g = sorted(x for x in namespace if rx.match(x))
             if len(g) > 1:
                 return g[0]
     return False
@@ -88,7 +110,7 @@ def suppress_alt_members(filelist: list[str],
         if any(n.startswith(stub) and len(n) <= L and len(n) > L - 12
                for n in base_names.difference({stem})):
             out.remove(filename)
-            base_names.remove(stem)
+            base_names.discard(stem)  # two members can share a stem
             continue
         base = find_base_for_path(filename, ns)
         if base in out:
@@ -178,7 +200,7 @@ def series_alt_pairs(ids_ds, num_partitions: int = 64):
         ids = t["image_id"].to_pylist()
         key, dirc, alt, prio, role = [], [], [], [], []
         for iid in ids:
-            d = iid[:iid.rfind("/")] if "/" in iid else ""
+            d = split_path(iid)[0]
             eq, pre = derive_probes(iid)
             for p, k in eq:
                 key.append(k); dirc.append(d); alt.append(iid)

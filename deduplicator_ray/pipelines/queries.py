@@ -2185,9 +2185,22 @@ def emb_semdedup(sf_dir: str, threshold: float = 0.35,
 # is an already-value-checked operator (docs_lang_id, docs_text_stats,
 # docs_clusters, docs_substring_dup); this query exercises their COMPOSITION
 # end-to-end under one driver value hash.  Scale shape: the per-doc feature
-# pass streams; the dup-cluster and dup-span tables are the *duplicated
-# fraction* only, broadcast once via ray.put and looked up vectorized
-# (np.isin / searchsorted) inside map_batches — no extra shuffle.
+# pass streams; the dup-cluster labels and dup-span partials are UNIONED
+# with the feature rows and joined by ONE doc_id-partitioned groupby —
+# the dup set is never collected to the driver and never broadcast, so a
+# 100-TB corpus with a 30-50% dup fraction costs one keyed exchange of
+# (doc_id, tag) rows, not a billions-of-ids ray.put (the shape
+# img_curation already uses for its gate-row union).
+
+
+_CURATION_JOIN_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("src", pa.int8()),          # 0=feature row, 1=dup label, 2=span partial
+    ("lang_pred", pa.string()),
+    ("n_tokens", pa.int64()),
+    ("stopword_cnt", pa.int64()),
+    ("dup_toks", pa.int64()),
+])
 
 
 def _curation_decisions(sf_dir: str, lang: str = "en",
@@ -2196,58 +2209,121 @@ def _curation_decisions(sf_dir: str, lang: str = "en",
     """The per-doc curation decision Dataset shared by docs_curation (the
     per-row relation), docs_curation_report (the rollup) and the `cli
     curate` job (``docs_path`` overrides the sf-dir convention with any
-    parquet path/dir of (doc_id, text) rows)."""
+    parquet path/dir of (doc_id, text) rows).
+
+    Join shape (no driver materialization of the label table —
+    tests/test_doc_pipeline.py::test_curation_never_collects_labels): the
+    three per-doc attribute sources are tagged, padded to one schema,
+    unioned, and resolved by a single doc_id-partitioned groupby:
+
+      src=0  feature rows   (lang_pred, n_tokens, stopword_cnt) — one per doc
+      src=1  dup labels     doc_clusters rows with image_id != cluster_id
+      src=2  span partials  per-batch SUM(span_end-span_start) by doc_id
+
+    Inside a partition every doc's rows are co-located, so `decide` is a
+    vectorized merge: is_dup = membership of src=1, dup_toks = sum of
+    src=2, gates evaluated first-hit-wins exactly as before."""
     from deduplicator_ray.config import PipelineConfig
     from deduplicator_ray.pipelines.doc_dedup import doc_clusters, text_features
     from deduplicator_ray.pipelines.substring import substring_dup_spans
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
 
     cfg = PipelineConfig()
     docs = dio.read_parquet(docs_path or _t(sf_dir, "documents"),
                             columns=["doc_id", "text"])
 
-    cl = doc_clusters(docs, cfg).to_pandas()
-    dup_drop = np.sort(np.asarray(
-        [int(n) for n, l in zip(cl["image_id"], cl["cluster_id"]) if n != l],
-        dtype=np.int64))
-    spans = substring_dup_spans(docs, k=SUBSTRING_K).to_pandas()
-    if len(spans):
-        st = spans.assign(tok=spans["span_end"] - spans["span_start"]) \
-                  .groupby("doc_id", as_index=False)["tok"].sum()
-        span_ids = st["doc_id"].to_numpy(dtype=np.int64)
-        span_tok = st["tok"].to_numpy(dtype=np.int64)
-        order = np.argsort(span_ids)
-        span_ids, span_tok = span_ids[order], span_tok[order]
-    else:
-        span_ids = np.zeros(0, np.int64)
-        span_tok = np.zeros(0, np.int64)
-    refs = ray.put((dup_drop, span_ids, span_tok))
+    nulls = {  # typed null pads so union schemas align exactly
+        "lang_pred": lambda n: pa.nulls(n, pa.string()),
+        "n_tokens": lambda n: pa.nulls(n, pa.int64()),
+        "stopword_cnt": lambda n: pa.nulls(n, pa.int64()),
+        "dup_toks": lambda n: pa.nulls(n, pa.int64()),
+    }
+
+    def pad(cols: dict, n: int, src: int) -> pa.Table:
+        arrays = [pa.array(cols["doc_id"], pa.int64()),
+                  pa.array(np.full(n, src, np.int8))]
+        for name in ("lang_pred", "n_tokens", "stopword_cnt", "dup_toks"):
+            arrays.append(cols[name] if name in cols else nulls[name](n))
+        return pa.Table.from_arrays(arrays,
+                                    schema=_CURATION_JOIN_SCHEMA)
 
     feats = text_features(docs).select_columns(
         ["doc_id", "lang_pred", "n_tokens", "stopword_cnt"])
 
-    def decide(t: pa.Table) -> pa.Table:
-        dd, sids, stok = ray.get(refs)
+    def tag_feat(t: pa.Table) -> pa.Table:
+        return pad({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "lang_pred": pc.cast(t["lang_pred"], pa.string()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "stopword_cnt": pc.cast(t["stopword_cnt"], pa.int64()),
+        }, t.num_rows, 0)
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["image_id"], t["cluster_id"]))
+        return pad({"doc_id": pc.cast(t["image_id"], pa.int64())
+                    .to_numpy(zero_copy_only=False)}, t.num_rows, 1)
+
+    def tag_span(t: pa.Table) -> pa.Table:
+        # per-batch partial: many span rows per doc collapse to one
+        # (doc_id, sum) row before the shuffle — a combiner, not a copy
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lp = np.asarray(t["lang_pred"].to_pylist())
-        ntok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-        stop = t["stopword_cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        is_dup = np.isin(ids, dd, assume_unique=False)
+        tok = (t["span_end"].to_numpy(zero_copy_only=False)
+               - t["span_start"].to_numpy(zero_copy_only=False)).astype(
+                   np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, tok)
+        return pad({"doc_id": uniq,
+                    "dup_toks": pa.array(sums, pa.int64())}, len(uniq), 2)
+
+    tagged = (
+        feats.map_batches(tag_feat, batch_format="pyarrow")
+        .union(doc_clusters(docs, cfg)
+               .map_batches(tag_dup, batch_format="pyarrow"))
+        .union(substring_dup_spans(docs, k=SUBSTRING_K)
+               .map_batches(tag_span, batch_format="pyarrow"))
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        feat = df[df["src"] == 0]
+        ids = feat["doc_id"].to_numpy(dtype=np.int64)
+        dup_ids = np.unique(
+            df.loc[df["src"] == 1, "doc_id"].to_numpy(dtype=np.int64))
+        sp = df[df["src"] == 2]
+        if len(sp):
+            st = sp.groupby("doc_id", as_index=False)["dup_toks"].sum()
+            sids = st["doc_id"].to_numpy(dtype=np.int64)
+            stok = st["dup_toks"].to_numpy(dtype=np.int64)
+            order = np.argsort(sids)
+            sids, stok = sids[order], stok[order]
+        else:
+            sids = np.zeros(0, np.int64)
+            stok = np.zeros(0, np.int64)
+        lp = feat["lang_pred"].to_numpy(dtype=object)
+        ntok = feat["n_tokens"].to_numpy(dtype=np.int64)
+        stop = feat["stopword_cnt"].to_numpy(dtype=np.int64)
+        is_dup = np.isin(ids, dup_ids, assume_unique=False)
         action = np.where(
             lp != lang, "drop_lang",
             np.where((ntok < min_tokens) | (stop == 0), "drop_quality",
                      np.where(is_dup, "drop_dup", "keep")))
-        pos = np.searchsorted(sids, ids)
-        pos[pos == len(sids)] = 0
-        dup_toks = np.where(
-            (len(sids) > 0) & (sids[pos] == ids), stok[pos], 0)
+        if len(sids):
+            pos = np.searchsorted(sids, ids)
+            pos[pos == len(sids)] = 0
+            dup_toks = np.where(sids[pos] == ids, stok[pos], 0)
+        else:
+            dup_toks = np.zeros(len(ids), np.int64)
         kept = np.where(action == "keep",
                         np.maximum(ntok - dup_toks, 0), 0).astype(np.int64)
-        return pa.Table.from_arrays(
-            [t["doc_id"], pa.array(action, pa.string()),
-             pa.array(kept, pa.int64())],
-            names=["doc_id", "action", "n_tokens_kept"])
+        return pd.DataFrame({"doc_id": ids, "action": action,
+                             "n_tokens_kept": kept})
 
-    return feats.map_batches(decide, batch_format="pyarrow")
+    return partitioned_groupby(
+        tagged, ["doc_id"], decide,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("action", pa.string()),
+                              ("n_tokens_kept", pa.int64())]))
 
 
 def docs_curation(sf_dir: str, lang: str = "en",

@@ -82,6 +82,26 @@ def test_curation_mirror(sf_small, con):
     assert set(eng["action"]) >= {"keep", "drop_lang"}
 
 
+def test_curation_never_collects_labels(sf_small, monkeypatch):
+    """Scale guard for the round-2 weak spot: the curation decision path
+    must build AND execute without any driver-side ``Dataset.to_pandas()``
+    of an intermediate table (doc_clusters / substring spans used to be
+    collected and the dup-id array ray.put-broadcast — driver OOM at a
+    100-TB dup fraction).  The dup set now reaches the decision via a
+    doc_id-partitioned union-join, so patching to_pandas to raise must not
+    fire anywhere in plan construction or streaming execution."""
+    import ray.data as rd
+
+    def boom(self, *a, **k):  # pragma: no cover - must never run
+        raise AssertionError(
+            "driver to_pandas() inside the curation decision path")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", boom)
+    ds = q._curation_decisions(sf_small)
+    n = sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow"))
+    assert n > 0
+
+
 def test_leakage_split_mirror(sf_small, con):
     """Near-dup-aware train/val split: value-matches the recursive-CTE +
     md5-bucket mirror, covers every document, and never lets a near-dup

@@ -1364,6 +1364,38 @@ ORDER BY va, vb
 CONT_K = 8  # containment shingle width (see block comment above)
 
 
+def _containment_verify(threshold: float, k: int = CONT_K):
+    """Per-partition exact containment verify for ``pair_text_join``:
+    receives (src, dst, text_a, text_b) pairs, emits (src, dst, cont_e6)
+    where C(a→b) = |Sa ∩ Sb| / |Sa| ≥ threshold.  Shingle sets are cached
+    per doc id within the partition, so a doc with many candidate pairs
+    shingles once."""
+    def verify(full: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, frozenset] = {}
+
+        def sh(doc: int, txt) -> frozenset:
+            s = cache.get(doc)
+            if s is None:
+                s = _shingle_set(str(txt), k=k)
+                cache[doc] = s
+            return s
+
+        src, dst, ce = [], [], []
+        for a, b, ta, tb in zip(full["src"], full["dst"],
+                                full["text_a"], full["text_b"]):
+            sa = sh(int(a), ta)
+            cont = len(sa & sh(int(b), tb)) / len(sa)
+            if cont >= threshold:
+                src.append(int(a))
+                dst.append(int(b))
+                ce.append(int(np.floor(cont * 1e6 + 0.5)))
+        return pd.DataFrame({"src": np.asarray(src, np.int64),
+                             "dst": np.asarray(dst, np.int64),
+                             "cont_e6": np.asarray(ce, np.int64)})
+
+    return verify
+
+
 def docs_containment_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -1413,17 +1445,17 @@ def docs_containment_pairs_prefix(sf_dir: str,
     annotates global df → ONE doc-partitioned groupby marks each doc's
     ⌊(1-t)·|Sa|⌋+1 rarest shingles as probes → ONE sh-partitioned groupby
     joins probes×index → pair dedup → exact verify.  Recall is pigeonhole-
-    exact under ANY global shingle order; (df, sh) is one.  The exact-verify
-    side table is broadcast once via ray.put (sf scale); at corpus scale it
-    becomes a partitioned merge pulling both texts onto the pair's
-    partition."""
-    import pyarrow.parquet as pq
-
+    exact under ANY global shingle order; (df, sh) is one.  The exact
+    verify is a partitioned two-sided text join (stages.textjoin): both
+    documents' texts are pulled onto the pair's partition through two
+    keyed exchanges — no ray.put of any corpus-sized structure
+    (tests/test_queries_containment.py pins the no-broadcast contract)."""
     from deduplicator_ray.functions import text as textfn
     from deduplicator_ray.stages.partitioned import (
         drop_duplicates,
         partitioned_groupby,
     )
+    from deduplicator_ray.stages.textjoin import pair_text_join
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -1497,30 +1529,15 @@ def docs_containment_pairs_prefix(sf_dir: str,
                                 out_schema=cand_schema)
     cands = drop_duplicates(cands, ["src", "dst"])
 
-    # exact verify (character shingles — the mirror's metric)
-    tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-    sh_ref = ray.put({int(i): _shingle_set(str(t), k=CONT_K)
-                      for i, t in zip(ids, tbl["text"].to_pylist())})
-
+    # exact verify (character shingles — the mirror's metric) as a
+    # partitioned two-exchange join: texts meet their pairs per partition
     out_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
                             ("cont_e6", pa.int64())])
 
-    def verify(t: pa.Table) -> pa.Table:
-        sh_all = ray.get(sh_ref)
-        src, dst, ce = [], [], []
-        for a, b in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
-            sa = sh_all[int(a)]
-            cont = len(sa & sh_all[int(b)]) / len(sa)
-            if cont >= threshold:
-                src.append(int(a))
-                dst.append(int(b))
-                ce.append(int(np.floor(cont * 1e6 + 0.5)))
-        return pa.Table.from_pydict(
-            {"src": src, "dst": dst, "cont_e6": ce}, schema=out_schema)
-
     out = _ds_to_pandas(
-        cands.map_batches(verify, batch_format="pyarrow"), out_schema)
+        pair_text_join(cands, ds, ds,
+                       _containment_verify(threshold), out_schema),
+        out_schema)
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 

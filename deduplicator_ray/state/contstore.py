@@ -269,51 +269,86 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
 
     cands = drop_duplicates(
         partitioned_groupby(unioned, ["sh"], emit, out_schema=cand_schema),
-        ["doc_id", "known_id"]).to_pandas()
-    if cands.empty or len(cands.columns) == 0:
-        return empty.reset_index(drop=True)
+        ["doc_id", "known_id"]).materialize()
 
-    # verify: pruned keyed-text lookup for the matched known ids
-    kids = sorted(set(int(k) for k in cands["known_id"]))
-    kid_arr = pa.array(kids, pa.int64())
-    dparts = sorted(set(
-        int(x) for x in (_hash_cols(pa.table({"doc_id": kid_arr}),
-                                    ["doc_id"])
-                         % np.uint64(num_parts))))
+    # read pruning for the keyed-text lookup: partition-level always (the
+    # dpart dirs candidate known ids hash into); ROW-level isin only while
+    # the candidate id set stays driver-sized — beyond the cap the pruned
+    # partitions are read whole and the keyed exchange of the verify join
+    # discards non-candidates (so driver memory stays bounded no matter
+    # the candidate volume)
+    KID_FILTER_CAP = 1 << 17
+    dparts: set[int] = set()
+    kids: set[int] | None = set()
+    for b in cands.select_columns(["known_id"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
+        kt = pa.table({"doc_id": b["known_id"]})
+        dparts.update(
+            (_hash_cols(kt, ["doc_id"]) % np.uint64(num_parts)).tolist())
+        if kids is not None:
+            kids.update(b["known_id"].to_pylist())
+            if len(kids) > KID_FILTER_CAP:
+                kids = None
+    if not dparts:
+        return empty.reset_index(drop=True)
     droot = os.path.join(index_dir, "docs")
-    dpaths = [os.path.join(droot, f"dpart={p}") for p in dparts]
+    dpaths = [os.path.join(droot, f"dpart={p}") for p in sorted(dparts)]
     dpaths = [p for p in dpaths if os.path.isdir(p)]
     if stats is not None:
         stats["doc_parts_read"] = len(dpaths)
         stats["doc_parts_total"] = num_parts
-    ktext = (dio.read_parquet(dpaths,
-                              filter=pads.field("doc_id").isin(kid_arr))
-             .select_columns(["doc_id", "text"]).to_pandas())
-    ksh = {int(i): _shingle_set(str(t), k=cont_k)
-           for i, t in zip(ktext["doc_id"], ktext["text"])}
-    # only candidate-bearing new docs need their shingle sets — pull just
-    # those texts to the driver, not the whole increment
-    cand_new = pa.array(sorted(set(int(x) for x in cands["doc_id"])),
-                        pa.int64())
-    ntext = (new.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_new))
-                   .select(["doc_id", "text"]),
-        batch_format="pyarrow").to_pandas())
-    nsh = {int(i): _shingle_set(str(t), k=cont_k)
-           for i, t in zip(ntext["doc_id"], ntext["text"])}
+    if not dpaths:
+        return empty.reset_index(drop=True)
+    kfilter = (pads.field("doc_id").isin(
+        pa.array(sorted(kids), pa.int64())) if kids is not None else None)
+    ktext = dio.read_parquet(dpaths, filter=kfilter).map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
 
-    matched: dict[int, int] = {}
-    for a, b in zip(cands["doc_id"], cands["known_id"]):
-        a, b = int(a), int(b)
-        sa = nsh.get(a)
-        sb = ksh.get(b)
-        if sa is None or sb is None:
-            continue
-        if len(sa & sb) / len(sa) >= threshold:
-            if a not in matched or b < matched[a]:
-                matched[a] = b
+    # verify: a partitioned two-exchange pair-text join (no driver text
+    # pull, no shingle-dict broadcast — the round-2 scale shortcut); only
+    # the PASSING pairs come back to the driver, and those are bounded by
+    # the true quote-of-known density of the increment
+    from deduplicator_ray.stages.textjoin import pair_text_join
+
+    pairs = cands.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["doc_id"], pa.int64()),
+                            "dst": pc.cast(t["known_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def verify(full: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, frozenset] = {}
+
+        def sh(doc: int, txt) -> frozenset:
+            s = cache.get(doc)
+            if s is None:
+                s = _shingle_set(str(txt), k=cont_k)
+                cache[doc] = s
+            return s
+
+        src, dst = [], []
+        for a, b, ta, tb in zip(full["src"], full["dst"],
+                                full["text_a"], full["text_b"]):
+            sa = sh(int(a), ta)
+            if len(sa & sh(int(b), tb)) / len(sa) >= threshold:
+                src.append(int(a))
+                dst.append(int(b))
+        return pd.DataFrame({"src": np.asarray(src, np.int64),
+                             "dst": np.asarray(dst, np.int64)})
+
+    passed = pair_text_join(
+        pairs, new.select_columns(["doc_id", "text"]), ktext, verify,
+        out_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        num_parts=num_parts).to_pandas()
+
     out = empty.copy()
-    mk = out["doc_id"].map(matched)
-    out["matched_known"] = mk.fillna(-1).astype(np.int64)
-    out["action"] = np.where(mk.isna(), "keep", "drop")
+    if len(passed) and len(passed.columns):
+        best = (passed.groupby("src", as_index=False)["dst"].min()
+                .rename(columns={"src": "doc_id", "dst": "matched_known"}))
+        mk = out["doc_id"].map(
+            pd.Series(best["matched_known"].to_numpy(),
+                      index=best["doc_id"].to_numpy()))
+        out["matched_known"] = mk.fillna(-1).astype(np.int64)
+        out["action"] = np.where(mk.isna(), "keep", "drop")
     return out.reset_index(drop=True)

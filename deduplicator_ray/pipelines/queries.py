@@ -5563,23 +5563,104 @@ ORDER BY doc_id
 # q_docs_rarity_score — corpus-frequency quality signal (the integer-exact
 # shape of a CCNet-style LM filter: docs made of globally-common tokens
 # score high sum_freq, docs with rare/garbage tokens score low min_freq).
-# Pass 1 builds the global unigram table with per-batch partial counts +
-# one vocabulary-sized partitioned groupby (shuffle carries (token,cnt)
-# partials, never raw tokens).  Pass 2 broadcasts the table once via
-# ray.put and joins it back per batch with index_in + take + segment sums
-# (np.add.reduceat over list offsets) — no token-exploded shuffle.  At
-# 10^12 docs the vocabulary is zipf-bounded but the broadcast is the
-# scale limit of the operator AS WRITTEN (the full table collects to the
-# driver); the kernel is compatible with a hash-partition co-location
-# exchange on token (the docs_substring_dup shuffle strategy) but that
-# fallback is not built — cap the vocabulary (top-V + OOV floor) or add
-# the exchange before running at broadcast-breaking vocab sizes.
+# Two engine strategies share the mirror:
+#   * 'exchange' (default, the scale path): ONE token-partitioned groupby
+#     over per-doc (token, doc_id, tf) rows computes the global unigram
+#     count AND each doc's partial (n, Σ tf·cnt, min cnt) in the same
+#     partition — every row of a token is co-located, so cnt(token) is
+#     just the partition-local Σ tf.  A second doc_id-partitioned groupby
+#     folds the per-token-partition partials.  Nothing collects to the
+#     driver, nothing is broadcast, at any vocabulary size.
+#   * 'broadcast': pass 1 builds the unigram table ((token,cnt) partials
+#     only cross the shuffle), pass 2 ray.puts it once and scores per
+#     batch with index_in + segment sums.  Fewer exchanges — right while
+#     the vocab fits a node — but REFUSED above _RARITY_BROADCAST_CAP
+#     rows (falls through to 'exchange'): the zipf tail of a 10^12-doc
+#     corpus is exactly the thing you must not ray.put.
 
 
-def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
+_RARITY_BROADCAST_CAP = 5_000_000  # vocab rows; above this never ray.put
+
+
+def docs_rarity_score(sf_dir: str, strategy: str = "exchange") -> pd.DataFrame:
     from deduplicator_ray.stages.partitioned import partitioned_groupby
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                            ("sum_freq", pa.int64()), ("min_freq", pa.int64())])
+
+    if strategy == "broadcast":
+        out = _rarity_broadcast(ds, out_schema, partitioned_groupby)
+        if out is None:  # vocab over cap: the scale path takes over
+            out = _rarity_exchange(ds, out_schema, partitioned_groupby)
+    else:
+        out = _rarity_exchange(ds, out_schema, partitioned_groupby)
+    if out.empty:
+        return out_schema.empty_table().to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _rarity_exchange(ds: rd.Dataset, out_schema: pa.Schema,
+                     partitioned_groupby) -> pd.DataFrame:
+    tok_schema = pa.schema([("token", pa.string()), ("doc_id", pa.int64()),
+                            ("tf", pa.int64())])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(lists)
+        reps = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            reps)
+        toks = flat.to_pandas().to_numpy(dtype=object)
+        mask = toks != ""
+        if not mask.any():
+            return tok_schema.empty_table()
+        df = pd.DataFrame({"token": toks[mask], "doc_id": ids[mask]})
+        g = (df.groupby(["token", "doc_id"], as_index=False, sort=False)
+             .size().rename(columns={"size": "tf"}))
+        return pa.Table.from_pandas(
+            g.astype({"tf": np.int64}), schema=tok_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    rows = ds.map_batches(tok_rows, batch_format="pyarrow",
+                          batch_size=65536)
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("n_part", pa.int64()),
+                             ("sum_part", pa.int64()),
+                             ("min_part", pa.int64())])
+
+    def token_stats(df: pd.DataFrame) -> pd.DataFrame:
+        # every row of a token is in this partition → the global count is
+        # the partition-local sum; per-doc partials fold in exchange 2
+        df = df.copy()
+        df["c"] = df.groupby("token", sort=False)["tf"].transform("sum")
+        df["prod"] = df["tf"] * df["c"]
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_part=("tf", "sum"), sum_part=("prod", "sum"),
+            min_part=("c", "min"))
+        return g.astype({"n_part": np.int64, "sum_part": np.int64,
+                         "min_part": np.int64})
+
+    partials = partitioned_groupby(rows, ["token"], token_stats,
+                                   out_schema=part_schema)
+
+    def doc_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_part", "sum"), sum_freq=("sum_part", "sum"),
+            min_freq=("min_part", "min"))
+        return g.astype({"n_tokens": np.int64, "sum_freq": np.int64,
+                         "min_freq": np.int64})
+
+    return partitioned_groupby(partials, ["doc_id"], doc_final,
+                               out_schema=out_schema).to_pandas()
+
+
+def _rarity_broadcast(ds: rd.Dataset, out_schema: pa.Schema,
+                      partitioned_groupby) -> pd.DataFrame | None:
+    """The small-vocab fast path; returns None (refusing to ray.put) when
+    the vocabulary exceeds _RARITY_BROADCAST_CAP rows."""
 
     def combine(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
@@ -5596,18 +5677,18 @@ def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("token", as_index=False)["cnt"].sum()
         return g.astype({"cnt": np.int64})
 
-    freq = partitioned_groupby(
+    freq_ds = partitioned_groupby(
         ds.map_batches(combine, batch_format="pyarrow", batch_size=65536),
         ["token"], local_sum, num_parts=16, out_schema=freq_schema
-    ).to_pandas()
+    ).materialize()
+    if freq_ds.count() > _RARITY_BROADCAST_CAP:
+        return None
+    freq = freq_ds.to_pandas()
     if freq.empty:  # empty corpus: to_pandas() loses the typed columns
         freq = pd.DataFrame({"token": pd.Series([], dtype=str),
                              "cnt": pd.Series([], dtype=np.int64)})
     freq_ref = ray.put((pa.array(freq["token"].to_numpy(), pa.string()),
                         freq["cnt"].to_numpy(np.int64)))
-
-    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-                            ("sum_freq", pa.int64()), ("min_freq", pa.int64())])
 
     def score(t: pa.Table) -> pa.Table:
         from deduplicator_ray.functions.text import rarity_batch
@@ -5621,10 +5702,8 @@ def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
         # inner-join semantics of the mirror: all-empty docs drop out
         return out.filter(pa.array(n_tok > 0))
 
-    out = ds.map_batches(score, batch_format="pyarrow", batch_size=65536).to_pandas()
-    if out.empty:
-        return out_schema.empty_table().to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
 
 
 DOCS_RARITY_SCORE_SQL = """

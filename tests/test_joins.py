@@ -805,6 +805,35 @@ def test_rarity_score_mirror(sf_small, con_docs):
     assert (eng["min_freq"] * eng["n_tokens"] <= eng["sum_freq"]).all()
 
 
+def test_rarity_strategies_agree(sf_small):
+    """The token-co-location exchange (scale path, default) and the
+    vocab-broadcast fast path must be value-identical."""
+    import pandas as pd
+
+    a = q.docs_rarity_score(sf_small, strategy="exchange")
+    b = q.docs_rarity_score(sf_small, strategy="broadcast")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_rarity_broadcast_refuses_big_vocab(sf_small, con_docs, monkeypatch):
+    """Above the cap the broadcast path must never ray.put the vocab —
+    it falls through to the exchange and stays mirror-correct."""
+    import ray as _ray
+
+    class _NoPut:
+        def __getattr__(self, name):
+            if name == "put":
+                raise AssertionError("ray.put of an over-cap vocabulary")
+            return getattr(_ray, name)
+
+    monkeypatch.setattr(q, "_RARITY_BROADCAST_CAP", 1)
+    monkeypatch.setattr(q, "ray", _NoPut())
+    eng = q.docs_rarity_score(sf_small, strategy="broadcast")
+    orc = con_docs.execute(q.DOCS_RARITY_SCORE_SQL).df()
+    _match(eng, orc)
+
+
 def test_source_cap_mirror(sf_small, con_docs):
     """Per-source quota: ≤ k rows per source, ranked n_chars desc."""
     eng = q.docs_source_cap(sf_small)

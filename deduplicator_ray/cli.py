@@ -55,7 +55,8 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
         threshold: int = 2, explain: bool = False,
         good_words: tuple[str, ...] = (), bad_words: tuple[str, ...] = (),
         good_names: tuple[str, ...] = (), bad_names: tuple[str, ...] = (),
-        input_format: str = "table") -> dict:
+        input_format: str = "table",
+        codec_policy: str = "md5") -> dict:
     _ensure_ray()
     from ray.data import DataContext
 
@@ -73,7 +74,8 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
     cfg = PipelineConfig(hash_size=hash_size, files_exempt=tuple(files_exempt),
                          threshold=threshold, explain=explain,
                          good_words=tuple(good_words), bad_words=tuple(bad_words),
-                         good_names=tuple(good_names), bad_names=tuple(bad_names))
+                         good_names=tuple(good_names), bad_names=tuple(bad_names),
+                         unsupported_codec_policy=codec_policy)
     metrics: dict = {"mode": mode, "input": input_dir, "resume": resume}
     t_all = time.time()
 
@@ -835,6 +837,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="min bucket size to report (reference threshhold)")
     p.add_argument("--explain", action="store_true",
                    help="attach explainSort ranking text to keeper rows")
+    p.add_argument("--unsupported-codec-policy", default="md5",
+                   choices=["md5", "dead_letter"],
+                   help="stub-codec formats (jpg/video/audio): join the md5 "
+                        "keyspace (reference parity) or dead-letter with "
+                        "error=unsupported_codec")
     p.add_argument("--good-dirs", action="append", default=[])
     p.add_argument("--bad-dirs", action="append", default=[])
     p.add_argument("--good-names", action="append", default=[])
@@ -953,7 +960,8 @@ def main(argv: list[str] | None = None) -> None:
             threshold=a.threshold, explain=a.explain,
             input_format=a.input_format,
             good_words=tuple(a.good_dirs), bad_words=tuple(a.bad_dirs),
-            good_names=tuple(a.good_names), bad_names=tuple(a.bad_names))
+            good_names=tuple(a.good_names), bad_names=tuple(a.bad_names),
+            codec_policy=a.unsupported_codec_policy)
     print(json.dumps(m))
 
 

@@ -32,6 +32,25 @@ class UnsupportedFormatError(CodecError):
 IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png"})
 STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "wav", "flac"})
 
+# Explicit per-format capability registry — the LOUD stub boundary.  A
+# real deployment swaps 'stub' entries to 'native' by registering a
+# codec; until then the decode stage consults
+# PipelineConfig.unsupported_codec_policy to decide whether a stubbed
+# perceptual format joins the md5 keyspace (reference's non-image branch,
+# /root/reference/dupedb.py:100-101) or dead-letters with
+# error=unsupported_codec (badfiles taxonomy, dupedb.py:223-244) — never
+# a silent md5-match the operator didn't opt into.
+CODEC_CAPABILITIES: dict[str, str] = {
+    **{f: "native" for f in sorted(IMAGE_FMTS)},
+    **{f: "stub" for f in sorted(STUB_FMTS)},
+}
+
+
+def codec_capability(fmt: str) -> str:
+    """'native' (real decoder), 'stub' (md5-or-dead-letter per policy) or
+    'unknown' (always a CodecError dead-letter)."""
+    return CODEC_CAPABILITIES.get(fmt, "unknown")
+
 
 # ---------------------------------------------------------------------------
 # raw: row-major RGB8, dimensions carried out-of-band in the (w, h) columns

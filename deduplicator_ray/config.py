@@ -23,6 +23,13 @@ class PipelineConfig:
                                     # pHash is the engine's pluggable alternative,
                                     # SURVEY.md §2.10)
     strict: bool = True             # strict mode: animations/videos md5-matched (dupedb.py:82-90)
+    # stubbed-codec policy (codecs.CODEC_CAPABILITIES): 'md5' = stub
+    # formats join the md5 proc_hash keyspace (reference non-image branch,
+    # dupedb.py:100-101 — the default, byte-identical media still dedup);
+    # 'dead_letter' = they land in the badfiles table with
+    # error=unsupported_codec so nothing is hashed a human didn't opt
+    # into.  Recorded in every manifest via config_hash.
+    unsupported_codec_policy: str = "md5"
 
     # --- duplicate grouping
     threshold: int = 2              # min bucket size to report (dupedb.py:331; dedupc.py:175)
@@ -82,6 +89,11 @@ class PipelineConfig:
             raise ValueError(
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"must equal num_perm ({self.num_perm})"
+            )
+        if self.unsupported_codec_policy not in ("md5", "dead_letter"):
+            raise ValueError(
+                "unsupported_codec_policy must be 'md5' or 'dead_letter', "
+                f"got {self.unsupported_codec_policy!r}"
             )
 
 

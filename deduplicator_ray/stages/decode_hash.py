@@ -87,16 +87,22 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
                     dhash[i] = 0
                 proc_hash[i] = dhash_hex[i]
             except codecs.UnsupportedFormatError as e:
-                # stub boundary for jpg/video/audio payloads: strict-mode
-                # fallback is byte-content identity (md5), matching the
-                # reference's non-image branch (dupedb.py:100-101).  The md5
-                # lands in the SAME proc_hash keyspace as the dHash hex —
-                # exactly how getProcHash merges both into one hash→paths
-                # index (/root/reference/dupedb.py:68-101), so byte-identical
-                # media dedup alongside images.
-                status[i] = "md5_only"
-                errors[i] = str(e)
-                proc_hash[i] = md5s[i]
+                # stub boundary for jpg/video/audio payloads, policy-gated
+                # (codecs.CODEC_CAPABILITIES): 'md5' = byte-content
+                # identity in the SAME proc_hash keyspace as the dHash hex
+                # — exactly how getProcHash merges both into one
+                # hash→paths index (/root/reference/dupedb.py:68-101), so
+                # byte-identical media dedup alongside images;
+                # 'dead_letter' = badfiles row with error=unsupported_codec
+                # so nothing silently md5-matches what should have been
+                # perceptually hashed (dupedb.py:223-244 taxonomy)
+                if cfg.unsupported_codec_policy == "dead_letter":
+                    status[i] = "error"
+                    errors[i] = f"unsupported_codec: {e}"
+                else:
+                    status[i] = "md5_only"
+                    errors[i] = str(e)
+                    proc_hash[i] = md5s[i]
             except codecs.CodecError as e:
                 status[i] = "error"
                 errors[i] = f"{type(e).__name__}: {e}"

@@ -79,3 +79,59 @@ def test_png_header_bomb_guard():
             + chunk(b"IEND", b""))
     with pytest.raises(codecs.CodecError, match="bomb"):
         codecs.decode_png(bomb)
+
+
+def test_capability_registry_covers_dispatch():
+    """Every dispatchable fmt has an explicit capability entry; unknown
+    formats report 'unknown' (→ always dead-letter)."""
+    for f in codecs.IMAGE_FMTS:
+        assert codecs.codec_capability(f) == "native"
+    for f in codecs.STUB_FMTS:
+        assert codecs.codec_capability(f) == "stub"
+    assert codecs.codec_capability("tiff") == "unknown"
+
+
+def test_unsupported_codec_policy_routes_jpg():
+    """The loud stub boundary (VERDICT r2 item 4): a jpg payload either
+    joins the md5 keyspace (default, reference dupedb.py:100-101 parity)
+    or dead-letters with error=unsupported_codec per config — and the
+    choice is part of config_hash, i.e. recorded in every manifest."""
+    import pyarrow as pa
+
+    from deduplicator_ray.config import PipelineConfig
+    from deduplicator_ray.stages.decode_hash import make_decode_hash
+
+    png = codecs.encode_png(
+        np.random.default_rng(7).integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    batch = pa.table({
+        "image_id": ["a.png", "b.jpg"],
+        "bytes": pa.array([png, b"\xff\xd8\xff\xe0stub"], pa.binary()),
+        "w": pa.array([8, 8], pa.int32()),
+        "h": pa.array([8, 8], pa.int32()),
+        "fmt": ["png", "jpg"],
+    })
+
+    md5_cfg = PipelineConfig()
+    out = make_decode_hash(md5_cfg, with_rank_columns=False)(batch)
+    row = out.to_pylist()[1]
+    assert row["status"] == "md5_only"
+    assert row["proc_hash"] == row["content_md5"]
+
+    dl_cfg = PipelineConfig(unsupported_codec_policy="dead_letter")
+    out = make_decode_hash(dl_cfg, with_rank_columns=False)(batch)
+    row = out.to_pylist()[1]
+    assert row["status"] == "error"
+    assert row["error"].startswith("unsupported_codec:")
+    assert row["proc_hash"] == ""  # never enters the dedup keyspace
+
+    # the png row is unaffected by the policy
+    assert out.to_pylist()[0]["status"] == "ok"
+    # manifests record the choice: the config digest must differ
+    assert md5_cfg.config_hash() != dl_cfg.config_hash()
+
+
+def test_unsupported_codec_policy_validated():
+    from deduplicator_ray.config import PipelineConfig
+
+    with pytest.raises(ValueError):
+        PipelineConfig(unsupported_codec_policy="ignore")

@@ -352,6 +352,23 @@ def _img_series_alt_pairs(sf_dir: str):
     return out.to_pandas().sort_values("alt_id").reset_index(drop=True)
 
 
+def _img_alt_paths(sf_dir: str):
+    """M13 ``altPathOf`` (/root/reference/compare.py:107-134) as a table
+    relation: per id, the next FREE series path in its directory
+    namespace — same id universe as img_series_alt_pairs (corpus ∪ the
+    directory-coherent alt-namespace fixture), reads ONLY the id
+    column."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.stages.alts import alt_paths
+
+    ids = dio.read_parquet(
+        [fixtures.images_path(sf_dir), fixtures.alt_namespace_path(sf_dir)],
+        columns=["image_id"])
+    out = alt_paths(ids)
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_incremental_dedup(sf_dir: str):
     """Incremental scan vs a known-corpus snapshot in the flagship image
     domain — the reference's persistent hash-store loop
@@ -1399,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_dup_pairs_exact": _img_dup_pairs_exact,
         "img_pagerank": _img_pagerank,
         "img_series_alt_pairs": _img_series_alt_pairs,
+        "img_alt_paths": _img_alt_paths,
         "img_extended_clusters": _img_extended_clusters,
         "img_extended_clusters_h12": _img_extended_clusters_h12,
         "img_phash_extended": _img_phash_extended,
@@ -1703,6 +1721,8 @@ def _fixture_mirrors() -> dict[str, str]:
         "mm_montage": mirrors.compose(mirrors.MONTAGE_SQL, hashes=hashes, **kw),
         "img_series_alt_pairs": mirrors.compose(
             mirrors.SERIES_ALT_SQL, hashes=hashes, altns=altns, **kw),
+        "img_alt_paths": mirrors.compose(
+            mirrors.ALT_PATHS_SQL, hashes=hashes, altns=altns, **kw),
         # visual features: the kernel output ships in the hashes sidecar
         # (same Ray-free recomputation pattern); the mirror is a projection
         "mm_features": f"""

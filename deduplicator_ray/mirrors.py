@@ -862,6 +862,93 @@ ORDER BY alt_id
 """
 
 
+# table-pure altPathOf (M13, compare.py:107-134): per id, the next FREE
+# series path.  Style/number via the same first-matching-pattern CASE
+# chain as SERIES_ALT_SQL (priority = COALESCE order; >1000 numbers fall
+# through to the next pattern, reference `continue`); non-series ids get
+# the default `stem || ' (<#>)'`.  Candidates = generate_series from the
+# member's own number, bounded by dir population + 2 (the namespace is
+# finite, so at least one candidate in that window is free); a candidate
+# is taken iff the formed string IS a corpus id (exact membership — the
+# isfile probe — NOT same-style membership: 'x edit12.png' occupies
+# style 'x edit<#>' slot 12 while parsing to a different style).  The
+# formed==self case needs no special arm: self is a corpus id.
+ALT_PATHS_SQL = r"""
+WITH ids AS (
+  SELECT image_id,
+         CASE WHEN strpos(image_id, '/') > 0
+              THEN regexp_replace(image_id, '/[^/]*$', '') ELSE '' END AS dir,
+         regexp_replace(image_id, '\.[^./]*$', '') AS stem,
+         COALESCE(regexp_extract(image_id, '(\.[^./]*)$', 1), '') AS ext
+  FROM (SELECT image_id FROM '{IMAGES}'
+        UNION ALL SELECT image_id FROM '{ALTNS}')
+),
+ser AS (
+  SELECT image_id, dir, ext,
+         count(*) OVER (PARTITION BY dir) AS dirn,
+         COALESCE(
+           CASE WHEN regexp_matches(stem, '_(\d+)$')
+                     AND CAST(regexp_extract(stem, '_(\d+)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, '_(\d+)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, '_(\d+)$', '_<#>')} END,
+           CASE WHEN regexp_matches(stem, '-(\d+)$')
+                     AND CAST(regexp_extract(stem, '-(\d+)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, '-(\d+)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, '-(\d+)$', '-<#>')} END,
+           CASE WHEN regexp_matches(stem, ' (\d+)$')
+                     AND CAST(regexp_extract(stem, ' (\d+)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, ' (\d+)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, ' (\d+)$', ' <#>')} END,
+           CASE WHEN regexp_matches(stem, '\((\d+)\)$')
+                     AND CAST(regexp_extract(stem, '\((\d+)\)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, '\((\d+)\)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, '\((\d+)\)$', '(<#>)')} END,
+           CASE WHEN regexp_matches(stem, '_p(\d+)$')
+                     AND CAST(regexp_extract(stem, '_p(\d+)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, '_p(\d+)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, '_p(\d+)$', '_p<#>')} END,
+           CASE WHEN regexp_matches(stem, '_img(\d+)$')
+                     AND CAST(regexp_extract(stem, '_img(\d+)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, '_img(\d+)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, '_img(\d+)$', '_img<#>')} END,
+           CASE WHEN regexp_matches(stem, '-img(\d+)$')
+                     AND CAST(regexp_extract(stem, '-img(\d+)$', 1) AS BIGINT) <= 1000
+                THEN {'n': CAST(regexp_extract(stem, '-img(\d+)$', 1) AS BIGINT),
+                      'style': regexp_replace(stem, '-img(\d+)$', '-img<#>')} END,
+           CASE WHEN regexp_matches(stem, '-alt(\d*)$')
+                     AND (regexp_extract(stem, '-alt(\d*)$', 1) = ''
+                          OR CAST(regexp_extract(stem, '-alt(\d*)$', 1) AS BIGINT) <= 1000)
+                THEN {'n': CASE WHEN regexp_extract(stem, '-alt(\d*)$', 1) = ''
+                                THEN 1 ELSE CAST(regexp_extract(stem, '-alt(\d*)$', 1) AS BIGINT) END,
+                      'style': regexp_replace(stem, '-alt(\d*)$', '-alt<#>')} END,
+           CASE WHEN regexp_matches(stem, ' edit$')
+                THEN {'n': 1, 'style': stem || '<#>'} END,
+           CASE WHEN regexp_matches(stem, '[a-zA-Z]\d$')
+                THEN {'n': CAST(regexp_extract(stem, '([a-zA-Z])(\d)$', 2) AS BIGINT),
+                      'style': regexp_replace(stem, '([a-zA-Z])(\d)$', '\1<#>')} END,
+           {'n': 1, 'style': stem || ' (<#>)'}
+         ) AS s
+  FROM ids
+),
+cand AS (
+  SELECT r.image_id,
+         g.i,
+         replace(r.s['style'], '<#>', CAST(g.i AS VARCHAR)) || r.ext AS formed
+  FROM ser r, unnest(generate_series(r.s['n'], r.s['n'] + r.dirn + 1)) AS g(i)
+),
+free AS (
+  SELECT c.image_id, c.i, c.formed,
+         row_number() OVER (PARTITION BY c.image_id ORDER BY c.i) AS rn
+  FROM cand c
+  LEFT JOIN ids o ON o.image_id = c.formed
+  WHERE o.image_id IS NULL
+)
+SELECT image_id, formed AS alt_path
+FROM free WHERE rn = 1
+ORDER BY image_id
+"""
+
+
 # exact Hamming-space k-NN: probes = 4 lexicographically smallest live ids
 # (relation-defined, no orchestration freedom), neighbours ranked by
 # (XOR popcount, image_id) with no Hamming ceiling — the search complement

@@ -163,6 +163,90 @@ def derive_probes(image_id: str) -> tuple[list[tuple[int, str]],
     return eq, pre
 
 
+_EXT_RE = re.compile(r"\.[^./]*$")
+
+
+def alt_path_of(image_id: str, taken: "set[str]") -> str:
+    """Single-row ``altPathOf`` (M13, /root/reference/compare.py:107-134)
+    against a table namespace instead of the live filesystem: the next
+    FREE series path for ``image_id`` given the set of ids in its
+    directory.  Semantics reproduced:
+
+      * stem/ext split on the last dot of the final segment (the
+        mirrors.py regex convention — matches os.path.splitext everywhere
+        the fixtures reach);
+      * series style via ``series_info`` (the full getSeriesInfo pattern
+        set); non-series ids get the reference default ``stem + " (<#>)"``;
+      * the candidate index starts at the member's own series number and
+        bumps while the formed path is the member itself or an EXISTING id
+        — existence is exact string membership (the isfile probe), NOT
+        same-style membership: ``"x edit12.png"`` occupies style
+        ``"x edit<#>"`` slot 12 even though it parses to a different
+        style itself.
+
+    Documented divergences: the reference asserts after 100 occupied
+    probes (a live-FS pathology guard) — a table namespace is finite so
+    the search always terminates and no cap is needed; and its
+    ``os.path.join(dirname, style...)`` re-join is an identity for the
+    absolute paths it walks, so the formed path here is simply
+    ``style.replace('<#>', i) + ext``."""
+    m = _EXT_RE.search(image_id)
+    ext = m.group(0) if m else ""
+    stem = image_id[: m.start()] if m else image_id
+    si = series_info(stem)
+    if si:
+        i, style = si
+    else:
+        i, style = 1, stem + " (<#>)"
+    formed = style.replace("<#>", str(i)) + ext
+    while formed == image_id or formed in taken:
+        i += 1
+        formed = style.replace("<#>", str(i)) + ext
+    return formed
+
+
+def alt_paths(ids_ds, num_partitions: int = 64):
+    """(image_id, alt_path) for EVERY id — the distributed ``altPathOf``
+    (closes M13).  One dirname-partitioned groupby: a directory's ids are
+    co-located (the same partitioning assumption as the series/glob
+    channels of ``series_alt_pairs`` — formed paths never leave the
+    member's directory because the style embeds it), so existence probes
+    are an in-partition set lookup and the sequential next-free search is
+    a tiny per-member loop bounded by the directory's population."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    key_schema = pa.schema([("dir", pa.string()),
+                            ("image_id", pa.string())])
+
+    def add_dir(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {"dir": [split_path(i)[0] for i in ids], "image_id": ids},
+            schema=key_schema)
+
+    out_schema = pa.schema([("image_id", pa.string()),
+                            ("alt_path", pa.string())])
+
+    def per_dir(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_alt = [], []
+        for _, g in df.groupby("dir", sort=False):
+            ids = g["image_id"].tolist()
+            taken = set(ids)
+            for iid in ids:
+                out_id.append(iid)
+                out_alt.append(alt_path_of(iid, taken))
+        return pd.DataFrame({"image_id": pd.Series(out_id, dtype=str),
+                             "alt_path": pd.Series(out_alt, dtype=str)})
+
+    return partitioned_groupby(
+        ids_ds.map_batches(add_dir, batch_format="pyarrow"),
+        ["dir"], per_dir, num_parts=num_partitions, out_schema=out_schema)
+
+
 def series_alt_pairs(ids_ds, num_partitions: int = 64):
     """(alt_id, base_id, method) for every id whose series base EXISTS in
     the corpus — ``findBaseFileForPath`` as a distributed self-join.

@@ -204,3 +204,89 @@ def test_series_alt_pairs_matches_brute_force():
     assert got == want
     # reference quirk preserved: the sorted-glob base may be the alt itself
     assert got["c/img-alt.png"] == ("c/img-alt.png", "common_base")
+
+
+# --- M13: table-pure altPathOf (compare.py:107-134) ------------------------
+
+def _ref_alt_path_of(path: str, taken: set) -> str:
+    """Per-row replica of the reference altPathOf with the isfile probe
+    replaced by set membership (compare.py:107-134, absolute-path regime
+    where the dirname re-join is an identity)."""
+    import re as _re
+
+    m = _re.search(r"\.[^./]*$", path)
+    ext = m.group(0) if m else ""
+    stem = path[: m.start()] if m else path
+    si = series_info(stem)
+    if si:
+        i, style = si
+    else:
+        i, style = 1, stem + " (<#>)"
+    working = style.replace("<#>", str(i)) + ext
+    checks = 0
+    while working == path or working in taken:
+        i += 1
+        checks += 1
+        working = style.replace("<#>", str(i)) + ext
+        assert checks < 100
+    return working
+
+
+def test_alt_path_of_hand_cases():
+    from deduplicator_ray.stages.alts import alt_path_of
+
+    ids = ["d1/img_1.png", "d1/img_2.png", "d1/img_4.png", "d1/photo.png",
+           "d1/photo (1).png", "d1/b_007.png", "d1/cat9.gif",
+           "d2/x edit.png", "d2/x edit1.png", "d2/x edit12.png",
+           "d2/a-alt.png", "d2/a-alt2.png"]
+    taken = set(ids)
+    # next-free skips self and existing members
+    assert alt_path_of("d1/img_1.png", taken) == "d1/img_3.png"
+    assert alt_path_of("d1/img_4.png", taken) == "d1/img_5.png"
+    # non-series default namespace "stem (<#>)"
+    assert alt_path_of("d1/photo.png", taken) == "d1/photo (2).png"
+    # leading zeros: formed uses the canonical number, which IS free
+    assert alt_path_of("d1/b_007.png", taken) == "d1/b_7.png"
+    # cross-style occupancy: "x edit12" (default-style itself) does not
+    # block "x edit<#>" slots 1-2; slot 1 is taken by a real member
+    assert alt_path_of("d2/x edit.png", taken) == "d2/x edit2.png"
+    assert alt_path_of("d2/x edit12.png", taken) == "d2/x edit12 (1).png"
+    # empty-capture alt: starts at 1, own path has no number so 1 is free
+    assert alt_path_of("d2/a-alt.png", taken) == "d2/a-alt1.png"
+    assert alt_path_of("d2/a-alt2.png", taken) == "d2/a-alt3.png"
+    # every hand case agrees with the per-row reference replica
+    for i in ids:
+        assert alt_path_of(i, taken) == _ref_alt_path_of(i, taken)
+
+
+def test_alt_paths_matches_reference_on_fixture_namespace(sf_small):
+    """Distributed alt_paths vs the per-row reference replica over the
+    corpus ∪ alt-namespace fixture id universe (the golden test the
+    round-2 VERDICT asked for)."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.stages.alts import alt_paths
+
+    ids_ds = dio.read_parquet(
+        [fixtures.images_path(sf_small),
+         fixtures.alt_namespace_path(sf_small)],
+        columns=["image_id"])
+    got = alt_paths(ids_ds).to_pandas()
+    assert len(got) == ids_ds.count()          # one row per id
+    assert got["image_id"].is_unique
+
+    ids = got["image_id"].tolist()
+    by_dir: dict[str, set] = {}
+    for i in ids:
+        d = i[: i.rfind("/")] if "/" in i else ""
+        by_dir.setdefault(d, set()).add(i)
+    want = {}
+    for i in ids:
+        d = i[: i.rfind("/")] if "/" in i else ""
+        want[i] = _ref_alt_path_of(i, by_dir[d])
+    mism = {i: (a, want[i]) for i, a in zip(got["image_id"], got["alt_path"])
+            if a != want[i]}
+    assert not mism, dict(list(mism.items())[:5])
+    # non-vacuity: series members and default-namespace members both occur
+    assert any(" (" in a for a in got["alt_path"])
+    assert any(" (" not in a for a in got["alt_path"])

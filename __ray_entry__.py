@@ -352,6 +352,23 @@ def _img_series_alt_pairs(sf_dir: str):
     return out.to_pandas().sort_values("alt_id").reset_index(drop=True)
 
 
+def _img_review_queue(sf_dir: str):
+    """S10's human loop as a ranked table: low-confidence buckets (keeper
+    election decided only by the id tie-break, and/or conflicting
+    captions)."""
+    import numpy as np
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = ip.img_review_queue(ip.load_images(sf_dir, _cfg()), _cfg())
+    pdf = _typed(out.to_pandas(), ip.REVIEW_QUEUE_SCHEMA)
+    pdf = pdf.sort_values(["n_members", "proc_hash"],
+                          ascending=[False, True]).reset_index(drop=True)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pdf
+
+
 def _img_alt_paths(sf_dir: str):
     """M13 ``altPathOf`` (/root/reference/compare.py:107-134) as a table
     relation: per id, the next FREE series path in its directory
@@ -1417,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_pagerank": _img_pagerank,
         "img_series_alt_pairs": _img_series_alt_pairs,
         "img_alt_paths": _img_alt_paths,
+        "img_review_queue": _img_review_queue,
         "img_extended_clusters": _img_extended_clusters,
         "img_extended_clusters_h12": _img_extended_clusters_h12,
         "img_phash_extended": _img_phash_extended,
@@ -1723,6 +1741,8 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.SERIES_ALT_SQL, hashes=hashes, altns=altns, **kw),
         "img_alt_paths": mirrors.compose(
             mirrors.ALT_PATHS_SQL, hashes=hashes, altns=altns, **kw),
+        "img_review_queue": mirrors.compose(
+            mirrors.REVIEW_QUEUE_SQL, hashes=hashes, **kw),
         # visual features: the kernel output ships in the hashes sidecar
         # (same Ray-free recomputation pattern); the mirror is a projection
         "mm_features": f"""

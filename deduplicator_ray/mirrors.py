@@ -862,6 +862,56 @@ ORDER BY alt_id
 """
 
 
+# review queue (S10's human loop as a table): buckets whose keeper
+# election was decided ONLY by the id tie-break (pixels+filesize equal ⇒
+# the whole reference quality tuple is equal: frames is constant on this
+# corpus and density is filesize/pixels) and/or whose members carry >1
+# distinct non-null caption.  Ordering matches the decisions mirror's
+# q_rank; global rank = n_members desc, proc_hash asc.
+REVIEW_QUEUE_SQL = """
+WITH live AS (
+  SELECT h.image_id, h.proc_hash, i.caption,
+         i.w * i.h AS pixels, octet_length(i.bytes) AS filesize,
+         CAST(octet_length(i.bytes) AS DOUBLE) / greatest(i.w * i.h, 1) AS density
+  FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
+  WHERE h.status IN ('ok','md5_only') AND NOT regexp_matches(h.proc_hash, '^0+$')
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY proc_hash) AS n_members
+  FROM live QUALIFY n_members >= 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY proc_hash
+             ORDER BY pixels DESC, filesize DESC, density DESC, image_id) AS q_rank
+  FROM sized
+),
+caps AS (
+  SELECT proc_hash, count(DISTINCT caption) AS n_captions
+  FROM sized GROUP BY proc_hash
+),
+top2 AS (
+  SELECT k.proc_hash, k.n_members,
+         k.image_id AS keeper, r.image_id AS runner_up,
+         (k.pixels = r.pixels AND k.filesize = r.filesize) AS tie
+  FROM ranked k
+  JOIN ranked r ON r.proc_hash = k.proc_hash AND r.q_rank = 2
+  WHERE k.q_rank = 1
+)
+SELECT t.proc_hash,
+       CASE WHEN t.tie AND c.n_captions > 1 THEN 'both'
+            WHEN t.tie THEN 'tie_election'
+            ELSE 'caption_conflict' END AS reason,
+       CAST(t.n_members AS BIGINT) AS n_members,
+       t.keeper, t.runner_up,
+       CAST(c.n_captions AS BIGINT) AS n_captions,
+       CAST(row_number() OVER (ORDER BY t.n_members DESC, t.proc_hash)
+            AS BIGINT) AS rank
+FROM top2 t JOIN caps c USING (proc_hash)
+WHERE t.tie OR c.n_captions > 1
+ORDER BY rank
+"""
+
+
 # table-pure altPathOf (M13, compare.py:107-134): per id, the next FREE
 # series path.  Style/number via the same first-matching-pattern CASE
 # chain as SERIES_ALT_SQL (priority = COALESCE order; >1000 numbers fall

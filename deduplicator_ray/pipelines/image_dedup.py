@@ -962,6 +962,92 @@ def caption_conflicts(images: rd.Dataset,
                                out_schema=CAPTION_CONFLICT_SCHEMA)
 
 
+REVIEW_QUEUE_SCHEMA = pa.schema([
+    ("proc_hash", pa.string()),
+    ("reason", pa.string()),
+    ("n_members", pa.int64()),
+    ("keeper", pa.string()),
+    ("runner_up", pa.string()),
+    ("n_captions", pa.int64()),
+])
+
+
+def img_review_queue(images: rd.Dataset,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     num_parts: int = 64) -> rd.Dataset:
+    """S10's human-in-the-loop surface as a table (the idiomatic analog of
+    the reference's interactive review prompt, compare.py:176-631 /
+    dedupc.py:181-210): the buckets a human should look at because the
+    automatic decision is LOW-CONFIDENCE —
+
+      * ``tie_election``   — the keeper beat the runner-up on NOTHING but
+        the deterministic id tie-break (quality tuple exactly equal:
+        frames, pixels, filesize — density is derived — so the engine
+        effectively flipped a labeled coin);
+      * ``caption_conflict`` — members carry >1 distinct non-null caption
+        (label noise: one of them is wrong);
+      * ``both``.
+
+    Scale shape: ONE proc_hash-partitioned groupby over the payload-free
+    (proc_hash, image_id, caption, quality) projection; only the flagged
+    fraction is emitted.  Ranking (global ``rank`` by n_members desc) is
+    applied by the query wrapper on the collected result — the queue is
+    review-sized by construction."""
+    import numpy as np
+    import pandas as pd
+
+    fp = _live(fingerprints(images, cfg), cfg)
+    proj = fp.select_columns(["proc_hash", "image_id", "caption",
+                              "rk_frames", "rk_pixels", "rk_filesize",
+                              "rk_density"])
+    threshold = cfg.threshold
+    qcols = ["rk_frames", "rk_pixels", "rk_filesize", "rk_density"]
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = REVIEW_QUEUE_SCHEMA.empty_table().to_pandas()
+        sizes = df.groupby("proc_hash", sort=False)["image_id"] \
+                  .transform("size")
+        df = df[sizes >= threshold]
+        if df.empty:
+            return empty
+        q = df.sort_values(["proc_hash"] + qcols + ["image_id"],
+                           ascending=[True, False, False, False, False,
+                                      True], kind="mergesort")
+        grp = q.groupby("proc_hash", sort=False)
+        r = grp.cumcount()
+        top2 = q[r <= 1].copy()
+        top2["r"] = r[r <= 1].to_numpy()
+        k = top2[top2["r"] == 0]
+        ru = top2[top2["r"] == 1]
+        m = k.merge(ru, on="proc_hash", suffixes=("_k", "_r"))
+        tie = np.ones(len(m), bool)
+        for c in qcols:
+            tie &= (m[f"{c}_k"].to_numpy() == m[f"{c}_r"].to_numpy())
+        nmem = df.groupby("proc_hash", sort=False)["image_id"].size()
+        ncap = (df[df["caption"].notna()]
+                .groupby("proc_hash", sort=False)["caption"].nunique())
+        m["n_members"] = m["proc_hash"].map(nmem).astype(np.int64)
+        m["n_captions"] = m["proc_hash"].map(ncap).fillna(0).astype(np.int64)
+        conflict = m["n_captions"].to_numpy() > 1
+        keep = tie | conflict
+        m = m[keep]
+        tie, conflict = tie[keep], conflict[keep]
+        reason = np.where(tie & conflict, "both",
+                          np.where(tie, "tie_election", "caption_conflict"))
+        return pd.DataFrame({
+            "proc_hash": m["proc_hash"].astype(str),
+            "reason": reason,
+            "n_members": m["n_members"].to_numpy(np.int64),
+            "keeper": m["image_id_k"].astype(str),
+            "runner_up": m["image_id_r"].astype(str),
+            "n_captions": m["n_captions"].to_numpy(np.int64),
+        })
+
+    return partitioned_groupby(proj, ["proc_hash"], audit,
+                               num_parts=num_parts,
+                               out_schema=REVIEW_QUEUE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dup cluster maintenance for IMAGES: fold a new crawl's
 # edges into a persisted extended-cluster assignment (the image counterpart

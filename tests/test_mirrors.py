@@ -493,3 +493,25 @@ def test_kernel_agreement_mirror(sf_small, paths):
     # flags and class label are consistent
     both = eng["agreement"] == "both"
     assert ((eng["dup_dhash"] == 1) & (eng["dup_phash"] == 1)).equals(both)
+
+
+def test_review_queue_mirror(sf_small, paths):
+    """S10 human loop: the ranked low-confidence bucket queue must
+    value-match its mirror, and both ambiguity reasons must be
+    non-vacuous on the fixture corpus."""
+    import numpy as np
+
+    from deduplicator_ray.pipelines.queries import _typed
+
+    out = ip.img_review_queue(ip.load_images(sf_small, CFG), CFG)
+    eng = _typed(out.to_pandas(), ip.REVIEW_QUEUE_SCHEMA)
+    eng = eng.sort_values(["n_members", "proc_hash"],
+                          ascending=[False, True]).reset_index(drop=True)
+    eng["rank"] = np.arange(1, len(eng) + 1, dtype=np.int64)
+    orc = duckdb.sql(_compose(mirrors.REVIEW_QUEUE_SQL, paths)).df()
+    orc["rank"] = orc["rank"].astype("int64")
+    _assert_frame_equal(eng, orc)
+    reasons = set(eng["reason"])
+    assert "caption_conflict" in reasons
+    assert reasons & {"tie_election", "both"}  # exact quality ties occur
+    assert (eng["keeper"] != eng["runner_up"]).all()

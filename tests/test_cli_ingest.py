@@ -1,0 +1,150 @@
+"""End-to-end incremental ingest job (cli ingest-init / ingest): fold a
+new-images parquet into persisted dedup state without re-clustering the
+known corpus, resumable after a mid-job crash (round-2 VERDICT item 6)."""
+
+import glob
+import hashlib
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deduplicator_ray import fixtures
+from deduplicator_ray import io as dio
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.pipelines import image_dedup as ip
+
+CFG = PipelineConfig()
+
+
+def _split_corpus(sf_dir: str, tmp: str, known_pct: int = 80):
+    """Deterministic md5-of-id split of the fixture corpus into known/new
+    parquet dirs (the img_cluster_update convention)."""
+    src = glob.glob(fixtures.images_path(sf_dir) + "/*.parquet")
+    tbl = pa.concat_tables([pq.read_table(p) for p in src])
+    ids = tbl["image_id"].to_pylist()
+    known_mask = [
+        int(hashlib.md5(i.encode()).hexdigest()[:8], 16) % 100 < known_pct
+        for i in ids]
+    known = tbl.filter(pa.array(known_mask))
+    new = tbl.filter(pa.array([not m for m in known_mask]))
+    kd, nd = os.path.join(tmp, "known"), os.path.join(tmp, "new")
+    os.makedirs(kd), os.makedirs(nd)
+    pq.write_table(known, os.path.join(kd, "part.parquet"))
+    pq.write_table(new, os.path.join(nd, "part.parquet"))
+    return kd, nd
+
+
+def _full_recompute_clusters(paths) -> set:
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.stages.components import connected_components
+
+    fp = ip._live(ip.fingerprints(dio.read_parquet(paths), CFG), CFG)
+    edges = ip.verified_edges_from_fp(fp, CFG).map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], "")).select(
+            ["src", "dst"]), batch_format="pyarrow")
+    df = connected_components(edges, CFG).to_pandas()
+    return set(zip(df["image_id"], df["cluster_id"]))
+
+
+@pytest.fixture(scope="module")
+def split(sf_small, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("ingest"))
+    kd, nd = _split_corpus(sf_small, tmp)
+    return {"tmp": tmp, "known": kd, "new": nd}
+
+
+def test_ingest_end_to_end_equals_full_recompute(split):
+    from deduplicator_ray import cli
+
+    state = os.path.join(split["tmp"], "state")
+    out = os.path.join(split["tmp"], "out")
+    init = cli.run_ingest_init(split["known"], state)
+    assert init["n_known"] > 0 and init["n_clustered"] > 0
+
+    m = cli.run_ingest(split["new"], state, out)
+    assert m["s2_delta_edges"]["n_edges"] > 0       # real new↔old linking
+    assert m["s4_decisions"]["n_touched_clusters"] > 0
+    assert m["s4_decisions"]["n_rows"] > 0
+
+    got = dio.read_parquet(os.path.join(out, "clusters")).to_pandas()
+    want = _full_recompute_clusters([split["known"], split["new"]])
+    assert set(zip(got["image_id"], got["cluster_id"])) == want
+
+    # the state fold makes build(known)+ingest(new) ≡ build(known ∪ new):
+    # the swapped-in state assignment is the updated one
+    st = dio.read_parquet(os.path.join(state, "clusters")).to_pandas()
+    assert set(zip(st["image_id"], st["cluster_id"])) == want
+
+    # decision refresh covers exactly the touched clusters, keeper rows
+    # present and disjoint from deletions
+    dec = dio.read_parquet(os.path.join(out, "decisions")).to_pandas()
+    assert (dec.groupby("cluster_id")["action"]
+            .apply(lambda s: (s == "keep").sum() == 1)).all()
+
+    # next increment probes the folded state: an EMPTY increment is a
+    # no-op that keeps the assignment identical
+    out2 = os.path.join(split["tmp"], "out_empty")
+    empty_dir = os.path.join(split["tmp"], "empty_inc")
+    os.makedirs(empty_dir)
+    pq.write_table(
+        pq.read_table(os.path.join(split["new"], "part.parquet")).slice(0, 0),
+        os.path.join(empty_dir, "part.parquet"))
+    m2 = cli.run_ingest(empty_dir, state, out2, fold_state=False)
+    assert m2["s2_delta_edges"]["n_edges"] == 0
+    got2 = dio.read_parquet(os.path.join(out2, "clusters")).to_pandas()
+    assert set(zip(got2["image_id"], got2["cluster_id"])) == want
+
+
+def test_ingest_kill_and_resume(split, monkeypatch):
+    """Crash in s3 (after s1+s2 completed) → rerun resumes: completed
+    stages are skipped (markers untouched), the job completes, and the
+    result equals an uninterrupted run."""
+    from deduplicator_ray import cli
+    from deduplicator_ray.stages import components
+
+    state = os.path.join(split["tmp"], "state_kill")
+    out = os.path.join(split["tmp"], "out_kill")
+    cli.run_ingest_init(split["known"], state)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-job crash")
+
+    monkeypatch.setattr(components, "incremental_cc_update", boom)
+    # cli imports the symbol inside run_ingest, so patch the module attr
+    with pytest.raises(RuntimeError, match="simulated"):
+        cli.run_ingest(split["new"], state, out)
+    monkeypatch.undo()
+
+    # s1/s2 markers exist, s3+ do not
+    assert os.path.exists(cli._stage_marker(out, "new_fp"))
+    assert os.path.exists(cli._stage_marker(out, "delta_edges"))
+    assert not os.path.exists(cli._stage_marker(out, "clusters"))
+    s1_mtime = os.path.getmtime(cli._stage_marker(out, "new_fp"))
+    s2_mtime = os.path.getmtime(cli._stage_marker(out, "delta_edges"))
+
+    m = cli.run_ingest(split["new"], state, out)
+    # resumed run skipped the completed stages (markers untouched)
+    assert os.path.getmtime(cli._stage_marker(out, "new_fp")) == s1_mtime
+    assert os.path.getmtime(cli._stage_marker(out, "delta_edges")) == s2_mtime
+    assert m["s3_clusters"]["n_rows"] > 0
+
+    got = dio.read_parquet(os.path.join(out, "clusters")).to_pandas()
+    want = _full_recompute_clusters([split["known"], split["new"]])
+    assert set(zip(got["image_id"], got["cluster_id"])) == want
+
+
+def test_ingest_rejects_config_drift(split):
+    from deduplicator_ray import cli
+
+    state = os.path.join(split["tmp"], "state")  # built by the e2e test
+    if not os.path.exists(os.path.join(state, "_state_manifest.json")):
+        pytest.skip("state not built yet (test ordering)")
+    with pytest.raises(ValueError, match="config"):
+        cli.run_ingest(split["new"], state,
+                       os.path.join(split["tmp"], "out_drift"),
+                       hash_size=12)

@@ -250,6 +250,59 @@ def run_bench() -> dict:
             _shutil.rmtree(band_idx, ignore_errors=True)
             del new_fp, base
 
+        # the CHAINED ingest job (cli ingest): fingerprint the 20%
+        # increment → pruned delta probe → assignment fold → decision
+        # refresh, against state built untimed from the 80% known side —
+        # the recurring cost of a daily crawl, to be read against the
+        # img_extended_clusters full-recompute headline (expected ≥2×
+        # cheaper; the increment and its touched clusters bound the work)
+        def _ingest_job():
+            import hashlib
+            import tempfile
+
+            import numpy as _np
+            import pyarrow as _pa
+
+            from deduplicator_ray import cli as _cli
+
+            work = tempfile.mkdtemp(prefix="benchingest_", dir="/tmp")
+
+            def side(new_side):
+                def f(t):
+                    ids = t["image_id"].to_pylist()
+                    isnew = _np.fromiter(
+                        ((int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                          % 100 >= ip.IMG_NEW_BUCKET_THRESHOLD) == new_side
+                         for s in ids), bool, count=len(ids))
+                    return t.filter(_pa.array(isnew))
+
+                return dio.read_parquet(images_path).map_batches(
+                    f, batch_format="pyarrow")
+
+            side(False).write_parquet(os.path.join(work, "known"))
+            side(True).write_parquet(os.path.join(work, "new"))
+            _cli.run_ingest_init(os.path.join(work, "known"),
+                                 os.path.join(work, "state"))
+
+            def job():
+                import shutil as _sh
+
+                _sh.rmtree(os.path.join(work, "out"), ignore_errors=True)
+                m = _cli.run_ingest(os.path.join(work, "new"),
+                                    os.path.join(work, "state"),
+                                    os.path.join(work, "out"),
+                                    fold_state=False)
+                return m["s3_clusters"]["n_rows"]
+
+            try:
+                return timed("img_ingest_job", job)
+            finally:
+                import shutil as _sh
+
+                _sh.rmtree(work, ignore_errors=True)
+
+        _ingest_job()
+
     # text near-dup over the driver documents table (absent for the
     # dedicated scaling corpus, which is images-only)
     docs = os.path.join(SF_DIR, "documents.parquet")

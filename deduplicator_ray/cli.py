@@ -844,8 +844,9 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
                                     batch_format="pyarrow")):
                 new_ids.update(str(x) for x in b["image_id"].to_pylist())
         touched: set[str] = set()
+        members: dict[str, str] = {}  # touched member id → cluster label
         if new_ids:
-            updated = dio.read_parquet(s3_dir)
+            updated = dio.read_parquet(s3_dir).materialize()
             nid_arr = pa.array(sorted(new_ids), pa.string())
             for b in (updated.map_batches(
                     lambda t: t.filter(pc.is_in(t["image_id"],
@@ -853,17 +854,47 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
                     .select(["cluster_id"]), batch_format="pyarrow")
                     .iter_batches(batch_size=None, batch_format="pyarrow")):
                 touched.update(str(x) for x in b["cluster_id"].to_pylist())
+        # touched MEMBERSHIP (all rows of touched clusters) drives the
+        # refresh.  It is increment-bounded in the common case, so the
+        # fast path broadcasts the member→label map and the refresh is
+        # ONE exchange (label attach is a map, resolve is the groupby);
+        # above the cap it falls back to the partitioned Dataset.join —
+        # never a driver blow-up, never a wrong answer.
+        MEMBER_BCAST_CAP = 1 << 20
         if touched:
             t_arr = pa.array(sorted(touched), pa.string())
             rows = updated.map_batches(
                 lambda t: t.filter(pc.is_in(t["cluster_id"],
                                             value_set=t_arr)),
                 batch_format="pyarrow")
+            for b in rows.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+                if members is not None:
+                    for i, c in zip(b["image_id"].to_pylist(),
+                                    b["cluster_id"].to_pylist()):
+                        members[str(i)] = str(c)
+                    if len(members) > MEMBER_BCAST_CAP:
+                        members = None  # fall back to the partitioned join
             all_fp = dio.read_parquet(
                 [os.path.join(state_dir, "fingerprints"), s1_dir])
-            joined = rows.join(
-                all_fp.drop_columns(["caption"]), join_type="inner",
-                num_partitions=16, on=("image_id",))
+            if members is not None:
+                mem_ref = ray.put(members)
+
+                def attach(t: pa.Table) -> pa.Table:
+                    mm = ray.get(mem_ref)
+                    ids = [str(x) for x in t["image_id"].to_pylist()]
+                    keep = pa.array([i in mm for i in ids])
+                    t = t.filter(keep)
+                    lab = [mm[str(x)] for x in t["image_id"].to_pylist()]
+                    return t.append_column("cluster_id",
+                                           pa.array(lab, pa.string()))
+
+                joined = all_fp.drop_columns(["caption"]).map_batches(
+                    attach, batch_format="pyarrow")
+            else:
+                joined = rows.join(
+                    all_fp.drop_columns(["caption"]), join_type="inner",
+                    num_partitions=16, on=("image_id",))
             dec = partitioned_groupby(
                 joined, ["cluster_id"],
                 make_partition_resolve(cfg, cluster_col="cluster_id",

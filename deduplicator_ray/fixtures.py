@@ -147,7 +147,9 @@ def _image_id(gid: int, member: int, rng: np.random.Generator, ext: str, style: 
     return f"{dirs}/{name}"
 
 
-def _encode(img: np.ndarray, fmt: str) -> bytes:
+def _encode(img: np.ndarray, fmt: str, png_level: int = 1) -> bytes:
+    if fmt == "png" and png_level != 1:
+        return codecs.encode_png(img, png_level)
     return codecs.encode_image(img, fmt)
 
 
@@ -166,13 +168,20 @@ def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
     roll = rng.uniform()
 
     def emit(img, fmt, member, style, kind, source_idx, cap_kind, cap,
-             corrupt=False, stale_phash=False):
-        data = _encode(img, fmt)
+             corrupt=False, stale_phash=False, png_level=1):
+        data = _encode(img, fmt, png_level)
         if corrupt:
             cut = max(8, len(data) // 3)
             data = data[:cut]
         h, w = img.shape[:2]
         iid = _image_id(gid, member, rng, _EXTS[fmt], style)
+        # the 'plain' style carries no member index, so two members can
+        # draw identical dirs+words at the largest tiers (~O(1) expected
+        # at 384k groups): re-draw on in-group collision — consumes extra
+        # rng only in the colliding group, so collision-free tiers are
+        # byte-identical to builds without this guard
+        while any(r["image_id"] == iid for r in rows):
+            iid = _image_id(gid, member, rng, _EXTS[fmt], style)
         if corrupt:
             ph = 0
         else:
@@ -271,10 +280,17 @@ def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
         data_img = _group_pixels[0]
         emit(data_img, base_fmt, member, iid_style, "exact", 0, "same", cap)
         member += 1
-    if rng.uniform() < 0.7:  # reencode: same pixels, different fmt
-        alt = str(rng.choice([f for f in _fmts if f != base_fmt] or ["png"]))
+    if rng.uniform() < 0.7:  # reencode: same pixels, different codec —
+        # on a single-fmt tier (sfimg, png-only) "different codec" means a
+        # different PNG compression level: byte-distinct, pixel-identical,
+        # so the kind stays honest instead of silently collapsing into an
+        # exact byte-dup (rng draw stream matches the old code on every
+        # multi-fmt tier)
+        pool = [f for f in _fmts if f != base_fmt]
+        alt = str(rng.choice(pool or ["png"]))
         emit(_group_pixels[0], alt, member, "page", "reencode", 0,
-             "shingle_near", _caption_variant(cap, "shingle_near", rng))
+             "shingle_near", _caption_variant(cap, "shingle_near", rng),
+             png_level=1 if pool else 6)
         member += 1
     for target in rng.choice([40.0, 45.0, 50.0], size=int(rng.integers(0, 3)), replace=False):
         noisy = _add_noise_psnr(base, float(target), rng)
@@ -370,13 +386,34 @@ def sf_name(sf_dir: str) -> str:
     return base if base in SF_GROUPS else "sf0.001"
 
 
+def content_tag(sf_dir: str) -> str:
+    """Cache key for sidecars DERIVED FROM the directory's own tables
+    (documents.parquet → PII/lines/videos/audios).  sf_name collapses any
+    unrecognized directory to 'sf0.001', which is right for the
+    parameter-only synthetic corpora but would let two different custom
+    corpora silently share one derived cache — so unknown dirs get a
+    path-digest suffix instead."""
+    import hashlib as _hl
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base in SF_GROUPS:
+        return base
+    digest = _hl.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{base}_{digest}"
+
+
 def fixture_dir(sf_dir: str, hash_size: int = 8) -> str:
     """v2: the corpus is hash_size-independent (phash is always the 64-bit
     precomputed column; wide-hash runs recompute from bytes), so all configs
     share one cached build.  The version tag invalidates v1 caches built
     before the strict-mode media groups existed."""
     root = os.environ.get("DEDUP_FIXTURE_ROOT", os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    return os.path.join(root, f"{sf_name(sf_dir)}_v2")
+    sfn = sf_name(sf_dir)
+    # sfimg is _v3: its reencode members became byte-distinct (png level
+    # 6) when the single-fmt fallback was fixed; every other tier's bytes
+    # are untouched, so their _v2 caches stay valid
+    ver = "_v3" if sfn == "sfimg" else "_v2"
+    return os.path.join(root, f"{sfn}{ver}")
 
 
 def ensure_fixture(sf_dir: str, hash_size: int = 8, n_groups: int | None = None) -> str:
@@ -387,12 +424,21 @@ def ensure_fixture(sf_dir: str, hash_size: int = 8, n_groups: int | None = None)
     marker makes the cache crash-safe (partial builds are rebuilt).
     """
     out = fixture_dir(sf_dir, hash_size)
+    cfg_groups, size_scale, fmts = SF_GROUPS[sf_name(sf_dir)]
+    if n_groups and n_groups != cfg_groups:
+        # a custom-sized build must not read or poison the tier's shared
+        # cache — give it its own keyed directory
+        out = f"{out}_g{n_groups}"
+    n_groups = n_groups or cfg_groups
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    cfg_groups, size_scale, fmts = SF_GROUPS[sf_name(sf_dir)]
-    n_groups = n_groups or cfg_groups
     tmp = out + ".tmp"
+    import shutil as _sh
+
+    # a crashed earlier build leaves part files here; reusing them via
+    # exist_ok would rename leftover extra shards into the "clean" corpus
+    _sh.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "images"), exist_ok=True)
     os.makedirs(os.path.join(tmp, "truth"), exist_ok=True)
     shard_size = max(50, 500 // size_scale)  # big-image tiers: smaller shards
@@ -484,17 +530,21 @@ def _write_hash_shard(args) -> None:
     from deduplicator_ray.functions import text as textfn
 
     cfg = PipelineConfig(hash_size=hash_size, hash_fn=hash_fn)
-    rows = oracle.compute_rows(pq.read_table(src), cfg)
-    imgs = pq.read_table(src, columns=["image_id", "bytes"])
+    # ONE parquet read — the bytes column is the shard's bulk (multi-MB
+    # per row on the sfimg tier) and was previously deserialized three
+    # times; projections off the in-memory table are cheap slices
+    tbl = pq.read_table(src)
+    rows = oracle.compute_rows(tbl, cfg)
     crc = {i: hashing.crc32_hex(b)
-           for i, b in zip(imgs["image_id"].to_pylist(), imgs["bytes"].to_pylist())}
+           for i, b in zip(tbl["image_id"].to_pylist(),
+                           tbl["bytes"].to_pylist())}
     caps = [str(r["caption"] or "") for r in rows]
     sigs = textfn.minhash_batch(caps, cfg.shingle_k, cfg.num_perm)
     bands = textfn.band_keys(sigs, cfg.bands, cfg.rows_per_band).view(np.int64)
     from deduplicator_ray.pipelines.multimodal import ImageFeatures
 
-    feats = ImageFeatures()(pq.read_table(
-        src, columns=["image_id", "bytes", "w", "h", "fmt"]))
+    feats = ImageFeatures()(
+        tbl.select(["image_id", "bytes", "w", "h", "fmt"]))
     # float32 arithmetic, same expression as the mm_features projection —
     # a float64 detour could round differently at .5 boundaries
     edge = np.floor(feats["edge_density"].to_numpy(zero_copy_only=False)
@@ -970,8 +1020,10 @@ def clone_rows(one: pa.Table, n: int, id_prefix: str = "hot/clone") -> pa.Table:
 # No video table exists in the driver testdata, so the corpus is synthesized
 # deterministically (same policy as the image corpus): videos are VCON1
 # containers of PNG "scene" frames; duplicate structure comes from SHARED
-# scene frames.  Per base video i (10 scenes at stride 8, so bases are
-# pairwise disjoint) one variant is emitted:
+# scene frames.  Per base video i (10 scenes at stride 8 — adjacent bases
+# share 2 scenes, so cross-base Jaccard peaks at 2/18 ≈ 0.11, far below
+# tau=0.5; the negative control rests on that margin, not on disjointness)
+# one variant is emitted:
 #   i%3==0  re-encode  — same 10 scenes re-encoded at a different
 #                        compression level: different BYTES (md5 misses it),
 #                        identical pixels (frame fps match → Jaccard 1.0)
@@ -1015,7 +1067,7 @@ def videos_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"videos_{sf_name(sf_dir)}")
+    out = os.path.join(root, f"videos_{content_tag(sf_dir)}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1087,7 +1139,7 @@ def video_frames_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"vidframes_{sf_name(sf_dir)}")
+    out = os.path.join(root, f"vidframes_{content_tag(sf_dir)}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1137,8 +1189,10 @@ def video_frames_path(sf_dir: str) -> str:
 # deterministically (same policy as the video corpus): recordings are ACON1
 # containers of 16-bit mono PCM; duplicate structure comes from SHARED
 # audio segments (each SEG = AUD_WINS_PER_SEG fingerprint windows, so clips
-# stay window-aligned).  Per base recording i (10 segments at stride 8, so
-# bases are pairwise disjoint) one variant is emitted:
+# stay window-aligned).  Per base recording i (10 segments at stride 8 —
+# adjacent bases share 2 segments, cross-base Jaccard ≤ 2/18 ≈ 0.11, far
+# below tau=0.5; the negative control rests on that margin, not on
+# disjointness) one variant is emitted:
 #   i%3==0  re-encode  — same samples in the delta codec: different BYTES
 #                        (md5 misses it), identical PCM (fps match →
 #                        Jaccard 1.0)
@@ -1190,7 +1244,7 @@ def audios_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"audios_{sf_name(sf_dir)}")
+    out = os.path.join(root, f"audios_{content_tag(sf_dir)}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1267,7 +1321,7 @@ def audio_fps_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"audfps_{sf_name(sf_dir)}")
+    out = os.path.join(root, f"audfps_{content_tag(sf_dir)}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1323,7 +1377,7 @@ def docs_pii_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"docspii_{sf_name(sf_dir)}")
+    out = os.path.join(root, f"docspii_{content_tag(sf_dir)}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1391,7 +1445,7 @@ def docs_lines_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"docslines_{sf_name(sf_dir)}")
+    out = os.path.join(root, f"docslines_{content_tag(sf_dir)}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

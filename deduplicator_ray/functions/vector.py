@@ -33,12 +33,25 @@ from deduplicator_ray import io as dio
 
 
 def embeddings_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    """(n, d) float32 matrix from a list<float> column, zero-copy-ish."""
+    """(n, d) float32 matrix from a list<float> column, zero-copy-ish.
+
+    Empty batches yield a (0, 0) matrix instead of indexing arr[0]; a
+    variable-length list column must be rectangular and non-null (callers
+    pre-filter with _nonnull_vec) — ragged rows fail loudly here rather
+    than silently mis-rowing the reshape."""
     arr = batch[col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.chunk(0)
     if isinstance(arr, pa.ListArray):
-        d = len(arr[0])
+        if len(arr) == 0:
+            return np.zeros((0, 0), np.float32)
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        d = int(widths[0])
+        if arr.null_count or (widths != d).any():
+            raise ValueError(
+                "embedding column has null or ragged rows — filter with "
+                "_nonnull_vec before vector kernels")
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(-1, d).astype(np.float32)
     # FixedSizeListArray
@@ -200,6 +213,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     sample_rows: int = 65536,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Write the corpus as parquet PARTITIONED BY ivf_bucket and persist the
     centroids next to it.  Returns the centroid matrix.
@@ -208,7 +222,8 @@ def build_ivf_index(
     what read pruning keys on) and as a regular ``bucket`` column (so
     per-row masking inside a probed file needs no path parsing)."""
     cents = train_centroids(
-        sample_rows_absolute(ds, sample_rows, vec_col), n_centroids)
+        sample_rows_absolute(ds, sample_rows, vec_col, id_col=id_col),
+        n_centroids)
     bucketed = assign_buckets(ds, cents, vec_col)
 
     def dup_col(t: pa.Table) -> pa.Table:
@@ -238,8 +253,14 @@ def ivf_search(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> "pd.DataFrame":
     """Search a persisted IVF index, reading ONLY the probed buckets' files.
+
+    ``exclude_self``: drop hits whose corpus id equals the query id — right
+    for self-join dedup queries (the default), wrong for EXTERNAL query
+    vectors whose ids merely collide with corpus ids (pass False there,
+    as brute_force_topk does).
 
     I/O cost is proportional to the probed fraction (nprobe / n_centroids of
     the corpus for balanced buckets) — the previous implementation scanned
@@ -278,7 +299,8 @@ def ivf_search(
                               ("cos", pa.float64())]))
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
-    parts = parts[parts["query_id"] != parts["vec_id"]]
+    if exclude_self:
+        parts = parts[parts["query_id"] != parts["vec_id"]]
     parts = parts.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
     out = parts.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
@@ -300,16 +322,26 @@ def ivf_topk(
     """Convenience: build (or reuse) the partitioned index, then search it.
     Recall vs brute force depends on nprobe/n_centroids (measured in tests,
     not assumed)."""
+    import shutil
     import tempfile
 
+    # default path is a PER-CALL temp dir (not a fixed shared one): two
+    # concurrent callers on one host must not rmtree each other's index
+    # mid-search, and the scratch index must not outlive the call
+    scratch = None
     if index_dir is None:
-        index_dir = os.path.join(tempfile.gettempdir(), "dedup_ray_ivf_index")
-        import shutil
-
-        shutil.rmtree(index_dir, ignore_errors=True)
-    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
-        build_ivf_index(ds, index_dir, n_centroids, sample_rows, vec_col)
-    return ivf_search(index_dir, queries, query_ids, k, nprobe, id_col, vec_col)
+        scratch = tempfile.mkdtemp(prefix="dedup_ray_ivf_",
+                                   dir=tempfile.gettempdir())
+        index_dir = os.path.join(scratch, "index")
+    try:
+        if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+            build_ivf_index(ds, index_dir, n_centroids, sample_rows,
+                            vec_col, id_col)
+        return ivf_search(index_dir, queries, query_ids, k, nprobe,
+                          id_col, vec_col)
+    finally:
+        if scratch is not None:
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 def append_ivf_index(new_ds: rd.Dataset, index_dir: str,
@@ -394,7 +426,7 @@ def srp_band_rows(t: pa.Table, nbands: int = SRP_BANDS,
     (the verify payload — nbands·dim·4 B per vector through the shuffle).
     Shared by the in-run pair query (queries.emb_srp_pairs) and the
     persisted index (state/srpstore.py), so both band identically."""
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     x32 = embeddings_matrix(t)
     keys = srp_band_keys(x32, nbands, rbits, seed)
     n, dim = x32.shape
@@ -551,10 +583,15 @@ def ivfpq_search(
     k: int = 5,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    exclude_self: bool = True,
 ) -> "pd.DataFrame":
     """ADC search over a persisted IVFPQ index: read ONLY the probed
     buckets' code files, score by e6-integer lookup sums (deterministic
-    under any batch split), merge partial top-k."""
+    under any batch split), merge partial top-k.
+
+    ``exclude_self`` as in ivf_search: default drops corpus rows whose id
+    equals the query id (self-join dedup); pass False for external query
+    vectors whose ids merely collide with corpus ids."""
     import pandas as pd
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
@@ -598,7 +635,8 @@ def ivfpq_search(
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=8192).to_pandas()
-    parts = parts[parts["query_id"] != parts["vec_id"]]
+    if exclude_self:
+        parts = parts[parts["query_id"] != parts["vec_id"]]
     parts = parts.sort_values(["query_id", "score_e6", "vec_id"],
                               ascending=[True, False, True])
     out = parts.groupby("query_id", as_index=False).head(k).reset_index(drop=True)

@@ -751,11 +751,22 @@ def with_survivors(sql: str, threshold: int) -> str:
     ``int(md5(id)[:8], 16) % 100`` both engines compute) — the
     deletion-maintenance mirrors are the ordinary relations over the
     survivor set."""
-    anchor = "WHERE h.status IN ('ok','md5_only')"
-    assert anchor in sql, "live-relation anchor missing from mirror"
-    pred = ("CAST(('0x' || substr(md5(h.image_id), 1, 8)) AS BIGINT) "
-            f"% 100 < {threshold} AND ")
-    return sql.replace(anchor, "WHERE " + pred + "h.status IN ('ok','md5_only')")
+    out = sql
+    hit = 0
+    # rewrite EVERY live-relation spelling — a mirror whose ident CTE
+    # writes the filter without the h. prefix must not end up with only
+    # its near channel filtered (an inconsistent survivor relation)
+    for qual in ("h.", ""):
+        anchor = f"WHERE {qual}status IN ('ok','md5_only')"
+        if anchor in out:
+            hit += out.count(anchor)
+            idc = f"{qual}image_id" if qual else "image_id"
+            pred = (f"CAST(('0x' || substr(md5({idc}), 1, 8)) AS BIGINT) "
+                    f"% 100 < {threshold} AND ")
+            out = out.replace(anchor, "WHERE " + pred +
+                              f"{qual}status IN ('ok','md5_only')")
+    assert hit, "live-relation anchor missing from mirror"
+    return out
 
 
 # J4 series-base self-join (findBaseFileForPath as relational algebra,
@@ -809,6 +820,8 @@ ser AS (
            THEN regexp_replace(stem, '-img(\d+)$', '') || '-img'
                 || CAST(CAST(regexp_extract(stem, '-img(\d+)$', 1) AS BIGINT) - 1 AS VARCHAR) END,
       CASE WHEN regexp_matches(stem, '-alt(\d*)$')
+                AND (regexp_extract(stem, '-alt(\d*)$', 1) = ''
+                     OR CAST(regexp_extract(stem, '-alt(\d*)$', 1) AS BIGINT) <= 1000)
            THEN regexp_replace(stem, '-alt(\d*)$', '') || '-alt'
                 || CAST(CASE WHEN regexp_extract(stem, '-alt(\d*)$', 1) = ''
                              THEN 1 ELSE CAST(regexp_extract(stem, '-alt(\d*)$', 1) AS BIGINT) END - 1 AS VARCHAR) END,

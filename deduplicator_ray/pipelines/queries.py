@@ -468,11 +468,14 @@ def supplier_balance(sf_dir: str) -> pd.DataFrame:
         return t.append_column("n_name", vals)
 
     out = agg.map_batches(attach, batch_format="pyarrow").to_pandas()
-    # DuckDB's // truncates toward zero (unlike Python's floor) — match it,
-    # balances can be negative
-    out["avg_bal_e4"] = np.trunc(
-        (out["total_bal_c"] * 100) / out["n_suppliers"]
-    ).astype(np.int64)
+    # DuckDB's // truncates toward zero (unlike Python's floor) — match it
+    # with INTEGER arithmetic: float64 division loses low bits once the
+    # cent total crosses 2^53 (plausible national aggregates at corpus
+    # scale), so trunc-toward-zero is floor-div on the magnitudes with the
+    # sign reapplied; balances can be negative
+    num = (out["total_bal_c"].to_numpy(np.int64) * 100)
+    den = out["n_suppliers"].to_numpy(np.int64)
+    out["avg_bal_e4"] = np.sign(num) * (np.abs(num) // den)
     return out.sort_values("s_nationkey").reset_index(drop=True)[
         ["s_nationkey", "n_name", "total_bal_c", "avg_bal_e4", "n_suppliers"]
     ]
@@ -1277,8 +1280,15 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    all_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-    all_sh = [_shingle_set(str(t)) for t in tbl["text"].to_pylist()]
+    # NULL-text docs (failed downloads) carry no shingle set — the mirror's
+    # list ops yield NULL for them, excluding them from every pair; a
+    # str(None) here would weld all of them into fabricated "None" dups
+    all_ids = np.asarray(
+        [int(i) for i, t in zip(tbl["doc_id"].to_pylist(),
+                                tbl["text"].to_pylist()) if t is not None],
+        dtype=np.int64)
+    all_sh = [_shingle_set(str(t)) for t in tbl["text"].to_pylist()
+              if t is not None]
     ref = ray.put((all_ids, all_sh))
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1291,7 +1301,10 @@ def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         pos = {int(i): p for p, i in enumerate(ids_all)}
         va, vb, je = [], [], []
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sa = sh_all[pos[int(did)]]
+            p_a = pos.get(int(did))
+            if p_a is None:  # null-text doc: no shingles, no pairs
+                continue
+            sa = sh_all[p_a]
             for p, other in enumerate(ids_all):
                 if other <= did:
                     continue
@@ -1400,8 +1413,14 @@ def docs_containment_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    all_ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-    all_sh = [_shingle_set(str(t), k=CONT_K) for t in tbl["text"].to_pylist()]
+    # NULL-text docs excluded, matching the mirror's NULL list semantics
+    # and the prefix path's null-drop (see docs_jaccard_pairs note)
+    all_ids = np.asarray(
+        [int(i) for i, t in zip(tbl["doc_id"].to_pylist(),
+                                tbl["text"].to_pylist()) if t is not None],
+        dtype=np.int64)
+    all_sh = [_shingle_set(str(t), k=CONT_K) for t in tbl["text"].to_pylist()
+              if t is not None]
     ref = ray.put((all_ids, all_sh))
 
     ds = dio.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1414,7 +1433,10 @@ def docs_containment_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
         pos = {int(i): p for p, i in enumerate(ids_all)}
         src, dst, ce = [], [], []
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sa = sh_all[pos[int(did)]]
+            p_a = pos.get(int(did))
+            if p_a is None:
+                continue
+            sa = sh_all[p_a]
             for p, other in enumerate(ids_all):
                 if int(other) == int(did):
                     continue
@@ -1811,9 +1833,7 @@ def trim_spans(ds: rd.Dataset, spans: rd.Dataset) -> rd.Dataset:
     """Apply a (doc_id, span_start, span_end) token-span table to a
     (doc_id, text) dataset: spans delete, the rest re-joins — shared by
     docs_substring_trim and the `cli curate` job."""
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("trimmed_text", pa.string()),
-                            ("n_trimmed_tokens", pa.int64())])
+    out_schema = TRIM_SCHEMA  # one schema for query typing AND groupby out
     union_schema = pa.schema([("doc_id", pa.int64()),
                               ("span_start", pa.int64()),
                               ("span_end", pa.int64()),
@@ -1821,11 +1841,13 @@ def trim_spans(ds: rd.Dataset, spans: rd.Dataset) -> rd.Dataset:
 
     def tag_docs(t: pa.Table) -> pa.Table:
         n = len(t)
+        # NULL text (failed download) → "" so the doc keeps its trim row
+        # as (doc_id, '', 0) like the mirror, instead of crashing trim()
         return pa.Table.from_arrays(
             [t["doc_id"].cast(pa.int64()),
              pa.array(np.full(n, -1, np.int64)),
              pa.array(np.full(n, -1, np.int64)),
-             t["text"].cast(pa.string())],
+             pc.fill_null(t["text"].cast(pa.string()), "")],
             schema=union_schema)
 
     def tag_spans(t: pa.Table) -> pa.Table:
@@ -4281,17 +4303,24 @@ def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
                 (hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids),
                 dtype="U1", count=len(ids))
             keep = ~np.isin(nib, ("0", "1"))
-            edited = [tx + " [edited]" if nb == "2" else tx
-                      for tx, nb in zip(texts, nib)]
+            # NULL text stays NULL under the mirror's || concatenations
+            # (NULL || x IS NULL), so the edit/prefix must not apply —
+            # both sides then digest the same sentinel and the row
+            # classifies 'same', exactly like SQL's NULL != NULL
+            edited = [tx + " [edited]" if nb == "2" and tx is not None
+                      else tx for tx, nb in zip(texts, nib)]
             out_ids = ids[keep]
             out_tx = [tx for tx, k in zip(edited, keep) if k]
             newm = nib == "f"
             out_ids = np.concatenate(
                 [out_ids, ids[newm] + _DIFF_ADD_OFFSET])
-            out_tx += ["new: " + tx for tx, m in zip(texts, newm) if m]
+            out_tx += ["new: " + tx if tx is not None else None
+                       for tx, m in zip(texts, newm) if m]
         else:
             out_ids, out_tx = ids, texts
-        dig = [hashlib.md5(tx.encode()).hexdigest()[:16] for tx in out_tx]
+        dig = [hashlib.md5(
+            (tx if tx is not None else "\x00null\x00").encode()
+        ).hexdigest()[:16] for tx in out_tx]
         return pa.Table.from_pydict(
             {"doc_id": out_ids, "dig": dig,
              "side": np.full(len(out_ids), side, np.int64)},
@@ -5512,14 +5541,21 @@ def docs_bow_dedup(sf_dir: str) -> pd.DataFrame:
 
     def f(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        bags = [sorted(set(ws.sub(" ", x).strip().lower().split(" ")))
+        # NULL text → NULL bag, exactly like the mirror's regexp_replace
+        # chain (NULL in → NULL out): md5/tokens stay NULL and all
+        # null-text docs share ONE group (SQL window partitions group
+        # NULLs together)
+        bags = [None if x is None else
+                sorted(set(ws.sub(" ", x).strip().lower().split(" ")))
                 for x in texts]
         return pa.Table.from_pydict({
             "doc_id": t["doc_id"].cast(pa.int64()),
             "bag_md5": pa.array(
-                [hashlib.md5(" ".join(b).encode()).hexdigest()
-                 for b in bags]),
-            "bag_tokens": pa.array([len(b) for b in bags], pa.int64()),
+                [None if b is None else
+                 hashlib.md5(" ".join(b).encode()).hexdigest()
+                 for b in bags], pa.string()),
+            "bag_tokens": pa.array(
+                [None if b is None else len(b) for b in bags], pa.int64()),
         }, schema=mid_schema)
 
     out_schema = pa.schema([("doc_id", pa.int64()),
@@ -5529,9 +5565,11 @@ def docs_bow_dedup(sf_dir: str) -> pd.DataFrame:
                             ("action", pa.string())])
 
     def elect(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: the NULL-bag group (failed downloads) must still
+        # be counted and elected, like SQL's NULL window partition
         df = df.sort_values(["bag_md5", "doc_id"], kind="mergesort").copy()
-        df["group_n"] = (df.groupby("bag_md5", sort=False)["doc_id"]
-                         .transform("size").astype(np.int64))
+        df["group_n"] = (df.groupby("bag_md5", sort=False, dropna=False)
+                         ["doc_id"].transform("size").astype(np.int64))
         df["action"] = np.where(~df["bag_md5"].duplicated(), "keep", "drop")
         return df[["doc_id", "bag_md5", "bag_tokens", "group_n", "action"]]
 
@@ -6079,21 +6117,32 @@ def docs_dedup_tiers(sf_dir: str) -> pd.DataFrame:
 
     def proj(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        bags = [" ".join(sorted(set(ws.sub(" ", x).strip().lower().split(" "))))
+        # NULL text → NULL keys: the mirror's md5(NULL) IS NULL, and its
+        # window PARTITION groups the NULLs together — all failed
+        # downloads form one exact group and one bag group
+        bags = [None if x is None else
+                " ".join(sorted(set(ws.sub(" ", x).strip().lower()
+                                    .split(" "))))
                 for x in texts]
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.string()),
             "exact_md5": pa.array(
-                [hashlib.md5(x.encode()).hexdigest() for x in texts]),
+                [None if x is None else
+                 hashlib.md5(x.encode()).hexdigest() for x in texts],
+                pa.string()),
             "bag_md5": pa.array(
-                [hashlib.md5(b.encode()).hexdigest() for b in bags]),
+                [None if b is None else
+                 hashlib.md5(b.encode()).hexdigest() for b in bags],
+                pa.string()),
             "n_chars": pc.cast(t["n_chars"], pa.int64()),
         })
 
     def minima(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["exact_min"] = df.groupby("exact_md5")["doc_id"].transform("min")
-        df["bag_min"] = df.groupby("bag_md5")["doc_id"].transform("min")
+        df["exact_min"] = (df.groupby("exact_md5", dropna=False)["doc_id"]
+                           .transform("min"))
+        df["bag_min"] = (df.groupby("bag_md5", dropna=False)["doc_id"]
+                         .transform("min"))
         df["cluster_id"] = ""
         return df[["doc_id", "exact_min", "bag_min", "cluster_id", "n_chars"]]
 
@@ -6739,17 +6788,24 @@ def ann_ivfpq_topk(sf_dir: str, k: int = 5, nprobe: int = 4) -> pd.DataFrame:
     cols = ["query_id", "rank", "vec_id", "score_e6"]
     ds = _nonnull_vec(dio.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
-    idx = _os.path.join(_tf.gettempdir(), "dedup_ray_ivfpq_index")
-    _sh.rmtree(idx, ignore_errors=True)
-    vfn.build_ivfpq_index(ds, idx)
-    qtbl = _nonnull_vec_tbl(_pq.read_table(_t(sf_dir, "embeddings")))
-    qdf = qtbl.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
-    if not len(qdf):
-        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
-    return vfn.ivfpq_search(
-        idx, np.stack(qdf["embedding"].to_numpy()),
-        qdf["vec_id"].to_numpy(), k=k, nprobe=nprobe)
+    # per-call temp dir (docs_incremental_dedup pattern): a fixed shared
+    # path races concurrent invocations — one caller's rmtree deletes
+    # bucket codes mid-search of another — and leaks the index after
+    work = _tf.mkdtemp(prefix="dedup_ray_ivfpq_", dir=_tf.gettempdir())
+    try:
+        idx = _os.path.join(work, "index")
+        vfn.build_ivfpq_index(ds, idx)
+        qtbl = _nonnull_vec_tbl(_pq.read_table(_t(sf_dir, "embeddings")))
+        qdf = qtbl.to_pandas()
+        qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+        if not len(qdf):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in cols})
+        return vfn.ivfpq_search(
+            idx, np.stack(qdf["embedding"].to_numpy()),
+            qdf["vec_id"].to_numpy(), k=k, nprobe=nprobe)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
 
 
 ANN_IVFPQ_TOPK_SQL = """

@@ -48,26 +48,37 @@ _COMMON_BASE_PATTERNS = [
 ]  # compare.py:155-162
 
 
-_GLOB_CACHE: dict[str, "re.Pattern[str]"] = {}
+from functools import lru_cache
 
 
+@lru_cache(maxsize=4096)
 def _glob_like(pat: str) -> "re.Pattern[str]":
     """Compile a common-base pattern with filesystem-glob semantics:
     every non-* char literal (incl. brackets), * confined to one path
-    segment.  Cached — the same few patterns recur across a bucket."""
-    rx = _GLOB_CACHE.get(pat)
-    if rx is None:
-        rx = re.compile("[^/]*".join(re.escape(p) for p in pat.split("*"))
-                        + r"\Z")
-        _GLOB_CACHE[pat] = rx
-    return rx
+    segment.  lru-bounded — the patterns embed each member's own stem, so
+    an unbounded dict would grow one entry per series family for the
+    worker's lifetime."""
+    return re.compile("[^/]*".join(re.escape(p) for p in pat.split("*"))
+                      + r"\Z")
 
 
-def find_base_for_path(path: str, namespace: list[str]) -> str | bool:
+def find_base_for_path(path: str, namespace: list[str],
+                       ns_set: "set[str] | None" = None,
+                       ns_sorted=None) -> str | bool:
     """``findBaseFileForPath`` over a table namespace instead of the live
-    filesystem.  Returns the base id (or stem — see module notes) or False."""
+    filesystem.  Returns the base id (or stem — see module notes) or False.
+
+    ``ns_set`` / ``ns_sorted``: optional precomputed views of
+    ``namespace`` (a membership set and a sorted numpy array) so a caller
+    iterating a whole bucket against a corpus-sized namespace builds them
+    ONCE instead of per member — every common-base pattern reduces to a
+    prefix range over the sorted view (glob's ``*`` is the pattern tail),
+    an O(log n) searchsorted instead of an O(n) scan."""
+    import numpy as np
+
     name = os.path.splitext(path)[0]
-    ns_set = set(namespace)
+    if ns_set is None:
+        ns_set = set(namespace)
 
     info = series_info(name)
     if info:
@@ -88,8 +99,19 @@ def find_base_for_path(path: str, namespace: list[str]) -> str | bool:
             # and let * match into subdirectories (spurious suppressions),
             # making this broadcast path disagree with the self-join path
             # (derive_probes), which already matches glob semantics.
-            rx = _glob_like(pat)
-            g = sorted(x for x in namespace if rx.match(x))
+            if (ns_sorted is not None and pat.endswith("*")
+                    and "*" not in pat[:-1]):
+                # prefix form (every _COMMON_BASE_PATTERNS sub is a tail
+                # *): sorted-range lookup, then the no-'/'-in-suffix test
+                # that [^/]*\Z encodes
+                pre = pat[:-1]
+                lo = np.searchsorted(ns_sorted, pre, "left")
+                hi = np.searchsorted(ns_sorted, pre + "\U0010ffff", "left")
+                g = [x for x in ns_sorted[lo:hi]
+                     if "/" not in x[len(pre):]]
+            else:
+                rx = _glob_like(pat)
+                g = sorted(x for x in namespace if rx.match(x))
             if len(g) > 1:
                 return g[0]
     return False
@@ -100,7 +122,11 @@ def suppress_alt_members(filelist: list[str],
     """Drop series-alt members from one bucket (compare.py:527-548).
     ``namespace`` is the id universe the smart method searches (defaults to
     the bucket itself).  Returns the surviving members in input order."""
+    import numpy as np
+
     ns = namespace if namespace is not None else filelist
+    ns_set = set(ns)
+    ns_sorted = np.sort(np.asarray(ns, dtype=str)) if len(ns) > 64 else None
     base_names = {os.path.splitext(p)[0] for p in filelist}
     out = list(filelist)
     for filename in filelist:
@@ -112,7 +138,8 @@ def suppress_alt_members(filelist: list[str],
             out.remove(filename)
             base_names.discard(stem)  # two members can share a stem
             continue
-        base = find_base_for_path(filename, ns)
+        base = find_base_for_path(filename, ns, ns_set=ns_set,
+                                  ns_sorted=ns_sorted)
         if base in out:
             out.remove(filename)
     return out

@@ -167,3 +167,31 @@ def test_rank_mirrors_exclude_null_embeddings(ray_session, null_tables):
     a = eng[cols].sort_values(cols).reset_index(drop=True)
     b = orc[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_null_text_value_matches_mirrors(ray_session, null_tables):
+    """The round-3 review's six null-handling fixes, pinned by VALUE
+    equality with the mirrors on a null-bearing corpus: NULL text docs
+    must neither crash a Ray task nor weld into fabricated "None" dup
+    pairs — they follow SQL NULL semantics exactly (excluded from
+    shingle pairs, one NULL group in bag/exact dedup, 'same' in the
+    snapshot diff, ('', 0) in the trim)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{null_tables}/documents.parquet')")
+    q, osql = e.queries(), e.oracle_sql()
+    for name in ("docs_jaccard_pairs", "docs_containment_pairs",
+                 "docs_substring_trim", "docs_bow_dedup",
+                 "docs_dedup_tiers", "docs_dedup_tiers_report",
+                 "docs_snapshot_diff"):
+        eng = q[name](null_tables)
+        orc = con.execute(osql[name]).df()
+        cols = sorted(eng.columns)
+        a = eng[cols].sort_values(cols).reset_index(drop=True)
+        b = orc[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+        assert a.equals(b), f"{name}: value mismatch on the null corpus"

@@ -88,6 +88,7 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
         # granular, so files mode runs without them — convert the tree to
         # parquet shards (one pass) if resumable ingest is needed.
         resume = False
+        metrics["resume"] = False  # the manifest must not claim checkpoints
         fp = ip.fingerprints(dio.read_image_files(input_dir), cfg)
     elif resume:
         # shard-granular parquet checkpointing; a Lance corpus would shard
@@ -123,7 +124,10 @@ def run(mode: str, input_dir: str, output_dir: str, resume: bool = True,
                 fp, os.path.join(output_dir, "edges"), cfg,
                 input_digest=ec.fingerprint_digest(ckpt))
         else:
-            edges = ip.verified_edges_from_fp(fp, cfg)
+            # materialize: edges is consumed twice (stats + CC); lazy, the
+            # second consumption re-executes the whole decode/LSH/verify
+            # lineage — the edge table itself is pairs-only and small
+            edges = ip.verified_edges_from_fp(fp, cfg).materialize()
         stats = edges.map_batches(
             lambda t: t.filter(pc.equal(t["src"], "")).select(["overflow"]),
             batch_format="pyarrow",
@@ -179,7 +183,7 @@ def run_bloom_probe(input_dir: str, index_dir: str, key_col: str,
     ds = dio.read_parquet(input_dir)
     out = bloomstore.probe_bloom_index(ds, index_dir, key_col,
                                        shuffle=shuffle)
-    out.write_parquet(output_dir)
+    out.write_parquet(_fresh(output_dir))
     import pyarrow.compute as pc
 
     status = pads.dataset(output_dir, format="parquet") \
@@ -217,7 +221,7 @@ def run_prune(clusters_dir: str, edges_dir: str, removed_input: str,
         removed.update(str(x) for x in b[id_col].to_pylist())
     n_before = assign.count()
     out = incremental_cc_remove(assign, edges, removed).materialize()
-    out.write_parquet(output_dir)
+    out.write_parquet(_fresh(output_dir))
     return {"mode": "prune", "output": output_dir,
             "n_removed_ids": len(removed),
             "n_rows_before": int(n_before), "n_rows_after": int(out.count()),
@@ -260,7 +264,7 @@ def run_band_probe(input_dir: str, index_dir: str, output_dir: str,
     fp = ip._live(ip.fingerprints(dio.read_corpus(input_dir), cfg), cfg)
     stats: dict = {}
     out = bandstore.probe_band_index(fp, index_dir, cfg, stats=stats)
-    out.write_parquet(output_dir)
+    out.write_parquet(_fresh(output_dir))
     n_matched = dio.read_parquet(output_dir).count()
     return {"mode": "band-probe", "output": output_dir,
             "n_matched": int(n_matched), **stats,
@@ -317,7 +321,7 @@ def run_srp_probe(input_dir: str, index_dir: str, output_dir: str,
     stats: dict = {}
     out = srpstore.probe_srp_index(ds, index_dir, threshold=threshold,
                                    stats=stats)
-    out.write_parquet(output_dir)
+    out.write_parquet(_fresh(output_dir))
     n = dio.read_parquet(output_dir).count()
     return {"mode": "srp-probe", "output": output_dir,
             "n_pairs": int(n), **stats,
@@ -374,7 +378,7 @@ def run_docband_probe(input_dir: str, index_dir: str,
     stats: dict = {}
     out = docbandstore.probe_doc_band_index(ds, index_dir, PipelineConfig(),
                                             stats=stats)
-    out.write_parquet(output_dir)
+    out.write_parquet(_fresh(output_dir))
     n = dio.read_parquet(output_dir).count()
     return {"mode": "docband-probe", "output": output_dir,
             "n_matched": int(n), **stats,
@@ -565,7 +569,9 @@ def run_img_curate(input_dir: str, output_dir: str,
 
     # ray.put once so the keep set ships to the object store a single time
     # instead of re-serializing inside every task's closure
-    keep_ref = ray.put(pa.array(keep_ids.to_pylist(), pa.string()))
+    keep_ref = ray.put(keep_ids.combine_chunks()
+                       if isinstance(keep_ids, pa.ChunkedArray)
+                       else keep_ids)
 
     def keep_filter(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(
@@ -631,17 +637,41 @@ def run_tiers(input_dir: str, output_dir: str, hash_size: int = 8) -> dict:
     return metrics
 
 
+def _input_digest(input_dir: str) -> str:
+    """Cheap content digest of an input directory: sorted (name, size) of
+    its parquet files — the same signal state/manifests.shard_digest keys
+    on.  Stamped into stage markers so resume NEVER reuses artifacts of a
+    different increment."""
+    import glob as _glob
+    import hashlib as _hl
+
+    rows = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in _glob.glob(os.path.join(input_dir, "**", "*.parquet"),
+                            recursive=True))
+    if not rows:
+        return ""  # absent/empty input: resume-only intent, no identity
+    return _hl.sha256(repr(rows).encode()).hexdigest()[:16]
+
+
 def _stage_marker(output_dir: str, stage: str) -> str:
     return os.path.join(output_dir, f"_stage_{stage}_done.json")
 
 
-def _stage_done(output_dir: str, stage: str, cfg_hash: str) -> dict | None:
-    """Load a completed-stage marker iff it matches the current config —
-    a config change invalidates every downstream artifact."""
+def _stage_done(output_dir: str, stage: str, cfg_hash: str,
+                in_digest: str = "") -> dict | None:
+    """Load a completed-stage marker iff it matches the current config AND
+    the current increment — a config change or a different --input
+    invalidates every downstream artifact (silently reusing another
+    increment's stages would report success while folding nothing)."""
     try:
         with open(_stage_marker(output_dir, stage)) as f:
             m = json.load(f)
-        return m if m.get("config_hash") == cfg_hash else None
+        if m.get("config_hash") != cfg_hash:
+            return None
+        if in_digest and m.get("input_digest", "") != in_digest:
+            return None
+        return m
     except (OSError, json.JSONDecodeError):
         return None
 
@@ -767,27 +797,29 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
             f"state at {state_dir} was built with config "
             f"{state_man['config_hash']}, run requests {ch} — rebuild "
             "state (ingest-init) or match the config")
+    idig = _input_digest(input_dir)
     metrics: dict = {"mode": "ingest", "input": input_dir,
+                     "input_digest": idig,
                      "state": state_dir, "resume": resume}
     t_all = time.time()
 
     # s1 — increment fingerprints (payload-free from here on)
     s1_dir = os.path.join(output_dir, "new_fp")
-    m = _stage_done(output_dir, "new_fp", ch) if resume else None
+    m = _stage_done(output_dir, "new_fp", ch, idig) if resume else None
     if m is None:
         t0 = time.time()
         _stage_begin(output_dir, "new_fp")
         fp = ip._live(ip.fingerprints(dio.read_corpus(input_dir), cfg),
                       cfg).materialize()
         fp.write_parquet(s1_dir)
-        _stage_end(output_dir, "new_fp", ch, n_rows=int(fp.count()),
+        _stage_end(output_dir, "new_fp", ch, input_digest=idig, n_rows=int(fp.count()),
                    wall_s=round(time.time() - t0, 3))
-        m = _stage_done(output_dir, "new_fp", ch)
+        m = _stage_done(output_dir, "new_fp", ch, idig)
     metrics["s1_new_fp"] = m
 
     # s2 — increment-touched verified edges against the persisted index
     s2_dir = os.path.join(output_dir, "delta_edges")
-    m = _stage_done(output_dir, "delta_edges", ch) if resume else None
+    m = _stage_done(output_dir, "delta_edges", ch, idig) if resume else None
     if m is None:
         t0 = time.time()
         _stage_begin(output_dir, "delta_edges")
@@ -804,36 +836,37 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
             n_edges = int(edges.count())
         else:
             n_edges = 0  # empty increment: nothing to probe
-        _stage_end(output_dir, "delta_edges", ch, n_edges=n_edges,
+        _stage_end(output_dir, "delta_edges", ch, input_digest=idig, n_edges=n_edges,
                    **stats, wall_s=round(time.time() - t0, 3))
-        m = _stage_done(output_dir, "delta_edges", ch)
+        m = _stage_done(output_dir, "delta_edges", ch, idig)
     metrics["s2_delta_edges"] = m
 
     # s3 — fold into the persisted assignment (label-space contraction,
     # the full assignment never re-shuffles through CC rounds)
     s3_dir = os.path.join(output_dir, "clusters")
-    m = _stage_done(output_dir, "clusters", ch) if resume else None
+    m = _stage_done(output_dir, "clusters", ch, idig) if resume else None
     if m is None:
         t0 = time.time()
         _stage_begin(output_dir, "clusters")
         assign = dio.read_parquet(os.path.join(state_dir, "clusters"))
         delta = dio.read_parquet(s2_dir) \
-            if _stage_done(output_dir, "delta_edges", ch)["n_edges"] else None
+            if _stage_done(output_dir, "delta_edges", ch, idig)["n_edges"] \
+            else None
         if delta is None:
             updated = assign.materialize()
         else:
             updated = incremental_cc_update(assign, delta, cfg).materialize()
         updated.write_parquet(s3_dir)
-        _stage_end(output_dir, "clusters", ch, n_rows=int(updated.count()),
+        _stage_end(output_dir, "clusters", ch, input_digest=idig, n_rows=int(updated.count()),
                    wall_s=round(time.time() - t0, 3))
-        m = _stage_done(output_dir, "clusters", ch)
+        m = _stage_done(output_dir, "clusters", ch, idig)
     metrics["s3_clusters"] = m
 
     # s4 — decision refresh for clusters touching the increment.  The
     # increment id set and the touched label set are the only driver-side
     # structures (both increment-bounded by construction).
     s4_dir = os.path.join(output_dir, "decisions")
-    m = _stage_done(output_dir, "decisions", ch) if resume else None
+    m = _stage_done(output_dir, "decisions", ch, idig) if resume else None
     if m is None:
         t0 = time.time()
         _stage_begin(output_dir, "decisions")
@@ -904,21 +937,61 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
             n_dec = int(dec.count())
         else:
             n_dec = 0
-        _stage_end(output_dir, "decisions", ch, n_rows=n_dec,
+        _stage_end(output_dir, "decisions", ch, input_digest=idig, n_rows=n_dec,
                    n_touched_clusters=len(touched),
                    wall_s=round(time.time() - t0, 3))
-        m = _stage_done(output_dir, "decisions", ch)
+        m = _stage_done(output_dir, "decisions", ch, idig)
     metrics["s4_decisions"] = m
 
     # s5 — fold the increment into the persisted state so the NEXT
-    # increment probes build(known ∪ this) state
+    # increment probes build(known ∪ this) state.  At-most-once per
+    # increment: the state manifest leads each fold with an in_progress
+    # entry keyed by the increment digest — a rerun of an already-folded
+    # increment (crash after append, or --no-resume) skips the append
+    # instead of duplicating band/fingerprint rows forever, and a fold
+    # interrupted MID-append fails loudly (partial appends make the state
+    # suspect — rebuild with ingest-init).
     if fold_state:
-        m = _stage_done(output_dir, "state_fold", ch) if resume else None
-        if m is None:
+        man_path = os.path.join(state_dir, "_state_manifest.json")
+
+        def write_man() -> None:
+            with open(man_path, "w") as f:
+                json.dump(state_man, f, indent=1)
+
+        m = _stage_done(output_dir, "state_fold", ch, idig) if resume else None
+        folded = state_man.setdefault("folded_digests", {})
+        if m is None and folded.get(idig) == "done":
+            # state already holds this increment (marker lost or
+            # --no-resume): refresh the assignment swap only — it is
+            # replace-not-append, so repeating it is safe
             t0 = time.time()
             p = _stage_marker(output_dir, "state_fold")
             if os.path.exists(p):
                 os.remove(p)
+            import shutil
+
+            tmp = os.path.join(state_dir, "clusters.new")
+            shutil.rmtree(tmp, ignore_errors=True)
+            dio.read_parquet(s3_dir).write_parquet(tmp)
+            old = os.path.join(state_dir, "clusters")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(tmp, old)
+            _stage_end(output_dir, "state_fold", ch, input_digest=idig,
+                       n_band_rows_appended=0, refold_skipped=True,
+                       wall_s=round(time.time() - t0, 3))
+            m = _stage_done(output_dir, "state_fold", ch, idig)
+        elif m is None:
+            if folded.get(idig) == "in_progress":
+                raise RuntimeError(
+                    f"state fold of increment {idig} was interrupted "
+                    "mid-append — the persisted band/fingerprint state "
+                    "may hold partial appends; rebuild with ingest-init")
+            t0 = time.time()
+            p = _stage_marker(output_dir, "state_fold")
+            if os.path.exists(p):
+                os.remove(p)
+            folded[idig] = "in_progress"
+            write_man()
             if metrics["s1_new_fp"]["n_rows"]:
                 new_fp = dio.read_parquet(s1_dir)
                 n_app = bandstore.append_band_index(
@@ -936,10 +1009,12 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
             old = os.path.join(state_dir, "clusters")
             shutil.rmtree(old, ignore_errors=True)
             os.rename(tmp, old)
-            _stage_end(output_dir, "state_fold", ch,
+            folded[idig] = "done"
+            write_man()
+            _stage_end(output_dir, "state_fold", ch, input_digest=idig,
                        n_band_rows_appended=int(n_app),
                        wall_s=round(time.time() - t0, 3))
-            m = _stage_done(output_dir, "state_fold", ch)
+            m = _stage_done(output_dir, "state_fold", ch, idig)
         metrics["s5_state_fold"] = m
 
     metrics["total_wall_s"] = round(time.time() - t_all, 3)
@@ -1026,9 +1101,21 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
     dead_dir = os.path.join(output_dir, "dead_letter")
     marker = os.path.join(output_dir, "_sigs_done.json")
     t0 = time.time()
+    idig = _input_digest(input_dir)
+    sig_meta = None
     if resume and os.path.exists(marker):
         with open(marker) as f:
             sig_meta = json.load(f)
+        # a marker from a DIFFERENT corpus or modality must not satisfy
+        # the resume — re-threshold reuse is only valid over the same
+        # persisted signatures.  An ABSENT input (idig == "") is the
+        # legitimate re-threshold case: the operator reruns over the
+        # persisted store with the payload corpus gone (pinned by
+        # test_media_job_resume_skips_kernel)
+        if (sig_meta.get("modality") != modality
+                or (idig and sig_meta.get("input_digest") != idig)):
+            sig_meta = None
+    if sig_meta is not None:
         t_sig = 0.0
     else:
         import shutil
@@ -1052,7 +1139,8 @@ def run_media_dedup(input_dir: str, output_dir: str, modality: str,
             batch_format="pyarrow")
         ok.write_parquet(sig_dir)
         dead.write_parquet(dead_dir)
-        sig_meta = {"n_sig_rows": ok.count(), "n_dead": dead.count()}
+        sig_meta = {"n_sig_rows": ok.count(), "n_dead": dead.count(),
+                    "input_digest": idig, "modality": modality}
         with open(marker, "w") as f:
             json.dump(sig_meta, f)
         t_sig = round(time.time() - t0, 3)

@@ -47,8 +47,14 @@ def add_content_md5(ds: rd.Dataset, col: str = "text") -> rd.Dataset:
 
     def f(t: pa.Table) -> pa.Table:
         vals = t[col].to_pylist()
+        # md5(NULL) IS NULL (SQL semantics): a null-text doc must neither
+        # weld with other nulls under a shared md5("None") nor collide
+        # with a doc whose literal text is "None"
         return t.append_column(
-            "content_md5", pa.array([hashlib.md5(str(v).encode()).hexdigest() for v in vals])
+            "content_md5", pa.array(
+                [None if v is None else
+                 hashlib.md5(str(v).encode()).hexdigest() for v in vals],
+                pa.string())
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -64,6 +70,11 @@ def doc_band_rows(ds: rd.Dataset, cfg: PipelineConfig, id_col: str = "doc_id",
     text rides in ``caption`` (exact-Jaccard verify), id is stringified."""
 
     def f(t: pa.Table) -> pa.Table:
+        # NULL-text docs carry no shingles: the mirrors' NULL list
+        # arithmetic excludes them from every pair, so they must not band
+        # at all (str(None) would weld all failed downloads — and any doc
+        # whose literal text is "None" — into one fabricated cluster)
+        t = t.filter(pc.is_valid(t[text_col]))
         texts = [str(x) for x in t[text_col].to_pylist()]
         ids = [str(x) for x in t[id_col].to_pylist()]
         n = len(ids)
@@ -333,18 +344,29 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
+    def slice_keys(sh: np.ndarray) -> np.ndarray:
+        """(m, n_bands) per-band slice keys of u64 simhashes."""
+        cols = []
+        for bi in range(n_bands):
+            shift = np.uint64(bi * width)
+            w = width + (64 - width * n_bands if bi == n_bands - 1 else 0)
+            cols.append(((sh >> shift)
+                         & np.uint64((1 << w) - 1)).view(np.int64))
+        return np.stack(cols, axis=1)
+
     def f(t: pa.Table) -> pa.Table:
+        # NULL-text docs have no simhash (mirror: xor with NULL is NULL,
+        # never ≤ ham) — filter, don't stringify into a "None" weld
+        t = t.filter(pc.is_valid(t[text_col]))
         texts = [str(x) for x in t[text_col].to_pylist()]
         ids = [str(x) for x in t[id_col].to_pylist()]
         sh = textfn.simhash_batch(texts).view(np.uint64)
         n = len(ids)
+        keys_m = slice_keys(sh)
         bands, keys, oid, hsh = [], [], [], []
         for bi in range(n_bands):
-            shift = np.uint64(bi * width)
-            w = width + (64 - width * n_bands if bi == n_bands - 1 else 0)
-            key = ((sh >> shift) & np.uint64((1 << w) - 1)).view(np.int64)
             bands.append(np.full(n, bi, np.int32))
-            keys.append(key)
+            keys.append(keys_m[:, bi])
             oid.extend(ids)
             hsh.append(sh.view(np.int64))
         return pa.Table.from_pydict(
@@ -356,16 +378,29 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify(g: pd.DataFrame, band: int) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"src": pd.Series([], dtype=str), "dst": pd.Series([], dtype=str)})
         g = g.sort_values("image_id")
         ids = g["image_id"].tolist()
         sh = g["simhash"].to_numpy()
+        keys_m = slice_keys(sh.view(np.uint64))
         src, dst = [], []
         for i in range(len(ids) - 1):
             ham = hamming_u64(np.full(len(ids) - 1 - i, sh[i], np.int64), sh[i + 1 :])
-            for j in np.where(ham <= max_hamming)[0]:
+            hits = np.where(ham <= max_hamming)[0]
+            if not len(hits):
+                continue
+            # owner-band emission (the candidates.py policy): a pair whose
+            # slices agree in several bands is emitted ONLY by the first —
+            # without this, identical-simhash groups ship every pair
+            # n_bands times through the shuffle just for drop_duplicates
+            # to discard
+            eq = keys_m[i + 1:][hits] == keys_m[i]
+            owner = np.argmax(eq, axis=1)
+            for j, ow in zip(hits, owner):
+                if ow != band:
+                    continue
                 src.append(ids[i])
                 dst.append(ids[i + 1 + j])
         return pd.DataFrame({"src": src, "dst": dst})
@@ -376,7 +411,8 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3,
         if df.empty:
             return pd.DataFrame({"src": pd.Series([], dtype=str),
                                  "dst": pd.Series([], dtype=str)})
-        outs = [verify(g) for _, g in df.groupby(["band", "key"], sort=False)]
+        outs = [verify(g, int(b)) for (b, _), g
+                in df.groupby(["band", "key"], sort=False)]
         return pd.concat(outs, ignore_index=True)
 
     return drop_duplicates(
@@ -432,12 +468,23 @@ def text_features(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
                 stop_np, seg_starts[nonempty])
         # np.add.reduceat quirk: a start index beyond the last element is
         # invalid; guard trailing empty docs (counts==0 already excluded)
+        # NULL text → NULL stopword_cnt, like every other count column
+        # (the mirror's list_filter(string_split(NULL)) is NULL — a zeros
+        # default would make this the one column that disagrees)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        stop_arr = (pa.array(stop) if valid.all() else
+                    pa.array([int(s) if v else None
+                              for s, v in zip(stop, valid)], pa.int64()))
 
-        # language-ID: marker-count matrix + the reference priority argmax
+        # language-ID: marker-count matrix + the reference priority argmax.
+        # fill_null(0): count_substring(NULL) is NULL → NaN → int64 cast
+        # is UNDEFINED garbage; zero keeps null docs deterministically at
+        # the priority default 'en' (the mirror's ELSE arm)
         scores = np.zeros((len(textfn.LANG_ORDER), n), np.int64)
         for li, lang in enumerate(textfn.LANG_ORDER):
             for m in textfn.LANG_MARKERS[lang]:
-                scores[li] += pc.count_substring(col, m).to_numpy(
+                scores[li] += pc.fill_null(
+                    pc.count_substring(col, m), 0).to_numpy(
                     zero_copy_only=False).astype(np.int64)
         best = np.zeros(n, np.int64)  # index into LANG_ORDER, 0 = 'en'
         for li in range(1, len(textfn.LANG_ORDER)):
@@ -453,7 +500,7 @@ def text_features(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         out = out.append_column("n_tokens_ws", n_tokens_ws)
         out = out.append_column("n_tokens_bpe", n_tokens_bpe)
         out = out.append_column("punct_cnt", punct)
-        out = out.append_column("stopword_cnt", pa.array(stop))
+        out = out.append_column("stopword_cnt", stop_arr)
         out = out.append_column("lang_pred", pa.array(langs, pa.string()))
         out = out.append_column("fingerprint", pa.array(fps))
         return out
@@ -620,18 +667,11 @@ def doc_delta_pairs(new_ds: rd.Dataset, known_ds: rd.Dataset,
     caption representative pairs with a new side.  Verify cost is
     proportional to new-touched buckets, not the corpus."""
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(len(t), side, np.int8)))
-
-        return f
-
     rows = (
         doc_band_rows(known_ds, cfg, id_col, text_col)
-        .map_batches(tag(0), batch_format="pyarrow")
+        .map_batches(tag_side(0), batch_format="pyarrow")
         .union(doc_band_rows(new_ds, cfg, id_col, text_col)
-               .map_batches(tag(1), batch_format="pyarrow")))
+               .map_batches(tag_side(1), batch_format="pyarrow")))
 
     jmin = cfg.jaccard_min
     shingle_k = cfg.shingle_k
@@ -676,14 +716,21 @@ def doc_delta_pairs(new_ds: rd.Dataset, known_ds: rd.Dataset,
                             out_src.append(min(known))
                             out_dst.append(mn)
                 reps.append((c, mn, bool(news)))
-            for x in range(len(reps)):
-                cx, mx, nx = reps[x]
+            # iterate NEW reps against all reps (not all×all with a skip):
+            # loop work is O(new_reps × reps) so a known-side mega-bucket
+            # costs the increment, not the corpus; a new×new pair is
+            # handled once, from its smaller index
+            new_rep_idx = [ri for ri, r in enumerate(reps) if r[2]]
+            for x in new_rep_idx:
+                cx, mx, _ = reps[x]
                 shx = sh(cx)
                 lx = len(shx)
-                for y in range(x + 1, len(reps)):
+                for y in range(len(reps)):
+                    if y == x:
+                        continue
                     cy, my, ny = reps[y]
-                    if not (nx or ny):
-                        continue  # known×known: persisted
+                    if ny and y < x:
+                        continue  # new×new: the smaller index owns it
                     shy = sh(cy)
                     ly = len(shy)
                     if lx == 0 and ly == 0:
@@ -763,8 +810,11 @@ def doc_cluster_remove(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     from deduplicator_ray.stages.components import incremental_cc_remove
 
-    assign = doc_clusters(ds, cfg)       # the "persisted" assignment
-    edges = doc_dup_pairs(ds, cfg)       # the persisted verified edge set
+    # ONE banding+verify pass feeds both persisted stand-ins (doc_clusters
+    # is definitionally connected_components(doc_dup_pairs); two separate
+    # lazy lineages would re-shingle and re-verify the corpus twice)
+    edges = doc_dup_pairs(ds, cfg).materialize()
+    assign = connected_components(edges, cfg)
 
     # the retirement increment: a deterministic md5 bucket, derived with a
     # streaming 1-column projection (the removed set is delta-sized by
@@ -804,7 +854,14 @@ def doc_source_priority(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     def proj(t: pa.Table) -> pa.Table:
         src = t["source"].to_pylist()
-        prio = np.array([int(s[3:]) for s in src], np.int64)  # 'srcN' → N
+
+        def parse(s) -> int:  # 'srcN' → N; null/odd values rank WORST
+            try:
+                return int(str(s)[3:])
+            except (TypeError, ValueError):
+                return np.iinfo(np.int64).max
+
+        prio = np.array([parse(s) for s in src], np.int64)
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.string()),
             "cluster_id": pa.array([""] * t.num_rows, pa.string()),
@@ -830,8 +887,11 @@ def doc_source_priority(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                  .drop_duplicates("doc_id").set_index("doc_id"))
         out = df.loc[df["cluster_id"] != ""].copy()
         out["source"] = out["doc_id"].map(feats["source"]).fillna("")
-        out["prio"] = (out["doc_id"].map(feats["prio"]).fillna(0)
-                       .astype(np.int64))
+        # a label row with no matching feature row (checkpointed labels
+        # can cover docs absent from ds) must rank WORST, not win with
+        # the best rank 0
+        out["prio"] = (out["doc_id"].map(feats["prio"])
+                       .fillna(np.iinfo(np.int64).max).astype(np.int64))
         return out
 
     out_schema = pa.schema([("doc_id", pa.string()),

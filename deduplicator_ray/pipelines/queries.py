@@ -2340,8 +2340,10 @@ def _curation_decisions(sf_dir: str, lang: str = "en",
             sids = np.zeros(0, np.int64)
             stok = np.zeros(0, np.int64)
         lp = feat["lang_pred"].to_numpy(dtype=object)
-        ntok = feat["n_tokens"].to_numpy(dtype=np.int64)
-        stop = feat["stopword_cnt"].to_numpy(dtype=np.int64)
+        # null text → null counts (text_features mirrors SQL NULL); the
+        # gate reads them as 0 so failed downloads land in drop_quality
+        ntok = (feat["n_tokens"].fillna(0).to_numpy(dtype=np.int64))
+        stop = (feat["stopword_cnt"].fillna(0).to_numpy(dtype=np.int64))
         is_dup = np.isin(ids, dup_ids, assume_unique=False)
         action = np.where(
             lp != lang, "drop_lang",

@@ -40,7 +40,6 @@ DuckDB mirror (pipelines/queries.DOCS_SUBSTRING_DUP_SQL) is value-exact.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -51,38 +50,29 @@ import ray.data as rd
 
 from deduplicator_ray.stages.partitioned import partitioned_groupby
 
-_B = np.uint64(1099511628211)  # FNV-1a prime as the polynomial base
-
-
-def _window_weights(k: int) -> np.ndarray:
-    w = np.empty(k, np.uint64)
-    acc = np.uint64(1)
-    for j in range(k - 1, -1, -1):
-        w[j] = acc
-        with np.errstate(over="ignore"):
-            acc = acc * _B
-    return w
 
 
 def _batch_windows(texts: list[str], k: int):
     """All k-token windows of a batch: (doc_idx, pos, whash) numpy arrays.
 
-    One concatenated token-hash array per batch + one sliding-window
-    multiply-add — no per-window Python.  Token hashes are crc32 (C speed);
-    the 64-bit polynomial over them is collision-checked later by exact
-    string verify (P3), so hash quality only affects the candidate volume.
-    """
+    Token hashing and the window polynomial reuse functions/text.py's
+    kernels (``hash_tokens``: one numpy pass over the concatenated token
+    bytes; ``_poly_hash_windows``: the O(n) prefix-sum form of the B-base
+    polynomial — its docstring records the measured 3.2× over the (n, k)
+    windowed multiply-sum this used to do, on top of replacing a
+    per-token Python crc32 loop).  Hash quality only affects candidate
+    volume — the exact string verify (P3) decides — but sharing ONE
+    polynomial keeps the two hashing paths from drifting."""
+    from deduplicator_ray.functions.text import _poly_hash_windows, hash_tokens
+
     tok_lists = [t.split(" ") for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
-    flat = [zlib.crc32(tok.encode()) for toks in tok_lists for tok in toks]
-    h = np.asarray(flat, np.uint64)
+    h = hash_tokens([tok for toks in tok_lists for tok in toks])
     n = len(h)
     if n < k:
         z = np.zeros(0, np.int64)
         return z, z, z.view(np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(h, k)
-    with np.errstate(over="ignore"):
-        whash = (win * _window_weights(k)[None, :]).sum(axis=1, dtype=np.uint64)
+    whash = _poly_hash_windows(h, k)
     # valid window starts: fully inside one document
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[: n - k + 1]
@@ -155,8 +145,12 @@ def _candidate_hits_broadcast(ds: rd.Dataset, k: int, id_col: str,
         else:
             hit = np.zeros(len(wh), bool)
         doc_idx, pos, wh = doc_idx[hit], pos[hit], wh[hit]
-        toks = [texts[d].split(" ") for d in doc_idx]
-        wins = [" ".join(tk[p - 1:p - 1 + k]) for tk, p in zip(toks, pos)]
+        # split each hit-bearing doc ONCE (hits >> docs on boilerplate
+        # corpora — a per-hit split is O(hits × doc_len))
+        tok_cache = {int(d): texts[d].split(" ")
+                     for d in np.unique(doc_idx)}
+        wins = [" ".join(tok_cache[int(d)][p - 1:p - 1 + k])
+                for d, p in zip(doc_idx, pos)]
         return pa.Table.from_arrays(
             [pa.array(wh, pa.int64()), pa.array(wins, pa.string()),
              pa.array([ids[d] for d in doc_idx], pa.int64()),

@@ -83,9 +83,12 @@ def _attach_a(df: pd.DataFrame) -> pd.DataFrame:
                              "dst": pd.Series([], dtype=np.int64),
                              "payload": pd.Series([], dtype=object),
                              "tag": pd.Series([], dtype=np.int8)})
-    lut = pd.Series(texts["payload"].to_numpy(),
-                    index=texts["key"].to_numpy())
-    lut = lut[~lut.index.duplicated(keep="first")]
+    # duplicate text rows for one key (possible after append-mode stores
+    # accumulate) resolve to the MIN payload — deterministic across runs,
+    # unlike keep='first' over the shuffle's arbitrary row order
+    lut = (pd.Series(texts["payload"].to_numpy(),
+                     index=texts["key"].to_numpy())
+           .groupby(level=0).min())
     text_a = pairs["key"].map(lut)
     keep = text_a.notna().to_numpy()
     out = pd.DataFrame({
@@ -125,9 +128,9 @@ def pair_text_join(
         pairs = df[df["tag"] == 1]
         if pairs.empty:
             return out_schema.empty_table().to_pandas()
-        lut = pd.Series(texts["payload"].to_numpy(),
-                        index=texts["key"].to_numpy())
-        lut = lut[~lut.index.duplicated(keep="first")]
+        lut = (pd.Series(texts["payload"].to_numpy(),
+                         index=texts["key"].to_numpy())
+               .groupby(level=0).min())  # deterministic dup-key resolve
         text_b = pairs["key"].map(lut)
         keep = text_b.notna().to_numpy()
         full = pd.DataFrame({

@@ -422,6 +422,10 @@ def decode_acon(data: bytes) -> tuple[int, np.ndarray]:
     if not data.startswith(ACON_MAGIC) or len(data) < hdr:
         raise CodecError("bad acon magic")
     codec, rate, n = struct.unpack_from("<BII", data, len(ACON_MAGIC))
+    if not 0 < rate < (1 << 31):
+        # a structurally valid container with an absurd declared rate must
+        # dead-letter, not overflow the int32 sample_rate column downstream
+        raise CodecError(f"bad acon rate {rate}")
     if len(data) != hdr + 2 * n:
         raise CodecError("truncated acon payload")
     raw = np.frombuffer(data, dtype="<u2", offset=hdr)

@@ -104,6 +104,15 @@ class AudioSignatures:
                 fps.append(0)
                 sts.append(f"error:{type(e).__name__}: {e}")
                 continue
+            if not len(row):
+                # decodable but shorter than one fingerprint window:
+                # quarantine visibly (badfiles taxonomy) instead of
+                # silently vanishing from tiers/weights/splits
+                ids.append(aid)
+                idxs.append(-1)
+                fps.append(0)
+                sts.append("error:EmptyMedia: shorter than one window")
+                continue
             ids.extend([aid] * len(row))
             idxs.extend(range(len(row)))
             fps.extend(row.tolist())
@@ -211,7 +220,8 @@ class AudioSignaturesMd5(AudioSignatures):
         from deduplicator_ray import hashing as _h
 
         base = super().__call__(batch.select(["audio_id", "bytes"]))
-        md5s = {aid: _h.md5_hex(blob)
+        # null payload: same dead-letter contract as the video tier pass
+        md5s = {aid: ("" if blob is None else _h.md5_hex(blob))
                 for aid, blob in zip(batch["audio_id"].to_pylist(),
                                      batch["bytes"].to_pylist())}
         col = pa.array([md5s[a] for a in base["audio_id"].to_pylist()],

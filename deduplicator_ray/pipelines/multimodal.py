@@ -382,12 +382,29 @@ class AudioFeatures:
                     rate, pcm = _codecs.decode_acon(blob)
                     rms = float(np.sqrt(np.mean(
                         pcm.astype(np.float64) ** 2))) if len(pcm) else 0.0
+                    # fixed-width mfcc-shaped vector for REAL acon too
+                    # (the schema promises N_MFCC floats on every ok row):
+                    # log band-energy differences over N_MFCC+1 linear
+                    # bands of the clip's power spectrum — deterministic,
+                    # real DSP over the decoded PCM
+                    spec = (np.abs(np.fft.rfft(
+                        pcm.astype(np.float64))) ** 2 if len(pcm) else
+                        np.zeros(0))
+                    if len(spec) > self.N_MFCC + 2:
+                        edges = np.linspace(
+                            1, len(spec), self.N_MFCC + 2).astype(np.int64)
+                        bands = np.add.reduceat(
+                            spec, edges[:-1])[: self.N_MFCC + 1]
+                        logb = np.log1p(bands)
+                        vec = (logb[1:] - logb[:-1]).astype(np.float32)
+                    else:
+                        vec = np.zeros(self.N_MFCC, np.float32)
                     rows["image_id"].append(iid)
                     rows["duration_ms"].append(
                         int(len(pcm) * 1000 // max(rate, 1)))
                     rows["sample_rate"].append(int(rate))
                     rows["rms_e6"].append(int(rms * 1_000_000 / 32768))
-                    rows["mfcc"].append([])
+                    rows["mfcc"].append([float(x) for x in vec])
                     rows["fmt"].append(fmt)
                     rows["status"].append("ok")
                 except _codecs.CodecError as e:

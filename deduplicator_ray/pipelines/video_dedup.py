@@ -52,6 +52,13 @@ class VideoFrames:
     __init__ in a real deployment; payload bytes never leave this stage."""
 
     def __init__(self, hash_size: int = 8):
+        if hash_size != 8:
+            # frame fps are 64-bit dHashes by schema (frame_fp:int64);
+            # fail at construction with a clear error instead of an
+            # AssertionError inside a Ray task
+            raise ValueError(
+                f"video frame hashing is 64-bit only (hash_size=8), "
+                f"got {hash_size}")
         self.hash_size = hash_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -68,6 +75,15 @@ class VideoFrames:
                 idxs.append(-1)
                 fps.append(0)
                 sts.append(f"error:{type(e).__name__}: {e}")
+                continue
+            if not row:
+                # decodable but ZERO frames: un-fingerprintable media must
+                # be VISIBLY quarantined (badfiles taxonomy), never
+                # silently absent from tiers/weights/splits
+                ids.append(vid)
+                idxs.append(-1)
+                fps.append(0)
+                sts.append("error:EmptyMedia: container holds no frames")
                 continue
             for j, fp in enumerate(row):
                 ids.append(vid)
@@ -180,7 +196,9 @@ class VideoFramesMd5(VideoFrames):
 
         base = super().__call__(
             batch.select(["video_id", "bytes"]))
-        md5s = {vid: _h.md5_hex(blob)
+        # null payload (failed download): the base pass already emitted
+        # its dead-letter row — md5 of None must not kill the batch
+        md5s = {vid: ("" if blob is None else _h.md5_hex(blob))
                 for vid, blob in zip(batch["video_id"].to_pylist(),
                                      batch["bytes"].to_pylist())}
         col = pa.array([md5s[v] for v in base["video_id"].to_pylist()],

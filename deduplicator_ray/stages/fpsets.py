@@ -445,12 +445,21 @@ def fp_dedup_tiers(live_md5: rd.Dataset, *, id_col: str, fp_col: str,
                               ("fpset_key", pa.string())])
 
     def per_item(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         d = (df.drop_duplicates([id_col, fp_col])
                .sort_values([id_col, fp_col]))
         d["fp_s"] = d[fp_col].astype(str)
         g = d.groupby(id_col, sort=False)
         out = g.agg(byte_key=("md5", "first"),
                     fpset_key=("fp_s", ",".join)).reset_index()
+        # fixed-width digest: the raw comma-joined list is an UNBOUNDED
+        # shuffle key (a 100k-frame video → a megabytes-long string
+        # hash-partitioned downstream), while set equality only needs a
+        # collision-resistant fingerprint — the md5 keeps the module's
+        # short-string-shuffles-only claim true
+        out["fpset_key"] = [hashlib.md5(s.encode()).hexdigest()
+                            for s in out["fpset_key"]]
         return out[[id_col, "byte_key", "fpset_key"]]
 
     ident = partitioned_groupby(live_md5, [id_col], per_item,

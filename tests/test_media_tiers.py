@@ -92,3 +92,84 @@ def test_mm_dedup_tier_matrix(sf_small):
                        mat.loc[mat["modality"] == modality, "n_items"]))
         want = dict(zip(rep["tier"], rep[alias].astype(int)))
         assert got == want, modality
+
+
+def test_tier_passes_survive_null_payloads(ray_session):
+    """A bytes=NULL row (failed download) must dead-letter through the
+    md5 tier passes, not TypeError the batch (round-3 review)."""
+    import pyarrow as pa
+
+    from deduplicator_ray.pipelines.audio_dedup import AudioSignaturesMd5
+    from deduplicator_ray.pipelines.video_dedup import VideoFramesMd5
+
+    vb = pa.table({"video_id": ["v0"], "bytes": pa.array([None], pa.binary())})
+    out = VideoFramesMd5()(vb).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["status"].startswith("error:")
+    ab = pa.table({"audio_id": ["a0"], "bytes": pa.array([None], pa.binary())})
+    out = AudioSignaturesMd5()(ab).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["status"].startswith("error:")
+
+
+def test_zero_fingerprint_media_quarantined(ray_session):
+    """Decodable media with zero fingerprintable content (empty vcon /
+    sub-window acon) must land in the dead-letter taxonomy, never vanish
+    silently from tiers/weights/splits."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_ray import codecs
+    from deduplicator_ray.pipelines.audio_dedup import AudioSignatures
+    from deduplicator_ray.pipelines.video_dedup import VideoFrames
+
+    empty_vcon = codecs.encode_vcon([])
+    out = VideoFrames()(pa.table({
+        "video_id": ["v0"],
+        "bytes": pa.array([empty_vcon], pa.binary())})).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["status"] == "error:EmptyMedia: container holds no frames"
+
+    short = codecs.encode_acon(np.zeros(100, np.int16), 16000)
+    out = AudioSignatures()(pa.table({
+        "audio_id": ["a0"],
+        "bytes": pa.array([short], pa.binary())})).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["status"] == "error:EmptyMedia: shorter than one window"
+
+
+def test_absurd_acon_rate_dead_letters(ray_session):
+    """A structurally valid container with an int32-overflowing declared
+    rate must CodecError (dead-letter), not ArrowInvalid the stage."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from deduplicator_ray import codecs
+    from deduplicator_ray.pipelines.multimodal import AudioFeatures
+
+    good = codecs.encode_acon(np.zeros(4096, np.int16), 16000)
+    bad = (codecs.ACON_MAGIC
+           + struct.pack("<BII", codecs.ACON_CODEC_RAW, 3_000_000_000, 4096)
+           + good[len(codecs.ACON_MAGIC) + 9:])
+    with _pytest.raises(codecs.CodecError, match="rate"):
+        codecs.decode_acon(bad)
+    out = AudioFeatures(fake=False)(pa.table({
+        "image_id": ["x.acon"], "fmt": ["acon"],
+        "bytes": pa.array([bad], pa.binary())})).to_pandas()
+    assert out.iloc[0]["status"].startswith("error:")
+    # the real-acon ok path now emits the fixed-width mfcc vector
+    ok = AudioFeatures(fake=False)(pa.table({
+        "image_id": ["y.acon"], "fmt": ["acon"],
+        "bytes": pa.array([good], pa.binary())})).to_pandas()
+    assert ok.iloc[0]["status"] == "ok"
+    assert len(ok.iloc[0]["mfcc"]) == AudioFeatures.N_MFCC
+
+
+def test_video_hash_size_validated(ray_session):
+    import pytest as _pytest
+
+    from deduplicator_ray.pipelines.video_dedup import VideoFrames
+
+    with _pytest.raises(ValueError, match="hash_size"):
+        VideoFrames(hash_size=12)

@@ -285,6 +285,13 @@ def dedup_report(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG):
 # extended mode (LSH + CC)
 
 
+def _strip_overflow(t: pa.Table) -> pa.Table:
+    """Drop the overflow-stats sentinel rows (src == '') and project the
+    (src, dst) pair relation — the ONE definition of the sentinel
+    convention (it was previously copy-pasted as a lambda at 9 sites)."""
+    return t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"])
+
+
 def verified_edges_from_fp(fp: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                            channels: tuple[str, ...] = ("img", "cap")) -> rd.Dataset:
     """Verified near-dup edges (src < dst; may contain multi-band duplicates)
@@ -321,9 +328,7 @@ def dup_pairs_from_fp(fp: rd.Dataset,
     overflow sentinel rows (src == ''), project to (src, dst), dedup."""
     return drop_duplicates(
         verified_edges_from_fp(fp, cfg).map_batches(
-            lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-            batch_format="pyarrow",
-        ),
+            _strip_overflow, batch_format="pyarrow"),
         ["src", "dst"],
     )
 
@@ -334,6 +339,18 @@ def dup_pairs(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Da
 
 
 PAIR_DIST_SCHEMA = pa.schema([("ham", pa.int64()), ("n_pairs", pa.int64())])
+
+
+def _require_i64_dhash(cfg: PipelineConfig, what: str) -> None:
+    """The int64 ``dhash`` column is the real fingerprint ONLY at
+    hash_size=8; wide hashes store a 0 sentinel there (decode_hash), so
+    any diagnostic keyed on it would silently report garbage (every pair
+    at Hamming 0 / an empty live set).  Loud beats vacuous."""
+    if cfg.hash_size != 8:
+        raise ValueError(
+            f"{what} reads the int64 dhash column, which is a 0 sentinel "
+            f"at hash_size={cfg.hash_size} — run with hash_size=8 (wide "
+            "fingerprints live in dhash_hex)")
 
 
 def pair_distance_hist(images: rd.Dataset,
@@ -353,6 +370,7 @@ def pair_distance_hist(images: rd.Dataset,
     partial rows per batch before one tiny groupby.  The fingerprint
     table is materialized once (payload-free columns only) because both
     the edge pass and the endpoint sides consume it."""
+    _require_i64_dhash(cfg, "pair_distance_hist")
     import numpy as np
     import pandas as pd
 
@@ -470,9 +488,7 @@ def extended_clusters(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) 
     shuffle — so a dedicated global dedup shuffle here would only add an
     extra sort."""
     edges = verified_edges(images, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     return connected_components(edges, cfg)
 
 
@@ -487,9 +503,7 @@ def extended_decisions(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     """
     fp = _live(fingerprints(images, cfg), cfg).materialize()
     edges = verified_edges_from_fp(fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     clusters = connected_components(edges, cfg)
     joined = clusters.join(
         fp.drop_columns(["caption"]),
@@ -528,9 +542,7 @@ def img_leakage_split(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     fp = _live(fingerprints(images, cfg), cfg).materialize()
     edges = verified_edges_from_fp(fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     labels = connected_components(edges, cfg)
     ids = fp.map_batches(lambda t: t.select(["image_id"]),
                          batch_format="pyarrow")
@@ -1128,13 +1140,20 @@ def make_img_delta_verify(cfg: PipelineConfig):
                 for i, c, s in zip(ids, pay, sides):
                     groups.setdefault(c, []).append((i, s))
                 reps = stars(groups)
-                for x in range(len(reps)):
-                    cx, mx, nx = reps[x]
+                # outer loop over NEW reps only (not all-pairs with a
+                # skip): a known-side mega-bucket (candidates.py measured
+                # 54k distinct reps) costs O(new × reps) loop work, not
+                # O(reps²); a new×new pair is owned by its smaller index
+                new_rep_idx = [ri for ri, r in enumerate(reps) if r[2]]
+                for x in new_rep_idx:
+                    cx, mx, _ = reps[x]
                     shx = sh(cx)
                     lx = len(shx)
-                    for y in range(x + 1, len(reps)):
+                    for y in range(len(reps)):
+                        if y == x:
+                            continue
                         cy, my, ny = reps[y]
-                        if not (nx or ny):
+                        if ny and y < x:
                             continue
                         shy = sh(cy)
                         ly = len(shy)
@@ -1159,11 +1178,14 @@ def make_img_delta_verify(cfg: PipelineConfig):
                     groups.setdefault(v, []).append((i, s))
                 reps = stars(groups)
                 if b != MD5_BAND:  # md5 matches are identity-only
-                    for x in range(len(reps)):
-                        vx, mx, nx = reps[x]
-                        for y in range(x + 1, len(reps)):
+                    new_rep_idx = [ri for ri, r in enumerate(reps) if r[2]]
+                    for x in new_rep_idx:
+                        vx, mx, _ = reps[x]
+                        for y in range(len(reps)):
+                            if y == x:
+                                continue
                             vy, my, ny = reps[y]
-                            if not (nx or ny):
+                            if ny and y < x:
                                 continue
                             if (vx ^ vy).bit_count() <= hmax:
                                 out_s.append(mx)
@@ -1244,9 +1266,7 @@ def img_cluster_update(images: rd.Dataset,
     new_fp = fp.map_batches(part(True), batch_format="pyarrow").materialize()
 
     base_edges = verified_edges_from_fp(known_fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     base = connected_components(base_edges, cfg)
     delta = img_delta_edges(new_fp, known_fp, cfg)
     return incremental_cc_update(base, delta, cfg)
@@ -1316,9 +1336,7 @@ def img_cluster_remove(images: rd.Dataset,
     # persisted stand-ins: the member-level assignment (what a checkpoint
     # of extended_clusters holds)
     edges = verified_edges_from_fp(fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     assign = connected_components(edges, cfg).materialize()
     if not removed:
         return assign
@@ -1338,9 +1356,7 @@ def img_cluster_remove(images: rd.Dataset,
 
     sub_fp = fp.map_batches(keep_alive, batch_format="pyarrow")
     sub_edges = verified_edges_from_fp(sub_fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     sub = connected_components(sub_edges, cfg)
     return untouched_rows(assign, affected).union(sub)
 
@@ -1467,6 +1483,7 @@ def hamming_knn(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     (≤ k·n_queries per batch), so the driver-side combine sees
     k·n_queries·n_blocks tiny rows — the corpus itself never shuffles and
     never lands on the driver."""
+    _require_i64_dhash(cfg, "hamming_knn")
     import numpy as np
     import pandas as pd  # noqa: F401  (groupby combine below)
     import ray
@@ -1542,6 +1559,7 @@ def dhash_bit_stats(images: rd.Dataset,
     the effective keyspace and floods LSH buckets.  Scale shape: each batch
     collapses to exactly 64 partial rows (vectorized bit unpack + sum), so
     the combine is a driver-side sum over 64·n_blocks ints."""
+    _require_i64_dhash(cfg, "dhash_bit_stats")
     import numpy as np
     import pandas as pd  # noqa: F401  (groupby combine below)
 
@@ -1600,9 +1618,7 @@ def img_sample_weights(images: rd.Dataset,
 
     fp = _live(fingerprints(images, cfg), cfg).materialize()
     edges = verified_edges_from_fp(fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     labels = connected_components(edges, cfg)
     ids = fp.map_batches(lambda t: t.select(["image_id"]),
                          batch_format="pyarrow")
@@ -1662,9 +1678,7 @@ def img_dedup_tiers(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     fp = _live(fingerprints(images, cfg), cfg).materialize()
     edges = verified_edges_from_fp(fp, cfg).map_batches(
-        lambda t: t.filter(pc.not_equal(t["src"], "")).select(["src", "dst"]),
-        batch_format="pyarrow",
-    )
+        _strip_overflow, batch_format="pyarrow")
     labels = connected_components(edges, cfg)
 
     def proj(t: pa.Table) -> pa.Table:
@@ -1797,10 +1811,17 @@ def img_kernel_agreement(images: rd.Dataset,
                 key_p[i] = hashing.bits_to_hex(
                     hashing.phash_bits(img, hash_size))
             except codecs.UnsupportedFormatError:
-                md5 = hashing.md5_hex(data)
-                status[i] = "md5_only"
-                key_d[i] = md5
-                key_p[i] = md5
+                # same policy gate as decode_hash: the agreement audit's
+                # universe must match the dedup keyspace it mirrors —
+                # under 'dead_letter' stub media is quarantined, not
+                # md5-matched into both kernel keyspaces
+                if cfg.unsupported_codec_policy == "dead_letter":
+                    status[i] = "error"
+                else:
+                    md5 = hashing.md5_hex(data)
+                    status[i] = "md5_only"
+                    key_d[i] = md5
+                    key_p[i] = md5
             except (codecs.CodecError, MemoryError):
                 status[i] = "error"
         return pa.table({"image_id": ids, "key_d": key_d, "key_p": key_p,

@@ -219,6 +219,15 @@ def make_banding(cfg: PipelineConfig, channels: tuple[str, ...] = ("img", "cap")
                     bands_out.append(np.full(n, CAP_BAND_OFFSET + bi, np.int32))
                     keys_out.append(bkeys[:, bi].copy())
                     ids_out.append(ids)
+                    # NOTE (wide-hash limitation): the int64 dhash here is
+                    # a 0 sentinel at hash_size != 8, so _verify_members'
+                    # caption→image Hamming delegation goes inert on wide
+                    # hashes — pairs near in BOTH channels get emitted by
+                    # both (correctness unaffected: CC tolerates duplicate
+                    # edges; the 5-20× owner-dedup saving applies only at
+                    # the default 64-bit hash).  Shipping dhash_hex in cap
+                    # rows would restore it at +36 B/row — not worth it
+                    # until a wide-hash corpus is the hot path.
                     dh_out.append(dh.view(np.int64))
                     cap_out.append(caps)
 

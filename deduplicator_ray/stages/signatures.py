@@ -18,10 +18,18 @@ from deduplicator_ray.functions import text as textfn
 
 
 class CaptionSignatures:
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 with_simhash: bool = False):
         self.cfg = cfg or PipelineConfig()
-        # warm per-actor state: permutation parameters (once per actor)
+        # warm per-actor state: permutation parameters once per actor —
+        # priming the module-level perm_params cache so __call__'s
+        # minhash_batch never re-derives them (the attrs are the cache
+        # handle, not a second copy)
         self.perm_a, self.perm_b = textfn.perm_params(self.cfg.num_perm)
+        # the image banding channels read ONLY minhash; SimHash costs
+        # ~0.2 s / 4096 captions in the P2 hot path (BASELINE.md), so it
+        # is opt-in for the consumers that actually want the column
+        self.with_simhash = with_simhash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -30,12 +38,13 @@ class CaptionSignatures:
         # batch's concatenated shingles, not one Python iteration per
         # caption (the P2 hot path at 10^12 rows — see functions/text.py)
         sigs = textfn.minhash_batch(caps, cfg.shingle_k, cfg.num_perm)
-        simhash = textfn.simhash_batch(caps)
         minhash_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64)), cfg.num_perm
         )
         out = batch.append_column("minhash", minhash_col)
-        out = out.append_column("simhash", pa.array(simhash, pa.int64()))
+        if self.with_simhash:
+            simhash = textfn.simhash_batch(caps)
+            out = out.append_column("simhash", pa.array(simhash, pa.int64()))
         return out
 
 

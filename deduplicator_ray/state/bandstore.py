@@ -126,7 +126,11 @@ _CAP_PIN = ("shingle_k", "num_perm", "bands", "rows_per_band")
 def _load_params(index_dir: str, cfg: PipelineConfig) -> dict:
     with open(os.path.join(index_dir, _PARAMS)) as f:
         params = json.load(f)
-    pins = ["hash_size", "hamming_max"]
+    # hash_size changes the band KEYS; hamming_max does NOT (the slice
+    # count is fixed at 5 in both the 64-bit and wide paths) — it is a
+    # verify-time threshold, and re-thresholding a built index is the
+    # supported workflow the module comment promises
+    pins = ["hash_size"]
     if "cap" in params.get("channels", []):
         pins += [k for k in _CAP_PIN if k in params]  # old indexes lack them
     for k in pins:
@@ -152,7 +156,11 @@ def _probe_prune(probe: rd.Dataset, index_dir: str, num_parts: int,
     Returns (existing partition paths, pyarrow.dataset filter expr)."""
     key_by_band: dict[int, set[int]] = {}
     nparts: set[int] = set()
-    for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # pruning needs ONLY the narrow key columns — pulling the whole probe
+    # (band rows carry payload text/captions ×cfg.bands) to the driver
+    # would OOM at exactly the increment sizes this module advertises
+    for b in (probe.select_columns(["part", "band", "key"])
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
         nparts.update(b["part"].to_pylist())
         for band, key in zip(b["band"].to_pylist(), b["key"].to_pylist()):
             key_by_band.setdefault(int(band), set()).add(key)

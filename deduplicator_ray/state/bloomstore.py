@@ -72,7 +72,13 @@ def _digest_halves(keys: list) -> tuple[np.ndarray, np.ndarray]:
     n = len(keys)
     buf = np.empty((max(n, 1), 16), np.uint8)
     for i, k in enumerate(keys):
-        buf[i] = np.frombuffer(hashlib.md5(str(k).encode()).digest(), np.uint8)
+        # null/empty keys carry no identity: digest a reserved marker that
+        # no real string key produces, so a failed-download row can never
+        # match a corpus row whose key is literally "None" (the index
+        # build filters nulls out entirely — these rows always probe 'new')
+        data = (b"\x00\x00dedup-ray-null-key\x00" if k is None or k == ""
+                else str(k).encode())
+        buf[i] = np.frombuffer(hashlib.md5(data).digest(), np.uint8)
     halves = buf[:n].view(">u8").astype(np.uint64)  # (n, 2) big-endian decode
     return np.ascontiguousarray(halves[:, 0]), np.ascontiguousarray(halves[:, 1])
 
@@ -107,6 +113,15 @@ def build_bloom_index(
     columns never leave the read tasks."""
 
     def to_hashes(t: pa.Table) -> pa.Table:
+        # null/empty keys carry no identity: str(None) would weld every
+        # failed-download row (and any row whose key is literally "None")
+        # into one digest — the exact hazard doc_band_rows/banding.py
+        # guard against.  They simply don't enter the index.
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.and_(_pc.is_valid(t[key_col]),
+                              _pc.not_equal(_pc.cast(t[key_col],
+                                                     pa.string()), "")))
         hi, lo = _digest_halves(t[key_col].to_pylist())
         part = (hi % np.uint64(num_parts)).astype(np.int64)
         return pa.Table.from_pydict(
@@ -148,6 +163,13 @@ def build_bloom_index(
     index = partitioned_groupby(hashes, ["partition"], build_part,
                                 num_parts=max(1, num_parts // 8),
                                 out_schema=_INDEX_SCHEMA)
+    # a build is a SNAPSHOT: write_parquet appends, so building into a
+    # non-empty dir would leave two index rows per partition — the probe
+    # reads bitmaps last-row-wins but verify digests first-row-wins,
+    # silently missing duplicates across the mixed snapshots
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)
     index.write_parquet(out_dir)
     # build params travel WITH the index — a probe with a different
     # num_parts would route keys to the wrong bitmaps and silently lose

@@ -127,7 +127,10 @@ def probe_doc_band_index(new: rd.Dataset, index_dir: str,
     # partition- and bucket-level read pruning (bandstore pattern)
     key_by_band: dict[int, set[int]] = {}
     nparts: set[int] = set()
-    for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # narrow projection only: doc band rows carry the text payload
+    # ×cfg.bands — the driver needs just the key columns
+    for b in (probe.select_columns(["part", "band", "key"])
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
         nparts.update(b["part"].to_pylist())
         for band, key in zip(b["band"].to_pylist(), b["key"].to_pylist()):
             key_by_band.setdefault(int(band), set()).add(key)

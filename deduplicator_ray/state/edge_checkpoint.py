@@ -98,15 +98,43 @@ def checkpoint_verified_edges(
     os.makedirs(os.path.join(ckpt_dir, "_manifests"), exist_ok=True)
     cfg_hash = cfg.config_hash()
 
-    # signatures + band rows are computed once per missing-partition pass;
-    # the partition filter runs on the banding output so each pass prunes
-    # to its own band buckets
-    def band_rows():
+    def band_rows_lazy():
         sigs = fp.map_batches(CaptionSignatures(cfg), batch_format="pyarrow",
                               batch_size=cfg.text_batch_size)
         return sigs.map_batches(make_banding(cfg, ("img", "cap")),
                                 batch_format="pyarrow",
                                 batch_size=cfg.text_batch_size)
+
+    # signatures + banding run ONCE into a parquet sidecar; each missing
+    # partition reads it with its bucket filter.  Without this, a fresh
+    # run re-MinHashes and re-bands the full corpus once per partition
+    # (n_partitions× the dominant signature cost).  The sidecar is
+    # stamped (config + input) and rebuilt when either changes.
+    sidecar = os.path.join(ckpt_dir, "_band_rows")
+    stamp = os.path.join(ckpt_dir, "_band_rows_stamp.json")
+
+    def band_rows():
+        good = False
+        try:
+            with open(stamp) as f:
+                st = json.load(f)
+            good = (st.get("config_hash") == cfg_hash
+                    and st.get("input_digest") == input_digest
+                    and os.path.isdir(sidecar))
+        except (OSError, json.JSONDecodeError):
+            pass
+        if not good:
+            if os.path.exists(stamp):
+                os.remove(stamp)
+            shutil.rmtree(sidecar, ignore_errors=True)
+            band_rows_lazy().write_parquet(sidecar)
+            with open(stamp, "w") as f:
+                json.dump({"config_hash": cfg_hash,
+                           "input_digest": input_digest}, f)
+        files = sorted(glob.glob(os.path.join(sidecar, "*.parquet")))
+        if not files:  # zero-row corpus: nothing was written
+            return band_rows_lazy()
+        return dio.read_parquet(files)
 
     done_dirs: list[str] = []
     processed = 0
@@ -115,6 +143,11 @@ def checkpoint_verified_edges(
         man = _load(ckpt_dir, part)
         if (man and man.get("config_hash") == cfg_hash
                 and man.get("input_digest") == input_digest
+                # n_partitions determines WHICH buckets a part-NNNN dir
+                # holds (hash % n_partitions == p): a resume with a
+                # different count would silently reuse dirs covering the
+                # wrong half of the band space and still report complete
+                and man.get("n_partitions") == n_partitions
                 and man.get("status") == "ok" and os.path.isdir(out_dir)):
             done_dirs.append(out_dir)
             continue  # resume: this band-bucket partition is complete
@@ -151,6 +184,7 @@ def checkpoint_verified_edges(
             json.dump({
                 "stage": STAGE_EDGES,
                 "partition": part,
+                "n_partitions": n_partitions,
                 "config_hash": cfg_hash,
                 "input_digest": input_digest,
                 "n_edges": int(n_rows - n_over),

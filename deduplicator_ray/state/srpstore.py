@@ -191,7 +191,10 @@ def probe_srp_index(new: rd.Dataset, index_dir: str,
     # probe's (band, bkey) membership pushed into the fragment scan
     key_by_band: dict[int, set[int]] = {}
     nparts: set[int] = set()
-    for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # narrow projection only: the probe's band rows carry the embedding
+    # payload — the driver needs just the key columns
+    for b in (probe.select_columns(["part", "band", "bkey"])
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
         nparts.update(b["part"].to_pylist())
         for band, key in zip(b["band"].to_pylist(), b["bkey"].to_pylist()):
             key_by_band.setdefault(int(band), set()).add(key)

@@ -289,10 +289,15 @@ def test_band_index_probe_equals_inrun_cross_match(sf_small, tmp_path):
     bandstore.probe_band_index(tiny, idx, cfg, stats=stats).to_pandas()
     assert 0 < stats["parts_read"] < stats["parts_total"]
 
-    # config drift guard
-    with pytest.raises(ValueError, match="hamming_max"):
+    # config drift guard: hash_size changes the band KEYS and must fail
+    # loudly; hamming_max is a VERIFY-time threshold (band keys are
+    # independent of it) — re-thresholding a built index is supported
+    with pytest.raises(ValueError, match="hash_size"):
         bandstore.probe_band_index(
-            tiny, idx, dataclasses.replace(cfg, hamming_max=2))
+            tiny, idx, dataclasses.replace(cfg, hash_size=12))
+    rethresh = bandstore.probe_band_index(
+        tiny, idx, dataclasses.replace(cfg, hamming_max=2)).to_pandas()
+    assert rethresh is not None  # accepted, not rejected
 
 
 def test_cli_band_index_modes(sharded_corpus, tmp_path):
@@ -470,9 +475,13 @@ def test_band_index_append_equals_union_build(sf_small, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
 
-    with pytest.raises(ValueError, match="hamming_max"):
+    with pytest.raises(ValueError, match="hash_size"):
         bandstore.append_band_index(
-            known_b, idx, dataclasses.replace(cfg, hamming_max=2))
+            known_b, idx, dataclasses.replace(cfg, hash_size=12))
+    # hamming_max drift is legal (verify-time threshold, keys unchanged)
+    n = bandstore.append_band_index(
+        known_b.limit(2), idx, dataclasses.replace(cfg, hamming_max=2))
+    assert n >= 0
 
 
 def test_band_index_prune_retires_ids(sf_small, tmp_path):

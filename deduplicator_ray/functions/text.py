@@ -79,20 +79,26 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_poly_hash_windows(codes, k))
 
 
-_POW_CACHE: dict[int, np.ndarray] = {}
+_POW_ARR = np.ones(1, np.uint64)  # [.., B^2, B, 1]; grows, never per-n
 
 
 def _powers(n: int) -> np.ndarray:
-    """[B^(n-1), ..., B, 1] mod 2^64."""
-    if n not in _POW_CACHE:
-        p = np.empty(n, np.uint64)
-        acc = np.uint64(1)
+    """[B^(n-1), ..., B, 1] mod 2^64.
+
+    Served as a SLICE of one monotonically growing array ([B^(k-1)..1]
+    for n ≤ k is its suffix): the previous per-n dict cache leaked one
+    O(n) array per distinct length for the actor's lifetime — GBs on
+    corpora whose docs are single unsegmented tokens — and filled each
+    with a per-element Python loop; the growing array is doubled with
+    one vectorized cumprod."""
+    global _POW_ARR
+    if n > len(_POW_ARR):
+        size = max(n, 2 * len(_POW_ARR))
         with np.errstate(over="ignore"):
-            for i in range(n - 1, -1, -1):
-                p[i] = acc
-                acc = acc * _B
-        _POW_CACHE[n] = p
-    return _POW_CACHE[n]
+            asc = np.full(size, _B, np.uint64)
+            asc[0] = 1
+            _POW_ARR = np.cumprod(asc)[::-1].copy()  # [B^(size-1) .. 1]
+    return _POW_ARR[len(_POW_ARR) - n:]
 
 
 def _poly_hash_one(data: bytes) -> np.uint64:
@@ -262,8 +268,11 @@ def band_keys(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
 # SimHash
 
 
-def simhash_batch(texts, seed: int = 7) -> np.ndarray:
+def simhash_batch(texts) -> np.ndarray:
     """64-bit SimHash over whitespace tokens; returned as int64.
+    Token hashing is keyed by the module polynomial seed (_SEED_A) — a
+    per-call seed parameter existed but was inert (never wired into the
+    hash), so it was removed rather than silently ignored.
 
     Fully batch-vectorized: every text's tokens are hashed in one
     ``hash_tokens`` pass over the concatenated byte stream, the ±1 bit
@@ -315,7 +324,11 @@ _NON_ALNUM_SPACE = re.compile(r"[^a-zA-Z0-9 ]")
 
 
 def token_count_ws(text: str) -> int:
-    """Whitespace token count (SQL mirror: length(regexp_split_to_array(trim(text), '\\s+')))."""
+    """Whitespace token count = number of \\S+ runs (the batch path uses
+    count_substring_regex(r'\\S+'), doc_dedup.text_features).  NOTE the
+    naive SQL regexp_split_to_array mirror is NOT equivalent on empty /
+    all-whitespace text (DuckDB yields 1 token there, Python 0) — mirror
+    with a \\S+ match count, not a split length."""
     return len(text.split())
 
 
@@ -385,6 +398,11 @@ def cdc_chunk_spans(texts: list[str], window: int = 16, modulus: int = 64,
                     min_chunk: int = 16, max_chunk: int = 4096):
     """(doc_idx, start, length, chunk_hash) arrays for a batch of texts.
 
+    Parameter domain is validated up front: min_chunk ≥ 1 and
+    max_chunk ≥ min_chunk, else the greedy cut loop makes no forward
+    progress (an exposed max_chunk=0 would append duplicate spans until
+    the worker OOMs).
+
     Vectorized over the batch's CONCATENATED utf-8 bytes: one
     prefix-sum pass yields every window hash (cutpoint detection) and
     every chunk's content hash (span hash via the same suffix sums —
@@ -395,6 +413,11 @@ def cdc_chunk_spans(texts: list[str], window: int = 16, modulus: int = 64,
     hashes imply equal length modulo 2^-64 collisions.  start/length are
     byte offsets into the doc's utf-8 encoding; the final chunk of a doc
     may be shorter than ``min_chunk``."""
+    if min_chunk < 1 or max_chunk < min_chunk or window < 1 or modulus < 1:
+        raise ValueError(
+            f"cdc_chunk_spans: need 1 <= min_chunk <= max_chunk and "
+            f"positive window/modulus, got min_chunk={min_chunk} "
+            f"max_chunk={max_chunk} window={window} modulus={modulus}")
     bs = [t.encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in bs), np.int64, count=len(bs))
     z = np.zeros(0, np.int64)

@@ -71,13 +71,24 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kw) -> rd.Dataset
         if f is not None:
             try:
                 full = clean_schema(pq.read_schema(f))
+                if isinstance(paths, (list, tuple)) and len(paths) > 1:
+                    # pinning the FIRST footer as the dataset schema would
+                    # silently drop columns that only later shards carry;
+                    # cheap heterogeneity probe: if the last shard's
+                    # footer disagrees, fall back to Ray's own schema
+                    # unification (the metadata-hashability nicety loses
+                    # to correctness on mixed shards)
+                    lastf = _first_parquet_file(paths[-1])
+                    if (lastf is not None and lastf != f
+                            and clean_schema(pq.read_schema(lastf)) != full):
+                        raise LookupError("heterogeneous shard schemas")
                 if columns is not None:
                     # fragments emit projected columns in the REQUESTED
                     # order; the schema passed to Ray must match exactly
                     full = pa.schema([full.field(c) for c in columns])
                 kw["schema"] = full
             except Exception:
-                pass  # unreadable footer: fall back to Ray's own inference
+                pass  # unreadable footer / mixed shards: Ray inference
     if columns is not None:
         kw["columns"] = columns
     return rd.read_parquet(paths, **kw)
@@ -171,14 +182,16 @@ def read_image_files(root: str) -> rd.Dataset:
     the table already carries the metadata columns."""
     import glob as _glob
 
-    import numpy as np
-
     from deduplicator_ray import codecs, hashing, tuning
 
     tuning.tune()
     paths = sorted(p for p in
                    _glob.glob(os.path.join(root, "**", "*"), recursive=True)
                    if os.path.isfile(p))
+    if not paths:
+        # Ray's own error here is an opaque "Must provide at least one
+        # path." — name the directory the user actually pointed at
+        raise ValueError(f"read_image_files: no files under {root!r}")
     schema = pa.schema([
         ("image_id", pa.string()), ("bytes", pa.binary()),
         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),

@@ -25,6 +25,7 @@ cluster with hundreds of cores the formula reproduces Ray's default.
 from __future__ import annotations
 
 import logging
+import os
 
 import ray
 
@@ -48,14 +49,20 @@ class _EmptyBundleSchemaFilter(logging.Filter):
 
 
 def tune() -> None:
-    if not ray.is_initialized():
-        # the driver owns ray.init; tune after it exists
-        return
+    # DataContext.get_current() works BEFORE ray.init, and Ray 2.49's
+    # read_api captures a copy of the context at dataset creation — so an
+    # auto-init driver whose first call is a read would otherwise run the
+    # whole first pipeline permanently untuned (the 200-block floor and
+    # reservation pathologies this module exists to fix).  Only the
+    # cluster-cores lookup needs a pre-init fallback.
     from ray.data.context import DataContext
 
     ctx = DataContext.get_current()
     try:
-        cores = int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized():
+            cores = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            cores = int(os.cpu_count() or 8)
     except Exception:
         cores = 8
     ctx.read_op_min_num_blocks = max(8, min(200, 2 * cores))

@@ -81,3 +81,28 @@ def test_rolling_fingerprint_deterministic():
     assert f1 == f2
     assert isinstance(f1, int)
     assert f1 != f3
+
+
+def test_hash_tokens_matches_per_row_reference():
+    """hash_tokens (the batched kernel) vs _poly_hash_one (the per-row
+    reference) — pinned so the two polynomial implementations can never
+    silently diverge (round-3 review)."""
+    import numpy as np
+
+    toks = ["", "a", "hello", "日本語テキスト", "x" * 257, "mixed 1 2 3"]
+    got = tf.hash_tokens(toks)
+    want = np.array([tf._poly_hash_one(t.encode("utf-8")) for t in toks],
+                    np.uint64)
+    assert (got == want).all()
+
+
+def test_powers_slice_consistency():
+    """_powers(n) must stay exact as the backing array grows."""
+    import numpy as np
+
+    small = tf._powers(3).copy()
+    big = tf._powers(500)
+    assert (tf._powers(3) == small).all()
+    assert big[-1] == 1 and big[-2] == tf._B
+    # suffix property: powers(3) is the tail of powers(500)
+    assert (big[-3:] == small).all()

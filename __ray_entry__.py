@@ -405,6 +405,9 @@ def _img_incremental_dedup(sf_dir: str):
     from deduplicator_ray.state import bloomstore
 
     cfg = _cfg()
+    # ONE decode pass feeds both split sides (lazy, each call re-decoded)
+    live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg),
+                    cfg).materialize()
 
     def live_split(new_side: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -415,7 +418,6 @@ def _img_incremental_dedup(sf_dir: str):
             return t.select(["image_id", "proc_hash"]).filter(
                 pa.array(isnew if new_side else ~isnew))
 
-        live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg), cfg)
         return live.map_batches(f, batch_format="pyarrow")
 
     idx_dir = tempfile.mkdtemp(prefix="imgbloom_", dir="/tmp")
@@ -445,7 +447,11 @@ def _img_cross_dedup(sf_dir: str):
     from deduplicator_ray.pipelines import image_dedup as ip
 
     cfg = _cfg()
-    live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg), cfg)
+    # materialize: three datasets derive from this fingerprint table
+    # (match sides + the new-id scan) — lazy, each would re-decode the
+    # corpus (the _img_cross_dedup_indexed sibling already does this)
+    live = ip._live(ip.fingerprints(ip.load_images(sf_dir, cfg), cfg),
+                    cfg).materialize()
     cols = ["image_id", "dhash", "dhash_hex", "status", "content_md5"]
 
     def side(new_side: bool):

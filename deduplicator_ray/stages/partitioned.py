@@ -172,13 +172,21 @@ def partitioned_merge_str(
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
             arrays, names = [], []
+            cast_cols = {}
             for c in all_cols:
                 names.append(c)
                 if c in own_cols:
-                    arrays.append(t[c].cast(pa.string()) if t[c].type != pa.string() else t[c])
+                    col = (t[c].cast(pa.string())
+                           if t[c].type != pa.string() else t[c])
+                    cast_cols[c] = col
+                    arrays.append(col)
                 else:
                     arrays.append(pa.array([""] * n, pa.string()))
-            part = (_hash_cols(t, [key]) % np.uint64(fine_parts)).astype(np.int32)
+            # hash the STRING form of the key (the merge compares strings):
+            # hashing the pre-cast column would route int 5 and "5" to
+            # different partitions and silently drop their matches
+            kt = pa.table({key: cast_cols[key]})
+            part = (_hash_cols(kt, [key]) % np.uint64(fine_parts)).astype(np.int32)
             names += ["__part", "__side"]
             arrays += [pa.array(part), pa.array([side] * n, pa.string())]
             return pa.Table.from_arrays(arrays, names=names)
@@ -248,7 +256,12 @@ def filter_min_group_size(ds: rd.Dataset, keys: list[str], min_size: int,
     threshold, /root/reference/dupedb.py:331) — vectorized value_counts."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = df.groupby(keys, sort=False)[keys[0]].transform("size")
+        # dropna=False: null-keyed rows form a real group (consistent with
+        # drop_duplicates/keep_first, which treat NaN keys as equal) —
+        # the default dropna made their transform NaN and silently
+        # filtered every null-keyed row regardless of group size
+        sizes = df.groupby(keys, sort=False, dropna=False)[
+            keys[0]].transform("size")
         return df[sizes >= min_size]
 
     return partitioned_groupby(ds, keys, f, num_parts)

@@ -82,6 +82,15 @@ class BandIndex:
     here with dhash=0 or they all collide in the zero slices."""
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, num_shards: int = 4):
+        if cfg.hash_size != 8:
+            # the slicing here reads the int64 dhash, which is a 0
+            # sentinel for wide hashes (make_banding has the wide branch;
+            # this actor-pool index does not) — fail loudly instead of
+            # banding every record into one key-0 mega-bucket
+            raise ValueError(
+                "BandIndex slices the 64-bit dhash (hash_size=8); wide "
+                f"hashes (hash_size={cfg.hash_size}) must use the "
+                "make_banding batch path")
         self.cfg = cfg
         self.num_shards = num_shards
         self.shards = [BandShardActor.remote() for _ in range(num_shards)]

@@ -306,19 +306,79 @@ class MontageImages(ConcatImages):
 def montage_pipeline(images: rd.Dataset, clusters: rd.Dataset,
                      tile: int = 32, cols: int = 4,
                      num_partitions: int = 8) -> rd.Dataset:
-    """Join cluster assignments back to payloads and render one montage per
+    """Attach cluster assignments to payloads and render one montage per
     cluster (partitioned groupby on cluster_id, vectorized per partition).
 
-    ``num_partitions`` sizes the payload-carrying join shuffle: at corpus
-    scale it must grow with data volume (each partition holds its clusters'
-    FULL pixel payloads in one worker's heap) — a few × total cores is the
-    working default; 8 suits the sandbox tiers."""
+    The attach is the union-join shape (tag → image_id-partitioned
+    groupby), NOT ``Dataset.join``: Ray's hash join emits schema-less
+    empty blocks on sparse partitions (the CORRECTNESS_r01 failure
+    fpsets.py documents), and this was the repo's last use of it on a
+    payload path.  ``num_partitions`` sizes the payload-carrying
+    exchanges: at corpus scale it must grow with data volume (each
+    partition holds its clusters' FULL pixel payloads in one worker's
+    heap) — a few × total cores is the working default; 8 suits the
+    sandbox tiers."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
     from deduplicator_ray.stages.partitioned import partitioned_groupby
 
-    joined = clusters.join(images, join_type="inner",
-                           num_partitions=num_partitions, on=("image_id",))
+    union_schema = pa.schema([
+        ("image_id", pa.string()), ("cluster_id", pa.string()),
+        ("bytes", pa.binary()), ("w", pa.int64()), ("h", pa.int64()),
+        ("fmt", pa.string()), ("tag", pa.int8())])
+
+    def tag_img(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays([
+            pc.cast(t["image_id"], pa.string()),
+            pa.nulls(n, pa.string()),
+            pc.cast(t["bytes"], pa.binary()),
+            pc.cast(t["w"], pa.int64()),
+            pc.cast(t["h"], pa.int64()),
+            pc.cast(t["fmt"], pa.string()),
+            pa.array(np.zeros(n, np.int8)),
+        ], schema=union_schema)
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays([
+            pc.cast(t["image_id"], pa.string()),
+            pc.cast(t["cluster_id"], pa.string()),
+            pa.nulls(n, pa.binary()),
+            pa.nulls(n, pa.int64()),
+            pa.nulls(n, pa.int64()),
+            pa.nulls(n, pa.string()),
+            pa.array(np.ones(n, np.int8)),
+        ], schema=union_schema)
+
+    mid_schema = pa.schema([
+        ("cluster_id", pa.string()), ("image_id", pa.string()),
+        ("bytes", pa.binary()), ("w", pa.int64()), ("h", pa.int64()),
+        ("fmt", pa.string())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        labs = df[df["tag"] == 1]
+        imgs = df[df["tag"] == 0]
+        if labs.empty or imgs.empty:
+            return mid_schema.empty_table().to_pandas()
+        lut = (labs.drop_duplicates("image_id")
+               .set_index("image_id")["cluster_id"])
+        cid = imgs["image_id"].map(lut)
+        keep = cid.notna().to_numpy()
+        out = imgs.loc[keep, ["image_id", "bytes", "w", "h",
+                              "fmt"]].copy()
+        out.insert(0, "cluster_id", cid[keep].to_numpy())
+        return out
+
+    mid = partitioned_groupby(
+        images.select_columns(["image_id", "bytes", "w", "h", "fmt"])
+        .map_batches(tag_img, batch_format="pyarrow")
+        .union(clusters.map_batches(tag_lab, batch_format="pyarrow")),
+        ["image_id"], attach, num_parts=num_partitions,
+        out_schema=mid_schema)
     return partitioned_groupby(
-        joined, ["cluster_id"], MontageImages(tile=tile, cols=cols),
+        mid, ["cluster_id"], MontageImages(tile=tile, cols=cols),
         num_parts=num_partitions,
         out_schema=pa.schema([("cluster_id", pa.string()),
                               ("bytes", pa.binary()),

@@ -638,20 +638,41 @@ def run_tiers(input_dir: str, output_dir: str, hash_size: int = 8) -> dict:
 
 
 def _input_digest(input_dir: str) -> str:
-    """Cheap content digest of an input directory: sorted (name, size) of
-    its parquet files — the same signal state/manifests.shard_digest keys
-    on.  Stamped into stage markers so resume NEVER reuses artifacts of a
-    different increment."""
+    """Cheap content digest of an input directory: sorted (name, size,
+    footer-md5) of its parquet files.  Stamped into stage markers so resume
+    NEVER reuses artifacts of a different increment.  The footer md5 is the
+    content signal (row-group stats, row counts, column chunk offsets all
+    live there): two different increments whose files happen to share names
+    and byte sizes still digest differently — (name, size) alone let resume
+    and the folded_digests at-most-once guard reuse/skip the WRONG
+    increment's artifacts.  Footer reads are O(KB) per file, no data pages
+    touched."""
     import glob as _glob
     import hashlib as _hl
+    import struct as _struct
+
+    def footer_md5(p: str, size: int) -> str:
+        try:
+            with open(p, "rb") as f:
+                f.seek(max(0, size - 8))
+                tail = f.read(8)
+                if len(tail) != 8 or tail[4:] != b"PAR1":
+                    return "badmagic"
+                (flen,) = _struct.unpack("<I", tail[:4])
+                flen = min(flen, size - 8)
+                f.seek(size - 8 - flen)
+                return _hl.md5(f.read(flen)).hexdigest()[:12]
+        except OSError:
+            return "unreadable"
 
     rows = sorted(
-        (os.path.basename(p), os.path.getsize(p))
+        (os.path.relpath(p, input_dir), p, os.path.getsize(p))
         for p in _glob.glob(os.path.join(input_dir, "**", "*.parquet"),
                             recursive=True))
     if not rows:
         return ""  # absent/empty input: resume-only intent, no identity
-    return _hl.sha256(repr(rows).encode()).hexdigest()[:16]
+    full = [(rel, size, footer_md5(p, size)) for rel, p, size in rows]
+    return _hl.sha256(repr(full).encode()).hexdigest()[:16]
 
 
 def _stage_marker(output_dir: str, stage: str) -> str:
@@ -690,6 +711,70 @@ def _stage_begin(output_dir: str, stage: str) -> str:
 def _stage_end(output_dir: str, stage: str, cfg_hash: str, **extra) -> None:
     with open(_stage_marker(output_dir, stage), "w") as f:
         json.dump({"config_hash": cfg_hash, "stage": stage, **extra}, f)
+
+
+# s4 decision-refresh broadcast cap: touched-cluster membership maps up to
+# this size ship via ray.put; above it the refresh falls back to the
+# partitioned union-attach exchange (module-level so tests can pin the
+# fallback path)
+_MEMBER_BCAST_CAP = 1 << 20
+
+
+def _union_attach_labels(fp, labels, cols: list[str]):
+    """Attach ``cluster_id`` to fingerprint rows by image_id — the
+    tag/union + key-partitioned-groupby shape (montage_pipeline /
+    _curation_decisions), inner semantics: fp rows without a label are
+    dropped.  Replaces ``Dataset.join`` on this path (schema-less empty
+    blocks on sparse partitions, the CORRECTNESS_r01 failure).  ``cols``
+    must not carry full-range int64 values: unioned nulls route the
+    column through pandas float64 (the resolve columns are small ints —
+    lossless)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplicator_ray.stages.partitioned import partitioned_groupby
+
+    sch = fp.schema()
+    types = dict(zip(sch.names, sch.types))
+    fp_fields = [(c, types[c]) for c in cols]
+    union_schema = pa.schema([("cluster_id", pa.string()), *fp_fields,
+                              ("__tag", pa.int8())])
+    out_schema = pa.schema([("cluster_id", pa.string()), *fp_fields])
+
+    def tag_fp(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        arrays = [pa.nulls(n, pa.string())]
+        arrays += [pc.cast(t[c], ty) for c, ty in fp_fields]
+        arrays.append(pa.array(np.zeros(n, np.int8)))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_lab(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        arrays = [pc.cast(t["cluster_id"], pa.string())]
+        for c, ty in fp_fields:
+            arrays.append(pc.cast(t["image_id"], ty) if c == "image_id"
+                          else pa.nulls(n, ty))
+        arrays.append(pa.array(np.ones(n, np.int8)))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def attach(df):
+        labs = df[df["__tag"] == 1]
+        fps = df[df["__tag"] == 0]
+        if labs.empty or fps.empty:
+            return out_schema.empty_table().to_pandas()
+        lut = (labs.drop_duplicates("image_id")
+               .set_index("image_id")["cluster_id"])
+        cid = fps["image_id"].map(lut)
+        keep = cid.notna().to_numpy()
+        out = fps.loc[keep, [c for c, _ in fp_fields]].copy()
+        out.insert(0, "cluster_id", cid[keep].to_numpy())
+        return out
+
+    u = fp.map_batches(tag_fp, batch_format="pyarrow").union(
+        labels.map_batches(tag_lab, batch_format="pyarrow"))
+    return partitioned_groupby(u, ["image_id"], attach, num_parts=16,
+                               out_schema=out_schema)
 
 
 def run_ingest_init(input_dir: str, state_dir: str, num_parts: int = 64,
@@ -893,7 +978,6 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
         # ONE exchange (label attach is a map, resolve is the groupby);
         # above the cap it falls back to the partitioned Dataset.join —
         # never a driver blow-up, never a wrong answer.
-        MEMBER_BCAST_CAP = 1 << 20
         if touched:
             t_arr = pa.array(sorted(touched), pa.string())
             rows = updated.map_batches(
@@ -906,10 +990,22 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
                     for i, c in zip(b["image_id"].to_pylist(),
                                     b["cluster_id"].to_pylist()):
                         members[str(i)] = str(c)
-                    if len(members) > MEMBER_BCAST_CAP:
+                    if len(members) > _MEMBER_BCAST_CAP:
                         members = None  # fall back to the partitioned join
-            all_fp = dio.read_parquet(
-                [os.path.join(state_dir, "fingerprints"), s1_dir])
+            # after a COMPLETED fold, state/fingerprints already holds the
+            # appended increment — on a rerun of an already-folded
+            # increment (--no-resume / lost marker, the scenario s5's
+            # refold_skipped branch supports) also reading s1_dir would
+            # enter every increment member into the keeper election TWICE:
+            # cumcount()==0 then emits the duplicate keeper row as a
+            # 'delete' decision for the keeper id and inflates bucket
+            # sizes / rename CRC suffixes
+            fp_paths = [os.path.join(state_dir, "fingerprints")]
+            if state_man.get("folded_digests", {}).get(idig) != "done":
+                fp_paths.append(s1_dir)
+            from deduplicator_ray.stages.ranking import RANK_COLUMNS
+            need_cols = ["image_id", "proc_hash", "crc32", *RANK_COLUMNS]
+            all_fp = dio.read_parquet(fp_paths, columns=need_cols)
             if members is not None:
                 mem_ref = ray.put(members)
 
@@ -922,12 +1018,16 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
                     return t.append_column("cluster_id",
                                            pa.array(lab, pa.string()))
 
-                joined = all_fp.drop_columns(["caption"]).map_batches(
-                    attach, batch_format="pyarrow")
+                joined = all_fp.map_batches(attach, batch_format="pyarrow")
             else:
-                joined = rows.join(
-                    all_fp.drop_columns(["caption"]), join_type="inner",
-                    num_partitions=16, on=("image_id",))
+                # over-cap fallback: tag/union + image_id-partitioned
+                # groupby attach (the montage_pipeline shape) — NOT
+                # Dataset.join, which emits schema-less empty blocks on
+                # sparse partitions (the CORRECTNESS_r01 failure
+                # stages/fpsets.py documents).  Only the resolve-needed
+                # columns ride the exchange; their values are small ints/
+                # floats, so the pandas null→float64 detour is lossless.
+                joined = _union_attach_labels(all_fp, rows, need_cols)
             dec = partitioned_groupby(
                 joined, ["cluster_id"],
                 make_partition_resolve(cfg, cluster_col="cluster_id",

@@ -74,14 +74,25 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kw) -> rd.Dataset
                 if isinstance(paths, (list, tuple)) and len(paths) > 1:
                     # pinning the FIRST footer as the dataset schema would
                     # silently drop columns that only later shards carry;
-                    # cheap heterogeneity probe: if the last shard's
-                    # footer disagrees, fall back to Ray's own schema
-                    # unification (the metadata-hashability nicety loses
-                    # to correctness on mixed shards)
-                    lastf = _first_parquet_file(paths[-1])
-                    if (lastf is not None and lastf != f
-                            and clean_schema(pq.read_schema(lastf)) != full):
-                        raise LookupError("heterogeneous shard schemas")
+                    # heterogeneity probe: every footer when the list is
+                    # small, else first/last plus an evenly-spaced sample
+                    # (a MIDDLE shard with a divergent schema must be
+                    # caught too, not just the endpoints).  Footer reads
+                    # are metadata-only — cheap.  Any disagreement falls
+                    # back to Ray's own schema unification (the
+                    # metadata-hashability nicety loses to correctness).
+                    if len(paths) <= 32:
+                        probe = list(paths[1:])
+                    else:
+                        import numpy as _np
+
+                        idx = _np.linspace(1, len(paths) - 1, 31).astype(int)
+                        probe = [paths[i] for i in sorted(set(idx.tolist()))]
+                    for p in probe:
+                        pf = _first_parquet_file(p)
+                        if (pf is not None and pf != f
+                                and clean_schema(pq.read_schema(pf)) != full):
+                            raise LookupError("heterogeneous shard schemas")
                 if columns is not None:
                     # fragments emit projected columns in the REQUESTED
                     # order; the schema passed to Ray must match exactly

@@ -729,6 +729,7 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             supp: str = "", truth: str = "", phashes: str = "",
             shingle_k: int = 5,
             jaccard_min: float = 0.8, hamming_max: int = 4,
+            threshold: int = 2,
             img_ham_expr: str = "bit_count(xor(a.dh, b.dh))") -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
     contain regex braces (``{36}``) that ``str.format`` would eat."""
@@ -742,6 +743,7 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             .replace("{SHINGLE_K}", str(shingle_k))
             .replace("{JACCARD_MIN}", repr(jaccard_min))
             .replace("{IMG_HAM_EXPR}", img_ham_expr)
+            .replace("{THRESHOLD}", str(threshold))
             .replace("{HAMMING_MAX}", str(hamming_max)))
 
 
@@ -891,7 +893,7 @@ WITH live AS (
 ),
 sized AS (
   SELECT *, count(*) OVER (PARTITION BY proc_hash) AS n_members
-  FROM live QUALIFY n_members >= 2
+  FROM live QUALIFY n_members >= {THRESHOLD}
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY proc_hash

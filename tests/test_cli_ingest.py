@@ -148,3 +148,56 @@ def test_ingest_rejects_config_drift(split):
         cli.run_ingest(split["new"], state,
                        os.path.join(split["tmp"], "out_drift"),
                        hash_size=12)
+
+
+def test_ingest_refold_rerun_no_double_election(split):
+    """A rerun of an ALREADY-FOLDED increment (--no-resume / lost markers,
+    the scenario s5's refold_skipped branch supports) must not read the
+    increment fingerprints twice — state/fingerprints already holds them
+    after the fold, and a double read would enter every member into the
+    keeper election twice (duplicate keeper row surfacing as a 'delete'
+    decision for the keeper id)."""
+    from deduplicator_ray import cli
+
+    state = os.path.join(split["tmp"], "state_refold")
+    out = os.path.join(split["tmp"], "out_refold")
+    cli.run_ingest_init(split["known"], state)
+    cli.run_ingest(split["new"], state, out)
+    dec1 = dio.read_parquet(os.path.join(out, "decisions")).to_pandas()
+
+    # rerun the same, now-folded increment from scratch (fresh output dir,
+    # resume off: every stage recomputes against the folded state)
+    out2 = os.path.join(split["tmp"], "out_refold2")
+    cli.run_ingest(split["new"], state, out2, resume=False)
+    dec2 = dio.read_parquet(os.path.join(out2, "decisions")).to_pandas()
+    assert not dec2.duplicated(["cluster_id", "image_id"]).any()
+    assert (dec2.groupby("cluster_id")["action"]
+            .apply(lambda s: (s == "keep").sum() == 1)).all()
+    cols = list(dec1.columns)
+    a = dec1.sort_values(cols).reset_index(drop=True)
+    b = dec2.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ingest_fallback_attach_equals_broadcast(split, monkeypatch):
+    """The over-cap s4 fallback (tag/union partitioned attach — NOT
+    Dataset.join) must produce the same decision relation as the broadcast
+    fast path."""
+    from deduplicator_ray import cli
+
+    state = os.path.join(split["tmp"], "state_fb")
+    out_fb = os.path.join(split["tmp"], "out_fb")
+    cli.run_ingest_init(split["known"], state)
+    monkeypatch.setattr(cli, "_MEMBER_BCAST_CAP", 0)
+    m = cli.run_ingest(split["new"], state, out_fb, fold_state=False)
+    assert m["s4_decisions"]["n_rows"] > 0
+    dec_fb = dio.read_parquet(os.path.join(out_fb, "decisions")).to_pandas()
+    monkeypatch.undo()
+
+    out_bc = os.path.join(split["tmp"], "out_bc")
+    cli.run_ingest(split["new"], state, out_bc, fold_state=False)
+    dec_bc = dio.read_parquet(os.path.join(out_bc, "decisions")).to_pandas()
+    cols = list(dec_fb.columns)
+    a = dec_fb.sort_values(cols).reset_index(drop=True)
+    b = dec_bc.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

@@ -82,6 +82,50 @@ def _img_reference_clusters_h12(sf_dir: str):
     return out.to_pandas().sort_values(["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _ns_union(sf_dir: str, cfg):
+    """images ∪ the non-strict extension corpus (vcon video/animated
+    stand-ins, fixtures.nonstrict_images_path) — the id universe of the
+    non-strict-mode queries."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+
+    return dio.read_parquet([fixtures.images_path(sf_dir, cfg.hash_size),
+                             fixtures.nonstrict_images_path(sf_dir)])
+
+
+def _img_reference_clusters_nonstrict(sf_dir: str):
+    """Reference-mode clustering with the NON-strict getProcHash switch
+    (/root/reference/dupedb.py:82-98; the GUI's default,
+    compare.py:223-238): video/animated rows fingerprint by frame-0 dHash
+    into the SAME unified keyspace, so a re-encoded video (byte-distinct,
+    visually identical first frame) clusters with its original — the
+    match strict mode misses by design."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), strict=False)
+    out = ip.reference_clusters(_ns_union(sf_dir, cfg), cfg)
+    return out.to_pandas().sort_values(
+        ["proc_hash", "image_id"]).reset_index(drop=True)
+
+
+def _img_nonstrict_decisions(sf_dir: str):
+    """Keeper election in non-strict mode over images ∪ the vcon corpus:
+    exercises the animation-wins quality rule (makeImageSortTuple
+    -frames, /root/reference/dedupc.py:62-68) with REAL frame counts — a
+    multi-frame container beats a higher-resolution single-frame poster
+    in its bucket."""
+    import dataclasses
+
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    cfg = dataclasses.replace(_cfg(), strict=False)
+    out = ip.reference_decisions(_ns_union(sf_dir, cfg), cfg)
+    return out.to_pandas().sort_values(
+        ["cluster_id", "image_id"]).reset_index(drop=True)
+
+
 def _img_cluster_update(sf_dir: str):
     """Incremental image cluster maintenance: the known 80% of the corpus
     is clustered as a stand-in persisted checkpoint; only increment-touched
@@ -1413,6 +1457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_cross_dedup_indexed": _img_cross_dedup_indexed,
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
+        "img_reference_clusters_nonstrict": _img_reference_clusters_nonstrict,
+        "img_nonstrict_decisions": _img_nonstrict_decisions,
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
         "img_stock_captions": _img_stock_captions,
@@ -1657,6 +1703,19 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes, **kw),
         "img_reference_clusters_h12": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes12, **kw),
+        # non-strict mode: the vcon extension corpus's NON-strict oracle
+        # sidecar unions with the main (strict ≡ non-strict for stills
+        # and stub media) sidecar — one keyspace, frame-0 dHash for
+        # containers (/root/reference/dupedb.py:82-98)
+        "img_reference_clusters_nonstrict": mirrors.compose(
+            mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes,
+            ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",
+            **kw),
+        "img_nonstrict_decisions": mirrors.compose(
+            mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes,
+            ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",
+            ns_images=fixtures.nonstrict_images_path(sf) + "/*.parquet",
+            **kw),
         # pluggable perceptual-hash kernel: same relation over the pHash
         # oracle sidecar (fixtures.hashes_path(sf, 8, "phash"))
         "img_phash_extended": mirrors.compose(

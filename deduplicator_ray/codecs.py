@@ -31,6 +31,11 @@ class UnsupportedFormatError(CodecError):
 
 IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png"})
 STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "wav", "flac"})
+# Multi-frame container formats with a NATIVE in-sandbox decoder (the
+# video/animated-image stand-in).  These are the formats the reference's
+# strict-mode switch is ABOUT: strict → md5 byte identity, non-strict →
+# dHash of the first decoded frame (/root/reference/dupedb.py:82-98).
+CONTAINER_FMTS = frozenset({"vcon"})
 
 # Explicit per-format capability registry — the LOUD stub boundary.  A
 # real deployment swaps 'stub' entries to 'native' by registering a
@@ -43,6 +48,7 @@ STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "wav", "flac"})
 CODEC_CAPABILITIES: dict[str, str] = {
     **{f: "native" for f in sorted(IMAGE_FMTS)},
     **{f: "stub" for f in sorted(STUB_FMTS)},
+    **{f: "native" for f in sorted(CONTAINER_FMTS)},
 }
 
 
@@ -315,6 +321,11 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         img = decode_bmp(data)
     elif fmt == "png":
         img = decode_png(data)
+    elif fmt in CONTAINER_FMTS:
+        # multi-frame container: the single-image view is frame 0 (what
+        # the reference's non-strict getProcHash hashes and what its GUI
+        # displays — /root/reference/dupedb.py:92-98, cv2 first frame)
+        img, _n = decode_vcon_first(data)
     elif fmt in STUB_FMTS:
         raise UnsupportedFormatError(
             f"fmt={fmt!r} requires an external codec (PIL/ffmpeg) not present "
@@ -349,6 +360,29 @@ def encode_vcon(frames: list[bytes]) -> bytes:
         parts.append(struct.pack("<I", len(f)))
         parts.append(f)
     return b"".join(parts)
+
+
+def _decode_frame_payload(data: bytes) -> np.ndarray:
+    """Decode one container frame payload by magic-byte sniffing (frames
+    are self-describing; headerless ``raw`` cannot ride in a container)."""
+    if data.startswith(_PNG_SIG):
+        return decode_png(data)
+    if data.startswith(b"P6"):
+        return decode_ppm(data)
+    if data.startswith(b"BM"):
+        return decode_bmp(data)
+    raise CodecError("unrecognized container frame payload")
+
+
+def decode_vcon_first(data: bytes) -> tuple[np.ndarray, int]:
+    """(first decoded frame, total frame count) of a vcon container — the
+    non-strict fingerprint input (frame-0 dHash, /root/reference/
+    dupedb.py:92-98) plus the ``framesInImage`` quality signal
+    (dupedb.py:82, dedupc.py:62-68) in one parse."""
+    frames = decode_vcon(data)
+    if not frames:
+        raise CodecError("vcon has no frames")
+    return _decode_frame_payload(frames[0]), len(frames)
 
 
 def decode_vcon(data: bytes) -> list[bytes]:

@@ -508,6 +508,10 @@ HASHES_SCHEMA = pa.schema(
         ("proc_hash", pa.string()),
         ("dhash", pa.int64()),
         ("crc32", pa.string()),
+        # real frame count (container formats; 1 for stills) — lets the
+        # SQL mirrors rank the full reference quality tuple incl. the
+        # animation-wins rule (makeImageSortTuple -frames, dedupc.py:62-68)
+        ("frames", pa.int32()),
         # per-image MinHash LSH band keys (cfg.bands values) — lets the SQL
         # mirror reproduce the ENGINE's candidate generation exactly: a
         # caption pair is a candidate iff the two rows share ≥1 band key.
@@ -524,12 +528,13 @@ HASHES_SCHEMA = pa.schema(
 
 
 def _write_hash_shard(args) -> None:
-    src, dst, hash_size, hash_fn = args
+    src, dst, hash_size, hash_fn, *rest = args
+    strict = rest[0] if rest else True
     from deduplicator_ray import oracle
     from deduplicator_ray.config import PipelineConfig
     from deduplicator_ray.functions import text as textfn
 
-    cfg = PipelineConfig(hash_size=hash_size, hash_fn=hash_fn)
+    cfg = PipelineConfig(hash_size=hash_size, hash_fn=hash_fn, strict=strict)
     # ONE parquet read — the bytes column is the shard's bulk (multi-MB
     # per row on the sfimg tier) and was previously deserialized three
     # times; projections off the in-memory table are cheap slices
@@ -558,6 +563,7 @@ def _write_hash_shard(args) -> None:
                 "proc_hash": r["proc_hash"] or "",
                 "dhash": r["dhash"] if r["dhash"] is not None else 0,
                 "crc32": crc[r["image_id"]],
+                "frames": r.get("frames", 1),
                 "cap_bands": bands[i].tolist(),
                 "edge_e3": int(edge[i]),
                 "feat_status": fstat[i],
@@ -583,7 +589,9 @@ def hashes_path(sf_dir: str, hash_size: int = 8, hash_fn: str = "dhash") -> str:
     exactly the per-image decode, so that part ships as data."""
     base = ensure_fixture(sf_dir, hash_size)
     suffix = "" if hash_fn == "dhash" else f"_{hash_fn}"
-    out = os.path.join(base, f"hashes_h{hash_size}{suffix}")
+    # v2: the sidecar grew a ``frames`` column — the bumped directory name
+    # invalidates caches built before it existed
+    out = os.path.join(base, f"hashes_h{hash_size}{suffix}_v2")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -605,6 +613,138 @@ def hashes_path(sf_dir: str, hash_size: int = 8, hash_fn: str = "dhash") -> str:
         import shutil
 
         shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# non-strict-mode extension corpus: video/animated stand-ins (fmt='vcon')
+# for the reference's strict switch (/root/reference/dupedb.py:82-98).
+# Kept SEPARATE from the main images corpus so every existing query's
+# relation is untouched; the non-strict queries read images ∪ this.
+
+NS_FAMILIES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
+
+
+def nonstrict_images_path(sf_dir: str) -> str:
+    """Deterministic vcon corpus (IMAGES_SCHEMA): per family, a base
+    video, a RE-ENCODED variant (same frames at a different PNG level —
+    byte-distinct, frame-0-pixel-identical: matched only by non-strict
+    frame-0 dHash, the pair the reference's GUI default catches and
+    strict mode misses), sometimes a byte-identical copy (matched in both
+    modes), a 2×-upscaled single-frame poster still (emitted only when
+    its dHash provably equals frame 0's, so the animation-wins keeper
+    rule is exercised against a HIGHER-resolution single-frame member),
+    a single-frame container (framesInImage>1 gate: dHash in both
+    modes), and an occasional corrupt container (dead-letter parity)."""
+    from deduplicator_ray import codecs, hashing
+
+    sfn = sf_name(sf_dir)
+    n_fam = NS_FAMILIES.get(sfn, 60)
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"nsimgs_{sfn}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shard = 200
+    for f0 in range(0, n_fam, shard):
+        rows: list[dict] = []
+        for fid in range(f0, min(f0 + shard, n_fam)):
+            rng = np.random.default_rng([SEED, 91, fid])
+            d = f"nsvid/{rng.choice(_DIRS)}"
+            stem = f"{rng.choice(_WORDS)}_f{fid:05d}"
+            base = _base_image(rng)
+            h, w = base.shape[:2]
+            # 3 scenes: frame 0 is the fingerprint carrier, the rest are
+            # perturbations (real multi-frame structure)
+            fr1 = np.roll(base, w // 4, axis=1)
+            fr2 = _add_noise_psnr(base, 35.0, rng)
+            cap = _caption(rng)
+            ph = hashing.u64_to_i64(hashing.dhash_u64(base, 8))
+
+            def vrow(iid, blob, ww, hh, phv):
+                rows.append(dict(image_id=iid, bytes=blob, w=ww, h=hh,
+                                 fmt="vcon", caption=cap, phash=phv))
+
+            scenes1 = [codecs.encode_png(x, 1) for x in (base, fr1, fr2)]
+            scenes6 = [codecs.encode_png(x, 6) for x in (base, fr1, fr2)]
+            v_base = codecs.encode_vcon(scenes1)
+            v_re = codecs.encode_vcon(scenes6)
+            assert v_base != v_re  # byte-distinct re-encode by construction
+            vrow(f"{d}/{stem}.vcon", v_base, w, h, ph)
+            vrow(f"{d}/{stem}_p2.vcon", v_re, w, h, ph)
+            if rng.uniform() < 0.5:  # byte-identical copy: both modes match
+                vrow(f"{d}/{stem} (2).vcon", v_base, w, h, ph)
+            if rng.uniform() < 0.35:
+                # poster still: 2× block upscale of frame 0, only when the
+                # dHash provably survives the upscale (deterministic gate —
+                # both engines recompute from bytes, so a skipped poster is
+                # simply absent from the corpus)
+                up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+                if hashing.dhash_u64(up, 8) == hashing.dhash_u64(base, 8):
+                    rows.append(dict(
+                        image_id=f"{d}/{stem}_poster.png",
+                        bytes=codecs.encode_png(up, 1), w=2 * w, h=2 * h,
+                        fmt="png", caption=cap,
+                        phash=hashing.u64_to_i64(hashing.dhash_u64(up, 8))))
+            if rng.uniform() < 0.3:  # single-frame container (not animated)
+                solo = _base_image(np.random.default_rng([SEED, 92, fid]))
+                vrow(f"{d}/{stem}_clip.vcon",
+                     codecs.encode_vcon([codecs.encode_png(solo, 1)]),
+                     solo.shape[1], solo.shape[0],
+                     hashing.u64_to_i64(hashing.dhash_u64(solo, 8)))
+            if rng.uniform() < 0.05:  # corrupt container → dead letter
+                vrow(f"{d}/{stem}_bad.vcon", v_base[: len(v_base) // 3],
+                     w, h, 0)
+        pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
+                       os.path.join(tmp, f"part-{f0:06d}.parquet"))
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def nonstrict_hashes_path(sf_dir: str, strict: bool = False,
+                          hash_size: int = 8) -> str:
+    """Oracle hash sidecar over the non-strict extension corpus, computed
+    under the requested mode (default non-strict — the mode the queries
+    mirror; the strict variant exists so tests can pin the contrast:
+    re-encoded videos match ONLY in non-strict mode)."""
+    img_dir = nonstrict_images_path(sf_dir)
+    mode = "strict" if strict else "nonstrict"
+    out = f"{img_dir}_hashes_{mode}_h{hash_size}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size,
+             "dhash", strict) for f in shards]
+    if len(jobs) > 4 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(24, os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_hash_shard, jobs, chunksize=1))
+    else:
+        for j in jobs:
+            _write_hash_shard(j)
+    if os.path.exists(out):
+        _sh.rmtree(out)
     os.rename(tmp, out)
     with open(marker, "w") as f:
         f.write("ok")

@@ -127,7 +127,7 @@ ORDER BY proc_hash, image_id
 # decision relation), so the two can never drift apart.
 _DECISIONS_CTES = """
 WITH live AS (
-  SELECT h.image_id, h.proc_hash, h.crc32,
+  SELECT h.image_id, h.proc_hash, h.crc32, h.frames,
          i.w * i.h AS pixels, octet_length(i.bytes) AS filesize
   FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
   WHERE h.status IN ('ok','md5_only') AND NOT regexp_matches(h.proc_hash, '^0+$')
@@ -158,7 +158,7 @@ sized AS (
 ranked AS (
   SELECT *,
     row_number() OVER (PARTITION BY proc_hash
-      ORDER BY pixels DESC, filesize DESC, density DESC, image_id) AS q_rank,
+      ORDER BY frames DESC, pixels DESC, filesize DESC, density DESC, image_id) AS q_rank,
     row_number() OVER (PARTITION BY proc_hash
       ORDER BY dir_len DESC, image_id) AS d_rank,
     row_number() OVER (PARTITION BY proc_hash
@@ -237,7 +237,7 @@ ORDER BY action
 # and 0 on deletions (/root/reference/dedupc.py:99-106,182-184)
 DECISIONS_EXPLAIN_SQL = """
 WITH live AS (
-  SELECT h.image_id, h.proc_hash,
+  SELECT h.image_id, h.proc_hash, h.frames,
          i.w * i.h AS pixels, octet_length(i.bytes) AS filesize,
          CAST(octet_length(i.bytes) AS DOUBLE) / greatest(i.w * i.h, 1) AS density
   FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
@@ -249,7 +249,7 @@ sized AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY proc_hash
-      ORDER BY pixels DESC, filesize DESC, density DESC, image_id) AS q_rank
+      ORDER BY frames DESC, pixels DESC, filesize DESC, density DESC, image_id) AS q_rank
   FROM sized
 )
 SELECT proc_hash AS cluster_id, image_id,
@@ -730,9 +730,21 @@ def compose(template: str, *, hashes: str, images: str = "", altns: str = "",
             shingle_k: int = 5,
             jaccard_min: float = 0.8, hamming_max: int = 4,
             threshold: int = 2,
+            ns_hashes: str = "", ns_images: str = "",
             img_ham_expr: str = "bit_count(xor(a.dh, b.dh))") -> str:
     """Fill a mirror template.  Plain ``str.replace`` — the templates
-    contain regex braces (``{36}``) that ``str.format`` would eat."""
+    contain regex braces (``{36}``) that ``str.format`` would eat.
+
+    ``ns_hashes`` / ``ns_images``: when given, the quoted '{HASHES}' /
+    '{IMAGES}' relations become two-path ``read_parquet([...])`` unions —
+    how the non-strict queries mirror over images ∪ the vcon extension
+    corpus without touching any template."""
+    if ns_hashes:
+        template = template.replace(
+            "'{HASHES}'", f"read_parquet(['{hashes}', '{ns_hashes}'])")
+    if ns_images:
+        template = template.replace(
+            "'{IMAGES}'", f"read_parquet(['{images}', '{ns_images}'])")
     return (template
             .replace("{PHASHES}", phashes)
             .replace("{HASHES}", hashes)
@@ -878,14 +890,14 @@ ORDER BY alt_id
 
 
 # review queue (S10's human loop as a table): buckets whose keeper
-# election was decided ONLY by the id tie-break (pixels+filesize equal ⇒
-# the whole reference quality tuple is equal: frames is constant on this
-# corpus and density is filesize/pixels) and/or whose members carry >1
-# distinct non-null caption.  Ordering matches the decisions mirror's
-# q_rank; global rank = n_members desc, proc_hash asc.
+# election was decided ONLY by the id tie-break (frames+pixels+filesize
+# equal ⇒ the whole reference quality tuple is equal: density is
+# filesize/pixels) and/or whose members carry >1 distinct non-null
+# caption.  Ordering matches the decisions mirror's q_rank; global rank =
+# n_members desc, proc_hash asc.
 REVIEW_QUEUE_SQL = """
 WITH live AS (
-  SELECT h.image_id, h.proc_hash, i.caption,
+  SELECT h.image_id, h.proc_hash, h.frames, i.caption,
          i.w * i.h AS pixels, octet_length(i.bytes) AS filesize,
          CAST(octet_length(i.bytes) AS DOUBLE) / greatest(i.w * i.h, 1) AS density
   FROM '{HASHES}' h JOIN '{IMAGES}' i USING (image_id)
@@ -897,7 +909,8 @@ sized AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY proc_hash
-             ORDER BY pixels DESC, filesize DESC, density DESC, image_id) AS q_rank
+             ORDER BY frames DESC, pixels DESC, filesize DESC, density DESC,
+                      image_id) AS q_rank
   FROM sized
 ),
 caps AS (
@@ -907,7 +920,8 @@ caps AS (
 top2 AS (
   SELECT k.proc_hash, k.n_members,
          k.image_id AS keeper, r.image_id AS runner_up,
-         (k.pixels = r.pixels AND k.filesize = r.filesize) AS tie
+         (k.frames = r.frames AND k.pixels = r.pixels
+          AND k.filesize = r.filesize) AS tie
   FROM ranked k
   JOIN ranked r ON r.proc_hash = k.proc_hash AND r.q_rank = 2
   WHERE k.q_rank = 1

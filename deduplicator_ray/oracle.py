@@ -48,11 +48,31 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
             "filesize": len(data),
             "md5": hashing.md5_hex(data),
             "stored_phash": row["phash"],
+            "frames": 1,
         }
         try:
             if row["bytes"] is None:
                 raise codecs.CodecError("NullPayload: bytes is null")
-            img = codecs.decode_image(data, row["fmt"], w, h)
+            if row["fmt"] in codecs.CONTAINER_FMTS:
+                # video/animated container: real frame count in both
+                # modes; strict multi-frame → md5 byte identity,
+                # non-strict (or single-frame) → frame-0 perceptual hash
+                # (/root/reference/dupedb.py:82-98)
+                img, nf = codecs.decode_vcon_first(data)
+                rec["frames"] = nf
+                if (w or h) and (img.shape[0] != h or img.shape[1] != w):
+                    raise codecs.CodecError(
+                        f"decoded frame dims {img.shape[1]}x{img.shape[0]}"
+                        f" != declared {w}x{h}")
+                if nf > 1 and cfg.strict:
+                    rec["proc_hash"] = rec["md5"]
+                    rec["dhash"] = 0
+                    rec["status"] = "md5_only"
+                    rec["error"] = "strict_media: multi-frame container"
+                    out.append(rec)
+                    continue
+            else:
+                img = codecs.decode_image(data, row["fmt"], w, h)
             bits_fn = (hashing.dhash_bits if cfg.hash_fn == "dhash"
                        else hashing.phash_bits)
             bits = bits_fn(img, cfg.hash_size)
@@ -102,7 +122,9 @@ def reference_decisions(rows: list[dict], cfg: PipelineConfig) -> list[dict]:
     for h, ids in sorted(reference_clusters(rows, cfg).items()):
         ranked = sorted(
             ids,
-            key=lambda i: keeper_sort_key(i, 1, by_id[i]["pixels"], by_id[i]["filesize"]),
+            key=lambda i: keeper_sort_key(
+                i, by_id[i].get("frames", 1), by_id[i]["pixels"],
+                by_id[i]["filesize"]),
         )
         out.append({"proc_hash": h, "keeper": ranked[0], "deletions": ranked[1:]})
     return out

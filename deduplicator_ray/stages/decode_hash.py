@@ -59,6 +59,7 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
         errors = [""] * n
         filesize = np.zeros(n, np.int64)
         pixels = np.zeros(n, np.int64)
+        frames = np.ones(n, np.int32)
 
         for i in range(n):
             data = payloads[i]
@@ -76,7 +77,30 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
             try:
                 if pixels[i] > MAX_IMAGE_PIXELS:
                     raise codecs.CodecError(f"decompression bomb: {pixels[i]} px")
-                img = codecs.decode_image(data, fmts[i], int(ws[i]), int(hs[i]))
+                if fmts[i] in codecs.CONTAINER_FMTS:
+                    # multi-frame container (video / animated stand-in):
+                    # the frame count is real in BOTH modes (the quality
+                    # tuple always counts frames, dedupc.py:62-68); the
+                    # FINGERPRINT is mode-dependent — strict animations/
+                    # videos only byte-match (md5, dupedb.py:82-90),
+                    # non-strict takes dHash of the first decoded frame
+                    # (dupedb.py:85-86, 92-98).  A single-frame container
+                    # is not an animation: dHash in both modes
+                    # (framesInImage > 1 gate, dupedb.py:82).
+                    img, nf = codecs.decode_vcon_first(data)
+                    frames[i] = nf
+                    if (ws[i] or hs[i]) and (img.shape[0] != hs[i]
+                                             or img.shape[1] != ws[i]):
+                        raise codecs.CodecError(
+                            f"decoded frame dims {img.shape[1]}x"
+                            f"{img.shape[0]} != declared {ws[i]}x{hs[i]}")
+                    if nf > 1 and cfg.strict:
+                        status[i] = "md5_only"
+                        errors[i] = "strict_media: multi-frame container"
+                        proc_hash[i] = md5s[i]
+                        continue
+                else:
+                    img = codecs.decode_image(data, fmts[i], int(ws[i]), int(hs[i]))
                 bits = bits_fn(img, hash_size)
                 if use_u64:
                     u = hashing.pack_bits_u64(bits)
@@ -118,13 +142,13 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
         out = out.append_column("crc32", pa.array(crc32s, pa.string()))
         out = out.append_column("pixels", pa.array(pixels, pa.int64()))
         out = out.append_column("filesize", pa.array(filesize, pa.int64()))
-        out = out.append_column("frames", pa.array(np.ones(n, np.int32), pa.int32()))
+        out = out.append_column("frames", pa.array(frames, pa.int32()))
         out = out.append_column("status", pa.array(status, pa.string()))
         out = out.append_column("error", pa.array(errors, pa.string()))
         if with_rank_columns:
             rk = rank_columns(
                 np.array(ids, dtype=object),
-                np.ones(n, np.int32),
+                frames,
                 pixels,
                 filesize,
                 cfg.good_words, cfg.bad_words, cfg.good_names, cfg.bad_names,

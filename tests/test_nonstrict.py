@@ -1,0 +1,151 @@
+"""Non-strict mode (the reference's strict switch, /root/reference/
+dupedb.py:82-98): video/animated containers fingerprint by frame-0 dHash
+instead of md5 byte identity, and the frames quality signal is REAL —
+the animation-wins keeper rule (makeImageSortTuple -frames,
+/root/reference/dedupc.py:62-68) can fire."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from deduplicator_ray import codecs, fixtures, hashing, mirrors, oracle
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.stages.decode_hash import make_decode_hash
+
+
+def _vcon_table():
+    rng = np.random.default_rng(7)
+
+    def img(w, h):
+        return rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+
+    f0, f1, f2 = img(40, 30), img(40, 30), img(40, 30)
+    v1 = codecs.encode_vcon([codecs.encode_png(x, 1) for x in (f0, f1, f2)])
+    v2 = codecs.encode_vcon([codecs.encode_png(x, 6) for x in (f0, f1, f2)])
+    v3 = codecs.encode_vcon([codecs.encode_png(f0, 1)])
+    still = codecs.encode_png(f0, 1)
+    return pa.table({
+        "image_id": ["a/v1.vcon", "a/v2.vcon", "a/v3.vcon", "a/still.png"],
+        "bytes": [v1, v2, v3, still],
+        "w": pa.array([40] * 4, pa.int32()),
+        "h": pa.array([30] * 4, pa.int32()),
+        "fmt": ["vcon", "vcon", "vcon", "png"],
+        "caption": [""] * 4,
+        "phash": pa.array([0] * 4, pa.int64()),
+    })
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_vcon_decode_modes_match_oracle(strict):
+    """Engine batch kernel ≡ oracle on every container branch; strict
+    multi-frame → md5 (re-encode does NOT match), non-strict → frame-0
+    dHash (re-encode DOES match); single-frame containers are not
+    animations (dHash in both modes, framesInImage>1 gate)."""
+    tbl = _vcon_table()
+    cfg = PipelineConfig(strict=strict)
+    out = make_decode_hash(cfg)(tbl)
+    d = {i: (s, p, f) for i, s, p, f in zip(
+        out["image_id"].to_pylist(), out["status"].to_pylist(),
+        out["proc_hash"].to_pylist(), out["frames"].to_pylist())}
+    recs = {r["image_id"]: r for r in oracle.compute_rows(tbl, cfg)}
+    for k, (st, ph, fr) in d.items():
+        assert st == recs[k]["status"]
+        assert ph == (recs[k]["proc_hash"] or "")
+        assert fr == recs[k]["frames"]
+    assert d["a/v1.vcon"][2] == 3 and d["a/v3.vcon"][2] == 1
+    if strict:
+        assert d["a/v1.vcon"][0] == "md5_only"
+        assert d["a/v1.vcon"][1] != d["a/v2.vcon"][1]
+    else:
+        assert d["a/v1.vcon"][0] == "ok"
+        assert d["a/v1.vcon"][1] == d["a/v2.vcon"][1]
+    # single-frame container ≡ still in both modes
+    assert d["a/v3.vcon"][0] == "ok"
+    assert d["a/v3.vcon"][1] == d["a/still.png"][1]
+
+
+def test_reencoded_video_matches_only_nonstrict(sf_small):
+    """Corpus-level contrast: each family's re-encoded video (_p2.vcon)
+    co-clusters with its base in NON-strict mode and never in strict."""
+    import __ray_entry__ as e
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    ns = e._img_reference_clusters_nonstrict(sf_small)
+    by_id_ns = dict(zip(ns["image_id"], ns["proc_hash"]))
+    cfg = PipelineConfig()  # strict default
+    strict_out = ip.reference_clusters(
+        e._ns_union(sf_small, cfg), cfg).to_pandas()
+    by_id_st = dict(zip(strict_out["image_id"], strict_out["proc_hash"]))
+
+    ids = dio.read_parquet(fixtures.nonstrict_images_path(sf_small),
+                           columns=["image_id"]).to_pandas()["image_id"]
+    bases = [i for i in ids if i.endswith(".vcon")
+             and not i.endswith("_p2.vcon") and "_clip" not in i
+             and "_bad" not in i and " (2)" not in i]
+    n_ns = n_st = 0
+    for b in bases:
+        re_id = b[:-5] + "_p2.vcon"
+        if re_id not in set(ids):
+            continue
+        if (b in by_id_ns and re_id in by_id_ns
+                and by_id_ns[b] == by_id_ns[re_id]):
+            n_ns += 1
+        if (b in by_id_st and re_id in by_id_st
+                and by_id_st[b] == by_id_st[re_id]):
+            n_st += 1
+    assert n_ns > 0, "no re-encode pair co-clustered in non-strict mode"
+    assert n_st == 0, "strict mode must not match byte-distinct re-encodes"
+
+
+def test_multiframe_beats_higher_res_poster(sf_small):
+    """Animation-wins keeper rule with REAL frame counts: in a non-strict
+    bucket holding a 3-frame container and its 4×-pixel single-frame
+    poster, the container is the keeper (frames leads the quality tuple)."""
+    import __ray_entry__ as e
+
+    dec = e._img_nonstrict_decisions(sf_small)
+    hit = 0
+    for cid, g in dec.groupby("cluster_id"):
+        members = list(g["image_id"])
+        posters = [m for m in members if m.endswith("_poster.png")]
+        vcons = [m for m in members if m.endswith(".vcon")]
+        if posters and vcons:
+            keepers = g[g["action"] == "keep"]["image_id"].tolist()
+            assert len(keepers) == 1
+            assert keepers[0].endswith(".vcon"), (
+                f"poster out-ranked the multi-frame member in {cid}")
+            hit += 1
+    assert hit > 0, "no poster+container bucket found (fixture vacuous)"
+
+
+def test_nonstrict_mirrors_value_match(sf_small):
+    """Engine == DuckDB for both non-strict queries at sf0.001 (the same
+    rows+schema+value mechanism the driver applies at sf0.01)."""
+    import __ray_entry__ as e
+
+    cfg = PipelineConfig()
+    kw = dict(
+        hashes=fixtures.hashes_path(sf_small, cfg.hash_size) + "/*.parquet",
+        images=fixtures.images_path(sf_small, cfg.hash_size) + "/*.parquet",
+        ns_hashes=fixtures.nonstrict_hashes_path(sf_small) + "/*.parquet",
+        shingle_k=cfg.shingle_k, jaccard_min=cfg.jaccard_min,
+        hamming_max=cfg.hamming_max)
+
+    eng = e._img_reference_clusters_nonstrict(sf_small)
+    orc = duckdb.sql(
+        mirrors.compose(mirrors.REFERENCE_CLUSTERS_SQL, **kw)).df()
+    pd.testing.assert_frame_equal(
+        eng.sort_values(list(eng.columns)).reset_index(drop=True),
+        orc.sort_values(list(orc.columns)).reset_index(drop=True))
+
+    eng2 = e._img_nonstrict_decisions(sf_small)
+    orc2 = duckdb.sql(mirrors.compose(
+        mirrors.REFERENCE_DECISIONS_SQL,
+        ns_images=fixtures.nonstrict_images_path(sf_small) + "/*.parquet",
+        **kw)).df()
+    pd.testing.assert_frame_equal(
+        eng2.sort_values(list(eng2.columns)).reset_index(drop=True),
+        orc2.sort_values(list(orc2.columns)).reset_index(drop=True))

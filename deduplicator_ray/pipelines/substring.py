@@ -18,12 +18,12 @@ P1  window hashes   map_batches: per-batch token crc32 → one concatenated
                     numpy, no per-window Python) → (whash, doc_id, pos),
                     locally pre-aggregated to (whash, cnt) partials.
 P2  dup-hash set    partitioned groupby on whash, sum counts, keep cnt>1.
-                    The surviving set is the *duplicated* fraction only —
-                    broadcast via ray.put at sandbox scale; at corpus scale
-                    swap the broadcast for a partitioned semi-join on whash
-                    (stages/partitioned.partitioned_merge_str shape) — the
-                    pipeline below keeps that substitution local to one
-                    stage.
+                    The surviving set is the *duplicated* fraction only.
+                    Strategy selection is MEASURED (default 'auto'): the
+                    set's count decides — ≤ AUTO_BCAST_CAP → one ray.put
+                    broadcast; above it → the shuffle flavor that never
+                    materializes the set anywhere (P3 co-partitions hits
+                    with texts instead).
 P3  exact verify    re-emit only windows whose hash is in the dup set, NOW
                     carrying the window text; group by (whash, win) so hash
                     collisions can never mark a unique substring; drop the
@@ -81,9 +81,10 @@ def _batch_windows(texts: list[str], k: int):
     return doc_of[valid], pos_in_doc[valid] + 1, whash[valid].view(np.int64)
 
 
-def _dup_window_hashes(ds: rd.Dataset, k: int, text_col: str,
-                       num_parts: int) -> np.ndarray:
-    """P1+P2: sorted int64 array of window hashes occurring > 1 time."""
+def _dup_hash_ds(ds: rd.Dataset, k: int, text_col: str,
+                 num_parts: int) -> rd.Dataset:
+    """P1+P2 as a Dataset: one (whash) row per window hash occurring > 1
+    time (per-batch (whash, cnt) combiner → one whash-partitioned sum)."""
 
     def partials(t: pa.Table) -> pa.Table:
         texts = [str(x) for x in t[text_col].to_pylist()]
@@ -98,13 +99,22 @@ def _dup_window_hashes(ds: rd.Dataset, k: int, text_col: str,
         out = g[g["cnt"] > 1][["whash"]]
         return out if len(out) else pd.DataFrame({"whash": pd.Series([], dtype="int64")})
 
-    dup = partitioned_groupby(
+    return partitioned_groupby(
         ds.map_batches(partials, batch_format="pyarrow", batch_size=4096),
         ["whash"], reduce_part, num_parts=num_parts,
         out_schema=pa.schema([("whash", pa.int64())]))
+
+
+def _collect_dup_hashes(dup: rd.Dataset) -> np.ndarray:
     chunks = [b["whash"].to_numpy(zero_copy_only=False)
               for b in dup.iter_batches(batch_format="pyarrow")]
     return np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, np.int64)
+
+
+def _dup_window_hashes(ds: rd.Dataset, k: int, text_col: str,
+                       num_parts: int) -> np.ndarray:
+    """P1+P2: sorted int64 array of window hashes occurring > 1 time."""
+    return _collect_dup_hashes(_dup_hash_ds(ds, k, text_col, num_parts))
 
 
 _HIT_SCHEMA = pa.schema([
@@ -128,10 +138,14 @@ def _mark_non_canonical(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _candidate_hits_broadcast(ds: rd.Dataset, k: int, id_col: str,
-                              text_col: str, num_parts: int) -> rd.Dataset:
+                              text_col: str, num_parts: int,
+                              dup_sorted: np.ndarray | None = None
+                              ) -> rd.Dataset:
     """Pass 2, broadcast flavor: ship the dup-hash array once (ray.put),
     re-emit only matching windows WITH their text."""
-    dup_ref = ray.put(_dup_window_hashes(ds, k, text_col, num_parts))
+    if dup_sorted is None:
+        dup_sorted = _dup_window_hashes(ds, k, text_col, num_parts)
+    dup_ref = ray.put(dup_sorted)
 
     def emit_hits(t: pa.Table) -> pa.Table:
         dup_sorted = ray.get(dup_ref)
@@ -237,19 +251,55 @@ def _candidate_hits_shuffle(ds: rd.Dataset, k: int, id_col: str,
                                num_parts=num_parts, out_schema=_HIT_SCHEMA)
 
 
+# auto-selection cap: dup-hash COUNT above which the broadcast flavor is
+# refused (the measured pass-1 signal, not a guess).  8M hashes ≈ 64 MB
+# as a sorted int64 array — comfortably a node's broadcast budget; a
+# 100-TB boilerplate corpus blows far past it and must take the shuffle
+# path that never materializes the set anywhere.
+AUTO_BCAST_CAP = 1 << 23
+
+
 def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                            text_col: str = "text", num_parts: int = 64,
-                           strategy: str = "broadcast") -> rd.Dataset:
+                           strategy: str = "auto",
+                           bcast_cap: int = AUTO_BCAST_CAP) -> rd.Dataset:
     """(doc_id, pos) of every non-canonical occurrence of a duplicated
     k-token window (exact-string verified).
 
-    ``strategy``: 'broadcast' ships the dup-hash set via ray.put (right
-    while it fits a node — it is the *duplicated* fraction only);
-    'shuffle' never materializes it (see ``_candidate_hits_shuffle``)."""
+    ``strategy``:
+      'auto' (default) — run the cheap pass-1 dup-hash reduction, COUNT
+      the surviving set, and pick: ≤ ``bcast_cap`` hashes → broadcast
+      (one ray.put, no extra shuffle); above it → the shuffle flavor.
+      The selection signal is measured, never assumed — the scale-unsafe
+      default this replaces shipped the array unconditionally.
+      'broadcast' — explicit; REFUSES above the cap instead of silently
+      hazarding driver/worker memory (pass strategy='shuffle' or 'auto').
+      'shuffle' — never materializes the dup set (see
+      ``_candidate_hits_shuffle``)."""
     if strategy == "shuffle":
         hits = _candidate_hits_shuffle(ds, k, id_col, text_col, num_parts)
+    elif strategy == "auto":
+        dup = _dup_hash_ds(ds, k, text_col, num_parts).materialize()
+        if int(dup.count()) <= bcast_cap:
+            hits = _candidate_hits_broadcast(
+                ds, k, id_col, text_col, num_parts,
+                dup_sorted=_collect_dup_hashes(dup))
+        else:
+            hits = _candidate_hits_shuffle(ds, k, id_col, text_col,
+                                           num_parts)
+    elif strategy == "broadcast":
+        dup = _dup_hash_ds(ds, k, text_col, num_parts).materialize()
+        n = int(dup.count())
+        if n > bcast_cap:
+            raise ValueError(
+                f"substring strategy='broadcast': dup-hash set has {n} "
+                f"entries (> cap {bcast_cap}) — use strategy='shuffle' "
+                "or 'auto'")
+        hits = _candidate_hits_broadcast(
+            ds, k, id_col, text_col, num_parts,
+            dup_sorted=_collect_dup_hashes(dup))
     else:
-        hits = _candidate_hits_broadcast(ds, k, id_col, text_col, num_parts)
+        raise ValueError(f"unknown substring strategy {strategy!r}")
     return partitioned_groupby(
         hits, ["whash"], _mark_non_canonical, num_parts=num_parts,
         out_schema=pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]))
@@ -257,7 +307,7 @@ def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
 
 def substring_dup_spans(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                         text_col: str = "text", num_parts: int = 64,
-                        strategy: str = "broadcast") -> rd.Dataset:
+                        strategy: str = "auto") -> rd.Dataset:
     """Trim decision table: maximal duplicated spans per document.
 
     (doc_id, span_start, span_end, n_windows) — tokens

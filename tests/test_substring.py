@@ -131,3 +131,44 @@ def test_substring_trim_mirror_and_accounting(sf_small, ray_session):
     n_kept = np.where(m["trimmed_text"] == "", 0,
                       m["trimmed_text"].str.split(" ").str.len())
     assert ((n_orig - n_kept) == m["n_trimmed_tokens"]).all()
+
+
+def test_auto_strategy_selects_by_measured_dup_count(ray_session):
+    """'auto' must pick shuffle above the cap (pinned: broadcast flavor
+    monkeypatch-poisoned, run still succeeds) and produce the identical
+    span relation either side of the cap; explicit 'broadcast' REFUSES
+    above the cap instead of hazarding driver memory."""
+    import ray.data as rd
+    from unittest import mock
+
+    from deduplicator_ray.pipelines import substring as ss
+
+    docs = rd.from_items([
+        {"doc_id": 1,
+         "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa"},
+        {"doc_id": 2,
+         "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa"},
+        {"doc_id": 3,
+         "text": "unrelated words only here nothing repeats in this one doc"},
+    ])
+    want = ss.substring_dup_spans(docs, k=8, strategy="shuffle").to_pandas()
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+
+    # below the cap: auto == broadcast == shuffle relation
+    got_auto = ss.substring_dup_spans(docs, k=8, strategy="auto").to_pandas()
+    got_auto = got_auto.sort_values(list(got_auto.columns)).reset_index(drop=True)
+    assert got_auto.equals(want)
+
+    # above the cap (cap=0): auto must NEVER touch the broadcast flavor
+    with mock.patch.object(
+            ss, "_candidate_hits_broadcast",
+            side_effect=AssertionError("auto took broadcast above cap")):
+        got_big = ss.duplicated_occurrences(
+            docs, k=8, strategy="auto", bcast_cap=0).to_pandas()
+    assert len(got_big) > 0
+
+    # explicit broadcast above the cap refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shuffle"):
+        ss.duplicated_occurrences(docs, k=8, strategy="broadcast",
+                                  bcast_cap=0).to_pandas()

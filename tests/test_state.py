@@ -741,6 +741,21 @@ def test_doc_band_index_probe_append_drift(sf_small, tmp_path):
     assert len(got) > 0
     assert stats["parts_total"] == 64
 
+    # format-2 de-amplification: band rows are fixed-width (NO text
+    # payload — format 1 stored the text once per band), and the text
+    # store holds each known doc exactly once
+    import glob as _glob
+
+    bshard = _glob.glob(os.path.join(idx, "bands", "part=*", "*.parquet"))[0]
+    bcols = set(pq_.read_schema(bshard).names)
+    assert "text" not in bcols and "caption" not in bcols
+    assert {"band", "key", "doc_id", "tmd5"} <= bcols
+    tshards = _glob.glob(os.path.join(idx, "texts", "tpart=*", "*.parquet"))
+    n_txt = sum(pq_.read_metadata(p).num_rows for p in tshards)
+    assert n_txt == known.count()
+    # text-store reads are pruned too
+    assert 0 < stats["tparts_read"] <= stats["tparts_total"]
+
     # read pruning: a 3-doc probe touches a strict partition subset
     stats2 = {}
     docbandstore.probe_doc_band_index(new.limit(3), idx, cfg,

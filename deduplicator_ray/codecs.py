@@ -30,7 +30,14 @@ class UnsupportedFormatError(CodecError):
 
 
 IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png"})
-STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "wav", "flac"})
+STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "flac"})
+# Audio container formats with a NATIVE in-sandbox decoder: wav rides the
+# stdlib ``wave`` module (16-bit PCM), acon is the deterministic fixture
+# container.  In the IMAGE pipeline both still route to the md5 keyspace
+# — getProcHash md5s every non-image regardless of decoder availability
+# (/root/reference/dupedb.py:100-101); the audio DEDUP pipeline decodes
+# them for real via ``decode_audio``.
+AUDIO_FMTS = frozenset({"wav", "acon"})
 # Multi-frame container formats with a NATIVE in-sandbox decoder (the
 # video/animated-image stand-in).  These are the formats the reference's
 # strict-mode switch is ABOUT: strict → md5 byte identity, non-strict →
@@ -49,6 +56,7 @@ CODEC_CAPABILITIES: dict[str, str] = {
     **{f: "native" for f in sorted(IMAGE_FMTS)},
     **{f: "stub" for f in sorted(STUB_FMTS)},
     **{f: "native" for f in sorted(CONTAINER_FMTS)},
+    **{f: "native" for f in sorted(AUDIO_FMTS)},
 }
 
 
@@ -326,6 +334,14 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         # the reference's non-strict getProcHash hashes and what its GUI
         # displays — /root/reference/dupedb.py:92-98, cv2 first frame)
         img, _n = decode_vcon_first(data)
+    elif fmt in AUDIO_FMTS:
+        # audio is NOT an image: getProcHash md5s every non-image file
+        # (/root/reference/dupedb.py:100-101) — the audio dedup pipeline
+        # decodes these for real (decode_audio); in the image pipeline
+        # they join the md5 keyspace via the same policy branch as stubs
+        raise UnsupportedFormatError(
+            f"fmt={fmt!r} is an audio container, not an image — md5 "
+            "keyspace per the reference's non-image branch")
     elif fmt in STUB_FMTS:
         raise UnsupportedFormatError(
             f"fmt={fmt!r} requires an external codec (PIL/ffmpeg) not present "
@@ -469,3 +485,72 @@ def decode_acon(data: bytes) -> tuple[int, np.ndarray]:
         return rate, (np.cumsum(raw.astype(np.uint32)) & 0xFFFF) \
             .astype(np.uint16).view(np.int16).astype(np.int16)
     raise CodecError(f"unknown acon codec {codec}")
+
+
+# ---------------------------------------------------------------------------
+# wav: RIFF/WAVE 16-bit PCM via the stdlib ``wave`` module — the first
+# REAL-WORLD codec to flip stub→native (CODEC_CAPABILITIES).  The audio
+# dedup pipeline's Haitsma-Kalker fingerprints run on the decoded PCM, so
+# a wav re-encode of an acon recording (byte-distinct, sample-identical)
+# lands in the same fp-set cluster.
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Mono int16 PCM → RIFF/WAVE bytes (stdlib ``wave`` writer)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE → (sample_rate, int16 mono waveform).
+
+    16-bit PCM only (the overwhelmingly common web case); multi-channel
+    input downmixes deterministically by integer-mean (sum // nch).
+    Raises CodecError for anything else so the dead-letter taxonomy
+    matches the other decode stages."""
+    import io
+    import wave
+
+    if data is None:
+        raise CodecError("null payload")
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n = w.getnframes()
+            if width != 2:
+                raise CodecError(f"unsupported wav sample width {width}")
+            if nch < 1:
+                raise CodecError("wav has no channels")
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise CodecError(f"bad wav: {e}") from e
+    pcm = np.frombuffer(raw, dtype="<i2")
+    if len(pcm) != n * nch:
+        raise CodecError("truncated wav frames")
+    if nch > 1:
+        pcm = (pcm.reshape(-1, nch).astype(np.int32).sum(axis=1)
+               // nch).astype(np.int16)
+    return rate, pcm.astype(np.int16)
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Magic-byte audio dispatch: ACON1 container or RIFF/WAVE → (rate,
+    int16 mono PCM).  One entry point so the signature stage and the
+    Ray-free oracle sidecar can never drift on format routing."""
+    if data is None:
+        raise CodecError("null payload")
+    if data.startswith(ACON_MAGIC):
+        return decode_acon(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    raise CodecError("unrecognized audio container")

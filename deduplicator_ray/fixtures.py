@@ -1384,7 +1384,8 @@ def audios_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"audios_{content_tag(sf_dir)}")
+    # _v2: the corpus grew real-WAV re-encode members (stdlib wave codec)
+    out = os.path.join(root, f"audios_{content_tag(sf_dir)}_v2")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1427,6 +1428,18 @@ def audios_path(sf_dir: str) -> str:
             blobs.append(codecs.encode_acon(
                 pcm, AUD_RATE, codecs.ACON_CODEC_DELTA))
             ns.append(len(pcm))
+        if i % 6 == 0:
+            # REAL-codec re-encode: the same sample stream in a RIFF/WAVE
+            # container (stdlib wave encoder) — byte-distinct from every
+            # acon member, PCM-identical to the base, so it must land in
+            # the base's fp-set cluster (the wav stub→native flip's
+            # end-to-end witness)
+            sc = [i * AUD_SEG_STRIDE + j
+                  for j in range(AUD_SEGS_PER_BASE)] + [AUD_HOT_SEG]
+            pcm = np.concatenate([seg(s) for s in sc])  # == base i's PCM
+            ids.append(f"aud/wav{i:05d}.wav")
+            blobs.append(codecs.encode_wav(pcm, AUD_RATE))
+            ns.append(len(pcm))
     # dead-letter surface: one corrupt container
     ids.append("aud/corrupt00000.acon")
     blobs.append(codecs.ACON_MAGIC + b"\x00\xff trunc")
@@ -1436,7 +1449,8 @@ def audios_path(sf_dir: str) -> str:
     pq.write_table(
         pa.table({"audio_id": pa.array(ids, pa.string()),
                   "bytes": pa.array(blobs, pa.binary()),
-                  "fmt": pa.array(["acon"] * len(ids), pa.string()),
+                  "fmt": pa.array([i.rsplit(".", 1)[-1] for i in ids],
+                                  pa.string()),
                   "n_samples": pa.array(ns, pa.int64())}),
         os.path.join(tmp, "audios.parquet"))
     if os.path.exists(out):
@@ -1461,7 +1475,7 @@ def audio_fps_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"audfps_{content_tag(sf_dir)}")
+    out = os.path.join(root, f"audfps_{content_tag(sf_dir)}_v2")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1471,7 +1485,7 @@ def audio_fps_path(sf_dir: str) -> str:
     for aid, blob in zip(src["audio_id"].to_pylist(),
                          src["bytes"].to_pylist()):
         try:
-            _rate, pcm = codecs.decode_acon(blob)
+            _rate, pcm = codecs.decode_audio(blob)
         except codecs.CodecError:
             continue
         row = audio_window_fps(pcm)

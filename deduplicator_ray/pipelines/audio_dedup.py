@@ -96,7 +96,9 @@ class AudioSignatures:
         for aid, blob in zip(batch["audio_id"].to_pylist(),
                              batch["bytes"].to_pylist()):
             try:
-                _rate, pcm = codecs.decode_acon(blob)
+                # magic-byte dispatch: acon fixture container or real
+                # RIFF/WAVE (stdlib wave decode — codecs.decode_audio)
+                _rate, pcm = codecs.decode_audio(blob)
                 row = audio_window_fps(pcm)
             except codecs.CodecError as e:
                 ids.append(aid)

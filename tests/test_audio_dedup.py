@@ -196,3 +196,42 @@ def test_audio_sample_weights_and_leakage_split(sf_small):
         assert split == ("train" if bucket < 90 else "val")
     for aid, cl in lmap.items():
         assert smap[aid] == smap[cl]
+
+
+def test_wav_reencode_joins_base_cluster(sf_small):
+    """The wav stub→native flip end-to-end: a RIFF/WAVE re-encode of a
+    base recording (stdlib wave codec — byte-distinct container,
+    identical PCM) fingerprints identically and lands in the base's
+    cluster at Jaccard 1.0."""
+    sigs = ad.audio_signatures(ad.load_audios(sf_small))
+    pairs = (ad.audio_dup_pairs(sigs).to_pandas())
+    wav_rows = pairs[
+        pairs["audio_id_a"].str.endswith(".wav")
+        | pairs["audio_id_b"].str.endswith(".wav")]
+    assert len(wav_rows) > 0, "no wav member paired (fixture vacuous)"
+    exact = wav_rows[
+        (wav_rows["audio_id_a"].str.startswith("aud/base")
+         & wav_rows["audio_id_b"].str.startswith("aud/wav"))
+        | (wav_rows["audio_id_a"].str.startswith("aud/wav")
+           & wav_rows["audio_id_b"].str.startswith("aud/base"))]
+    # base i and wav i share the identical sample stream
+    def _num(x: str, pre: str, suf: str) -> str:
+        return x[len(pre):-len(suf)] if x.startswith(pre) else ""
+
+    same = exact[[
+        _num(a, "aud/base", ".acon") == _num(b, "aud/wav", ".wav")
+        or _num(b, "aud/base", ".acon") == _num(a, "aud/wav", ".wav")
+        for a, b in zip(exact["audio_id_a"], exact["audio_id_b"])]]
+    assert len(same) > 0
+    assert (same["jaccard_e6"] == 1_000_000).all()
+
+    clus = ad.audio_clusters(sigs).to_pandas()
+    lab = dict(zip(clus["audio_id"], clus["cluster_id"]))
+    hits = 0
+    for aid in lab:
+        if aid.startswith("aud/wav"):
+            base = aid.replace("aud/wav", "aud/base").replace(
+                ".wav", ".acon")
+            assert lab.get(base) == lab[aid]
+            hits += 1
+    assert hits > 0

@@ -88,7 +88,60 @@ def test_capability_registry_covers_dispatch():
         assert codecs.codec_capability(f) == "native"
     for f in codecs.STUB_FMTS:
         assert codecs.codec_capability(f) == "stub"
+    # round-4 stub→native flips: audio (stdlib wave + the fixture
+    # container) and the multi-frame vcon container
+    for f in codecs.AUDIO_FMTS | codecs.CONTAINER_FMTS:
+        assert codecs.codec_capability(f) == "native"
+    assert "wav" not in codecs.STUB_FMTS
     assert codecs.codec_capability("tiff") == "unknown"
+
+
+def test_wav_roundtrip_and_dispatch():
+    """Stdlib wave codec: encode→decode roundtrip is exact; decode_audio
+    routes by magic; stereo downmixes deterministically; corrupt and
+    non-16-bit payloads dead-letter as CodecError."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    s = np.clip(np.random.default_rng(5).standard_normal(4096) * 9000,
+                -32000, 32000).astype(np.int16)
+    blob = codecs.encode_wav(s, 16000)
+    rate, out = codecs.decode_wav(blob)
+    assert rate == 16000 and np.array_equal(out, s)
+    # decode_audio dispatches wav AND acon by magic
+    assert np.array_equal(codecs.decode_audio(blob)[1], s)
+    acon = codecs.encode_acon(s, 16000)
+    assert np.array_equal(codecs.decode_audio(acon)[1], s)
+    assert blob != acon  # real re-encode class: same PCM, different bytes
+
+    # stereo: integer-mean downmix
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = np.empty(2 * len(s), np.int16)
+        inter[0::2] = s
+        inter[1::2] = s
+        w.writeframes(inter.astype("<i2").tobytes())
+    rate2, mono = codecs.decode_wav(buf.getvalue())
+    assert rate2 == 8000 and np.array_equal(mono, s)
+
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_wav(blob[:40])
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_audio(b"OggS not supported")
+    # 8-bit wav refused (not silently mis-decoded)
+    buf8 = io.BytesIO()
+    with _wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 100)
+    with pytest.raises(codecs.CodecError, match="width"):
+        codecs.decode_wav(buf8.getvalue())
 
 
 def test_unsupported_codec_policy_routes_jpg():

@@ -30,7 +30,7 @@ class UnsupportedFormatError(CodecError):
 
 
 IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png"})
-STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "flac"})
+STUB_FMTS = frozenset({"jpg", "jpeg", "webm", "mp4", "flac"})
 # Audio container formats with a NATIVE in-sandbox decoder: wav rides the
 # stdlib ``wave`` module (16-bit PCM), acon is the deterministic fixture
 # container.  In the IMAGE pipeline both still route to the md5 keyspace
@@ -38,11 +38,13 @@ STUB_FMTS = frozenset({"jpg", "jpeg", "gif", "webm", "mp4", "flac"})
 # (/root/reference/dupedb.py:100-101); the audio DEDUP pipeline decodes
 # them for real via ``decode_audio``.
 AUDIO_FMTS = frozenset({"wav", "acon"})
-# Multi-frame container formats with a NATIVE in-sandbox decoder (the
-# video/animated-image stand-in).  These are the formats the reference's
-# strict-mode switch is ABOUT: strict → md5 byte identity, non-strict →
-# dHash of the first decoded frame (/root/reference/dupedb.py:82-98).
-CONTAINER_FMTS = frozenset({"vcon"})
+# Multi-frame container formats with a NATIVE in-sandbox decoder: vcon is
+# the video stand-in, gif the REAL animated-image web format (LZW decode
+# below).  These are the formats the reference's strict-mode switch is
+# ABOUT: strict + animated → md5 byte identity, non-strict → dHash of the
+# first decoded frame (/root/reference/dupedb.py:82-98); a single-frame
+# member hashes perceptually in both modes (framesInImage > 1 gate).
+CONTAINER_FMTS = frozenset({"vcon", "gif"})
 
 # Explicit per-format capability registry — the LOUD stub boundary.  A
 # real deployment swaps 'stub' entries to 'native' by registering a
@@ -333,7 +335,7 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         # multi-frame container: the single-image view is frame 0 (what
         # the reference's non-strict getProcHash hashes and what its GUI
         # displays — /root/reference/dupedb.py:92-98, cv2 first frame)
-        img, _n = decode_vcon_first(data)
+        img, _n = decode_container_first(data, fmt)
     elif fmt in AUDIO_FMTS:
         # audio is NOT an image: getProcHash md5s every non-image file
         # (/root/reference/dupedb.py:100-101) — the audio dedup pipeline
@@ -399,6 +401,18 @@ def decode_vcon_first(data: bytes) -> tuple[np.ndarray, int]:
     if not frames:
         raise CodecError("vcon has no frames")
     return _decode_frame_payload(frames[0]), len(frames)
+
+
+def decode_container_first(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """One entry point for every CONTAINER_FMTS member: (frame-0 RGB,
+    frame count) — the pair the strict switch and the frames quality
+    signal both consume (shared by decode_hash and the Ray-free oracle
+    so the two can never drift on container routing)."""
+    if fmt == "vcon":
+        return decode_vcon_first(data)
+    if fmt == "gif":
+        return decode_gif_first(data)
+    raise CodecError(f"not a container fmt {fmt!r}")
 
 
 def decode_vcon(data: bytes) -> list[bytes]:
@@ -554,3 +568,280 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
     raise CodecError("unrecognized audio container")
+
+
+# ---------------------------------------------------------------------------
+# gif: GIF87a/89a with LZW decode (stdlib-feasible: the LZW dictionary
+# walk is plain Python over small frames; palette mapping is numpy).  The
+# decoder restores TRUE animated-image semantics end-to-end: frame count
+# feeds the animation-wins quality rule, and the strict switch routes
+# multi-frame gifs to md5 (strict) or frame-0 dHash (non-strict) exactly
+# like the reference's framesInImage gate (/root/reference/dupedb.py:82-86).
+# The encoder (fixture side) emits GIF89a with a global palette and real
+# LZW codes (dictionary kept below 12 bits with periodic clears).
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes, LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as a list of bytes entries
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                # missing explicit END code: tolerate (common in the wild)
+                return bytes(out[:n_expected])
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise CodecError("bad gif lzw: first code not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise CodecError("bad gif lzw: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if len(out) >= n_expected:
+            return bytes(out[:n_expected])
+    return bytes(out[:n_expected])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real LZW with a fresh-dictionary clear whenever the table fills
+    (keeps codes ≤ 12 bits, the GIF maximum)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < (1 << 12):
+            table[wc] = next_code
+            if next_code == (1 << code_size):
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """RGB frames → GIF89a with ONE global palette built from the union
+    of colors (≤ 256 distinct across all frames, or CodecError — fixture
+    images are drawn indexed by construction)."""
+    if not frames:
+        raise CodecError("no frames")
+    h, w = frames[0].shape[:2]
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(stack, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise CodecError(f"gif palette overflow: {len(palette)} colors")
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # gct, 256 entries
+    out += pal.tobytes()
+    if len(frames) > 1:
+        # NETSCAPE looping application extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    idx_all = inverse.astype(np.uint8)
+    off = 0
+    for f in frames:
+        fh, fw = f.shape[:2]
+        if (fh, fw) != (h, w):
+            raise CodecError("gif frames must share dimensions")
+        n = fh * fw
+        indices = idx_all[off:off + n].tobytes()
+        off += n
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, fw, fh, 0)
+        mcs = 8
+        out.append(mcs)
+        lzw = _lzw_encode(indices, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    parts = []
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise CodecError("truncated gif sub-blocks")
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(parts), pos
+        if pos + ln > n:
+            raise CodecError("truncated gif sub-block payload")
+        parts.append(data[pos:pos + ln])
+        pos += ln
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_first(data: bytes) -> tuple[np.ndarray, int]:
+    """(first frame as full-logical-screen RGB, total frame count).
+
+    Frame 0 composes onto a background canvas of the logical screen
+    (background = palette's bg index; transparency indices paste as their
+    palette color — deterministic, and both the engine and the Ray-free
+    oracle share this kernel so they can never drift).  Later frames are
+    only COUNTED (their LZW data is skipped sub-block-wise) — exactly
+    what framesInImage needs (/root/reference/dupedb.py:82)."""
+    if data is None:
+        raise CodecError("null payload")
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a gif")
+    try:
+        w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    except struct.error as e:
+        raise CodecError(f"bad gif header: {e}") from e
+    if w <= 0 or h <= 0:
+        raise CodecError(f"bad gif dims {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise CodecError(f"decompression bomb: gif header {w}x{h}")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        sz = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos:pos + 3 * sz], np.uint8)
+        if len(gct) != 3 * sz:
+            raise CodecError("truncated gif global color table")
+        gct = gct.reshape(sz, 3)
+        pos += 3 * sz
+    n_frames = 0
+    first: np.ndarray | None = None
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > n:
+                raise CodecError("truncated gif extension")
+            _blob, pos = _gif_subblocks(data, pos + 2)
+            continue
+        if b != 0x2C:
+            raise CodecError(f"bad gif block 0x{b:02x}")
+        try:
+            il, it, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        except struct.error as e:
+            raise CodecError(f"bad gif image descriptor: {e}") from e
+        pos += 10
+        lct = None
+        if iflags & 0x80:
+            sz = 2 << (iflags & 7)
+            lct = np.frombuffer(data[pos:pos + 3 * sz], np.uint8)
+            if len(lct) != 3 * sz:
+                raise CodecError("truncated gif local color table")
+            lct = lct.reshape(sz, 3)
+            pos += 3 * sz
+        if pos >= n:
+            raise CodecError("truncated gif image data")
+        mcs = data[pos]
+        if not 2 <= mcs <= 11:
+            raise CodecError(f"bad gif lzw min code size {mcs}")
+        lzw, pos = _gif_subblocks(data, pos + 1)
+        n_frames += 1
+        if first is not None:
+            continue  # later frames: counted only
+        if iw <= 0 or ih <= 0 or il + iw > w or it + ih > h:
+            raise CodecError("gif frame outside logical screen")
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise CodecError("gif frame has no color table")
+        idx = np.frombuffer(
+            _lzw_decode(lzw, mcs, iw * ih), np.uint8)
+        if len(idx) < iw * ih:
+            raise CodecError("gif frame pixel data short")
+        if idx.max(initial=0) >= len(pal):
+            raise CodecError("gif index beyond palette")
+        frame = pal[idx].reshape(ih, iw, 3)
+        if iflags & 0x40:  # interlaced: reorder stored rows to display rows
+            frame = frame[_deinterlace_order(ih)]
+        canvas = np.empty((h, w, 3), np.uint8)
+        bgc = (gct[bg] if gct is not None and bg < len(gct)
+               else np.zeros(3, np.uint8))
+        canvas[:, :] = bgc
+        canvas[it:it + ih, il:il + iw] = frame
+        first = canvas
+    if first is None:
+        raise CodecError("gif has no image frames")
+    return first, n_frames
+
+
+def _deinterlace_order(ih: int) -> np.ndarray:
+    """Row permutation mapping stored (pass-ordered) rows to display rows:
+    result[y] = stored row index holding display row y."""
+    order = np.empty(ih, np.int64)
+    r = 0
+    for start, step in _GIF_INTERLACE:
+        for y in range(start, ih, step):
+            order[y] = r
+            r += 1
+    return order

@@ -628,6 +628,25 @@ def hashes_path(sf_dir: str, hash_size: int = 8, hash_fn: str = "dhash") -> str:
 NS_FAMILIES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
 
+def _indexed_art(rng: np.random.Generator) -> np.ndarray:
+    """Palette-limited RGB art for gif fixtures: an oriented ramp
+    quantized onto a 32-step two-color gradient palette — smooth enough
+    for a stable dHash, ≤ 32 distinct colors by construction (gif global
+    palettes hold 256)."""
+    w = int(rng.integers(16, 33)) * 2
+    h = int(rng.integers(16, 33)) * 2
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ang = rng.uniform(0, 2 * np.pi)
+    ramp = np.cos(ang) * xx / w + np.sin(ang) * yy / h
+    ramp = (ramp - ramp.min()) / max(ramp.ptp(), 1e-9)
+    idx = np.clip((ramp * 31).astype(np.int64), 0, 31)
+    c0 = rng.uniform(20, 235, 3)
+    c1 = rng.uniform(20, 235, 3)
+    pal = (c0[None, :] + (c1 - c0)[None, :]
+           * np.linspace(0, 1, 32)[:, None]).astype(np.uint8)
+    return pal[idx]
+
+
 def nonstrict_images_path(sf_dir: str) -> str:
     """Deterministic vcon corpus (IMAGES_SCHEMA): per family, a base
     video, a RE-ENCODED variant (same frames at a different PNG level —
@@ -646,7 +665,8 @@ def nonstrict_images_path(sf_dir: str) -> str:
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"nsimgs_{sfn}")
+    # _v2: gif families joined when the LZW decoder went native
+    out = os.path.join(root, f"nsimgs_{sfn}_v2")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -705,6 +725,29 @@ def nonstrict_images_path(sf_dir: str) -> str:
             if rng.uniform() < 0.05:  # corrupt container → dead letter
                 vrow(f"{d}/{stem}_bad.vcon", v_base[: len(v_base) // 3],
                      w, h, 0)
+            if rng.uniform() < 0.45:
+                # REAL animated-image family (gif, native LZW decode):
+                # an animated gif, a byte-distinct sibling with identical
+                # frames (delay differs → different bytes, same pixels —
+                # strict md5 misses it, non-strict frame-0 dHash matches)
+                # and a single-frame gif of the same art (NOT an
+                # animation: dHash in BOTH modes)
+                g0 = _indexed_art(rng)
+                gh, gw = g0.shape[:2]
+                g1 = np.roll(g0, gw // 3, axis=1)
+                g2 = g0[:, ::-1]
+                gb = codecs.encode_gif([g0, g1, g2], delay_cs=10)
+                gre = codecs.encode_gif([g0, g1, g2], delay_cs=25)
+                assert gb != gre
+                gph = hashing.u64_to_i64(hashing.dhash_u64(g0, 8))
+                for iid, blob in ((f"{d}/{stem}_anim.gif", gb),
+                                  (f"{d}/{stem}_anim2.gif", gre)):
+                    rows.append(dict(image_id=iid, bytes=blob, w=gw, h=gh,
+                                     fmt="gif", caption=cap, phash=gph))
+                rows.append(dict(
+                    image_id=f"{d}/{stem}_still.gif",
+                    bytes=codecs.encode_gif([g0]), w=gw, h=gh,
+                    fmt="gif", caption=cap, phash=gph))
         pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
                        os.path.join(tmp, f"part-{f0:06d}.parquet"))
     if os.path.exists(out):

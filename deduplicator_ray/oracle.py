@@ -58,7 +58,7 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
                 # modes; strict multi-frame → md5 byte identity,
                 # non-strict (or single-frame) → frame-0 perceptual hash
                 # (/root/reference/dupedb.py:82-98)
-                img, nf = codecs.decode_vcon_first(data)
+                img, nf = codecs.decode_container_first(data, row["fmt"])
                 rec["frames"] = nf
                 if (w or h) and (img.shape[0] != h or img.shape[1] != w):
                     raise codecs.CodecError(

@@ -87,7 +87,7 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
                     # (dupedb.py:85-86, 92-98).  A single-frame container
                     # is not an animation: dHash in both modes
                     # (framesInImage > 1 gate, dupedb.py:82).
-                    img, nf = codecs.decode_vcon_first(data)
+                    img, nf = codecs.decode_container_first(data, fmts[i])
                     frames[i] = nf
                     if (ws[i] or hs[i]) and (img.shape[0] != hs[i]
                                              or img.shape[1] != ws[i]):

@@ -188,3 +188,80 @@ def test_unsupported_codec_policy_validated():
 
     with pytest.raises(ValueError):
         PipelineConfig(unsupported_codec_policy="ignore")
+
+
+def test_gif_roundtrip_and_lzw():
+    """GIF LZW codec: single/multi-frame roundtrip is pixel-exact, frame
+    counting skips later frames, the delay-variant sibling is
+    byte-distinct with identical pixels, dictionary-full clears survive a
+    noise image, corrupt payloads dead-letter."""
+    import numpy as np
+
+    from deduplicator_ray import fixtures
+
+    rng = np.random.default_rng(3)
+    art = fixtures._indexed_art(rng)
+    h, w = art.shape[:2]
+    blob = codecs.encode_gif([art])
+    img, nf = codecs.decode_gif_first(blob)
+    assert nf == 1 and np.array_equal(img, art)
+
+    f1 = np.roll(art, w // 3, axis=1)
+    anim = codecs.encode_gif([art, f1, art[:, ::-1]])
+    img, nf = codecs.decode_gif_first(anim)
+    assert nf == 3 and np.array_equal(img, art)
+    anim2 = codecs.encode_gif([art, f1, art[:, ::-1]], delay_cs=25)
+    assert anim != anim2  # byte-distinct, pixel-identical sibling
+    assert np.array_equal(codecs.decode_gif_first(anim2)[0], art)
+    # the generic single-image view (decode_image) is frame 0
+    assert np.array_equal(codecs.decode_image(anim, "gif", w, h), art)
+    # container dispatch
+    assert codecs.decode_container_first(anim, "gif")[1] == 3
+
+    # dictionary-full clear path: 32-color noise at 200x300 exceeds the
+    # 12-bit code budget many times over
+    noise_idx = np.random.default_rng(9).integers(0, 32, (200, 300))
+    pal = np.linspace(0, 255, 32)[:, None].repeat(3, 1).astype(np.uint8)
+    big = pal[noise_idx]
+    assert np.array_equal(codecs.decode_gif_first(
+        codecs.encode_gif([big]))[0], big)
+
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_gif_first(anim[:25])
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_gif_first(b"GIF89a" + b"\x00" * 4)
+
+
+def test_gif_interlaced_decode():
+    """Interlaced frames (pass-ordered rows) deinterlace to the original
+    image — crafted by hand since the fixture encoder emits progressive."""
+    import struct as _struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    h, w = 16, 8
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    pal = np.linspace(0, 255, 16)[:, None].repeat(3, 1).astype(np.uint8)
+    img = pal[idx]
+    # store rows in interlace pass order
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    stored = idx[np.asarray(order)]
+    pal256 = np.zeros((256, 3), np.uint8)
+    pal256[:16] = pal
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal256.tobytes()
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(8)
+    lzw = codecs._lzw_encode(stored.tobytes(), 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(0x3B)
+    got, nf = codecs.decode_gif_first(bytes(out))
+    assert nf == 1 and np.array_equal(got, img)

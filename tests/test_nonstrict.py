@@ -149,3 +149,53 @@ def test_nonstrict_mirrors_value_match(sf_small):
     pd.testing.assert_frame_equal(
         eng2.sort_values(list(eng2.columns)).reset_index(drop=True),
         orc2.sort_values(list(orc2.columns)).reset_index(drop=True))
+
+
+def test_animated_gif_hits_both_branches_per_mode(sf_small):
+    """REAL animated-image semantics end-to-end (gif LZW native): the
+    byte-distinct delay-variant sibling (identical frames) co-clusters
+    with its animated base ONLY in non-strict mode; the single-frame gif
+    of the same art hashes perceptually in BOTH modes (framesInImage>1
+    gate) and so matches the animation in non-strict mode only."""
+    import __ray_entry__ as e
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    ns = e._img_reference_clusters_nonstrict(sf_small)
+    by_ns = dict(zip(ns["image_id"], ns["proc_hash"]))
+    cfg = PipelineConfig()
+    st = ip.reference_clusters(e._ns_union(sf_small, cfg), cfg).to_pandas()
+    by_st = dict(zip(st["image_id"], st["proc_hash"]))
+
+    ids = dio.read_parquet(fixtures.nonstrict_images_path(sf_small),
+                           columns=["image_id"]).to_pandas()["image_id"]
+    anims = [i for i in ids if i.endswith("_anim.gif")]
+    assert anims, "no gif families in the ns corpus"
+    n_pair_ns = n_pair_st = n_still_ns = 0
+    for a in anims:
+        sib = a.replace("_anim.gif", "_anim2.gif")
+        still = a.replace("_anim.gif", "_still.gif")
+        if a in by_ns and sib in by_ns and by_ns[a] == by_ns[sib]:
+            n_pair_ns += 1
+        if a in by_st and sib in by_st and by_st[a] == by_st[sib]:
+            n_pair_st += 1
+        if a in by_ns and still in by_ns and by_ns[a] == by_ns[still]:
+            n_still_ns += 1
+    assert n_pair_ns > 0, "delay-variant gif pair missed in non-strict"
+    assert n_pair_st == 0, "strict mode matched byte-distinct gifs"
+    assert n_still_ns > 0, "still gif did not join its animation's bucket"
+
+    # frames signal is REAL for gif: decisions rank the 3-frame member
+    # above its single-frame still in non-strict buckets
+    dec = e._img_nonstrict_decisions(sf_small)
+    checked = 0
+    for cid, g in dec.groupby("cluster_id"):
+        members = set(g["image_id"])
+        a = [m for m in members if m.endswith("_anim.gif")
+             or m.endswith("_anim2.gif")]
+        s = [m for m in members if m.endswith("_still.gif")]
+        if a and s:
+            keeper = g[g["action"] == "keep"]["image_id"].iloc[0]
+            assert not keeper.endswith("_still.gif"), cid
+            checked += 1
+    assert checked > 0

@@ -2104,7 +2104,7 @@ def _fixture_mirrors() -> dict[str, str]:
             SELECT i.image_id,
                    CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h,
                    'png' AS fmt,
-                   CASE WHEN t.kind = 'corrupt' OR i.fmt IN ('jpg', 'mp4')
+                   CASE WHEN t.kind = 'corrupt' OR i.fmt IN ('mp4', 'flac')
                         THEN 'error' ELSE 'ok' END AS status
             FROM '{images}' i JOIN '{truth}' t USING (image_id)
             ORDER BY i.image_id

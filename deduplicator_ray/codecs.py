@@ -29,8 +29,11 @@ class UnsupportedFormatError(CodecError):
     video, audio).  Marks the deliberate stub boundary for multimodal payloads."""
 
 
-IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png"})
-STUB_FMTS = frozenset({"jpg", "jpeg", "webm", "mp4", "flac"})
+# jpg/jpeg decode via the pure-numpy baseline JFIF codec (jpeg.py) — the
+# dominant web format's stub→native flip; webm/mp4/flac remain the stub
+# boundary (real demux/codec stacks)
+IMAGE_FMTS = frozenset({"raw", "ppm", "bmp", "png", "jpg", "jpeg"})
+STUB_FMTS = frozenset({"webm", "mp4", "flac"})
 # Audio container formats with a NATIVE in-sandbox decoder: wav rides the
 # stdlib ``wave`` module (16-bit PCM), acon is the deterministic fixture
 # container.  In the IMAGE pipeline both still route to the md5 keyspace
@@ -309,6 +312,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "png":
         return encode_png(img)
+    if fmt in ("jpg", "jpeg"):
+        from deduplicator_ray import jpeg as _jpeg
+
+        return _jpeg.encode_jpeg(img)
     raise UnsupportedFormatError(f"no encoder for fmt={fmt!r}")
 
 
@@ -331,6 +338,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         img = decode_bmp(data)
     elif fmt == "png":
         img = decode_png(data)
+    elif fmt in ("jpg", "jpeg"):
+        from deduplicator_ray import jpeg as _jpeg
+
+        img = _jpeg.decode_jpeg(data)
     elif fmt in CONTAINER_FMTS:
         # multi-frame container: the single-image view is frame 0 (what
         # the reference's non-strict getProcHash hashes and what its GUI

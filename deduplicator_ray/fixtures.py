@@ -63,11 +63,13 @@ _DIRS = ["corpus", "img", "archive", "downloads", "sorted", "best", "originals",
 _GOOD_DIR_WORDS = ("best", "original")
 _BAD_DIR_WORDS = ("temp", "cache")
 _FMTS = ["raw", "ppm", "bmp", "png"]
-# jpg/mp4 are the stub-codec media formats: the engine cannot decode them
-# in-sandbox, so they exercise the strict-mode md5 keyspace
-# (/root/reference/dupedb.py:82-101)
+# mp4/flac are the stub-codec media formats: the engine cannot decode
+# them in-sandbox, so they exercise the strict-mode md5 keyspace
+# (/root/reference/dupedb.py:82-101).  jpg left this set when the
+# baseline JFIF codec went native (jpeg.py) — real-jpg groups now
+# exercise the dHash path instead.
 _EXTS = {"raw": "raw", "ppm": "ppm", "bmp": "bmp", "png": "png",
-         "jpg": "jpg", "mp4": "mp4"}
+         "jpg": "jpg", "mp4": "mp4", "flac": "flac"}
 
 
 def _base_image(rng: np.random.Generator, size_scale: int = 1) -> np.ndarray:
@@ -225,12 +227,12 @@ def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
         return rows, truth
 
     if roll < 0.045:
-        # strict-mode media: stub-codec payloads (jpg/mp4) that the engine
+        # strict-mode media: stub-codec payloads (mp4/flac) that the engine
         # cannot decode — getProcHash md5-keys them into the same index as
         # images (/root/reference/dupedb.py:82-101), so byte-identical media
         # must cluster and elect a keeper exactly like images do.
         from deduplicator_ray.stages.ranking import keeper_sort_key
-        fmt = str(rng.choice(["jpg", "mp4"]))
+        fmt = str(rng.choice(["flac", "mp4"]))
         payload = rng.integers(0, 256, int(rng.integers(512, 4096)),
                                dtype=np.uint8).tobytes()
         cap = _caption(rng)
@@ -259,6 +261,42 @@ def generate_group(gid: int, hash_size: int = 8, size_scale: int = 1,
         keys = {i: keeper_sort_key(rows[i]["image_id"], 1, 0, len(payload))
                 for i in range(first, first + n_dups)}
         truth[min(keys, key=keys.get)]["expected_keeper"] = True
+        return rows, truth
+
+    if roll < 0.06:
+        # REAL-jpg group (baseline JFIF codec, jpeg.py): a q90 base, often
+        # a byte-identical copy, and a q65 RE-ENCODE — byte-distinct,
+        # perceptually identical, the class only dHash catches where the
+        # old stub boundary md5-keyed everything.  Stored phash/psnr are
+        # computed from the DECODED pixels (jpg is lossy), so
+        # validate_phash sees no fabricated drift.
+        from deduplicator_ray import jpeg as _jpeg
+
+        base = _base_image(rng, size_scale)
+        cap = _caption(rng)
+        h, w = base.shape[:2]
+
+        def jrow(member, style, kind, blob, source_idx):
+            dec = _jpeg.decode_jpeg(blob)
+            iid = _image_id(gid, member, rng, "jpg", style)
+            while any(r["image_id"] == iid for r in rows):
+                iid = _image_id(gid, member, rng, "jpg", style)
+            rows.append(dict(image_id=iid, bytes=blob, w=w, h=h, fmt="jpg",
+                             caption=cap,
+                             phash=hashing.u64_to_i64(
+                                 hashing.dhash_u64(dec, 8))))
+            src = rows[source_idx]["image_id"] if source_idx is not None else iid
+            truth.append(dict(
+                image_id=iid, group_id=gid, kind=kind, source_id=src,
+                psnr_db=psnr(base, dec), caption_kind="same",
+                expected_keeper=False, phash_stale=False))
+
+        blob_hi = _jpeg.encode_jpeg(base, 90)
+        jrow(0, str(rng.choice(["stem", "plain"])), "jpg_base", blob_hi, None)
+        if rng.uniform() < 0.6:  # byte-identical copy: same proc_hash key
+            jrow(1, str(rng.choice(["series", "plain"])), "jpg_copy",
+                 blob_hi, 0)
+        jrow(2, "page", "jpg_reencode", _jpeg.encode_jpeg(base, 65), 0)
         return rows, truth
 
     base = _base_image(rng, size_scale)
@@ -409,10 +447,10 @@ def fixture_dir(sf_dir: str, hash_size: int = 8) -> str:
     before the strict-mode media groups existed."""
     root = os.environ.get("DEDUP_FIXTURE_ROOT", os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
     sfn = sf_name(sf_dir)
-    # sfimg is _v3: its reencode members became byte-distinct (png level
-    # 6) when the single-fmt fallback was fixed; every other tier's bytes
-    # are untouched, so their _v2 caches stay valid
-    ver = "_v3" if sfn == "sfimg" else "_v2"
+    # r4 bump (sfimg _v4, others _v3): jpg went stub→native, so the
+    # strict-media class re-keyed to mp4/flac payloads and a REAL-jpg
+    # group class (q90 base / byte copy / q65 re-encode) was added
+    ver = "_v4" if sfn == "sfimg" else "_v3"
     return os.path.join(root, f"{sfn}{ver}")
 
 

@@ -219,9 +219,10 @@ def read_image_files(root: str) -> rd.Dataset:
             ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
             w = h = 0
             ph = 0
-            if ext in ("png", "bmp", "ppm", "gif"):
-                # gif joined the self-describing set when its LZW decoder
-                # went native (frame-0 view; dims = logical screen)
+            if ext in ("png", "bmp", "ppm", "gif", "jpg", "jpeg"):
+                # gif and jpg joined the self-describing set when their
+                # decoders went native (gif: frame-0 view, dims = logical
+                # screen; jpg: baseline JFIF)
                 try:
                     img = codecs.decode_image(data, ext, 0, 0)
                     h, w = img.shape[:2]

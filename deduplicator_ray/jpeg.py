@@ -1,0 +1,593 @@
+"""Baseline JPEG (JFIF) codec in pure numpy + stdlib — the dominant web
+image format flipped stub→native (codecs.CODEC_CAPABILITIES).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte
+stuffing; Huffman and quantization tables are read from the stream
+(spec F.2.2 canonical decode), dequantize + IDCT run vectorized over all
+blocks per component (one einsum), chroma upsamples by sample
+replication, BT.601 full-range YCbCr→RGB.  Progressive (SOF2),
+arithmetic and 12-bit streams are refused with CodecError — the decode
+stage's dead-letter taxonomy, never a wrong image.
+
+Encoder (fixture/golden side): 4:2:0 or 4:4:4, Annex-K quantization
+tables with the libjpeg quality scaling, Annex-K Huffman tables, restart
+markers off.  The encoder exists so fixtures can emit REAL byte-distinct
+re-encodes (same pixels, different quality) that only perceptual hashing
+catches — the reference decodes jpg with PIL (/root/reference/
+dupedb.py:85-86); this module is that path's in-sandbox stand-in.
+
+The DCT pair uses the orthonormal 8-point DCT-II matrix, so
+encode(decode) round-trips within quantization error; PSNR invariance is
+pinned by tests (golden vectors + the dHash-stability gate).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from deduplicator_ray.codecs import CodecError
+
+# ---------------------------------------------------------------------------
+# constants
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int64)
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int64)
+
+# Annex-K Huffman specs: (bits[1..16], values)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa])
+_AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: coef = T @ block @ T.T."""
+    n = np.arange(8)
+    k = n[:, None]
+    t = np.cos((2 * n[None, :] + 1) * k * np.pi / 16) * 0.5
+    t[0, :] = 0.5 / np.sqrt(2.0)
+    return t
+
+
+_T = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex-K base tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((_Q_LUM * scale + 50) // 100, 1, 255)
+    chrom = np.clip((_Q_CHROM * scale + 50) // 100, 1, 255)
+    return lum.astype(np.int64), chrom.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Huffman: canonical code assignment (spec C.2) shared by both sides
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, size)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[vals[k]] = (code, size)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Spec F.2.2.3 canonical decode tables (mincode/maxcode/valptr)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if bits[ln - 1] == 0:
+                self.maxcode[ln] = -1
+                code <<= 1
+                continue
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.read_bit()
+        ln = 1
+        while code > self.maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise CodecError("bad jpeg huffman code")
+            code = (code << 1) | br.read_bit()
+        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+class _BitReader:
+    """Entropy-coded segment reader: byte unstuffing (FF00), stops at any
+    other marker (restart markers are consumed by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise CodecError("truncated jpeg scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    # marker inside scan: missing-EOI style truncation
+                    raise CodecError("marker inside jpeg entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, which: int) -> None:
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + which:
+            raise CodecError("missing jpeg restart marker")
+        self.pos = p + 2
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicates)."""
+    if data is None:
+        raise CodecError("null payload")
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise CodecError("not a jpeg (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    comps: list[dict] = []
+    h = w = 0
+    dri = 0
+    n = len(data)
+    while True:
+        if pos + 4 > n:
+            raise CodecError("truncated jpeg segments")
+        if data[pos] != 0xFF:
+            raise CodecError("jpeg marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker == 0xD9:
+            raise CodecError("jpeg EOI before scan")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2: pos + seglen]
+        if len(seg) != seglen - 2:
+            raise CodecError("truncated jpeg segment")
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg[sp:sp + 64], np.uint8)
+                    sp += 64
+                elif pq == 1:
+                    tab = np.frombuffer(seg[sp:sp + 128], ">u2")
+                    sp += 128
+                else:
+                    raise CodecError("bad DQT precision")
+                if len(tab) != 64:
+                    raise CodecError("truncated DQT")
+                qtabs[tq] = tab.astype(np.int64)[UNZIGZAG].reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1: sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17: sp + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise CodecError("truncated DHT")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
+                sp += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise CodecError(f"unsupported jpeg precision {prec}")
+            if h <= 0 or w <= 0:
+                raise CodecError("bad jpeg dims")
+            if w * h > 160_000_000:
+                raise CodecError(f"decompression bomb: jpeg header {w}x{h}")
+            if nc not in (1, 3):
+                raise CodecError(f"unsupported jpeg component count {nc}")
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise CodecError(f"unsupported sampling {ch}x{cv}")
+                comps.append(dict(cid=cid, h=ch, v=cv, tq=tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError("unsupported jpeg mode (progressive/arith)")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS → entropy decode below
+            ns = seg[0]
+            if ns != len(comps) or not comps:
+                raise CodecError("jpeg SOS/SOF component mismatch")
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                for c in comps:
+                    if c["cid"] == cs:
+                        c["td"], c["ta"] = tt >> 4, tt & 0xF
+            pos = pos + seglen
+            break
+        # APPn / COM / others: skip
+        pos += seglen
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        c["coef"] = np.zeros((bh * bw, 64), np.int64)
+        c["bw"] = bw
+        if c["tq"] not in qtabs:
+            raise CodecError("jpeg references missing DQT")
+        if c.get("td") not in dc_tabs or c.get("ta") not in ac_tabs:
+            raise CodecError("jpeg references missing DHT")
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            br.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dct = dc_tabs[c["td"]]
+            act = ac_tabs[c["ta"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, np.int64)
+                    t = dct.decode(br)
+                    if t > 11:
+                        raise CodecError("bad jpeg DC category")
+                    diff = _extend(br.receive(t), t) if t else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = act.decode(br)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise CodecError("jpeg AC run past block")
+                        blk[k] = _extend(br.receive(s), s)
+                        k += 1
+                    row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                    c["coef"][row] = blk
+    # dequantize + IDCT, vectorized per component: coef rows are in
+    # zigzag order as decoded → dequant in zigzag, then unzigzag
+    planes = []
+    for c in comps:
+        qz = qtabs[c["tq"]].reshape(-1)[ZIGZAG]
+        deq = (c["coef"] * qz[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
+        blocks = np.einsum("ij,njk,kl->nil", _T.T,
+                           deq.astype(np.float64), _T)
+        blocks = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+        bh = c["coef"].shape[0] // c["bw"]
+        plane = (blocks.reshape(bh, c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, c["bw"] * 8))
+        # upsample to full resolution by replication
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(w, h) from the SOF header without entropy decode (ingest probe)."""
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise CodecError("not a jpeg")
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise CodecError("jpeg marker desync")
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            return w, h
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seglen
+    raise CodecError("jpeg SOF not found")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def _encode_blocks(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """float plane (multiple of 8) → (nblocks, 64) zigzag quantized ints."""
+    ph, pw = plane.shape
+    blocks = (plane.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+    coef = np.einsum("ij,njk,kl->nil", _T, blocks, _T.T)
+    quant = np.round(coef / qtbl[None, :, :]).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.nbits += size
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a coefficient (spec F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _encode_component(bw_: _BitWriter, blocks: np.ndarray, pred: int,
+                      dc_codes, ac_codes) -> int:
+    for blk in blocks:
+        t, bits = _mag(int(blk[0]) - pred)
+        pred = int(blk[0])
+        c, s = dc_codes[t]
+        bw_.write(c, s)
+        if t:
+            bw_.write(bits, t)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, s = ac_codes[0xF0]
+                bw_.write(c, s)
+                run -= 16
+            t, bits = _mag(v)
+            c, s = ac_codes[(run << 4) | t]
+            bw_.write(c, s)
+            bw_.write(bits, t)
+            run = 0
+        if last < 63:
+            c, s = ac_codes[0x00]
+            bw_.write(c, s)
+    return pred
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = True) -> bytes:
+    """(h, w, 3) RGB uint8 → baseline JFIF bytes (4:2:0 when ``subsample``,
+    else 4:4:4)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise CodecError("encode_jpeg wants (h, w, 3) RGB")
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+    qlum, qchrom = _quality_tables(quality)
+    qlum8 = qlum.reshape(8, 8).astype(np.float64)
+    qchrom8 = qchrom.reshape(8, 8).astype(np.float64)
+
+    sh = 2 if subsample else 1
+
+    def pad_to(a: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-a.shape[0]) % mult
+        pw = (-a.shape[1]) % mult
+        return np.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+    ypad = pad_to(y, 8 * sh)
+    if subsample:
+        cbp = pad_to(cb, 16)
+        crp = pad_to(cr, 16)
+        cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+    else:
+        cbs = pad_to(cb, 8)
+        crs = pad_to(cr, 8)
+
+    yb = _encode_blocks(ypad, qlum8)
+    cbb = _encode_blocks(cbs, qchrom8)
+    crb = _encode_blocks(crs, qchrom8)
+
+    dc_l = _huff_codes(*_DC_LUM)
+    dc_c = _huff_codes(*_DC_CHROM)
+    ac_l = _huff_codes(*_AC_LUM)
+    ac_c = _huff_codes(*_AC_CHROM)
+
+    bw_ = _BitWriter()
+    ybw = ypad.shape[1] // 8
+    cbw = cbs.shape[1] // 8
+    if subsample:
+        mcux, mcuy = ybw // 2, ypad.shape[0] // 16
+        py = pc_ = pr = 0
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            rows = [(2 * my + by) * ybw + (2 * mx + bx)
+                    for by in range(2) for bx in range(2)]
+            py = _encode_component(bw_, yb[rows], py, dc_l, ac_l)
+            pc_ = _encode_component(bw_, cbb[[my * cbw + mx]], pc_, dc_c, ac_c)
+            pr = _encode_component(bw_, crb[[my * cbw + mx]], pr, dc_c, ac_c)
+    else:
+        mcux, mcuy = ybw, ypad.shape[0] // 8
+        py = pc_ = pr = 0
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            r = [my * ybw + mx]
+            py = _encode_component(bw_, yb[r], py, dc_l, ac_l)
+            pc_ = _encode_component(bw_, cbb[r], pc_, dc_c, ac_c)
+            pr = _encode_component(bw_, crb[r], pr, dc_c, ac_c)
+    bw_.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qlum.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, bytes([1]) + bytes(qchrom.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, (sh << 4) | sh, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += _seg(0xC0, sof)
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
+                                 (0, 1, _DC_CHROM), (1, 1, _AC_CHROM)):
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -38,7 +38,11 @@ def test_dim_mismatch_detected(img):
 
 def test_stub_formats_marked():
     with pytest.raises(codecs.UnsupportedFormatError):
-        codecs.decode_image(b"\xff\xd8\xff\xe0", "jpg", 4, 4)
+        codecs.decode_image(b"\x00\x00\x00 ftypisom", "mp4", 4, 4)
+    # jpg left the stub set (native baseline codec): garbage jpg bytes are
+    # now a plain CodecError dead-letter, like any corrupt native format
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_image(b"\xff\xd8\xff\xe0garbage", "jpg", 4, 4)
 
 
 def test_garbage_is_codec_error():
@@ -144,11 +148,12 @@ def test_wav_roundtrip_and_dispatch():
         codecs.decode_wav(buf8.getvalue())
 
 
-def test_unsupported_codec_policy_routes_jpg():
-    """The loud stub boundary (VERDICT r2 item 4): a jpg payload either
-    joins the md5 keyspace (default, reference dupedb.py:100-101 parity)
-    or dead-letters with error=unsupported_codec per config — and the
-    choice is part of config_hash, i.e. recorded in every manifest."""
+def test_unsupported_codec_policy_routes_stub_media():
+    """The loud stub boundary (VERDICT r2 item 4): a stub-format payload
+    (mp4 — jpg went native) either joins the md5 keyspace (default,
+    reference dupedb.py:100-101 parity) or dead-letters with
+    error=unsupported_codec per config — and the choice is part of
+    config_hash, i.e. recorded in every manifest."""
     import pyarrow as pa
 
     from deduplicator_ray.config import PipelineConfig
@@ -157,11 +162,11 @@ def test_unsupported_codec_policy_routes_jpg():
     png = codecs.encode_png(
         np.random.default_rng(7).integers(0, 256, (8, 8, 3), dtype=np.uint8))
     batch = pa.table({
-        "image_id": ["a.png", "b.jpg"],
-        "bytes": pa.array([png, b"\xff\xd8\xff\xe0stub"], pa.binary()),
+        "image_id": ["a.png", "b.mp4"],
+        "bytes": pa.array([png, b"\x00\x00\x00 ftypisomstub"], pa.binary()),
         "w": pa.array([8, 8], pa.int32()),
         "h": pa.array([8, 8], pa.int32()),
-        "fmt": ["png", "jpg"],
+        "fmt": ["png", "mp4"],
     })
 
     md5_cfg = PipelineConfig()

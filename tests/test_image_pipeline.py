@@ -68,7 +68,7 @@ def test_stored_phash_matches_recompute(corpus, truth):
     for r in corpus.to_pylist():
         if r["image_id"] in stale or r["image_id"] in corrupt:
             continue
-        if r["fmt"] in ("jpg", "mp4"):  # stub-codec media: md5-keyed, phash 0
+        if r["fmt"] in ("mp4", "flac"):  # stub-codec media: md5-keyed, phash 0
             assert r["phash"] == 0
             continue
         img = codecs.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
@@ -367,7 +367,7 @@ def test_caption_pair_with_one_zero_dhash_not_delegated():
 
 
 def test_md5_media_cluster_in_decisions(images_ds, truth, oracle_rows):
-    """Strict-mode media (stub jpg/mp4 payloads) enter the SAME proc-hash
+    """Strict-mode media (stub mp4/flac payloads) enter the SAME proc-hash
     keyspace as images (getProcHash, /root/reference/dupedb.py:68-101):
     byte-identical media must cluster, elect a keeper, and get an
     md5-formatted rename target; distinct media must not cluster."""

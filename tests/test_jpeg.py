@@ -1,0 +1,133 @@
+"""Baseline JPEG codec (jpeg.py) — the jpg stub→native flip: roundtrip
+PSNR invariance, golden structural vectors, dHash-path routing through
+the fingerprint stage, and the fixture jpg-group semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deduplicator_ray import codecs, fixtures, hashing, jpeg
+from deduplicator_ray.config import PipelineConfig
+from deduplicator_ray.fixtures import _base_image, psnr
+from deduplicator_ray.stages.decode_hash import make_decode_hash
+
+
+def test_roundtrip_psnr_invariance():
+    """q95 4:4:4 ≥ 45 dB, q85 4:2:0 ≥ 38 dB, q60 ≥ 35 dB on the fixture
+    image family; dims preserved, odd sizes included."""
+    for seed in range(3):
+        img = _base_image(np.random.default_rng([5, seed]))
+        for q, sub, floor in ((95, False, 45.0), (85, True, 38.0),
+                              (60, True, 35.0)):
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q, subsample=sub))
+            assert out.shape == img.shape
+            assert psnr(img, out) >= floor
+    odd = _base_image(np.random.default_rng([5, 9]))[:37, :53]
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(odd, 90))
+    assert out.shape == odd.shape and psnr(odd, out) >= 35.0
+
+
+def test_golden_structure_and_errors():
+    """Structural golden vectors: SOI/EOI framing, dims probe, quality
+    monotonicity; corrupt/progressive/truncated payloads dead-letter."""
+    img = _base_image(np.random.default_rng([8, 0]))
+    blob = jpeg.encode_jpeg(img, 85)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert jpeg.jpeg_dims(blob) == (img.shape[1], img.shape[0])
+    # higher quality → larger stream on the same image
+    assert len(jpeg.encode_jpeg(img, 95)) > len(jpeg.encode_jpeg(img, 40))
+
+    with pytest.raises(codecs.CodecError):
+        jpeg.decode_jpeg(b"not a jpeg")
+    with pytest.raises(codecs.CodecError):
+        jpeg.decode_jpeg(blob[: len(blob) // 2])
+    # a progressive SOF2 marker is refused, not mis-decoded
+    prog = bytearray(blob)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(codecs.CodecError, match="progressive|arith"):
+        jpeg.decode_jpeg(bytes(prog))
+    # generic dispatch: decode_image routes jpg to this codec
+    assert np.array_equal(codecs.decode_image(blob, "jpg", img.shape[1],
+                                              img.shape[0]),
+                          jpeg.decode_jpeg(blob))
+
+
+def test_gray_single_component():
+    """1-component (grayscale) streams decode with channel replication —
+    crafted by re-tagging a 4:4:4 stream's luma-only variant."""
+    img = _base_image(np.random.default_rng([8, 3]))
+    gray = np.repeat(
+        (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+         + 0.114 * img[:, :, 2]).round().clip(0, 255)
+        .astype(np.uint8)[:, :, None], 3, axis=2)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 92, subsample=False))
+    assert psnr(gray, out) >= 40.0
+
+
+def test_jpg_rows_flow_dhash_path():
+    """A real jpg payload fingerprints through the PERCEPTUAL path: status
+    ok, proc_hash is the 16-hex dHash (not the 32-hex md5), and a q-65
+    re-encode of the same pixels lands within the Hamming verify radius
+    of the q-90 original."""
+    rng = np.random.default_rng([7, 1])
+    img = _base_image(rng)
+    b90 = jpeg.encode_jpeg(img, 90)
+    b65 = jpeg.encode_jpeg(img, 65)
+    assert b90 != b65
+    h, w = img.shape[:2]
+    batch = pa.table({
+        "image_id": ["a/x.jpg", "a/y.jpg"],
+        "bytes": pa.array([b90, b65], pa.binary()),
+        "w": pa.array([w, w], pa.int32()),
+        "h": pa.array([h, h], pa.int32()),
+        "fmt": ["jpg", "jpg"],
+        "caption": ["", ""],
+        "phash": pa.array([0, 0], pa.int64()),
+    })
+    out = make_decode_hash(PipelineConfig())(batch).to_pylist()
+    for row in out:
+        assert row["status"] == "ok"
+        assert len(row["proc_hash"]) == 16  # dHash hex, not md5
+        assert row["proc_hash"] != row["content_md5"]
+    d = bin(hashing.i64_to_u64(out[0]["dhash"])
+            ^ hashing.i64_to_u64(out[1]["dhash"])).count("1")
+    assert d <= 4, f"re-encode drifted {d} bits"
+
+
+def test_fixture_jpg_group_semantics(sf_small):
+    """The corpus jpg class end-to-end: byte copies share the exact
+    proc_hash key with their base (reference-mode co-cluster), re-encodes
+    decode within the perceptual band, stored phash equals the decoded
+    dHash (no fabricated validate drift)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables([
+        pq.read_table(p) for p in sorted(glob.glob(
+            fixtures.images_path(sf_small) + "/*.parquet"))])
+    tr = pa.concat_tables([
+        pq.read_table(p) for p in sorted(glob.glob(
+            fixtures.truth_path(sf_small) + "/*.parquet"))])
+    kinds = dict(zip(tr["image_id"].to_pylist(), tr["kind"].to_pylist()))
+    src = dict(zip(tr["image_id"].to_pylist(), tr["source_id"].to_pylist()))
+    rows = {r["image_id"]: r for r in tbl.to_pylist()
+            if kinds.get(r["image_id"], "").startswith("jpg_")}
+    assert rows, "no jpg groups in the corpus"
+    n_copy = n_re = 0
+    for iid, r in rows.items():
+        dec = jpeg.decode_jpeg(r["bytes"])
+        assert hashing.u64_to_i64(hashing.dhash_u64(dec, 8)) == r["phash"]
+        k = kinds[iid]
+        if k == "jpg_copy":
+            base = rows[src[iid]]
+            assert r["bytes"] == base["bytes"]
+            assert r["phash"] == base["phash"]
+            n_copy += 1
+        elif k == "jpg_reencode":
+            base = rows[src[iid]]
+            assert r["bytes"] != base["bytes"]
+            assert psnr(jpeg.decode_jpeg(base["bytes"]), dec) >= 30.0
+            n_re += 1
+    assert n_copy > 0 and n_re > 0

@@ -976,8 +976,10 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
         # refresh.  It is increment-bounded in the common case, so the
         # fast path broadcasts the member→label map and the refresh is
         # ONE exchange (label attach is a map, resolve is the groupby);
-        # above the cap it falls back to the partitioned Dataset.join —
-        # never a driver blow-up, never a wrong answer.
+        # above the cap it falls back to the tag/union partitioned
+        # attach (_union_attach_labels — NOT Dataset.join, which emits
+        # schema-less empty blocks on sparse partitions) — never a
+        # driver blow-up, never a wrong answer.
         if touched:
             t_arr = pa.array(sorted(touched), pa.string())
             rows = updated.map_batches(

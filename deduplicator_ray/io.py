@@ -177,12 +177,13 @@ def read_image_files(root: str) -> rd.Dataset:
     - ``image_id`` = path relative to ``root`` (the reference's path-as-id
       convention; dir/name ranking features derive from it unchanged);
     - ``fmt`` = lowercased extension;
-    - self-describing formats (png/bmp/ppm) decode ONCE here to fill
-      (w, h) and the precomputed ``phash``; stub/undecodable formats
-      (jpg/video/audio — codecs.STUB_FMTS) and headerless ``raw`` (dims
-      live outside the payload) get w=h=0, phash=0 and flow down the
-      strict-mode md5 path exactly as the reference's getProcHash routes
-      non-images (/root/reference/dupedb.py:82-101);
+    - self-describing formats (png/bmp/ppm/gif/jpg) decode ONCE here to
+      fill (w, h) and the precomputed ``phash``; stub/undecodable
+      formats (mp4/webm/flac — codecs.STUB_FMTS), audio containers and
+      headerless ``raw`` (dims live outside the payload) get w=h=0,
+      phash=0 and flow down the strict-mode md5 path exactly as the
+      reference's getProcHash routes non-images
+      (/root/reference/dupedb.py:82-101);
     - ``caption`` = '' (filesystem corpora carry no captions — the caption
       channel is inert, the image channel is unaffected).
 

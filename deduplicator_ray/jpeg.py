@@ -282,7 +282,23 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicates)."""
+    """Baseline JFIF bytes → (h, w, 3) RGB uint8 (grayscale replicates).
+
+    Every malformation surfaces as CodecError (the dead-letter contract
+    the fingerprint stage and oracle rely on): the parser's own checks
+    raise it directly, and the outer wrapper in this function converts
+    any residual struct/index/value error a bit-rotted or adversarial
+    payload can provoke — a web-corpus jpg must never escape the error
+    taxonomy and kill the whole map_batches task."""
+    try:
+        return _decode_jpeg_inner(data)
+    except CodecError:
+        raise
+    except (struct.error, IndexError, ValueError, OverflowError) as e:
+        raise CodecError(f"malformed jpeg: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data is None:
         raise CodecError("null payload")
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
@@ -343,16 +359,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise CodecError(f"unsupported jpeg precision {prec}")
             if h <= 0 or w <= 0:
                 raise CodecError("bad jpeg dims")
-            if w * h > 160_000_000:
+            from deduplicator_ray.codecs import MAX_DECODE_PIXELS
+
+            if w * h > MAX_DECODE_PIXELS:
                 raise CodecError(f"decompression bomb: jpeg header {w}x{h}")
             if nc not in (1, 3):
                 raise CodecError(f"unsupported jpeg component count {nc}")
+            if len(seg) < 6 + 3 * nc:
+                raise CodecError("truncated SOF component specs")
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
                 ch, cv = hv >> 4, hv & 0xF
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise CodecError(f"unsupported sampling {ch}x{cv}")
                 comps.append(dict(cid=cid, h=ch, v=cv, tq=tq))
+            if nc == 1:
+                # a one-component scan is NON-interleaved (spec A.2.2):
+                # sampling factors are ignored, data is plain block
+                # raster — honoring declared 2x2 factors here would
+                # scramble legal grayscale streams
+                comps[0]["h"] = comps[0]["v"] = 1
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise CodecError("unsupported jpeg mode (progressive/arith)")
@@ -453,22 +479,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def jpeg_dims(data: bytes) -> tuple[int, int]:
-    """(w, h) from the SOF header without entropy decode (ingest probe)."""
+    """(w, h) from the SOF header WITHOUT entropy decode — the header-only
+    probe (the png/gif decoders' bomb guards play the same role).  The
+    full decoder re-derives dims itself; this exists for callers that
+    must size or reject a payload before paying for a decode."""
     if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
         raise CodecError("not a jpeg")
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
-        if data[pos] != 0xFF:
-            raise CodecError("jpeg marker desync")
-        marker = data[pos + 1]
-        if marker in (0xC0, 0xC1, 0xC2):
-            h, w = struct.unpack_from(">HH", data, pos + 5)
-            return w, h
-        if marker == 0xD9 or marker == 0xDA:
-            break
-        (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        pos += 2 + seglen
+    try:
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                raise CodecError("jpeg marker desync")
+            marker = data[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return w, h
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            pos += 2 + seglen
+    except struct.error as e:
+        raise CodecError(f"malformed jpeg header: {e}") from e
     raise CodecError("jpeg SOF not found")
 
 

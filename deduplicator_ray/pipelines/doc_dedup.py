@@ -558,23 +558,49 @@ def tag_side(side: int):
     return f
 
 
+def make_pair_matcher(cfg: PipelineConfig):
+    """THE exact char-shingle Jaccard pair predicate — single-sourced so
+    the in-run verifies, the delta verify and the persisted-index probe
+    (state/docbandstore.py) can never drift on the metric: identical-text
+    short-circuit, both-empty convention (jac 1.0), length-ratio prune
+    (jac ≤ lo/hi < threshold), per-distinct-text shingle cache.  Returns
+    ``match(text_a, text_b) -> bool``; cache lifetime = the returned
+    closure (create one per partition call)."""
+    jmin = cfg.jaccard_min
+    shingle_k = cfg.shingle_k
+    sh_cache: dict[str, np.ndarray] = {}
+
+    def sh(c: str) -> np.ndarray:
+        s = sh_cache.get(c)
+        if s is None:
+            s = textfn.char_shingle_hashes(c, shingle_k)
+            sh_cache[c] = s
+        return s
+
+    def match(ca: str, cb: str) -> bool:
+        if ca == cb:
+            return True
+        sa, sb = sh(ca), sh(cb)
+        la, lb = len(sa), len(sb)
+        if la == 0 and lb == 0:
+            return True
+        lo, hi = (la, lb) if la < lb else (lb, la)
+        if lo < jmin * hi:
+            return False
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        return inter / (la + lb - inter) >= jmin
+
+    return match
+
+
 def make_cross_doc_verify(cfg: PipelineConfig):
     """Per-(band,key)-partition cross-side verify of cross_dup_min_match,
     shared with the persisted doc band index (state/docbandstore.py)."""
-    jmin = cfg.jaccard_min
-    shingle_k = cfg.shingle_k
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         res_ids: list[int] = []
         res_match: list[int] = []
-        sh_cache: dict[str, np.ndarray] = {}
-
-        def sh(c: str) -> np.ndarray:
-            s = sh_cache.get(c)
-            if s is None:
-                s = textfn.char_shingle_hashes(c, shingle_k)
-                sh_cache[c] = s
-            return s
+        match = make_pair_matcher(cfg)
 
         for _, g in df.groupby(["band", "key"], sort=False):
             a = g[g["side"] == 0]
@@ -590,27 +616,11 @@ def make_cross_doc_verify(cfg: PipelineConfig):
             for i, c in zip(b["image_id"], b["caption"]):
                 bgroups.setdefault(c, []).append(int(i))
             for cb, members in bgroups.items():
-                shb = sh(cb)
-                lb = len(shb)
                 best = -1
                 for ca, mid in amin.items():
                     if best != -1 and mid >= best:
                         continue  # can't improve the min
-                    if ca == cb:
-                        best = mid
-                        continue
-                    sha = sh(ca)
-                    la = len(sha)
-                    if la == 0 and lb == 0:
-                        jac = 1.0
-                    else:
-                        lo, hi = (la, lb) if la < lb else (lb, la)
-                        if lo < jmin * hi:
-                            continue  # jac ≤ lo/hi < threshold
-                        inter = len(np.intersect1d(sha, shb,
-                                                   assume_unique=True))
-                        jac = inter / (la + lb - inter)
-                    if jac >= jmin:
+                    if match(ca, cb):
                         best = mid
                 if best != -1:
                     res_ids.extend(members)
@@ -673,21 +683,12 @@ def doc_delta_pairs(new_ds: rd.Dataset, known_ds: rd.Dataset,
         .union(doc_band_rows(new_ds, cfg, id_col, text_col)
                .map_batches(tag_side(1), batch_format="pyarrow")))
 
-    jmin = cfg.jaccard_min
-    shingle_k = cfg.shingle_k
     out_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         out_src: list[str] = []
         out_dst: list[str] = []
-        sh_cache: dict[str, np.ndarray] = {}
-
-        def sh(c: str) -> np.ndarray:
-            s = sh_cache.get(c)
-            if s is None:
-                s = textfn.char_shingle_hashes(c, shingle_k)
-                sh_cache[c] = s
-            return s
+        match = make_pair_matcher(cfg)
 
         for _, g in df.groupby(["band", "key"], sort=False):
             if not (g["side"].to_numpy() == 1).any():
@@ -723,26 +724,13 @@ def doc_delta_pairs(new_ds: rd.Dataset, known_ds: rd.Dataset,
             new_rep_idx = [ri for ri, r in enumerate(reps) if r[2]]
             for x in new_rep_idx:
                 cx, mx, _ = reps[x]
-                shx = sh(cx)
-                lx = len(shx)
                 for y in range(len(reps)):
                     if y == x:
                         continue
                     cy, my, ny = reps[y]
                     if ny and y < x:
                         continue  # new×new: the smaller index owns it
-                    shy = sh(cy)
-                    ly = len(shy)
-                    if lx == 0 and ly == 0:
-                        jac = 1.0
-                    else:
-                        lo, hi = (lx, ly) if lx < ly else (ly, lx)
-                        if lo < jmin * hi:
-                            continue
-                        inter = len(np.intersect1d(shx, shy,
-                                                   assume_unique=True))
-                        jac = inter / (lx + ly - inter)
-                    if jac >= jmin:
+                    if match(cx, cy):
                         out_src.append(mx)
                         out_dst.append(my)
         return pd.DataFrame({"src": out_src, "dst": out_dst})

@@ -433,13 +433,14 @@ class AudioFeatures:
         for iid, fmt, blob in zip(ids, fmts, payloads):
             if fmt not in self.AUDIO_FMTS:
                 continue
-            if fmt == "acon" and blob is not None and not self.fake:
-                # the engine's own container has a REAL decoder
-                # (codecs.decode_acon) — only foreign formats stub
+            if fmt in ("acon", "wav") and blob is not None and not self.fake:
+                # formats with a REAL decoder (codecs.decode_audio magic
+                # dispatch: the acon container AND stdlib-wave RIFF) —
+                # only foreign formats (mp3/flac/ogg) stub
                 from deduplicator_ray import codecs as _codecs
 
                 try:
-                    rate, pcm = _codecs.decode_acon(blob)
+                    rate, pcm = _codecs.decode_audio(blob)
                     rms = float(np.sqrt(np.mean(
                         pcm.astype(np.float64) ** 2))) if len(pcm) else 0.0
                     # fixed-width mfcc-shaped vector for REAL acon too
@@ -486,7 +487,8 @@ class AudioFeatures:
                 rows["fmt"].append(fmt)
                 rows["status"].append(
                     "error:UnsupportedFormatError: audio decode requires "
-                    "libsndfile/ffmpeg (stubbed; see codecs.STUB_FMTS)"
+                    "libsndfile/ffmpeg for this format (stubbed; native: "
+                    "wav/acon via codecs.decode_audio)"
                     if blob is not None else
                     "error:NullPayload: null bytes column")
                 continue

@@ -236,37 +236,19 @@ def _emit_cross_cands(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _make_jaccard_verify(cfg: PipelineConfig):
-    """pair_text_join verify: exact char-shingle Jaccard ≥ cfg.jaccard_min
-    with the in-run fast paths (identical-text short-circuit,
-    length-ratio prune, per-distinct-text shingle cache)."""
-    jmin = cfg.jaccard_min
-    shingle_k = cfg.shingle_k
+    """pair_text_join verify around THE shared pair predicate
+    (doc_dedup.make_pair_matcher) — the probe applies the identical
+    metric the in-run verifies use, single-sourced so they cannot
+    drift."""
+    from deduplicator_ray.pipelines.doc_dedup import make_pair_matcher
 
     def verify(full: pd.DataFrame) -> pd.DataFrame:
         ids: list[int] = []
         matched: list[int] = []
-        cache: dict[str, np.ndarray] = {}
-
-        def sh(c: str) -> np.ndarray:
-            s = cache.get(c)
-            if s is None:
-                s = textfn.char_shingle_hashes(c, shingle_k)
-                cache[c] = s
-            return s
-
+        match = make_pair_matcher(cfg)
         for src, dst, ta, tb in zip(full["src"], full["dst"],
                                     full["text_a"], full["text_b"]):
-            if ta == tb:
-                ids.append(int(dst))
-                matched.append(int(src))
-                continue
-            sa, sb = sh(ta), sh(tb)
-            la, lb = len(sa), len(sb)
-            lo, hi = (la, lb) if la < lb else (lb, la)
-            if lo < jmin * hi:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            if inter / (la + lb - inter) >= jmin:
+            if match(ta, tb):
                 ids.append(int(dst))
                 matched.append(int(src))
         return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),

@@ -131,3 +131,61 @@ def test_fixture_jpg_group_semantics(sf_small):
             assert psnr(jpeg.decode_jpeg(base["bytes"]), dec) >= 30.0
             n_re += 1
     assert n_copy > 0 and n_re > 0
+
+
+def test_malformed_segments_dead_letter_not_crash():
+    """Review-confirmed escapes: malformed segment payloads must surface
+    as CodecError (the dead-letter contract), never struct.error /
+    IndexError / ValueError that would kill the whole map_batches task."""
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9",   # SOF seglen=4
+        b"\xff\xd8\xff\xda\x00\x02\xff\xd9",           # empty SOS
+        # SOF claims 3 components but the segment is short
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10\x00\x10\x03\xff\xd9",
+        b"\xff\xd8\xff\xdb\x00\x03\x00\xff\xd9",       # truncated DQT
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x01\xff\xd9",   # truncated DHT
+    ]
+    for payload in cases:
+        with pytest.raises(codecs.CodecError):
+            jpeg.decode_jpeg(payload)
+
+
+def test_grayscale_scan_ignores_sampling_factors():
+    """Spec A.2.2: a one-component scan is NON-interleaved and sampling
+    factors are ignored — a grayscale stream declaring 2x2 factors must
+    decode to the same image as the plain 1x1 stream, not scramble."""
+    import struct as _struct
+
+    img = _base_image(np.random.default_rng([8, 5]))[:32, :32]
+    gray = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+            + 0.114 * img[:, :, 2]).round().clip(0, 255).astype(np.uint8)
+    h, w = gray.shape
+    qlum, _ = jpeg._quality_tables(90)
+    blocks = jpeg._encode_blocks(gray.astype(np.float64),
+                                 qlum.reshape(8, 8).astype(np.float64))
+    dc = jpeg._huff_codes(*jpeg._DC_LUM)
+    ac = jpeg._huff_codes(*jpeg._AC_LUM)
+
+    def one_component_stream(hv: int) -> bytes:
+        bw_ = jpeg._BitWriter()
+        jpeg._encode_component(bw_, blocks, 0, dc, ac)  # raster order
+        bw_.flush()
+        out = bytearray(b"\xff\xd8")
+        out += jpeg._seg(0xDB, bytes([0]) + bytes(
+            qlum.reshape(-1)[jpeg.ZIGZAG].astype(np.uint8)))
+        sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([1])
+        sof += bytes([1, hv, 0])
+        out += jpeg._seg(0xC0, sof)
+        out += jpeg._seg(0xC4, bytes([0x00]) + bytes(jpeg._DC_LUM[0])
+                         + bytes(jpeg._DC_LUM[1]))
+        out += jpeg._seg(0xC4, bytes([0x10]) + bytes(jpeg._AC_LUM[0])
+                         + bytes(jpeg._AC_LUM[1]))
+        out += jpeg._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += bw_.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    plain = jpeg.decode_jpeg(one_component_stream(0x11))
+    declared22 = jpeg.decode_jpeg(one_component_stream(0x22))
+    assert np.array_equal(plain, declared22)
+    assert psnr(np.repeat(gray[:, :, None], 3, axis=2), plain) >= 40.0

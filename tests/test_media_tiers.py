@@ -164,6 +164,15 @@ def test_absurd_acon_rate_dead_letters(ray_session):
         "bytes": pa.array([good], pa.binary())})).to_pandas()
     assert ok.iloc[0]["status"] == "ok"
     assert len(ok.iloc[0]["mfcc"]) == AudioFeatures.N_MFCC
+    # wav rides the SAME real-decode branch (decode_audio magic dispatch)
+    # and produces identical features for identical PCM
+    wav = codecs.encode_wav(np.zeros(4096, np.int16), 16000)
+    okw = AudioFeatures(fake=False)(pa.table({
+        "image_id": ["y.wav"], "fmt": ["wav"],
+        "bytes": pa.array([wav], pa.binary())})).to_pandas()
+    assert okw.iloc[0]["status"] == "ok"
+    assert okw.iloc[0]["duration_ms"] == ok.iloc[0]["duration_ms"]
+    assert list(okw.iloc[0]["mfcc"]) == list(ok.iloc[0]["mfcc"])
 
 
 def test_video_hash_size_validated(ray_session):

@@ -559,6 +559,10 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             raw = w.readframes(n)
     except (wave.Error, EOFError) as e:
         raise CodecError(f"bad wav: {e}") from e
+    if len(raw) % 2:
+        # truncated mid-sample: np.frombuffer would ValueError out of the
+        # dead-letter taxonomy (fuzz-found)
+        raise CodecError("truncated wav frames (odd byte count)")
     pcm = np.frombuffer(raw, dtype="<i2")
     if len(pcm) != n * nch:
         raise CodecError("truncated wav frames")

@@ -363,3 +363,94 @@ def test_topk_boundary_equals_full_lexsort(n, seed):
         got = topk_boundary(scores, ids, kk)
         want = np.lexsort((ids, -scores))[:kk]
         assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large])
+@given(data=st.data())
+def test_jpeg_decoder_total_on_mutations(data):
+    """Web-corpus robustness: ANY truncation or byte corruption of a
+    valid jpeg either decodes to an image or raises CodecError — never a
+    stray struct/index/value error that would escape the dead-letter
+    taxonomy and kill a map_batches task."""
+    import numpy as np
+
+    from deduplicator_ray import codecs, jpeg
+    from deduplicator_ray.fixtures import _base_image
+
+    img = _base_image(np.random.default_rng([44, 1]))
+    blob = bytearray(jpeg.encode_jpeg(img, 80))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "splice"]))
+    if mode == "truncate":
+        cut = data.draw(st.integers(0, len(blob)))
+        payload = bytes(blob[:cut])
+    elif mode == "flip":
+        n = data.draw(st.integers(1, 8))
+        for _ in range(n):
+            i = data.draw(st.integers(0, len(blob) - 1))
+            blob[i] ^= data.draw(st.integers(1, 255))
+        payload = bytes(blob)
+    else:
+        i = data.draw(st.integers(0, len(blob) - 1))
+        j = data.draw(st.integers(0, len(blob) - 1))
+        payload = bytes(blob[:i] + blob[j:])
+    try:
+        out = jpeg.decode_jpeg(payload)
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except codecs.CodecError:
+        pass  # the only legal failure
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large])
+@given(data=st.data())
+def test_gif_decoder_total_on_mutations(data):
+    """Same totality contract for the gif LZW decoder."""
+    import numpy as np
+
+    from deduplicator_ray import codecs
+    from deduplicator_ray.fixtures import _indexed_art
+
+    art = _indexed_art(np.random.default_rng([44, 2]))
+    frames = [art, art[:, ::-1]]
+    blob = bytearray(codecs.encode_gif(frames))
+    mode = data.draw(st.sampled_from(["truncate", "flip"]))
+    if mode == "truncate":
+        payload = bytes(blob[: data.draw(st.integers(0, len(blob)))])
+    else:
+        for _ in range(data.draw(st.integers(1, 8))):
+            i = data.draw(st.integers(0, len(blob) - 1))
+            blob[i] ^= data.draw(st.integers(1, 255))
+        payload = bytes(blob)
+    try:
+        out, nf = codecs.decode_gif_first(payload)
+        assert out.dtype == np.uint8 and out.ndim == 3 and nf >= 1
+    except codecs.CodecError:
+        pass
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large])
+@given(data=st.data())
+def test_wav_decoder_total_on_mutations(data):
+    """Same totality contract for the wav/audio dispatch."""
+    import numpy as np
+
+    from deduplicator_ray import codecs
+
+    s = np.clip(np.random.default_rng(44).standard_normal(2048) * 8000,
+                -32000, 32000).astype(np.int16)
+    blob = bytearray(codecs.encode_wav(s, 16000))
+    mode = data.draw(st.sampled_from(["truncate", "flip"]))
+    if mode == "truncate":
+        payload = bytes(blob[: data.draw(st.integers(0, len(blob)))])
+    else:
+        for _ in range(data.draw(st.integers(1, 8))):
+            i = data.draw(st.integers(0, len(blob) - 1))
+            blob[i] ^= data.draw(st.integers(1, 255))
+        payload = bytes(blob)
+    try:
+        rate, pcm = codecs.decode_audio(payload)
+        assert pcm.dtype == np.int16 and rate > 0
+    except codecs.CodecError:
+        pass

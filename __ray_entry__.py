@@ -126,6 +126,19 @@ def _img_nonstrict_decisions(sf_dir: str):
         ["cluster_id", "image_id"]).reset_index(drop=True)
 
 
+def _img_strict_mode_diff(sf_dir: str):
+    """Mode-migration report: per container row, both modes' fingerprints
+    from ONE decode pass and whether a strict↔non-strict flip would
+    re-key it (map-only; containers live in the extension corpus)."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    ds = dio.read_parquet(fixtures.nonstrict_images_path(sf_dir))
+    out = ip.strict_mode_diff(ds, _cfg())
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def _img_cluster_update(sf_dir: str):
     """Incremental image cluster maintenance: the known 80% of the corpus
     is clustered as a stand-in persisted checkpoint; only increment-touched
@@ -1459,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_clusters_nonstrict": _img_reference_clusters_nonstrict,
         "img_nonstrict_decisions": _img_nonstrict_decisions,
+        "img_strict_mode_diff": _img_strict_mode_diff,
         "img_phash_clusters": _img_phash_clusters,
         "img_caption_conflicts": _img_caption_conflicts,
         "img_stock_captions": _img_stock_captions,
@@ -1716,6 +1730,25 @@ def _fixture_mirrors() -> dict[str, str]:
             ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",
             ns_images=fixtures.nonstrict_images_path(sf) + "/*.parquet",
             **kw),
+        # the mode-migration report mirrors as a plain join of the
+        # extension corpus's STRICT and NON-STRICT oracle sidecars —
+        # one decode pass engine-side, two independent Ray-free
+        # recomputations mirror-side
+        "img_strict_mode_diff": f"""
+            SELECT s.image_id, s.proc_hash AS strict_hash,
+                   n.proc_hash AS nonstrict_hash,
+                   CAST(n.frames AS BIGINT) AS frames,
+                   CAST(s.proc_hash != n.proc_hash AS BIGINT) AS differs
+            FROM '{fixtures.nonstrict_hashes_path(sf, strict=True)
+                   + "/*.parquet"}' s
+            JOIN '{fixtures.nonstrict_hashes_path(sf) + "/*.parquet"}' n
+              USING (image_id)
+            JOIN '{fixtures.nonstrict_images_path(sf) + "/*.parquet"}' i
+              USING (image_id)
+            WHERE i.fmt IN ('vcon', 'gif')
+              AND s.status IN ('ok', 'md5_only') AND n.status = 'ok'
+            ORDER BY image_id
+        """,
         # pluggable perceptual-hash kernel: same relation over the pHash
         # oracle sidecar (fixtures.hashes_path(sf, 8, "phash"))
         "img_phash_extended": mirrors.compose(

@@ -117,6 +117,63 @@ def validate_phash(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
     return fp.map_batches(mism, batch_format="pyarrow")
 
 
+STRICT_MODE_DIFF_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("strict_hash", pa.string()),
+    ("nonstrict_hash", pa.string()),
+    ("frames", pa.int64()),
+    ("differs", pa.int64()),
+])
+
+
+def strict_mode_diff(images: rd.Dataset,
+                     cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Operational mode-migration report: per CONTAINER row (the only
+    rows the strict switch affects — /root/reference/dupedb.py:82-98),
+    BOTH mode's fingerprints from ONE decode pass: strict = md5 byte
+    identity when animated, non-strict = frame-0 perceptual hash;
+    ``differs=1`` marks rows a strict↔non-strict flip would re-key (the
+    "what changes if I reopen this db non-strict" question the GUI's
+    default-mode mismatch raises, compare.py:223-238).
+
+    Map-only, no shuffle at any scale: corrupt containers drop (the
+    fingerprint pipelines dead-letter them; this diagnostic reports only
+    rows that HAVE two keys)."""
+    from deduplicator_ray import codecs as _codecs
+    from deduplicator_ray import hashing as _hashing
+
+    hash_size = cfg.hash_size
+    bits_fn = (_hashing.dhash_bits if cfg.hash_fn == "dhash"
+               else _hashing.phash_bits)
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["fmt"],
+                        value_set=pa.array(sorted(_codecs.CONTAINER_FMTS)))
+        t = t.filter(keep)
+        ids, s_h, n_h, fr = [], [], [], []
+        for iid, fmt, data in zip(t["image_id"].to_pylist(),
+                                  t["fmt"].to_pylist(),
+                                  t["bytes"].to_pylist()):
+            try:
+                img, nf = _codecs.decode_container_first(data, fmt)
+            except _codecs.CodecError:
+                continue
+            dh = _hashing.bits_to_hex(bits_fn(img, hash_size))
+            ids.append(iid)
+            n_h.append(dh)
+            s_h.append(_hashing.md5_hex(data) if nf > 1 else dh)
+            fr.append(nf)
+        differs = [int(a != b) for a, b in zip(s_h, n_h)]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(s_h, pa.string()),
+             pa.array(n_h, pa.string()), pa.array(fr, pa.int64()),
+             pa.array(differs, pa.int64())],
+            schema=STRICT_MODE_DIFF_SCHEMA)
+
+    return images.map_batches(f, batch_format="pyarrow",
+                              batch_size=cfg.decode_batch_size)
+
+
 def dead_letter(fp: rd.Dataset) -> rd.Dataset:
     """badfiles sink analog (S5, /root/reference/dupedb.py:231-242): the
     quarantine rows as a dataset instead of an append-only text file."""

@@ -199,3 +199,40 @@ def test_animated_gif_hits_both_branches_per_mode(sf_small):
             assert not keeper.endswith("_still.gif"), cid
             checked += 1
     assert checked > 0
+
+
+def test_strict_mode_diff_semantics(sf_small):
+    """Mode-migration report: every multi-frame container differs
+    (strict md5 vs frame-0 dHash), every single-frame container agrees
+    (dHash in both modes), corrupt containers are absent, and the
+    relation value-matches the two-sidecar mirror join."""
+    import __ray_entry__ as e
+    import duckdb as _duck
+
+    out = e._img_strict_mode_diff(sf_small)
+    assert len(out) > 0
+    multi = out[out["frames"] > 1]
+    single = out[out["frames"] == 1]
+    assert len(multi) > 0 and len(single) > 0
+    assert (multi["differs"] == 1).all()
+    assert (single["differs"] == 0).all()
+    assert (single["strict_hash"] == single["nonstrict_hash"]).all()
+    assert not out["image_id"].str.contains("_bad").any()
+
+    sql = f"""
+        SELECT s.image_id, s.proc_hash AS strict_hash,
+               n.proc_hash AS nonstrict_hash,
+               CAST(n.frames AS BIGINT) AS frames,
+               CAST(s.proc_hash != n.proc_hash AS BIGINT) AS differs
+        FROM '{fixtures.nonstrict_hashes_path(sf_small, strict=True)}/*.parquet' s
+        JOIN '{fixtures.nonstrict_hashes_path(sf_small)}/*.parquet' n
+          USING (image_id)
+        JOIN '{fixtures.nonstrict_images_path(sf_small)}/*.parquet' i
+          USING (image_id)
+        WHERE i.fmt IN ('vcon', 'gif')
+          AND s.status IN ('ok', 'md5_only') AND n.status = 'ok'
+        ORDER BY image_id
+    """
+    orc = _duck.sql(sql).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), orc.reset_index(drop=True))

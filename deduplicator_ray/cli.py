@@ -675,6 +675,25 @@ def _input_digest(input_dir: str) -> str:
     return _hl.sha256(repr(full).encode()).hexdigest()[:16]
 
 
+def _input_digest_legacy(input_dir: str) -> str:
+    """The pre-footer-md5 digest format ((basename, size) rows).  The
+    fold ledger still consults it so an increment folded BEFORE the
+    digest format changed isn't silently re-appended on a rerun (the
+    at-most-once guard would otherwise orphan every old 'done' entry —
+    review-found upgrade hazard).  New markers always record the current
+    format."""
+    import glob as _glob
+    import hashlib as _hl
+
+    rows = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in _glob.glob(os.path.join(input_dir, "**", "*.parquet"),
+                            recursive=True))
+    if not rows:
+        return ""
+    return _hl.sha256(repr(rows).encode()).hexdigest()[:16]
+
+
 def _stage_marker(output_dir: str, stage: str) -> str:
     return os.path.join(output_dir, f"_stage_{stage}_done.json")
 
@@ -883,6 +902,14 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
             f"{state_man['config_hash']}, run requests {ch} — rebuild "
             "state (ingest-init) or match the config")
     idig = _input_digest(input_dir)
+    idig_legacy = _input_digest_legacy(input_dir)
+
+    def _fold_status() -> str | None:
+        """Ledger lookup under the current digest, falling back to the
+        legacy format for increments folded before the format change."""
+        f = state_man.get("folded_digests", {})
+        return f.get(idig) or (f.get(idig_legacy) if idig_legacy else None)
+
     metrics: dict = {"mode": "ingest", "input": input_dir,
                      "input_digest": idig,
                      "state": state_dir, "resume": resume}
@@ -1003,7 +1030,7 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
             # 'delete' decision for the keeper id and inflates bucket
             # sizes / rename CRC suffixes
             fp_paths = [os.path.join(state_dir, "fingerprints")]
-            if state_man.get("folded_digests", {}).get(idig) != "done":
+            if _fold_status() != "done":
                 fp_paths.append(s1_dir)
             from deduplicator_ray.stages.ranking import RANK_COLUMNS
             need_cols = ["image_id", "proc_hash", "crc32", *RANK_COLUMNS]
@@ -1062,7 +1089,7 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
 
         m = _stage_done(output_dir, "state_fold", ch, idig) if resume else None
         folded = state_man.setdefault("folded_digests", {})
-        if m is None and folded.get(idig) == "done":
+        if m is None and _fold_status() == "done":
             # state already holds this increment (marker lost or
             # --no-resume): refresh the assignment swap only — it is
             # replace-not-append, so repeating it is safe
@@ -1083,7 +1110,7 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
                        wall_s=round(time.time() - t0, 3))
             m = _stage_done(output_dir, "state_fold", ch, idig)
         elif m is None:
-            if folded.get(idig) == "in_progress":
+            if _fold_status() == "in_progress":
                 raise RuntimeError(
                     f"state fold of increment {idig} was interrupted "
                     "mid-append — the persisted band/fingerprint state "

@@ -557,8 +557,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             if nch < 1:
                 raise CodecError("wav has no channels")
             raw = w.readframes(n)
-    except (wave.Error, EOFError) as e:
-        raise CodecError(f"bad wav: {e}") from e
+    except (wave.Error, EOFError, RuntimeError, ValueError,
+            struct.error) as e:
+        # CPython's wave/chunk modules raise bare RuntimeError (and
+        # occasionally ValueError/struct.error) on malformed RIFF chunk
+        # layouts — fuzz-confirmed; everything converts to the
+        # dead-letter taxonomy
+        raise CodecError(f"bad wav: {type(e).__name__}: {e}") from e
     if len(raw) % 2:
         # truncated mid-sample: np.frombuffer would ValueError out of the
         # dead-letter taxonomy (fuzz-found)
@@ -819,7 +824,10 @@ def decode_gif_first(data: bytes) -> tuple[np.ndarray, int]:
         if pos >= n:
             raise CodecError("truncated gif image data")
         mcs = data[pos]
-        if not 2 <= mcs <= 11:
+        # GIF's real maximum is 8 (256-entry palettes): 9-11 would make
+        # _lzw_decode build literal table entries ≥ 256 and raise a raw
+        # ValueError past the dead-letter taxonomy (review-found)
+        if not 2 <= mcs <= 8:
             raise CodecError(f"bad gif lzw min code size {mcs}")
         lzw, pos = _gif_subblocks(data, pos + 1)
         n_frames += 1

@@ -316,9 +316,15 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             raise CodecError("truncated jpeg segments")
         if data[pos] != 0xFF:
             raise CodecError("jpeg marker desync")
+        # spec B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip the run so 'FF FF DB' parses as DQT instead
+        # of desyncing (review-found; real optimizer output does this)
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD8:  # stray SOI
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (stray SOI, TEM, RSTn): no length field
             continue
         if marker == 0xD9:
             raise CodecError("jpeg EOI before scan")
@@ -405,7 +411,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     for c in comps:
         bw = mcux * c["h"]
         bh = mcuy * c["v"]
-        c["coef"] = np.zeros((bh * bw, 64), np.int64)
+        # int32 coefficients: the standing decode state is the largest
+        # allocation header dims can force — int64 doubled it for no
+        # reason (legal dequantized values fit 27 bits; the DC predictor
+        # is clamped below).  IDCT float temporaries are chunked, so the
+        # bomb guard's pixel cap bounds JPEG memory like the other
+        # formats instead of ~16× it (review-found)
+        c["coef"] = np.zeros((bh * bw, 64), np.int32)
         c["bw"] = bw
         if c["tq"] not in qtabs:
             raise CodecError("jpeg references missing DQT")
@@ -432,7 +444,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     if t > 11:
                         raise CodecError("bad jpeg DC category")
                     diff = _extend(br.receive(t), t) if t else 0
-                    preds[ci] += diff
+                    # clamp: a corrupt stream can walk the predictor
+                    # arbitrarily far; legal values fit 12 bits
+                    preds[ci] = max(-(1 << 30),
+                                    min((1 << 30), preds[ci] + diff))
                     blk[0] = preds[ci]
                     k = 1
                     while k < 64:
@@ -450,19 +465,29 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                         k += 1
                     row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                     c["coef"][row] = blk
-    # dequantize + IDCT, vectorized per component: coef rows are in
-    # zigzag order as decoded → dequant in zigzag, then unzigzag
+    # dequantize + IDCT per component: coef rows are in zigzag order as
+    # decoded → dequant in zigzag, then unzigzag.  IDCT runs as two
+    # broadcast BLAS matmuls (einsum's 3-operand path was the profile's
+    # top cost at 0.14 s per 580×540 image) over CHUNKS of block rows,
+    # so float64 temporaries stay bounded (~tens of MB) no matter what
+    # the header declares
     planes = []
     for c in comps:
-        qz = qtabs[c["tq"]].reshape(-1)[ZIGZAG]
-        deq = (c["coef"] * qz[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
-        # IDCT as two broadcast BLAS matmuls (einsum's 3-operand path was
-        # the profile's top cost at 0.14 s per 580×540 image)
-        blocks = (_T.T @ deq.astype(np.float64)) @ _T
-        blocks = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
-        bh = c["coef"].shape[0] // c["bw"]
-        plane = (blocks.reshape(bh, c["bw"], 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(bh * 8, c["bw"] * 8))
+        qz = qtabs[c["tq"]].reshape(-1)[ZIGZAG].astype(np.int64)
+        bw = c["bw"]
+        bh = c["coef"].shape[0] // bw
+        plane = np.empty((bh * 8, bw * 8), np.uint8)
+        step = max(1, (1 << 16) // max(bw, 1))  # block rows per chunk
+        for r0 in range(0, bh, step):
+            r1 = min(r0 + step, bh)
+            part = c["coef"][r0 * bw: r1 * bw].astype(np.int64) * qz[None, :]
+            deq = part[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+            blocks = (_T.T @ deq) @ _T
+            blocks = np.clip(np.round(blocks + 128.0), 0, 255) \
+                .astype(np.uint8)
+            plane[r0 * 8: r1 * 8] = (
+                blocks.reshape(r1 - r0, bw, 8, 8)
+                .transpose(0, 2, 1, 3).reshape((r1 - r0) * 8, bw * 8))
         # upsample to full resolution by replication
         plane = np.repeat(plane, hmax // c["h"], axis=1)
         plane = np.repeat(plane, vmax // c["v"], axis=0)
@@ -491,12 +516,17 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
         while pos + 4 <= n:
             if data[pos] != 0xFF:
                 raise CodecError("jpeg marker desync")
+            while pos + 1 < n and data[pos + 1] == 0xFF:
+                pos += 1  # B.1.1.2 fill bytes
             marker = data[pos + 1]
             if marker in (0xC0, 0xC1, 0xC2):
                 h, w = struct.unpack_from(">HH", data, pos + 5)
                 return w, h
             if marker == 0xD9 or marker == 0xDA:
                 break
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone: no length field
+                continue
             (seglen,) = struct.unpack_from(">H", data, pos + 2)
             pos += 2 + seglen
     except struct.error as e:

@@ -201,3 +201,44 @@ def test_ingest_fallback_attach_equals_broadcast(split, monkeypatch):
     a = dec_fb.sort_values(cols).reset_index(drop=True)
     b = dec_bc.sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ingest_legacy_digest_still_guards_refold(split):
+    """An increment folded under the PRE-footer-md5 digest format must
+    still hit the at-most-once guard after the format change: the ledger
+    lookup falls back to the legacy key, so the rerun refold-skips
+    instead of re-appending the increment into persisted state."""
+    import json as _json
+
+    from deduplicator_ray import cli
+
+    state = os.path.join(split["tmp"], "state_legacy")
+    out = os.path.join(split["tmp"], "out_legacy")
+    cli.run_ingest_init(split["known"], state)
+    cli.run_ingest(split["new"], state, out)
+
+    # simulate a ledger written by the OLD format: re-key the 'done'
+    # entry under the legacy digest and drop the new-format key
+    man_path = os.path.join(state, "_state_manifest.json")
+    with open(man_path) as f:
+        man = _json.load(f)
+    new_key = cli._input_digest(split["new"])
+    legacy_key = cli._input_digest_legacy(split["new"])
+    assert man["folded_digests"].pop(new_key) == "done"
+    man["folded_digests"][legacy_key] = "done"
+    with open(man_path, "w") as f:
+        _json.dump(man, f)
+
+    n_fp_before = dio.read_parquet(
+        os.path.join(state, "fingerprints")).count()
+    out2 = os.path.join(split["tmp"], "out_legacy2")
+    m = cli.run_ingest(split["new"], state, out2, resume=False)
+    assert m["s5_state_fold"]["refold_skipped"] is True
+    # no re-append: fingerprint state unchanged
+    assert dio.read_parquet(
+        os.path.join(state, "fingerprints")).count() == n_fp_before
+    # and the decision refresh did not double-count the increment
+    dec = dio.read_parquet(os.path.join(out2, "decisions")).to_pandas()
+    assert not dec.duplicated(["cluster_id", "image_id"]).any()
+    assert (dec.groupby("cluster_id")["action"]
+            .apply(lambda s: (s == "keep").sum() == 1)).all()

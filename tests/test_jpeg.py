@@ -189,3 +189,38 @@ def test_grayscale_scan_ignores_sampling_factors():
     declared22 = jpeg.decode_jpeg(one_component_stream(0x22))
     assert np.array_equal(plain, declared22)
     assert psnr(np.repeat(gray[:, :, None], 3, axis=2), plain) >= 40.0
+
+
+def test_fill_bytes_and_standalone_markers_parse():
+    """Spec B.1.1.2: 0xFF fill bytes before a marker and standalone
+    TEM/RSTn markers between segments are legal — a stream carrying them
+    must decode identically, not desync (review-found: optimizer-emitted
+    jpgs do this)."""
+    img = _base_image(np.random.default_rng([8, 7]))
+    blob = jpeg.encode_jpeg(img, 85)
+    want = jpeg.decode_jpeg(blob)
+    # inject a fill-byte run + a TEM marker right after SOI
+    padded = blob[:2] + b"\xff\xff\xff\x01" + blob[2:]
+    assert np.array_equal(jpeg.decode_jpeg(padded), want)
+    assert jpeg.jpeg_dims(padded) == (img.shape[1], img.shape[0])
+
+
+def test_gif_min_code_size_over_8_dead_letters():
+    """GIF's real LZW min-code-size maximum is 8: 9-11 used to build
+    >255 literal table entries and raise a raw ValueError past the
+    taxonomy (review-found)."""
+    import numpy as np
+
+    from deduplicator_ray import codecs, fixtures
+
+    art = fixtures._indexed_art(np.random.default_rng(21))
+    blob = bytearray(codecs.encode_gif([art]))
+    # single-frame layout: header(6) + LSD(7) + global palette(768) →
+    # image descriptor (10 bytes) → min-code-size byte
+    desc = 6 + 7 + 768
+    assert blob[desc] == 0x2C
+    mcs_pos = desc + 10
+    assert blob[mcs_pos] == 8
+    blob[mcs_pos] = 9
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_gif_first(bytes(blob))

@@ -136,12 +136,19 @@ def _star_partition_fn(large: bool):
     return f
 
 
-def _star_half(E: rd.Dataset, num_parts: int, large: bool) -> rd.Dataset:
-    return partitioned_groupby(
+def _star_half(E: rd.Dataset, num_parts: int, large: bool,
+               materialize: bool = True) -> rd.Dataset:
+    """One star-contraction half-round.  ``materialize=False`` for the
+    large half: its output is consumed exactly once (by the small half
+    immediately after), so pinning it only doubled the transient
+    object-store footprint per round (review-found); the small half's
+    output IS re-consumed (count / checksum / fetch) and stays pinned."""
+    out = partitioned_groupby(
         E.map_batches(_symmetrize, batch_format="pyarrow"),
         ["node"], _star_partition_fn(large), num_parts,
         out_schema=_EDGE_SCHEMA,
-    ).materialize()
+    )
+    return out.materialize() if materialize else out
 
 
 def _local_contract(b: pa.Table) -> pa.Table:
@@ -258,6 +265,10 @@ def incremental_cc_update(
     E = delta_edges.materialize()
     if E.count() == 0:
         return assign
+    # the assignment streams through MULTIPLE passes below; pin the
+    # 2-column projection once or a lazy input (e.g. a CC pipeline fed
+    # straight in) re-executes its whole lineage per pass (review-found)
+    assign = assign.materialize()
 
     # -- 1. resolve every delta-edge node to its persisted label (or itself)
     def probe_rows(b: pa.Table) -> pa.Table:
@@ -459,6 +470,11 @@ def incremental_cc_remove(
         return assign
     rem_ref = ray.put(removed)
 
+    # multiple streaming passes below (affected labels, membership,
+    # untouched rows): pin the assignment once or a lazy input
+    # re-executes its whole lineage on every pass (review-found)
+    assign = assign.materialize()
+
     affected, membership = affected_partition(assign, removed)
     if not affected:
         # removed nodes were all unclustered — the assignment stands
@@ -532,10 +548,11 @@ def connected_components(
     # graphs don't pay fixed per-partition task overhead
     num_parts = int(min(num_partitions, max(2, n // 25_000 + 1)))
 
-    prev: tuple[int, int] | None = None
+    prev_n: int | None = None
+    prev_sum: int | None = None
     for rnd in range(cfg.cc_max_rounds):
         t0 = _time.time()
-        E = _star_half(E, num_parts, large=True)
+        E = _star_half(E, num_parts, large=True, materialize=False)
         E = _star_half(E, num_parts, large=False)
         n = E.count()
         if debug:
@@ -546,10 +563,17 @@ def connected_components(
                 {"image_id": [], "cluster_id": []}, schema=_ASSIGN_SCHEMA))
         if n <= cfg.cc_driver_edge_cap:
             return _driver_assignment(*_fetch_edges(E))
-        cur = (n, _edge_checksum(E))
-        if cur == prev:
-            break  # star fixpoint: every edge is (member, component_min)
-        prev = cur
+        # count inequality alone disproves the fixpoint — the checksum
+        # pass (a full extra scan) only runs on equal counts
+        # (review-found: it ran every shrinking round for nothing)
+        if n == prev_n:
+            cur_sum = _edge_checksum(E)
+            if cur_sum == prev_sum:
+                break  # star fixpoint: every edge is (member, comp_min)
+            prev_sum = cur_sum
+        else:
+            prev_n = n
+            prev_sum = None
     else:
         raise RuntimeError(
             f"connected_components did not converge within {cfg.cc_max_rounds} "

@@ -213,7 +213,7 @@ def fp_dup_pairs(
 
     pairs = partitioned_groupby(
         halves.map_batches(rekey, batch_format="pyarrow"),
-        ["bkey"], lambda df: _attach_b_fold(tau_e6)(df),
+        ["bkey"], _attach_b_fold(tau_e6),
         num_parts=max(8, num_parts // 4), out_schema=_PAIR_SCHEMA)
 
     return pairs.map_batches(
@@ -449,7 +449,13 @@ def fp_dedup_tiers(live_md5: rd.Dataset, *, id_col: str, fp_col: str,
 
         d = (df.drop_duplicates([id_col, fp_col])
                .sort_values([id_col, fp_col]))
-        d["fp_s"] = d[fp_col].astype(str)
+        # a null fp anywhere in a pandas block coerces the int64 fp
+        # column to float64, stringifying fps as '123.0' in THAT block
+        # but '123' elsewhere — identical fp sets would hash to
+        # different fpset_keys (review-found).  Nulls drop (a null fp is
+        # no fingerprint) and ints are pinned before stringifying.
+        d = d[d[fp_col].notna()]
+        d["fp_s"] = d[fp_col].astype(np.int64).astype(str)
         g = d.groupby(id_col, sort=False)
         out = g.agg(byte_key=("md5", "first"),
                     fpset_key=("fp_s", ",".join)).reset_index()

@@ -49,6 +49,16 @@ _PARAMS = "_params.json"
 _BAND_COLS = ["band", "key", "image_id", "dhash", "caption"]
 
 
+def _tag(side: int):
+    """1-byte side tag over the band-row payload columns — shared by both
+    probe paths so they cannot diverge on the payload selection."""
+    def f(t: pa.Table) -> pa.Table:
+        return (t.select(_BAND_COLS).append_column(
+            "side", pa.array(np.full(len(t), side, np.int8))))
+
+    return f
+
+
 def _add_part(num_parts: int):
     def f(t: pa.Table) -> pa.Table:
         part = (_hash_cols(t, ["band", "key"])
@@ -209,17 +219,10 @@ def probe_band_delta_edges(new_fp: rd.Dataset, index_dir: str,
     # outside probe-touched buckets cannot change the result
     paths, expr = _probe_prune(probe, index_dir, num_parts, stats)
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return (t.select(_BAND_COLS).append_column(
-                "side", pa.array(np.full(len(t), side, np.int8))))
-
-        return f
-
-    probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
+    probe_rows = probe.map_batches(_tag(1), batch_format="pyarrow")
     rows = (probe_rows if not paths else
             dio.read_parquet(paths, filter=expr).map_batches(
-                tag(0), batch_format="pyarrow").union(probe_rows))
+                _tag(0), batch_format="pyarrow").union(probe_rows))
     return partitioned_groupby(rows, ["band", "key"],
                                make_img_delta_verify(cfg),
                                out_schema=edge_schema)
@@ -256,16 +259,9 @@ def probe_band_index(new_fp: rd.Dataset, index_dir: str,
     if not paths:
         return rd.from_arrow(CROSS_MATCH_SCHEMA.empty_table())
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return (t.select(_BAND_COLS).append_column(
-                "side", pa.array(np.full(len(t), side, np.int8))))
-
-        return f
-
     idx_rows = dio.read_parquet(paths, filter=expr).map_batches(
-        tag(0), batch_format="pyarrow")
-    probe_rows = probe.map_batches(tag(1), batch_format="pyarrow")
+        _tag(0), batch_format="pyarrow")
+    probe_rows = probe.map_batches(_tag(1), batch_format="pyarrow")
     return cross_min_from_band_rows(idx_rows.union(probe_rows), cfg)
 
 
@@ -316,21 +312,46 @@ def prune_band_index(removed_ids, index_dir: str,
         files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
         if not files:
             return (0, 0, 0)
-        # column-pruned membership peek — untouched parts are never rewritten
-        ids = pads.dataset(files, format="parquet").to_table(
-            columns=["image_id"])["image_id"]
-        hit = pc.is_in(ids, value_set=rm)
-        n = len(ids)
-        nhit = int(pc.sum(hit).as_py() or 0)
+        # streamed, column-pruned membership peek — untouched parts are
+        # never rewritten, and no whole-partition table is ever held in
+        # one task's memory (a 10^12-row index's partition exceeds any
+        # worker heap — review-found)
+        ds_ = pads.dataset(files, format="parquet")
+        n = 0
+        nhit = 0
+        for b in ds_.scanner(columns=["image_id"]).to_batches():
+            n += len(b)
+            nhit += int(pc.sum(
+                pc.is_in(b["image_id"], value_set=rm)).as_py() or 0)
         if nhit == 0:
             return (n, n, 0)
-        t = pads.dataset(files, format="parquet").to_table()
-        kept = t.filter(pc.invert(pc.is_in(t["image_id"], value_set=rm)))
-        new_file = os.path.join(part_dir, f"pruned-{uuid.uuid4().hex}.parquet")
-        pq.write_table(kept, new_file)  # lands BEFORE the old files go
+        # stale partials from a previous crash: readers glob *.parquet so
+        # .tmp files are invisible to them — clear before rewriting
+        for stale in glob.glob(os.path.join(part_dir, "*.parquet.tmp")):
+            os.remove(stale)
+        # stream the rewrite through a .tmp name and rename ATOMICALLY
+        # before the old files go: a crash mid-write leaves only an
+        # ignored .tmp beside intact originals, never a truncated
+        # .parquet that breaks every later probe/prune (review-found)
+        tmp = os.path.join(part_dir,
+                           f"pruned-{uuid.uuid4().hex}.parquet.tmp")
+        writer = None
+        kept_rows = 0
+        for b in ds_.scanner().to_batches():
+            t = pa.Table.from_batches([b])
+            kept = t.filter(
+                pc.invert(pc.is_in(t["image_id"], value_set=rm)))
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, kept.schema)
+            if kept.num_rows:
+                writer.write_table(kept)
+            kept_rows += kept.num_rows
+        if writer is not None:
+            writer.close()
+            os.rename(tmp, tmp[: -len(".tmp")])  # lands BEFORE old files go
         for f in files:
             os.remove(f)
-        return (n, n - nhit, 1)
+        return (n, kept_rows, 1)
 
     results = ray.get([prune_part.remote(d, rem_ref) for d in part_dirs])
     out = {"parts_total": len(part_dirs),

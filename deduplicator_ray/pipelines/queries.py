@@ -1381,23 +1381,28 @@ def _containment_verify(threshold: float, k: int = CONT_K):
     """Per-partition exact containment verify for ``pair_text_join``:
     receives (src, dst, text_a, text_b) pairs, emits (src, dst, cont_e6)
     where C(a→b) = |Sa ∩ Sb| / |Sa| ≥ threshold.  Shingle sets are cached
-    per doc id within the partition, so a doc with many candidate pairs
-    shingles once."""
+    per (SIDE, doc id) within the partition: the src and dst sides may be
+    INDEPENDENTLY numbered corpora (the persisted cross-corpus probe,
+    state/contstore.py), where a bare-id cache would hand side a's text
+    to a same-numbered side-b doc and fabricate containment 1.0
+    (review-found silent data loss).  This is THE single home of the
+    containment predicate — contstore wraps it rather than copying it."""
     def verify(full: pd.DataFrame) -> pd.DataFrame:
-        cache: dict[int, frozenset] = {}
+        cache: dict[tuple[str, int], frozenset] = {}
 
-        def sh(doc: int, txt) -> frozenset:
-            s = cache.get(doc)
+        def sh(side: str, doc: int, txt) -> frozenset:
+            key = (side, doc)
+            s = cache.get(key)
             if s is None:
                 s = _shingle_set(str(txt), k=k)
-                cache[doc] = s
+                cache[key] = s
             return s
 
         src, dst, ce = [], [], []
         for a, b, ta, tb in zip(full["src"], full["dst"],
                                 full["text_a"], full["text_b"]):
-            sa = sh(int(a), ta)
-            cont = len(sa & sh(int(b), tb)) / len(sa)
+            sa = sh("a", int(a), ta)
+            cont = len(sa & sh("b", int(b), tb)) / len(sa)
             if cont >= threshold:
                 src.append(int(a))
                 dst.append(int(b))

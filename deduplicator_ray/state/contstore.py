@@ -106,7 +106,11 @@ def build_containment_index(known: rd.Dataset, index_dir: str,
                             hot_df: int = 4,
                             hot_cap: int = 1 << 20) -> dict:
     """Persist postings + keyed texts + the hot-shingle df table."""
-    rows = known.map_batches(_shingle_rows(cont_k), batch_format="pyarrow")
+    # materialized ONCE: the shingle rows feed BOTH the postings write and
+    # the hot-df groupby — unmaterialized, the full corpus re-shingles for
+    # each consumer (review-found double build cost)
+    rows = known.map_batches(_shingle_rows(cont_k),
+                             batch_format="pyarrow").materialize()
     (rows.map_batches(_add_part("sh", num_parts), batch_format="pyarrow")
      .drop_columns(["n_windows"])
      .write_parquet(os.path.join(index_dir, "postings"),
@@ -172,8 +176,6 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
     ``stats`` gets posting/doc partition read counts for pruning asserts."""
     import pyarrow.dataset as pads
 
-    from deduplicator_ray.pipelines.queries import _shingle_set
-
     params = _load_params(index_dir)
     num_parts, cont_k = params["num_parts"], params["cont_k"]
 
@@ -194,7 +196,9 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
         if rows.num_rows == 0:
             return pa.Table.from_batches([], schema=probe_schema)
         df = rows.to_pandas()
-        df["df"] = df["sh"].map(lambda s: h.get(s, 1)).astype(np.int64)
+        # dict-map rides pandas' C hash-table path; the per-element
+        # Python lambda it replaces ran per window of the increment
+        df["df"] = df["sh"].map(h).fillna(1).astype(np.int64)
         df = df.sort_values(["doc_id", "df", "sh"], kind="mergesort")
         rank = df.groupby("doc_id", sort=False).cumcount()
         p = np.floor((1.0 - threshold) * df["n_windows"].to_numpy()) + 1
@@ -208,12 +212,21 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
                            batch_format="pyarrow")
               .materialize())  # the increment is the SMALL side by design
 
-    # partition- and shingle-level read pruning over the postings
+    # partition- and shingle-level read pruning over the postings.  The
+    # shingle-level isin set is CAPPED like the known-id filter below: a
+    # huge increment's probe-shingle set must not balloon the driver (or
+    # every fragment scan's filter) — above the cap the pruned part=N
+    # dirs are read whole and the sh-partitioned candidate groupby
+    # discards non-probed shingles (emit's probe side is empty for them)
+    PROBE_SH_CAP = 1 << 20
     parts: set[int] = set()
-    probe_sh: set[int] = set()
+    probe_sh: set[int] | None = set()
     for b in probes.iter_batches(batch_size=None, batch_format="pyarrow"):
         parts.update(b["part"].to_pylist())
-        probe_sh.update(b["sh"].to_pylist())
+        if probe_sh is not None:
+            probe_sh.update(b["sh"].to_pylist())
+            if len(probe_sh) > PROBE_SH_CAP:
+                probe_sh = None
     post_root = os.path.join(index_dir, "postings")
     paths = [os.path.join(post_root, f"part={p}")
              for p in sorted(parts)]
@@ -231,10 +244,11 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
         "matched_known": np.full(len(new_ids), -1, np.int64),
         "action": np.full(len(new_ids), "keep", object)})
 
-    if not paths or not probe_sh:
+    if not paths or (probe_sh is not None and not probe_sh):
         return empty.reset_index(drop=True)
 
-    expr = pads.field("sh").isin(pa.array(sorted(probe_sh), pa.int64()))
+    expr = (pads.field("sh").isin(pa.array(sorted(probe_sh), pa.int64()))
+            if probe_sh is not None else None)
     idx = dio.read_parquet(paths, filter=expr).map_batches(
         lambda t: t.select(["sh", "doc_id"]).rename_columns(
             ["sh", "known_id"]),
@@ -317,25 +331,17 @@ def probe_containment_index(new: rd.Dataset, index_dir: str,
                             "dst": pc.cast(t["known_id"], pa.int64())}),
         batch_format="pyarrow")
 
+    # THE containment predicate lives in queries._containment_verify
+    # (side-aware shingle cache: new and known corpora are independently
+    # numbered here, so a bare-id cache would conflate same-numbered docs
+    # across sides — review-found); this wrapper only projects away the
+    # cont_e6 column the probe relation doesn't carry
+    from deduplicator_ray.pipelines.queries import _containment_verify
+
+    base_verify = _containment_verify(threshold, cont_k)
+
     def verify(full: pd.DataFrame) -> pd.DataFrame:
-        cache: dict[int, frozenset] = {}
-
-        def sh(doc: int, txt) -> frozenset:
-            s = cache.get(doc)
-            if s is None:
-                s = _shingle_set(str(txt), k=cont_k)
-                cache[doc] = s
-            return s
-
-        src, dst = [], []
-        for a, b, ta, tb in zip(full["src"], full["dst"],
-                                full["text_a"], full["text_b"]):
-            sa = sh(int(a), ta)
-            if len(sa & sh(int(b), tb)) / len(sa) >= threshold:
-                src.append(int(a))
-                dst.append(int(b))
-        return pd.DataFrame({"src": np.asarray(src, np.int64),
-                             "dst": np.asarray(dst, np.int64)})
+        return base_verify(full)[["src", "dst"]]
 
     passed = pair_text_join(
         pairs, new.select_columns(["doc_id", "text"]), ktext, verify,

@@ -78,3 +78,30 @@ def test_pair_text_join_empty_candidates():
         out_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
         num_parts=2).to_pandas()
     assert len(out) == 0
+
+
+def test_containment_verify_side_aware_cache():
+    """The shingle cache must be SIDE-aware: src and dst may be
+    independently numbered corpora (the persisted cross-corpus probe), so
+    a same-numbered pair with DIFFERENT texts must not reuse side a's
+    shingle set for side b (pre-fix: fabricated containment 1.0 →
+    silent false drop)."""
+    import pandas as pd
+
+    from deduplicator_ray.pipelines.queries import _containment_verify
+
+    verify = _containment_verify(0.9, 8)
+    clash = pd.DataFrame({
+        "src": [7], "dst": [7],
+        "text_a": ["a b c d e f g h"],
+        "text_b": ["z y x w v u t s"],
+    })
+    assert len(verify(clash)) == 0
+
+    same = pd.DataFrame({
+        "src": [7], "dst": [7],
+        "text_a": ["a b c d e f g h"],
+        "text_b": ["a b c d e f g h"],
+    })
+    out = verify(same)
+    assert len(out) == 1 and out.iloc[0]["cont_e6"] == 1_000_000

@@ -803,7 +803,10 @@ def nonstrict_hashes_path(sf_dir: str, strict: bool = False,
     mirror; the strict variant exists so tests can pin the contrast:
     re-encoded videos match ONLY in non-strict mode)."""
     img_dir = nonstrict_images_path(sf_dir)
-    mode = "strict" if strict else "nonstrict"
+    # strict _v2: the vcon class now md5s in strict mode regardless of
+    # frame count (reference isVideo branch, dupedb.py:88-90) — caches
+    # built under the old nf>1-only gate are stale for single-frame clips
+    mode = "strict_v2" if strict else "nonstrict"
     out = f"{img_dir}_hashes_{mode}_h{hash_size}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):

@@ -265,6 +265,11 @@ class _BitReader:
         n = len(d)
         while p + 1 < n and not (d[p] == 0xFF and d[p + 1] != 0x00):
             p += 1
+        # B.1.1.2: a marker may be preceded by any number of 0xFF fill
+        # bytes — "FF FF D0" is spec-legal, so skip the fill run before
+        # comparing against the expected RSTn code
+        while p + 2 < n and d[p + 1] == 0xFF:
+            p += 1
         if p + 1 >= n or d[p + 1] != 0xD0 + which:
             raise CodecError("missing jpeg restart marker")
         self.pos = p + 2

@@ -64,11 +64,16 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
                     raise codecs.CodecError(
                         f"decoded frame dims {img.shape[1]}x{img.shape[0]}"
                         f" != declared {w}x{h}")
-                if nf > 1 and cfg.strict:
+                # strict split mirrors decode_hash: every vcon (video
+                # class, dupedb.py:88-90) → md5 regardless of frame
+                # count; gif needs nf > 1 (dupedb.py:82)
+                if cfg.strict and (row["fmt"] == "vcon" or nf > 1):
                     rec["proc_hash"] = rec["md5"]
                     rec["dhash"] = 0
                     rec["status"] = "md5_only"
-                    rec["error"] = "strict_media: multi-frame container"
+                    rec["error"] = ("strict_media: video container"
+                                    if row["fmt"] == "vcon"
+                                    else "strict_media: multi-frame container")
                     out.append(rec)
                     continue
             else:

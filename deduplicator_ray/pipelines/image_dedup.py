@@ -161,7 +161,11 @@ def strict_mode_diff(images: rd.Dataset,
             dh = _hashing.bits_to_hex(bits_fn(img, hash_size))
             ids.append(iid)
             n_h.append(dh)
-            s_h.append(_hashing.md5_hex(data) if nf > 1 else dh)
+            # strict keyspace matches decode_hash: every vcon (video
+            # class) is md5 regardless of frame count (dupedb.py:88-90);
+            # gif byte-matches only when animated (nf>1, dupedb.py:82)
+            s_h.append(_hashing.md5_hex(data)
+                       if (fmt == "vcon" or nf > 1) else dh)
             fr.append(nf)
         differs = [int(a != b) for a, b in zip(s_h, n_h)]
         return pa.Table.from_arrays(

@@ -94,9 +94,16 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
                         raise codecs.CodecError(
                             f"decoded frame dims {img.shape[1]}x"
                             f"{img.shape[0]} != declared {ws[i]}x{hs[i]}")
-                    if nf > 1 and cfg.strict:
+                    # strict gate mirrors the reference's class split:
+                    # isVideo (vcon = mp4/webm stand-in) → md5 for EVERY
+                    # video regardless of frame count (dupedb.py:88-90);
+                    # animated images (gif) only byte-match when actually
+                    # animated (framesInImage > 1, dupedb.py:82)
+                    if cfg.strict and (fmts[i] == "vcon" or nf > 1):
                         status[i] = "md5_only"
-                        errors[i] = "strict_media: multi-frame container"
+                        errors[i] = ("strict_media: video container"
+                                     if fmts[i] == "vcon"
+                                     else "strict_media: multi-frame container")
                         proc_hash[i] = md5s[i]
                         continue
                 else:

@@ -224,3 +224,17 @@ def test_gif_min_code_size_over_8_dead_letters():
     blob[mcs_pos] = 9
     with pytest.raises(codecs.CodecError):
         codecs.decode_gif_first(bytes(blob))
+
+
+def test_rst_preceded_by_fill_bytes():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker, so
+    'FF FF D0' is a legal RST0 boundary — the forward scan must skip the
+    fill run instead of raising (advice-found)."""
+    br = jpeg._BitReader(b"\xff\xff\xff\xd0\xab", 0)
+    br.align_and_expect_rst(0)
+    assert br.pos == 4  # positioned right after the RST0 marker
+    assert br.receive(8) == 0xAB
+    # a genuinely wrong marker after the fill run must still raise
+    br2 = jpeg._BitReader(b"\xff\xff\xd7", 0)
+    with pytest.raises(jpeg.CodecError):
+        br2.align_and_expect_rst(0)

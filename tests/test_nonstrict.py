@@ -40,9 +40,10 @@ def _vcon_table():
 @pytest.mark.parametrize("strict", [True, False])
 def test_vcon_decode_modes_match_oracle(strict):
     """Engine batch kernel ≡ oracle on every container branch; strict
-    multi-frame → md5 (re-encode does NOT match), non-strict → frame-0
-    dHash (re-encode DOES match); single-frame containers are not
-    animations (dHash in both modes, framesInImage>1 gate)."""
+    video (vcon) → md5 regardless of frame count (the reference's isVideo
+    branch md5s EVERY video in strict mode, dupedb.py:88-90 — the
+    framesInImage>1 gate belongs to animated images only), non-strict →
+    frame-0 dHash (re-encode DOES match; single-frame clip ≡ still)."""
     tbl = _vcon_table()
     cfg = PipelineConfig(strict=strict)
     out = make_decode_hash(cfg)(tbl)
@@ -58,12 +59,15 @@ def test_vcon_decode_modes_match_oracle(strict):
     if strict:
         assert d["a/v1.vcon"][0] == "md5_only"
         assert d["a/v1.vcon"][1] != d["a/v2.vcon"][1]
+        # strict treats even a single-frame clip as video → byte identity
+        assert d["a/v3.vcon"][0] == "md5_only"
+        assert d["a/v3.vcon"][1] != d["a/still.png"][1]
     else:
         assert d["a/v1.vcon"][0] == "ok"
         assert d["a/v1.vcon"][1] == d["a/v2.vcon"][1]
-    # single-frame container ≡ still in both modes
-    assert d["a/v3.vcon"][0] == "ok"
-    assert d["a/v3.vcon"][1] == d["a/still.png"][1]
+        # non-strict single-frame container ≡ its still
+        assert d["a/v3.vcon"][0] == "ok"
+        assert d["a/v3.vcon"][1] == d["a/still.png"][1]
 
 
 def test_reencoded_video_matches_only_nonstrict(sf_small):
@@ -203,20 +207,25 @@ def test_animated_gif_hits_both_branches_per_mode(sf_small):
 
 def test_strict_mode_diff_semantics(sf_small):
     """Mode-migration report: every multi-frame container differs
-    (strict md5 vs frame-0 dHash), every single-frame container agrees
-    (dHash in both modes), corrupt containers are absent, and the
-    relation value-matches the two-sidecar mirror join."""
+    (strict md5 vs frame-0 dHash), every vcon differs regardless of
+    frame count (the video class md5s unconditionally in strict mode,
+    dupedb.py:88-90), single-frame GIFs agree (dHash in both modes),
+    corrupt containers are absent, and the relation value-matches the
+    two-sidecar mirror join."""
     import __ray_entry__ as e
     import duckdb as _duck
 
     out = e._img_strict_mode_diff(sf_small)
     assert len(out) > 0
+    is_vcon = out["image_id"].str.endswith(".vcon")
     multi = out[out["frames"] > 1]
-    single = out[out["frames"] == 1]
-    assert len(multi) > 0 and len(single) > 0
+    single_gif = out[(out["frames"] == 1) & ~is_vcon]
+    single_vcon = out[(out["frames"] == 1) & is_vcon]
+    assert len(multi) > 0 and len(single_gif) > 0 and len(single_vcon) > 0
     assert (multi["differs"] == 1).all()
-    assert (single["differs"] == 0).all()
-    assert (single["strict_hash"] == single["nonstrict_hash"]).all()
+    assert (single_vcon["differs"] == 1).all()
+    assert (single_gif["differs"] == 0).all()
+    assert (single_gif["strict_hash"] == single_gif["nonstrict_hash"]).all()
     assert not out["image_id"].str.contains("_bad").any()
 
     sql = f"""

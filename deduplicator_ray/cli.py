@@ -29,6 +29,7 @@ import argparse
 import json
 import os
 import time
+import sys
 from deduplicator_ray import io as dio
 
 import ray
@@ -906,9 +907,31 @@ def run_ingest(input_dir: str, state_dir: str, output_dir: str,
 
     def _fold_status() -> str | None:
         """Ledger lookup under the current digest, falling back to the
-        legacy format for increments folded before the format change."""
+        legacy (basename,size) format for increments folded before the
+        footer-md5 digest change.  A legacy hit is MIGRATED to the new
+        digest immediately (manifest rewritten) and warned about loudly:
+        the legacy key cannot tell a genuinely-folded increment from a
+        NEW one that collides on name+size, so the fallback window must
+        close after one lookup rather than persist run over run."""
         f = state_man.get("folded_digests", {})
-        return f.get(idig) or (f.get(idig_legacy) if idig_legacy else None)
+        st = f.get(idig)
+        if st is not None:
+            return st
+        if idig_legacy and idig_legacy in f:
+            st = f.pop(idig_legacy)
+            f[idig] = st
+            with open(os.path.join(state_dir, "_state_manifest.json"),
+                      "w") as fh:
+                json.dump(state_man, fh, indent=1)
+            print(
+                f"WARNING: increment {input_dir} matched the fold ledger "
+                f"only by the legacy (basename,size) digest {idig_legacy}; "
+                f"migrated the entry to footer-md5 digest {idig}. If this "
+                "increment is actually NEW content that collides on "
+                "name+size with a pre-upgrade fold, rebuild state with "
+                "ingest-init.", file=sys.stderr)
+            return st
+        return None
 
     metrics: dict = {"mode": "ingest", "input": input_dir,
                      "input_digest": idig,

@@ -175,12 +175,17 @@ def _candidate_hits_broadcast(ds: rd.Dataset, k: int, id_col: str,
 
 
 def _candidate_hits_shuffle(ds: rd.Dataset, k: int, id_col: str,
-                            text_col: str, num_parts: int) -> rd.Dataset:
+                            text_col: str, num_parts: int,
+                            dup: rd.Dataset | None = None) -> rd.Dataset:
     """Pass 2, shuffle flavor (NO driver-side dup set — the 10^12-row path
     where the duplicated-hash set itself may not fit one node):
 
     1. every window as a 24-byte (whash, doc_id, pos) row;
-    2. groupby whash → keep occurrences of multi-member hashes;
+    2. groupby whash → keep occurrences of multi-member hashes —
+       OR, when the caller already holds the pass-1 dup-hash dataset
+       (``dup``, e.g. strategy='auto' counted it before rejecting the
+       broadcast), co-partition the window rows WITH it and keep marked
+       hashes instead of re-deriving multi-membership from scratch;
     3. co-partition those (doc_id, pos) hits with the document TEXTS on
        doc_id; slice each hit's window text locally.
 
@@ -204,11 +209,39 @@ def _candidate_hits_shuffle(ds: rd.Dataset, k: int, id_col: str,
              "doc_id": pd.Series([], dtype="int64"),
              "pos": pd.Series([], dtype="int64")})
 
-    cand = partitioned_groupby(
-        ds.map_batches(emit_all, batch_format="pyarrow", batch_size=4096),
-        ["whash"], keep_multi, num_parts=num_parts,
-        out_schema=pa.schema([("whash", pa.int64()), ("doc_id", pa.int64()),
-                              ("pos", pa.int64())]))
+    windows = ds.map_batches(emit_all, batch_format="pyarrow",
+                             batch_size=4096)
+    hit_schema = pa.schema([("whash", pa.int64()), ("doc_id", pa.int64()),
+                            ("pos", pa.int64())])
+    if dup is None:
+        cand = partitioned_groupby(windows, ["whash"], keep_multi,
+                                   num_parts=num_parts,
+                                   out_schema=hit_schema)
+    else:
+        # pass-1 reuse: dup-marker rows (doc_id=-1, a value no corpus id
+        # takes) ride the same whash exchange as the window rows; the
+        # per-partition filter is a vectorized isin against the marked
+        # hashes instead of a full multi-membership recount
+        def mark(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.Table.from_arrays(
+                [t["whash"], pa.array(np.full(n, -1, np.int64)),
+                 pa.array(np.full(n, -1, np.int64))],
+                names=["whash", "doc_id", "pos"])
+
+        def keep_marked(df: pd.DataFrame) -> pd.DataFrame:
+            mk = df["doc_id"].to_numpy() < 0
+            dup_wh = np.unique(df["whash"].to_numpy()[mk])
+            out = df[~mk & df["whash"].isin(dup_wh)]
+            return out if len(out) else pd.DataFrame(
+                {"whash": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64")})
+
+        cand = partitioned_groupby(
+            windows.union(dup.map_batches(mark, batch_format="pyarrow")),
+            ["whash"], keep_marked, num_parts=num_parts,
+            out_schema=hit_schema)
 
     # co-partition candidates with texts on doc_id; extract window strings
     def tag_cand(t: pa.Table) -> pa.Table:
@@ -285,8 +318,10 @@ def duplicated_occurrences(ds: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                 ds, k, id_col, text_col, num_parts,
                 dup_sorted=_collect_dup_hashes(dup))
         else:
+            # over the cap: hand the already-materialized dup set to the
+            # shuffle flavor so pass-1 runs once, not twice
             hits = _candidate_hits_shuffle(ds, k, id_col, text_col,
-                                           num_parts)
+                                           num_parts, dup=dup)
     elif strategy == "broadcast":
         dup = _dup_hash_ds(ds, k, text_col, num_parts).materialize()
         n = int(dup.count())

@@ -7,14 +7,21 @@ near-dup: "which documents in the corpus we already hold does this new
 crawl near-duplicate?", answered without re-shingling or re-reading the
 known corpus.
 
-Layout (format 2 — text stored ONCE, not once per band):
+Layout (format 3 — text stored ONCE; full-width text identity):
 
-    bands/part=N/   (band:int32, key:int64, doc_id:int64, tmd5:int64)
-                    hash-partitioned on (band, key); fixed-width 28-byte
-                    rows, no text.  ``tmd5`` (first 8 md5 bytes of the
-                    text) lets the probe collapse identical-text bucket
-                    members to one representative — the same
-                    unique-caption collapse the in-run verify does.
+    bands/part=N/   (band:int32, key:int64, doc_id:int64,
+                    tmd5:int64, tmd5b:int64) hash-partitioned on
+                    (band, key); fixed-width 36-byte rows, no text.
+                    ``(tmd5, tmd5b)`` (the full 16 md5 bytes of the
+                    text, split across two int64s) lets the probe
+                    collapse identical-text bucket members to one
+                    representative — the same unique-caption collapse
+                    the in-run verify does.  Format 2 kept only the
+                    first 8 bytes; at ~2^32 distinct texts the birthday
+                    bound makes 64-bit collisions expected, silently
+                    merging two different texts into one representative
+                    and dropping the other's candidate pair — the full
+                    digest keeps the collapse exact at 10^9+ docs.
     texts/tpart=M/  (doc_id:int64, text) — the verify payload, stored
                     exactly once, partitioned on doc_id for pruned reads.
     _params.json    banding config pin; a probe with drifted
@@ -75,20 +82,24 @@ _PIN = ("shingle_k", "num_perm", "bands", "rows_per_band")
 
 _BAND_SCHEMA = pa.schema([
     ("band", pa.int32()), ("key", pa.int64()),
-    ("doc_id", pa.int64()), ("tmd5", pa.int64()),
+    ("doc_id", pa.int64()), ("tmd5", pa.int64()), ("tmd5b", pa.int64()),
 ])
 
 
-def _tmd5_arr(texts: list[str]) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big",
-                        signed=True) for t in texts),
-        np.int64, count=len(texts))
+def _tmd5_arr(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit text digest as two int64 halves (hi, lo)."""
+    hi = np.empty(len(texts), np.int64)
+    lo = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5(t.encode()).digest()
+        hi[i] = int.from_bytes(d[:8], "big", signed=True)
+        lo[i] = int.from_bytes(d[8:], "big", signed=True)
+    return hi, lo
 
 
 def _narrow_band_rows(ds: rd.Dataset, cfg: PipelineConfig,
                       id_col: str, text_col: str) -> rd.Dataset:
-    """Fixed-width band rows (band, key, doc_id, tmd5) — the SAME MinHash
+    """Fixed-width band rows (band, key, doc_id, tmd5, tmd5b) — the SAME MinHash
     banding the in-run pipelines use (doc_dedup.doc_band_rows), minus the
     text payload."""
 
@@ -100,13 +111,14 @@ def _narrow_band_rows(ds: rd.Dataset, cfg: PipelineConfig,
         n = len(texts)
         sigs = textfn.minhash_batch(texts, cfg.shingle_k, cfg.num_perm)
         bkeys = textfn.band_keys(sigs, cfg.bands, cfg.rows_per_band)
-        tm = _tmd5_arr(texts)
+        tm_hi, tm_lo = _tmd5_arr(texts)
         bands = np.repeat(np.arange(cfg.bands, dtype=np.int32) + 100, n)
         return pa.Table.from_arrays([
             pa.array(bands),
             pa.array(bkeys.T.reshape(-1).view(np.int64)),
             pa.array(np.tile(ids, cfg.bands)),
-            pa.array(np.tile(tm, cfg.bands)),
+            pa.array(np.tile(tm_hi, cfg.bands)),
+            pa.array(np.tile(tm_lo, cfg.bands)),
         ], schema=_BAND_SCHEMA)
 
     return ds.map_batches(f, batch_format="pyarrow",
@@ -161,7 +173,7 @@ def build_doc_band_index(known: rd.Dataset, cfg: PipelineConfig,
     and persist their texts ONCE (doc_id-partitioned)."""
     _write_index(known, cfg, index_dir, num_parts, text_parts,
                  id_col, text_col)
-    params = {"format": 2, "num_parts": num_parts,
+    params = {"format": 3, "num_parts": num_parts,
               "text_parts": text_parts,
               **{k: getattr(cfg, k) for k in _PIN}}
     with open(os.path.join(index_dir, _PARAMS), "w") as f:
@@ -194,11 +206,12 @@ def append_doc_band_index(new: rd.Dataset, index_dir: str,
 def _load_params(index_dir: str, cfg: PipelineConfig) -> dict:
     with open(os.path.join(index_dir, _PARAMS)) as f:
         params = json.load(f)
-    if params.get("format") != 2:
+    if params.get("format") != 3:
         raise ValueError(
             f"doc band index at {index_dir} is format "
-            f"{params.get('format', 1)}; this engine reads format 2 "
-            "(text-once layout) — rebuild with build_doc_band_index")
+            f"{params.get('format', 1)}; this engine reads format 3 "
+            "(text-once layout, 128-bit text digest) — rebuild with "
+            "build_doc_band_index")
     for k in _PIN:
         if params[k] != getattr(cfg, k):
             raise ValueError(
@@ -213,7 +226,8 @@ _CAND_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 def _emit_cross_cands(df: pd.DataFrame) -> pd.DataFrame:
     """Per (band, key) bucket: cross-side candidate pairs, the KNOWN side
-    collapsed to one min-id representative per distinct text (tmd5) — the
+    collapsed to one min-id representative per distinct text — keyed by
+    the FULL 128-bit (tmd5, tmd5b) digest, so the collapse is exact — the
     unique-caption collapse of the in-run verify, valid because Jaccard
     is a function of the text and the final election takes the min
     matched id (group minima preserve the global min)."""
@@ -224,7 +238,8 @@ def _emit_cross_cands(df: pd.DataFrame) -> pd.DataFrame:
         new = g[g["side"] == 1]
         if known.empty or new.empty:
             continue
-        reps = known.groupby("tmd5", sort=False)["doc_id"].min().to_numpy()
+        reps = known.groupby(["tmd5", "tmd5b"],
+                             sort=False)["doc_id"].min().to_numpy()
         dsts = new["doc_id"].drop_duplicates().to_numpy()
         outs_src.append(np.repeat(reps, len(dsts)))
         outs_dst.append(np.tile(dsts, len(reps)))
@@ -305,7 +320,8 @@ def probe_doc_band_index(new: rd.Dataset, index_dir: str,
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
-            return t.select(["band", "key", "doc_id", "tmd5"]) \
+            return t.select(["band", "key", "doc_id", "tmd5",
+                             "tmd5b"]) \
                 .append_column("side",
                                pa.array(np.full(t.num_rows, side, np.int8)))
 

@@ -242,3 +242,9 @@ def test_ingest_legacy_digest_still_guards_refold(split):
     assert not dec.duplicated(["cluster_id", "image_id"]).any()
     assert (dec.groupby("cluster_id")["action"]
             .apply(lambda s: (s == "keep").sum() == 1)).all()
+    # the legacy hit must MIGRATE the ledger entry to the footer-md5
+    # digest so the name+size-collision window closes after one run
+    with open(man_path) as f:
+        man2 = _json.load(f)
+    assert man2["folded_digests"].get(new_key) == "done"
+    assert legacy_key not in man2["folded_digests"]

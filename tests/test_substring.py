@@ -166,6 +166,14 @@ def test_auto_strategy_selects_by_measured_dup_count(ray_session):
         got_big = ss.duplicated_occurrences(
             docs, k=8, strategy="auto", bcast_cap=0).to_pandas()
     assert len(got_big) > 0
+    # the over-cap path reuses the materialized pass-1 dup set in the
+    # shuffle flavor — the relation must be identical to plain shuffle
+    occ_sh = ss.duplicated_occurrences(
+        docs, k=8, strategy="shuffle").to_pandas()
+    key = ["doc_id", "pos"]
+    pd.testing.assert_frame_equal(
+        got_big.sort_values(key).reset_index(drop=True),
+        occ_sh.sort_values(key).reset_index(drop=True))
 
     # explicit broadcast above the cap refuses loudly
     import pytest as _pytest

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from deduplicator_ray import codecs
+from deduplicator_ray import codecs, tuning
 from deduplicator_ray.stages.fpsets import fp_clusters, fp_dup_pairs
 
 TAU_E6_DEFAULT = 500_000          # Jaccard >= 0.5
@@ -139,7 +139,7 @@ def audio_signatures(audios: rd.Dataset) -> rd.Dataset:
         AudioSignatures,
         batch_format="pyarrow",
         batch_size=32,               # payloads are large; keep batches small
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )
 
 
@@ -236,7 +236,7 @@ def audio_tier_signatures(audios: rd.Dataset) -> rd.Dataset:
         AudioSignaturesMd5,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )
 
 

@@ -107,7 +107,7 @@ def doc_dup_pairs(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
     edges = partitioned_groupby(
         doc_band_rows(ds, cfg, id_col, text_col), ["band", "key"],
         make_partition_verify(cfg, channels=("cap",)),
-        out_schema=VERIFY_SCHEMA,
+        out_schema=VERIFY_SCHEMA, fmt="pyarrow",
     )
     return drop_duplicates(
         edges.map_batches(

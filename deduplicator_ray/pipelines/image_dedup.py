@@ -375,7 +375,7 @@ def verified_edges_from_fp(fp: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     return partitioned_groupby(band_rows, ["band", "key"],
                                make_partition_verify(cfg, channels),
-                               out_schema=VERIFY_SCHEMA)
+                               out_schema=VERIFY_SCHEMA, fmt="pyarrow")
 
 
 def verified_edges(images: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,

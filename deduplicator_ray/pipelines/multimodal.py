@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from deduplicator_ray import codecs
+from deduplicator_ray import codecs, tuning
 from deduplicator_ray.config import DEFAULT_CONFIG, PipelineConfig
 from deduplicator_ray.resize import grayscale_u8, resize_u8
 
@@ -180,7 +180,7 @@ def resize_pipeline(ds: rd.Dataset, out_w: int, out_h: int,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         batch_size=128,           # pixel payloads: small batches
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )
 
 
@@ -189,7 +189,7 @@ def feature_pipeline(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )
 
 
@@ -518,5 +518,5 @@ def audio_pipeline(ds: rd.Dataset, fake: bool = False) -> rd.Dataset:
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from deduplicator_ray import codecs, hashing
+from deduplicator_ray import codecs, hashing, tuning
 from deduplicator_ray.stages.fpsets import fp_clusters, fp_dup_pairs
 
 TAU_E6_DEFAULT = 500_000          # Jaccard >= 0.5
@@ -111,7 +111,7 @@ def video_frames(videos: rd.Dataset, hash_size: int = 8) -> rd.Dataset:
         fn_constructor_kwargs={"hash_size": hash_size},
         batch_format="pyarrow",
         batch_size=32,               # payloads are large; keep batches small
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )
 
 
@@ -212,7 +212,7 @@ def video_tier_frames(videos: rd.Dataset, hash_size: int = 8) -> rd.Dataset:
         fn_constructor_kwargs={"hash_size": hash_size},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 8),
+        concurrency=tuning.actor_pool_bounds(),
     )
 
 

@@ -73,10 +73,7 @@ VERIFY_SCHEMA = pa.schema([
     ("src", pa.string()), ("dst", pa.string()), ("overflow", pa.int64()),
 ])
 
-_EMPTY = pd.DataFrame(
-    {"src": pd.Series([], dtype=str), "dst": pd.Series([], dtype=str),
-     "overflow": pd.Series([], dtype="int64")}
-)
+_EMPTY = VERIFY_SCHEMA.empty_table()
 
 
 def _img_slice_keys(dh: np.ndarray) -> np.ndarray:
@@ -313,18 +310,22 @@ def make_partition_verify(cfg: PipelineConfig,
     # and Hamming runs on the unpacked bit matrix (see banding.img_slices)
     wide_nbits = 0 if cfg.hash_size == 8 else cfg.hash_size * cfg.hash_size
 
-    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
+    def verify_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
             return _EMPTY
         # numpy bucket iteration: lexsort once, walk (band,key) span
         # boundaries, slice flat arrays per bucket.  The pandas
         # groupby-iterator version spent ~40% of partition wall in
-        # DataFrame per-bucket chopping (cProfile, 824k-row partition).
-        band_a = df["band"].to_numpy()
-        key_a = df["key"].to_numpy()
-        ids_a = df["image_id"].to_numpy()
-        dh_a = df["dhash"].to_numpy()
-        caps_a = df["caption"].to_numpy() if "caption" in df else None
+        # DataFrame per-bucket chopping (cProfile, 824k-row partition);
+        # the Arrow-native exchange (partitioned_groupby fmt="pyarrow")
+        # additionally skips the whole-block Arrow→pandas round trip —
+        # int columns below are zero-copy views.
+        band_a = t["band"].to_numpy(zero_copy_only=False)
+        key_a = t["key"].to_numpy(zero_copy_only=False)
+        ids_a = t["image_id"].to_numpy(zero_copy_only=False)
+        dh_a = t["dhash"].to_numpy(zero_copy_only=False)
+        caps_a = (t["caption"].to_numpy(zero_copy_only=False)
+                  if "caption" in t.schema.names else None)
         order = np.lexsort((ids_a, key_a, band_a))
         band_a, key_a, ids_a, dh_a = (band_a[order], key_a[order],
                                       ids_a[order], dh_a[order])
@@ -439,8 +440,8 @@ def make_partition_verify(cfg: PipelineConfig,
         src_out += [""] * len(overflow)
         dst_out += [""] * len(overflow)
         over = [0] * n_edges + overflow
-        return pd.DataFrame(
-            {"src": src_out, "dst": dst_out, "overflow": np.asarray(over, np.int64)}
-        )
+        return pa.Table.from_arrays(
+            [pa.array(src_out, pa.string()), pa.array(dst_out, pa.string()),
+             pa.array(over, pa.int64())], schema=VERIFY_SCHEMA)
 
     return verify_partition

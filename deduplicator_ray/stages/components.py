@@ -40,6 +40,7 @@ import time as _time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -93,45 +94,94 @@ def _edge_checksum(edges: rd.Dataset) -> int:
 
 
 def _symmetrize(b: pa.Table) -> pa.Table:
-    src = b["src"].to_pylist()
-    dst = b["dst"].to_pylist()
-    return pa.Table.from_pydict(
-        {"node": src + dst, "nbr": dst + src},
+    src = _one_chunk(b["src"].cast(pa.string()))
+    dst = _one_chunk(b["dst"].cast(pa.string()))
+    return pa.Table.from_arrays(
+        [pa.concat_arrays([src, dst]), pa.concat_arrays([dst, src])],
         schema=pa.schema([("node", pa.string()), ("nbr", pa.string())]),
     )
+
+
+def _runs_first(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(run-start indices, per-row run id) of a SORTED key array — the
+    adjacency compare runs in Arrow C++; only the boolean bookkeeping is
+    numpy."""
+    n = len(arr)
+    if n <= 1:
+        return np.zeros(min(n, 1), np.int64), np.zeros(n, np.int64)
+    change = np.r_[True, pc.not_equal(
+        arr.slice(1), arr.slice(0, n - 1)).to_numpy(zero_copy_only=False)]
+    return np.flatnonzero(change), np.cumsum(change) - 1
+
+
+def _dedup_sorted_pairs(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Boolean keep-mask dropping adjacent duplicate (a, b) rows of a
+    table already sorted on (a, b)."""
+    n = len(a)
+    if n <= 1:
+        return np.ones(n, bool)
+    same = pc.and_(
+        pc.equal(a.slice(1), a.slice(0, n - 1)),
+        pc.equal(b.slice(1), b.slice(0, n - 1)),
+    ).to_numpy(zero_copy_only=False)
+    return np.r_[True, ~same]
+
+
+def _one_chunk(col: pa.ChunkedArray) -> pa.Array:
+    return (col.combine_chunks() if col.num_chunks != 1 else col.chunk(0))
 
 
 def _star_partition_fn(large: bool):
     """Per-partition star step over complete adjacency groups (the
     partitioned groupby guarantees every row of a center node lands in one
-    partition).  Fully vectorized pandas — no per-center Python."""
+    partition).  Arrow-native: the string-heavy sort / compare / take /
+    filter kernels all run in Arrow C++ — the pandas version paid
+    object-array conversion for every edge every round, the dominant
+    constant factor of multi-round CC."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["node"] != df["nbr"]].drop_duplicates()
-        empty = pd.DataFrame({"src": pd.Series([], dtype=object),
-                              "dst": pd.Series([], dtype=object)})
-        if df.empty:
+    empty = _EDGE_SCHEMA.empty_table()
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["node"], t["nbr"])))
+        if t.num_rows == 0:
             return empty
-        node = df["node"].to_numpy()
-        nbr = df["nbr"].to_numpy()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("node", "ascending"), ("nbr", "ascending")]))
+        node = _one_chunk(t["node"])
+        nbr = _one_chunk(t["nbr"])
+        keep = _dedup_sorted_pairs(node, nbr)
+        if not keep.all():
+            km = pa.array(keep)
+            node = node.filter(km)
+            nbr = nbr.filter(km)
+        starts, run_id = _runs_first(node)
+        # sorted on (node, nbr) ⇒ first nbr of a node run is its min
+        mn = nbr.take(pa.array(starts[run_id]))
         if large:
-            mn = df.groupby("node", sort=False)["nbr"].transform("min").to_numpy()
-            m = np.where(mn < node, mn, node)      # min(Γ(u) ∪ {u})
-            keep = nbr > node
-            out = pd.DataFrame({"src": nbr[keep], "dst": m[keep]})
+            m = pc.if_else(pc.less(mn, node), mn, node)  # min(Γ(u) ∪ {u})
+            sel = pa.array(pc.greater(nbr, node))
+            src, dst = nbr.filter(sel), m.filter(sel)
         else:
-            sub = df[df["nbr"] < df["node"]]
-            if sub.empty:
+            sel = pa.array(pc.less(nbr, node))
+            s_node = node.filter(sel)
+            s_nbr = nbr.filter(sel)
+            if len(s_node) == 0:
                 return empty
-            m = sub.groupby("node", sort=False)["nbr"].transform("min").to_numpy()
-            s_nbr = sub["nbr"].to_numpy()
-            leaf = pd.DataFrame({"src": s_nbr, "dst": m})
-            centers = sub.groupby("node", sort=False)["nbr"].min()
-            own = pd.DataFrame({"src": centers.index.to_numpy(),
-                                "dst": centers.to_numpy()})
-            out = pd.concat([leaf, own], ignore_index=True)
-        out = out[out["src"] != out["dst"]].drop_duplicates()
-        return out
+            st2, run2 = _runs_first(s_node)
+            m2 = s_nbr.take(pa.array(st2[run2]))
+            centers = pa.array(st2)
+            src = pa.concat_arrays([s_nbr, s_node.take(centers)])
+            dst = pa.concat_arrays([m2, s_nbr.take(centers)])
+        out = pa.Table.from_arrays([src, dst], schema=_EDGE_SCHEMA)
+        out = out.filter(pc.invert(pc.equal(out["src"], out["dst"])))
+        if out.num_rows == 0:
+            return empty
+        out = out.take(pc.sort_indices(
+            out, sort_keys=[("src", "ascending"), ("dst", "ascending")]))
+        a = _one_chunk(out["src"])
+        b = _one_chunk(out["dst"])
+        keep2 = _dedup_sorted_pairs(a, b)
+        return out if keep2.all() else out.filter(pa.array(keep2))
 
     return f
 
@@ -146,7 +196,7 @@ def _star_half(E: rd.Dataset, num_parts: int, large: bool,
     out = partitioned_groupby(
         E.map_batches(_symmetrize, batch_format="pyarrow"),
         ["node"], _star_partition_fn(large), num_parts,
-        out_schema=_EDGE_SCHEMA,
+        out_schema=_EDGE_SCHEMA, fmt="pyarrow",
     )
     return out.materialize() if materialize else out
 

@@ -67,16 +67,50 @@ def _hash_cols(t: pa.Table, keys: list[str]) -> np.ndarray:
     return acc
 
 
+def _group_codes(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """EXACT per-row group codes for the key tuple, Arrow-native.
+
+    Unlike ``_hash_cols`` (a 64-bit partition spreader where collisions
+    only cost skew), these codes must be collision-free within the
+    table: they drive dedup/first/size logic.  Single integer keys code
+    via ``np.unique`` on the raw values; everything else goes through
+    the string form joined with an \\x1f separator and dictionary
+    encoding (exact — the dictionary compares full strings).  Nulls get
+    a sentinel so null-keyed rows form one real group, matching the
+    pandas helpers' nulls-equal semantics."""
+    if len(keys) == 1 and pa.types.is_integer(t[keys[0]].type):
+        v = (pc.fill_null(t[keys[0]], np.iinfo(np.int64).min + 1)
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        return np.unique(v, return_inverse=True)[1]
+    parts = [pc.fill_null(pc.cast(t[k], pa.string()), "\x00null")
+             for k in keys]
+    joined = (parts[0] if len(parts) == 1
+              else pc.binary_join_element_wise(*parts, "\x1f"))
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return pc.dictionary_encode(joined).indices.to_numpy(
+        zero_copy_only=False)
+
+
 def partitioned_groupby(
     ds: rd.Dataset,
     keys: list[str],
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     num_parts: int = 64,
     out_schema: pa.Schema | None = None,
+    fmt: str = "pandas",
 ) -> rd.Dataset:
     """Apply ``fn`` to each key-partition (a pandas DataFrame containing
     complete key groups, possibly many).  ``fn`` must do its own per-key
     logic vectorized (e.g. ``df.groupby(keys, sort=False)`` / sort + mask).
+
+    ``fmt="pyarrow"``: the Arrow-native apply path — ``fn`` receives and
+    returns ``pa.Table`` and the exchange never converts to pandas.  The
+    sorted block's ``__part`` runs are zero-copy slices, so string-heavy
+    columns skip the Arrow→object-array→Arrow round trip entirely (the
+    constant-factor cost of the pandas path on this engine's most-used
+    primitive).  Prefer it for new UDFs; the pandas path remains for
+    UDFs that genuinely need pandas kernels.
 
     ``out_schema``: pass it when ``fn`` can return EMPTY frames whose
     dtypes are ambiguous (object-dtype string columns) — empty pandas
@@ -114,6 +148,39 @@ def partitioned_groupby(
     # same one the stock API uses.
     empty_out = (pa.Table.from_batches([], schema=out_schema)
                  if out_schema is not None else None)
+
+    if fmt == "pyarrow":
+
+        def apply_blocks_arrow(t: pa.Table):
+            outs = []
+            if t.num_rows:
+                part = t["__part"].to_numpy(zero_copy_only=False)
+                body = t.drop_columns(["__part"])
+                # the block arrives sorted on __part: partition runs are
+                # contiguous, so boundaries are one diff away and every
+                # sub-table is a zero-copy slice
+                bounds = np.flatnonzero(np.diff(part)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(part)]))
+                for s, e in zip(starts, ends):
+                    out = fn(body.slice(s, int(e - s)))
+                    if out.num_rows:
+                        outs.append(out)
+            if not outs:
+                if empty_out is not None:
+                    yield empty_out
+                return
+            res = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+            if out_schema is not None and res.schema != out_schema:
+                res = res.cast(out_schema)
+            yield res.replace_schema_metadata(None)
+
+        return (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .sort("__part")
+            .map_batches(apply_blocks_arrow, batch_size=None,
+                         batch_format="pyarrow")
+        )
 
     def apply_blocks(df: pd.DataFrame):
         outs = []
@@ -232,36 +299,49 @@ def partitioned_merge_str(
 
 
 def drop_duplicates(ds: rd.Dataset, keys: list[str], num_parts: int = 64) -> rd.Dataset:
-    """Global distinct-on-keys via the partition pattern (vectorized)."""
-    return partitioned_groupby(
-        ds, keys, lambda df: df.drop_duplicates(keys), num_parts
-    )
+    """Global distinct-on-keys via the partition pattern — Arrow-native:
+    exact group codes + first-occurrence take, no pandas round trip."""
+
+    def f(t: pa.Table) -> pa.Table:
+        codes = _group_codes(t, keys)
+        first = np.unique(codes, return_index=True)[1]
+        first.sort()
+        return t.take(pa.array(first))
+
+    return partitioned_groupby(ds, keys, f, num_parts, fmt="pyarrow")
 
 
 def keep_first(ds: rd.Dataset, keys: list[str], order: list[str],
                num_parts: int = 64) -> rd.Dataset:
-    """Exact dedup: first row per key group under ``order`` — vectorized
-    sort + drop_duplicates per partition (replaces per-group map_groups)."""
-    return partitioned_groupby(
-        ds,
-        keys,
-        lambda df: df.sort_values(order, kind="mergesort").drop_duplicates(keys),
-        num_parts,
-    )
+    """Exact dedup: first row per key group under ``order`` — Arrow-native
+    stable sort + first-occurrence take (replaces per-group map_groups).
+    Arrow's ``sort_indices`` is stable and orders UTF-8 strings by byte
+    (== codepoint) order with nulls last, matching the pandas
+    ``sort_values(kind='mergesort')`` semantics this replaces."""
+
+    def f(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(o, "ascending") for o in order])
+        t2 = t.take(idx)
+        codes = _group_codes(t2, keys)
+        first = np.unique(codes, return_index=True)[1]
+        first.sort()
+        return t2.take(pa.array(first))
+
+    return partitioned_groupby(ds, keys, f, num_parts, fmt="pyarrow")
 
 
 def filter_min_group_size(ds: rd.Dataset, keys: list[str], min_size: int,
                           num_parts: int = 64) -> rd.Dataset:
     """Keep only rows whose key group has ≥ min_size members (bucket
-    threshold, /root/reference/dupedb.py:331) — vectorized value_counts."""
+    threshold, /root/reference/dupedb.py:331) — Arrow-native bincount
+    over exact group codes.  Null-keyed rows form a real group
+    (the ``_group_codes`` sentinel), consistent with drop_duplicates/
+    keep_first treating null keys as equal."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: null-keyed rows form a real group (consistent with
-        # drop_duplicates/keep_first, which treat NaN keys as equal) —
-        # the default dropna made their transform NaN and silently
-        # filtered every null-keyed row regardless of group size
-        sizes = df.groupby(keys, sort=False, dropna=False)[
-            keys[0]].transform("size")
-        return df[sizes >= min_size]
+    def f(t: pa.Table) -> pa.Table:
+        codes = _group_codes(t, keys)
+        cnt = np.bincount(codes)
+        return t.filter(pa.array(cnt[codes] >= min_size))
 
-    return partitioned_groupby(ds, keys, f, num_parts)
+    return partitioned_groupby(ds, keys, f, num_parts, fmt="pyarrow")

@@ -166,7 +166,7 @@ def checkpoint_verified_edges(
             # typed empty blocks: an EMPTY band partition must checkpoint
             # as n_edges=0, not write zero parquet files and crash the
             # immediate read-back
-            out_schema=VERIFY_SCHEMA,
+            out_schema=VERIFY_SCHEMA, fmt="pyarrow",
         )
         tmp = out_dir + ".tmp"
         if os.path.exists(tmp):

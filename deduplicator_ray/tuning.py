@@ -72,3 +72,26 @@ def tune() -> None:
         "ray.data._internal.execution.streaming_executor_state")
     if not any(isinstance(f, _EmptyBundleSchemaFilter) for f in log.filters):
         log.addFilter(_EmptyBundleSchemaFilter())
+
+
+def actor_pool_bounds(cap: int | None = None) -> tuple[int, int]:
+    """Autoscaling ``concurrency=(min, max)`` bounds for stateful
+    decode/fingerprint actor pools, derived from the CLUSTER's CPU count
+    instead of a hard-coded constant (a fixed (1, 8) cap bounds the
+    decode stage at 8 actors on a 32-cpu node — and on a 256-node
+    cluster leaves 99% of it idle).  ``min=1`` keeps tiny inputs from
+    paying multi-actor startup; ``max`` tracks total cores so the pool
+    can widen to the cluster whenever the stage is the bottleneck, with
+    an optional caller cap for stages whose per-actor memory footprint
+    (model weights, large batches) bounds safe parallelism."""
+    try:
+        if ray.is_initialized():
+            cores = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            cores = int(os.cpu_count() or 8)
+    except Exception:
+        cores = 8
+    hi = max(2, cores)
+    if cap is not None:
+        hi = max(2, min(cap, hi))
+    return (1, hi)

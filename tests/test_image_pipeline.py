@@ -2,6 +2,7 @@
 (SURVEY.md §5.2), plus per-row fixture invariants (PSNR / caption / keeper)."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -322,7 +323,8 @@ def test_hot_caption_bucket_collapse_policy():
         "dhash": dh + dh,
         "caption": caps + caps,
     }
-    out = make_partition_verify(CFG)(pd.DataFrame(rows))
+    out = make_partition_verify(CFG)(
+        pa.Table.from_pandas(pd.DataFrame(rows))).to_pandas()
     real = out[out["src"] != ""]
     over = out[out["src"] == ""]
     assert len(over) == 2 and (over["overflow"] == n + 3).all()
@@ -356,13 +358,15 @@ def test_caption_pair_with_one_zero_dhash_not_delegated():
         "dhash": [3, 0],             # popcount(3)=2 <= hamming_max, vs zero
         "caption": [cap, cap],
     }
-    out = make_partition_verify(CFG)(pd.DataFrame(rows))
+    out = make_partition_verify(CFG)(
+        pa.Table.from_pandas(pd.DataFrame(rows))).to_pandas()
     pairs = set(zip(out[out["src"] != ""]["src"], out[out["src"] != ""]["dst"]))
     assert ("img_dark", "vid_md5") in pairs
     # control: BOTH nonzero within hamming_max stays delegated to the image
     # channel (no caption-band emission)
     rows["dhash"] = [3, 1]
-    out2 = make_partition_verify(CFG)(pd.DataFrame(rows))
+    out2 = make_partition_verify(CFG)(
+        pa.Table.from_pandas(pd.DataFrame(rows))).to_pandas()
     assert (out2["src"] != "").sum() == 0
 
 

@@ -696,6 +696,25 @@ LIMIT 100
 # micro-cosine on both sides so the driver value-hash is float-stable.
 
 
+# ENFORCED scale limit for the exact-cosine oracle shapes: the broadcast
+# matrix may hold at most this many float64 elements (2 GiB — a node's
+# comfortable ray.put budget).  Above it the exact paths REFUSE with a
+# pointer at the production alternatives (SRP-LSH banding, IVFPQ) rather
+# than silently hazarding every worker's heap — same policy as
+# _RARITY_BROADCAST_CAP for the vocab broadcast.
+_EMB_BROADCAST_CAP_F64 = 1 << 28
+
+
+def _emb_broadcast_guard(n_rows: int, dim: int, caller: str) -> None:
+    if n_rows * max(dim, 1) > _EMB_BROADCAST_CAP_F64:
+        raise ValueError(
+            f"{caller}: exact-cosine broadcast matrix would hold "
+            f"{n_rows}x{dim} float64 (> cap {_EMB_BROADCAST_CAP_F64} "
+            "elements) — this oracle shape is for bounded corpora; use "
+            "the scale paths (emb_srp_pairs SRP-LSH banding or "
+            "ann_ivfpq_topk) instead")
+
+
 def emb_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -703,6 +722,7 @@ def emb_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]))
     ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()])
+    _emb_broadcast_guard(*mat.shape, caller="emb_near_dup")
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put((ids_all, mat))
 
@@ -889,6 +909,7 @@ def _emb_exact_edges(sf_dir: str, keep_vec, pair_keep,
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     keep = keep_vec(ids_all)
     ids_all, mat = ids_all[keep], mat[keep]
+    _emb_broadcast_guard(*mat.shape, caller="_emb_exact_edges")
     ref = ray.put((ids_all, mat))
 
     ds = _nonnull_vec(dio.read_parquet(
@@ -5172,6 +5193,7 @@ def emb_knn_join(sf_dir: str, k: int = _KNN_K) -> pd.DataFrame:
     order = np.argsort(ids_all, kind="mergesort")  # id-asc column order ⇒
     ids_all, mat = ids_all[order], mat[order]      # stable sort = id tiebreak
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    _emb_broadcast_guard(*mat.shape, caller="emb_knn_join")
     mat_ref = ray.put((ids_all, mat))
 
     ds = _nonnull_vec(dio.read_parquet(

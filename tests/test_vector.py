@@ -316,3 +316,20 @@ def test_ann_ivfpq_matches_mirror_and_prunes(ray_session):
     bset = set(zip(bf["query_id"], bf["vec_id"]))
     iset = set(zip(eng["query_id"], eng["vec_id"]))
     assert len(iset & bset) / len(bset) >= 0.15
+
+
+def test_emb_exact_broadcast_cap_refuses(monkeypatch, sf_small, ray_session):
+    """The exact-cosine oracle shapes must ENFORCE their scale limit: with
+    the broadcast cap lowered below the corpus size, every full-matrix
+    broadcast path refuses loudly and names the scale alternatives."""
+    import pytest
+
+    from deduplicator_ray.pipelines import queries as q
+
+    monkeypatch.setattr(q, "_EMB_BROADCAST_CAP_F64", 1)
+    with pytest.raises(ValueError, match="srp|ivfpq|SRP|IVFPQ"):
+        q.emb_near_dup(sf_small)
+    with pytest.raises(ValueError, match="srp|ivfpq|SRP|IVFPQ"):
+        q.emb_knn_join(sf_small)
+    with pytest.raises(ValueError, match="srp|ivfpq|SRP|IVFPQ"):
+        q.emb_cluster_update(sf_small)

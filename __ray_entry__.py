@@ -110,6 +110,24 @@ def _img_reference_clusters_nonstrict(sf_dir: str):
         ["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _img_png_variant_clusters(sf_dir: str):
+    """Reference-mode clustering over the PNG-breadth extension corpus:
+    the SAME pixels re-saved through every supported PNG layout (palette
+    / grayscale / gray+alpha / RGBA / 16-bit / Adam7) must land in one
+    proc_hash bucket — the reference clusters whatever PIL opens
+    (/root/reference/dupedb.py:85-86), and a truecolor-only decoder
+    dead-letters ~half of real-web PNGs instead of clustering them.
+    Mirror: REFERENCE_CLUSTERS_SQL over the pngx oracle sidecar."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    ds = dio.read_parquet(fixtures.pngx_images_path(sf_dir))
+    out = ip.reference_clusters(ds, _cfg())
+    return out.to_pandas().sort_values(
+        ["proc_hash", "image_id"]).reset_index(drop=True)
+
+
 def _img_nonstrict_decisions(sf_dir: str):
     """Keeper election in non-strict mode over images ∪ the vcon corpus:
     exercises the animation-wins quality rule (makeImageSortTuple
@@ -1471,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters": _img_reference_clusters,
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_clusters_nonstrict": _img_reference_clusters_nonstrict,
+        "img_png_variant_clusters": _img_png_variant_clusters,
         "img_nonstrict_decisions": _img_nonstrict_decisions,
         "img_strict_mode_diff": _img_strict_mode_diff,
         "img_phash_clusters": _img_phash_clusters,
@@ -1725,6 +1744,9 @@ def _fixture_mirrors() -> dict[str, str]:
             mirrors.REFERENCE_CLUSTERS_SQL, hashes=hashes,
             ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",
             **kw),
+        "img_png_variant_clusters": mirrors.compose(
+            mirrors.REFERENCE_CLUSTERS_SQL,
+            hashes=fixtures.pngx_hashes_path(sf) + "/*.parquet", **kw),
         "img_nonstrict_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes,
             ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",

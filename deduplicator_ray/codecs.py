@@ -174,8 +174,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# png: 8-bit RGB (color type 2), non-interlaced; encoder emits filter 0,
-# decoder supports filters 0-4
+# png: FULL decode breadth — color types 0/2/3/4/6, bit depths 1/2/4/8/16,
+# Adam7 interlace, filters 0-4 (the reference hashes whatever PIL opens,
+# /root/reference/dupedb.py:85-86; the prior decoder refused everything
+# but 8-bit truecolor and dead-lettered ~half of real-web PNGs).  Alpha
+# is DROPPED (not composited) and 16-bit takes the high byte — PIL's own
+# L/RGB conversion rules, so the dHash matches what the reference
+# computes.  The encoder's default path still emits 8-bit RGB filter 0;
+# ``encode_png_ex`` produces the variant layouts for tests/fixtures.
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -183,6 +189,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # header-level decompression-bomb cap, same 160 MP bound the metadata-level
 # guard uses (decode_hash.MAX_IMAGE_PIXELS, /root/reference/dupedb.py:33)
 MAX_DECODE_PIXELS = 160_000_000
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# (x0, y0, dx, dy) of the seven Adam7 passes
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -200,6 +213,86 @@ def encode_png(img: np.ndarray, level: int = 1) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def _pack_samples(samples: np.ndarray, depth: int) -> bytes:
+    """(h, w, c) integer samples → filter-0 scanline bytes at ``depth``."""
+    h, w, c = samples.shape
+    if depth == 8:
+        rows = samples.astype(np.uint8).reshape(h, w * c)
+    elif depth == 16:
+        rows = (samples.astype(">u2").view(np.uint8)
+                .reshape(h, w * c * 2))
+    else:
+        bits = ((samples.astype(np.uint16)[..., None]
+                 >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+        flat = bits.reshape(h, w * c * depth)
+        rows = np.packbits(flat, axis=1)
+    out = np.zeros((h, 1 + rows.shape[1]), np.uint8)
+    out[:, 1:] = rows
+    return out.tobytes()
+
+
+def encode_png_ex(img: np.ndarray, color: int = 2, depth: int = 8,
+                  interlace: int = 0, level: int = 6) -> bytes:
+    """Variant-layout PNG encoder for tests/fixtures: ``img`` is always
+    (h, w, 3) uint8; the pixel content is converted INTO the requested
+    layout (palette built from unique colors, gray from the first
+    channel of an already-gray image, alpha filled opaque, 16-bit as
+    v*257) so that decoding back under the PIL rules reproduces the
+    original 8-bit RGB exactly."""
+    h, w = img.shape[:2]
+    if color not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color]:
+        raise CodecError(f"encode_png_ex: bad color={color} depth={depth}")
+    plte = b""
+    if color == 0:
+        g = img[:, :, 0].astype(np.uint16)
+        if depth == 16:
+            samples = (g * 257)[..., None]
+        elif depth == 8:
+            samples = g[..., None]
+        else:
+            step = 255 // ((1 << depth) - 1)
+            if (g % step).any():
+                raise CodecError(
+                    f"encode_png_ex: gray values not exact at depth {depth}")
+            samples = (g // step)[..., None]
+    elif color == 2:
+        samples = (img.astype(np.uint16) * 257) if depth == 16 \
+            else img.astype(np.uint16)
+    elif color == 3:
+        flat = img.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > (1 << depth):
+            raise CodecError(
+                f"encode_png_ex: {len(pal)} colors exceed depth {depth}")
+        plte = pal.astype(np.uint8).tobytes()
+        samples = inv.reshape(h, w, 1)
+    elif color == 4:
+        g = img[:, :, 0].astype(np.uint16)
+        a = np.full_like(g, 255)
+        samples = np.stack([g, a], axis=2)
+        if depth == 16:
+            samples = samples * 257
+    else:  # 6
+        a = np.full((h, w, 1), 255, np.uint16)
+        samples = np.concatenate([img.astype(np.uint16), a], axis=2)
+        if depth == 16:
+            samples = samples * 257
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_pack_samples(sub, depth))
+        raw = b"".join(parts)
+    else:
+        raw = _pack_samples(samples, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw, level)) + _chunk(b"IEND", b"")
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
@@ -207,69 +300,23 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    if not data.startswith(_PNG_SIG):
-        raise CodecError("not a png")
-    pos = 8
-    w = h = None
-    idat = bytearray()
-    try:
-        while pos < len(data):
-            (length,) = struct.unpack_from(">I", data, pos)
-            tag = data[pos + 4 : pos + 8]
-            payload = data[pos + 8 : pos + 8 + length]
-            if len(payload) != length:
-                raise CodecError("truncated chunk")
-            if tag == b"IHDR":
-                w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-                if depth != 8 or color != 2 or interlace != 0:
-                    raise CodecError(f"unsupported png: depth={depth} color={color}")
-                # bomb guard on the PAYLOAD's own header, before inflating:
-                # the caller-side metadata guard (decode_hash) can be
-                # spoofed by a row whose w/h columns understate the IHDR
-                # dims — the reference's PIL MAX_IMAGE_PIXELS reads the
-                # header for the same reason (/root/reference/dupedb.py:33)
-                if w * h > MAX_DECODE_PIXELS:
-                    raise CodecError(
-                        f"decompression bomb: png header {w}x{h}")
-            elif tag == b"IDAT":
-                idat.extend(payload)
-            elif tag == b"IEND":
-                break
-            pos += 12 + length
-        if w is None:
-            raise CodecError("png missing IHDR")
-        stride = 1 + w * 3
-        # bound the INFLATION, not just the declared dims: a payload whose
-        # IHDR says 2x2 but whose IDAT inflates to gigabytes would pass
-        # the header guard and balloon worker memory before the size
-        # check — cap the decompressor at the scanline budget and reject
-        # any surplus compressed input
-        d = zlib.decompressobj()
-        decomp = d.decompress(bytes(idat), stride * h + 1)
-        if len(decomp) > stride * h or d.unconsumed_tail:
-            raise CodecError("png IDAT inflates past the scanline budget")
-    except (struct.error, zlib.error) as e:
-        raise CodecError(f"bad png: {e}") from e
-    if len(decomp) != stride * h:
-        raise CodecError("bad png scanline payload size")
-    scan = np.frombuffer(decomp, np.uint8).reshape(h, stride)
+def _defilter(scan: np.ndarray, row_bytes: int, bpp: int) -> np.ndarray:
+    """(h, 1+row_bytes) filtered scanlines → (h, row_bytes) raw bytes.
+    Filters 0-4; the left-dependent filters (sub/average/paeth) run as
+    plain-int scalar loops (each byte depends on the reconstructed byte
+    ``bpp`` to its left — see the original decoder's measurement)."""
+    h = scan.shape[0]
     filters = scan[:, 0]
-    out = np.zeros((h, w * 3), dtype=np.uint8)
-    bpp = 3
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
     for y in range(h):
         f = filters[y]
         cur = scan[y, 1:].copy()
-        prev = out[y - 1] if y > 0 else np.zeros(w * 3, np.uint8)
+        prev = out[y - 1] if y > 0 else np.zeros(row_bytes, np.uint8)
         if f == 0:
             out[y] = cur
         elif f == 1:  # sub
-            # scalar-int loops for the left-dependent filters: each byte
-            # depends on the reconstructed byte bpp to its left, so the
-            # row can't vectorize — but plain ints beat per-byte numpy
-            # scalar/array churn by an order of magnitude
             row = cur.tolist()
-            for x in range(bpp, w * 3):
+            for x in range(bpp, row_bytes):
                 row[x] = (row[x] + row[x - bpp]) & 0xFF
             out[y] = row
         elif f == 2:  # up
@@ -277,14 +324,14 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f == 3:  # average
             row = cur.tolist()
             pr = prev.tolist()
-            for x in range(w * 3):
+            for x in range(row_bytes):
                 left = row[x - bpp] if x >= bpp else 0
                 row[x] = (row[x] + ((left + pr[x]) >> 1)) & 0xFF
             out[y] = row
         elif f == 4:  # paeth
             row = cur.tolist()
             pr = prev.tolist()
-            for x in range(w * 3):
+            for x in range(row_bytes):
                 a = row[x - bpp] if x >= bpp else 0
                 b = pr[x]
                 c = pr[x - bpp] if x >= bpp else 0
@@ -296,7 +343,130 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = row
         else:
             raise CodecError(f"bad png filter {f}")
-    return out.reshape(h, w, 3)
+    return out
+
+
+def _unpack_rows(raw: np.ndarray, pw: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """(h, row_bytes) raw bytes → (h, pw, channels) uint16 samples (16-bit
+    kept full-width here; the high-byte conversion happens at the end)."""
+    ph = raw.shape[0]
+    if depth == 8:
+        return raw[:, : pw * channels].reshape(
+            ph, pw, channels).astype(np.uint16)
+    if depth == 16:
+        b = np.ascontiguousarray(raw[:, : pw * channels * 2])
+        return b.view(">u2").astype(np.uint16).reshape(ph, pw, channels)
+    bits = np.unpackbits(raw, axis=1)[:, : pw * channels * depth]
+    vals = bits.reshape(ph, pw * channels, depth).astype(np.uint16)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (vals * weights).sum(axis=2).reshape(ph, pw, channels)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise CodecError("not a png")
+    pos = 8
+    w = h = None
+    depth = color = interlace = 0
+    plte = None
+    idat = bytearray()
+    try:
+        while pos < len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            if len(payload) != length:
+                raise CodecError("truncated chunk")
+            if tag == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload)
+                if (color not in _PNG_CHANNELS
+                        or depth not in _PNG_DEPTHS[color]
+                        or comp != 0 or filt != 0 or interlace not in (0, 1)):
+                    raise CodecError(
+                        f"unsupported png: depth={depth} color={color} "
+                        f"comp={comp} filt={filt} interlace={interlace}")
+                # bomb guard on the PAYLOAD's own header, before inflating:
+                # the caller-side metadata guard (decode_hash) can be
+                # spoofed by a row whose w/h columns understate the IHDR
+                # dims — the reference's PIL MAX_IMAGE_PIXELS reads the
+                # header for the same reason (/root/reference/dupedb.py:33)
+                if w * h > MAX_DECODE_PIXELS:
+                    raise CodecError(
+                        f"decompression bomb: png header {w}x{h}")
+            elif tag == b"PLTE":
+                if length % 3 or length == 0 or length > 768:
+                    raise CodecError(f"bad png PLTE length {length}")
+                plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat.extend(payload)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if w is None:
+            raise CodecError("png missing IHDR")
+        if w == 0 or h == 0:
+            raise CodecError(f"bad png dims {w}x{h}")
+        channels = _PNG_CHANNELS[color]
+        bpp = max(1, channels * depth // 8)
+
+        def rb(width: int) -> int:
+            return (width * channels * depth + 7) // 8
+
+        if interlace:
+            passes = [(x0, y0, dx, dy,
+                       (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                      for x0, y0, dx, dy in _ADAM7]
+            total = sum(ph * (1 + rb(pw)) for *_, pw, ph in passes
+                        if pw and ph)
+        else:
+            total = h * (1 + rb(w))
+        # bound the INFLATION, not just the declared dims: a payload whose
+        # IHDR says 2x2 but whose IDAT inflates to gigabytes would pass
+        # the header guard and balloon worker memory before the size
+        # check — cap the decompressor at the scanline budget and reject
+        # any surplus compressed input
+        d = zlib.decompressobj()
+        decomp = d.decompress(bytes(idat), total + 1)
+        if len(decomp) > total or d.unconsumed_tail:
+            raise CodecError("png IDAT inflates past the scanline budget")
+        if len(decomp) != total:
+            raise CodecError("bad png scanline payload size")
+        buf = np.frombuffer(decomp, np.uint8)
+        if interlace:
+            samples = np.zeros((h, w, channels), np.uint16)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                if not pw or not ph:
+                    continue
+                prb = rb(pw)
+                scan = buf[off : off + ph * (1 + prb)].reshape(ph, 1 + prb)
+                off += ph * (1 + prb)
+                raw = _defilter(scan, prb, bpp)
+                samples[y0::dy, x0::dx] = _unpack_rows(
+                    raw, pw, channels, depth)
+        else:
+            scan = buf.reshape(h, 1 + rb(w))
+            samples = _unpack_rows(_defilter(scan, rb(w), bpp),
+                                   w, channels, depth)
+    except (struct.error, zlib.error) as e:
+        raise CodecError(f"bad png: {e}") from e
+    if depth == 16:
+        samples = samples >> 8          # PIL: high byte
+    if color == 3:
+        if plte is None:
+            raise CodecError("png color 3 missing PLTE")
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise CodecError("png palette index out of range")
+        return plte[idx]
+    if color == 0 or color == 4:
+        g = samples[:, :, 0]
+        if color == 0 and depth < 8:    # scale 1/2/4-bit gray to 8-bit
+            g = g * (255 // ((1 << depth) - 1))
+        return np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+    return samples[:, :, :3].astype(np.uint8)  # color 2 or 6 (alpha dropped)
 
 
 # ---------------------------------------------------------------------------

@@ -796,6 +796,140 @@ def nonstrict_images_path(sf_dir: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# PNG-breadth extension corpus: the SAME pixels re-saved through every PNG
+# layout the decoder supports (palette / grayscale / gray+alpha / RGBA /
+# 16-bit / Adam7 interlace) — byte-distinct, pixel-identical re-saves that
+# the reference (PIL open → dHash, dupedb.py:85-86) clusters together and
+# a truecolor-only decoder would dead-letter.  Kept SEPARATE from the main
+# images corpus so every existing query's relation is untouched.
+
+PNGX_FAMILIES = {"sf0.001": 40, "sf0.01": 400, "sf0.1": 4000}
+
+
+def pngx_images_path(sf_dir: str) -> str:
+    """Deterministic PNG-variant corpus (IMAGES_SCHEMA).  Per family, a
+    truecolor base plus a rotating subset of variant re-saves:
+
+    - rgb16 (color 2 / depth 16), rgba (6/8), rgba16 (6/16)
+    - Adam7-interlaced truecolor (2/8/interlace 1)
+    - grayscale families: (0/8), gray+alpha (4/8), 16-bit gray (0/16),
+      4-bit gray (0/4, values quantized to multiples of 17)
+    - palette families (``_indexed_art``, ≤32 colors): (3/8) and
+      interlaced (3/8/1)
+    - an occasional truncated blob (dead-letter parity)
+
+    Every non-corrupt variant decodes to the base's exact pixels under
+    the PIL conversion rules, so reference-mode clustering must put each
+    family in ONE proc_hash bucket."""
+    from deduplicator_ray import codecs, hashing
+
+    sfn = sf_name(sf_dir)
+    n_fam = PNGX_FAMILIES.get(sfn, 40)
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"pngx_{sfn}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shard = 200
+    for f0 in range(0, n_fam, shard):
+        rows: list[dict] = []
+        for fid in range(f0, min(f0 + shard, n_fam)):
+            rng = np.random.default_rng([SEED, 97, fid])
+            d = f"pngx/{rng.choice(_DIRS)}"
+            stem = f"{rng.choice(_WORDS)}_p{fid:05d}"
+            cap = _caption(rng)
+            kind = fid % 3
+
+            def prow(suffix, img, blob):
+                rows.append(dict(
+                    image_id=f"{d}/{stem}_{suffix}.png", bytes=blob,
+                    w=img.shape[1], h=img.shape[0], fmt="png",
+                    caption=cap,
+                    phash=hashing.u64_to_i64(hashing.dhash_u64(img, 8))))
+
+            if kind == 0:           # truecolor family
+                base = _base_image(rng)
+                prow("rgb", base, codecs.encode_png(base, 1))
+                prow("rgb16", base, codecs.encode_png_ex(base, 2, 16))
+                prow("rgba", base, codecs.encode_png_ex(base, 6, 8))
+                if rng.uniform() < 0.5:
+                    prow("rgba16", base, codecs.encode_png_ex(base, 6, 16))
+                prow("adam7", base, codecs.encode_png_ex(base, 2, 8, 1))
+            elif kind == 1:         # grayscale family
+                b = _base_image(rng)
+                g = (0.299 * b[:, :, 0] + 0.587 * b[:, :, 1]
+                     + 0.114 * b[:, :, 2]).astype(np.uint8)
+                gi = np.repeat(g[:, :, None], 3, axis=2)
+                prow("gray", gi, codecs.encode_png_ex(gi, 0, 8))
+                prow("graya", gi, codecs.encode_png_ex(gi, 4, 8))
+                if rng.uniform() < 0.5:
+                    prow("gray16", gi, codecs.encode_png_ex(gi, 0, 16))
+                q = ((g // 17) * 17).astype(np.uint8)
+                qi = np.repeat(q[:, :, None], 3, axis=2)
+                prow("gray4", qi, codecs.encode_png_ex(qi, 0, 4))
+                prow("gray4rgb", qi, codecs.encode_png(qi, 1))
+            else:                   # palette family
+                art = _indexed_art(rng)
+                prow("pal", art, codecs.encode_png_ex(art, 3, 8))
+                prow("pal7", art, codecs.encode_png_ex(art, 3, 8, 1))
+                prow("palrgb", art, codecs.encode_png(art, 1))
+            if rng.uniform() < 0.08:  # corrupt → dead-letter parity
+                bad = codecs.encode_png(_base_image(rng), 1)
+                rows.append(dict(
+                    image_id=f"{d}/{stem}_bad.png",
+                    bytes=bad[: len(bad) // 3],
+                    w=0, h=0, fmt="png", caption=cap, phash=0))
+        pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
+                       os.path.join(tmp, f"part-{f0:06d}.parquet"))
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def pngx_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
+    """Ray-free oracle hash sidecar over the PNG-variant corpus (the
+    ``hashes_path`` pattern: the per-image decode ships as data so the
+    DuckDB mirror value-checks the distributed clustering)."""
+    img_dir = pngx_images_path(sf_dir)
+    out = f"{img_dir}_hashes_h{hash_size}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size,
+             "dhash") for f in shards]
+    if len(jobs) > 4 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(24, os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_hash_shard, jobs, chunksize=1))
+    else:
+        for j in jobs:
+            _write_hash_shard(j)
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def nonstrict_hashes_path(sf_dir: str, strict: bool = False,
                           hash_size: int = 8) -> str:
     """Oracle hash sidecar over the non-strict extension corpus, computed

@@ -128,6 +128,22 @@ def _img_png_variant_clusters(sf_dir: str):
         ["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _img_progressive_jpeg_clusters(sf_dir: str):
+    """Reference-mode clustering over the progressive-JPEG extension
+    corpus: a baseline jpg and its SOF2 progressive re-save carry the
+    same pixels → one proc_hash bucket (T.81 Annex G decode; the
+    reference hashes whatever PIL opens, /root/reference/dupedb.py:85-86).
+    Mirror: REFERENCE_CLUSTERS_SQL over the projpg oracle sidecar."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    ds = dio.read_parquet(fixtures.projpg_images_path(sf_dir))
+    out = ip.reference_clusters(ds, _cfg())
+    return out.to_pandas().sort_values(
+        ["proc_hash", "image_id"]).reset_index(drop=True)
+
+
 def _img_nonstrict_decisions(sf_dir: str):
     """Keeper election in non-strict mode over images ∪ the vcon corpus:
     exercises the animation-wins quality rule (makeImageSortTuple
@@ -1490,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters_h12": _img_reference_clusters_h12,
         "img_reference_clusters_nonstrict": _img_reference_clusters_nonstrict,
         "img_png_variant_clusters": _img_png_variant_clusters,
+        "img_progressive_jpeg_clusters": _img_progressive_jpeg_clusters,
         "img_nonstrict_decisions": _img_nonstrict_decisions,
         "img_strict_mode_diff": _img_strict_mode_diff,
         "img_phash_clusters": _img_phash_clusters,
@@ -1747,6 +1764,9 @@ def _fixture_mirrors() -> dict[str, str]:
         "img_png_variant_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL,
             hashes=fixtures.pngx_hashes_path(sf) + "/*.parquet", **kw),
+        "img_progressive_jpeg_clusters": mirrors.compose(
+            mirrors.REFERENCE_CLUSTERS_SQL,
+            hashes=fixtures.projpg_hashes_path(sf) + "/*.parquet", **kw),
         "img_nonstrict_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes,
             ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",

@@ -897,6 +897,114 @@ def pngx_images_path(sf_dir: str) -> str:
     return out
 
 
+PROJPG_FAMILIES = {"sf0.001": 30, "sf0.01": 300, "sf0.1": 3000}
+
+
+def projpg_images_path(sf_dir: str) -> str:
+    """Progressive-JPEG extension corpus (IMAGES_SCHEMA): per family a
+    BASELINE jpg and its PROGRESSIVE (SOF2) re-save at the same quality —
+    byte-distinct streams carrying identical quantized coefficients, so
+    they decode pixel-identical and must co-cluster (the reference
+    hashes whatever PIL opens; progressive is ~10%% of real web JPEGs
+    and used to dead-letter).  Some families add a quality-shifted
+    progressive near-dup (different bytes AND pixels, same dHash when
+    the hash provably survives re-quantization) and an occasional
+    truncated stream (dead-letter parity)."""
+    from deduplicator_ray import codecs, hashing, jpeg
+
+    sfn = sf_name(sf_dir)
+    n_fam = PROJPG_FAMILIES.get(sfn, 30)
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"projpg_{sfn}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shard = 100
+    for f0 in range(0, n_fam, shard):
+        rows: list[dict] = []
+        for fid in range(f0, min(f0 + shard, n_fam)):
+            rng = np.random.default_rng([SEED, 98, fid])
+            d = f"projpg/{rng.choice(_DIRS)}"
+            stem = f"{rng.choice(_WORDS)}_j{fid:05d}"
+            cap = _caption(rng)
+            base = _base_image(rng)
+            h, w = base.shape[:2]
+            q = int(rng.choice([75, 85, 92]))
+            sub = bool(rng.uniform() < 0.6)
+            b_blob = jpeg.encode_jpeg(base, q, subsample=sub)
+            p_blob = jpeg.encode_jpeg_progressive(base, q, subsample=sub)
+            assert b_blob != p_blob
+            px = jpeg.decode_jpeg(b_blob)
+            ph = hashing.u64_to_i64(hashing.dhash_u64(px, 8))
+
+            def jrow(iid, blob, phv):
+                rows.append(dict(image_id=iid, bytes=blob, w=w, h=h,
+                                 fmt="jpg", caption=cap, phash=phv))
+
+            jrow(f"{d}/{stem}_base.jpg", b_blob, ph)
+            jrow(f"{d}/{stem}_prog.jpg", p_blob, ph)
+            if rng.uniform() < 0.4:
+                # quality-shifted progressive near-dup, admitted only
+                # when the dHash provably survives re-quantization (both
+                # engines recompute from bytes, so a skipped member is
+                # simply absent — the deterministic-gate pattern the
+                # nonstrict poster rows use)
+                q2 = 60 if q > 70 else 90
+                p2 = jpeg.encode_jpeg_progressive(base, q2, subsample=sub)
+                px2 = jpeg.decode_jpeg(p2)
+                if hashing.dhash_u64(px2, 8) == hashing.dhash_u64(px, 8):
+                    jrow(f"{d}/{stem}_prog2.jpg", p2, ph)
+            if rng.uniform() < 0.08:
+                jrow(f"{d}/{stem}_bad.jpg", p_blob[: len(p_blob) // 3], 0)
+        pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
+                       os.path.join(tmp, f"part-{f0:06d}.parquet"))
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def projpg_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
+    """Ray-free oracle hash sidecar over the progressive-JPEG corpus
+    (``hashes_path`` pattern)."""
+    img_dir = projpg_images_path(sf_dir)
+    out = f"{img_dir}_hashes_h{hash_size}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size,
+             "dhash") for f in shards]
+    if len(jobs) > 4 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(24, os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_hash_shard, jobs, chunksize=1))
+    else:
+        for j in jobs:
+            _write_hash_shard(j)
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def pngx_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     """Ray-free oracle hash sidecar over the PNG-variant corpus (the
     ``hashes_path`` pattern: the per-image decode ships as data so the

@@ -1,14 +1,17 @@
 """Baseline JPEG (JFIF) codec in pure numpy + stdlib — the dominant web
 image format flipped stub→native (codecs.CODEC_CAPABILITIES).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+Decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, DC/AC first+refinement
+scans, EOB runs, T.81 Annex G semantics matching libjpeg's jdphuff
+interop behavior), 8-bit, 1 or 3 components,
 sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte
 stuffing; Huffman and quantization tables are read from the stream
 (spec F.2.2 canonical decode), dequantize + IDCT run vectorized over all
 blocks per component (one einsum), chroma upsamples by sample
-replication, BT.601 full-range YCbCr→RGB.  Progressive (SOF2),
-arithmetic and 12-bit streams are refused with CodecError — the decode
-stage's dead-letter taxonomy, never a wrong image.
+replication, BT.601 full-range YCbCr→RGB.  Arithmetic, 12-bit and
+lossless streams are refused with CodecError — the decode stage's
+dead-letter taxonomy, never a wrong image.
 
 Encoder (fixture/golden side): 4:2:0 or 4:4:4, Annex-K quantization
 tables with the libjpeg quality scaling, Annex-K Huffman tables, restart
@@ -283,6 +286,209 @@ def _extend(v: int, t: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# progressive scans (T.81 Annex G; EOB-run and refinement semantics match
+# libjpeg's jdphuff.c, the de-facto interop standard)
+
+
+def _skip_to_marker(data: bytes, p: int) -> int:
+    """Forward from an entropy-coded position to the next real marker's
+    0xFF (skipping stuffed FF00, fill-byte runs, and stray RSTn)."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00:
+            p += 2
+        elif nxt == 0xFF:
+            p += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            p += 2
+        else:
+            return p
+    raise CodecError("jpeg truncated after scan")
+
+
+def _ac_first(br: _BitReader, blk: np.ndarray, act: _HuffDecoder,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC spectral-selection first scan for one block (G.2.2): runs and
+    EOBn codes over the point-transformed band."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s2 = rs >> 4, rs & 0xF
+        if s2 == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise CodecError("jpeg AC run past spectral band")
+        blk[k] = _extend(br.receive(s2), s2) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br: _BitReader, blk: np.ndarray, act: _HuffDecoder,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block (G.2.2 /
+    jdphuff decode_mcu_AC_refine): newly-nonzero coefficients carry a
+    sign bit; every already-nonzero coefficient passed reads one
+    correction bit; runs count zero-HISTORY positions only."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s2 = rs >> 4, rs & 0xF
+            if s2 == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                nzero = 15          # ZRL: pass 16 zero-history positions
+                newval = 0
+            else:
+                if s2 != 1:
+                    raise CodecError("bad jpeg AC refinement magnitude")
+                nzero = r
+                newval = p1 if br.receive(1) else -p1
+            while True:
+                if k > se:
+                    if s2:
+                        raise CodecError("jpeg AC refine run past band")
+                    break
+                v = int(blk[k])
+                if v != 0:
+                    if br.receive(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else -p1)
+                    k += 1
+                    continue
+                nzero -= 1
+                if nzero < 0:
+                    if s2:
+                        blk[k] = newval
+                    k += 1
+                    break
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and br.receive(1) and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data: bytes, pos: int, scomps: list[dict],
+                      comps: list[dict], dc_tabs: dict, ac_tabs: dict,
+                      dri: int, w: int, h: int,
+                      ss: int, se: int, ah: int, al: int) -> int:
+    """Decode ONE progressive scan into the components' coefficient
+    grids; returns the stream position of the next marker.  Scan-header
+    legality per G.1.1.1.1: DC scans have ss=se=0; AC scans name exactly
+    one component; each refinement steps the point transform by one."""
+    ns = len(scomps)
+    if ss == 0:
+        if se != 0:
+            raise CodecError("jpeg progressive DC scan with se != 0")
+    else:
+        if ns != 1 or se < ss or se > 63:
+            raise CodecError("bad jpeg progressive AC scan header")
+    if ah not in (0, al + 1) or al > 13:
+        raise CodecError("bad jpeg successive approximation")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    br = _BitReader(data, pos)
+    rst = 0
+
+    def restart(i: int) -> bool:
+        return bool(dri) and i and i % dri == 0
+
+    if ss == 0 and ns > 1:
+        # interleaved DC scan: MCU walk across the scan's components
+        for c in scomps:
+            if ah == 0 and c.get("td") not in dc_tabs:
+                raise CodecError("jpeg references missing DHT")
+        preds = [0] * ns
+        for m in range(mcux * mcuy):
+            if restart(m):
+                br.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * ns
+            my, mx = divmod(m, mcux)
+            for ci, c in enumerate(scomps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = ((my * c["v"] + by) * c["bw"]
+                               + (mx * c["h"] + bx))
+                        blk = c["coef"][row]
+                        if ah == 0:
+                            t = dc_tabs[c["td"]].decode(br)
+                            if t > 11:
+                                raise CodecError("bad jpeg DC category")
+                            diff = _extend(br.receive(t), t) if t else 0
+                            preds[ci] = max(-(1 << 30),
+                                            min((1 << 30),
+                                                preds[ci] + diff))
+                            blk[0] = preds[ci] << al
+                        elif br.receive(1):
+                            blk[0] = int(blk[0]) | (1 << al)
+        return _skip_to_marker(data, br.pos)
+
+    # non-interleaved: one component, its own block raster (A.2.2 dims)
+    c = scomps[0]
+    cw = -(-(w * c["h"]) // hmax)
+    chh = -(-(h * c["v"]) // vmax)
+    nbx = -(-cw // 8)
+    nby = -(-chh // 8)
+    if ss == 0:
+        if ah == 0 and c.get("td") not in dc_tabs:
+            raise CodecError("jpeg references missing DHT")
+    elif c.get("ta") not in ac_tabs:
+        raise CodecError("jpeg references missing DHT")
+    act = ac_tabs.get(c.get("ta"))
+    pred = 0
+    eobrun = 0
+    i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart(i):
+                br.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                pred = 0
+                eobrun = 0
+            i += 1
+            blk = c["coef"][by * c["bw"] + bx]
+            if ss == 0:
+                if ah == 0:
+                    t = dc_tabs[c["td"]].decode(br)
+                    if t > 11:
+                        raise CodecError("bad jpeg DC category")
+                    diff = _extend(br.receive(t), t) if t else 0
+                    pred = max(-(1 << 30), min((1 << 30), pred + diff))
+                    blk[0] = pred << al
+                elif br.receive(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(br, blk, act, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, blk, act, ss, se, al, eobrun)
+    return _skip_to_marker(data, br.pos)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 
 
@@ -315,9 +521,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     dri = 0
+    progressive = False
+    any_scan = False
     n = len(data)
     while True:
-        if pos + 4 > n:
+        # standalone markers (incl. the final EOI) are 2 bytes; segment
+        # markers need 2 more for the length field, checked below
+        if pos + 2 > n:
             raise CodecError("truncated jpeg segments")
         if data[pos] != 0xFF:
             raise CodecError("jpeg marker desync")
@@ -332,7 +542,11 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             # standalone markers (stray SOI, TEM, RSTn): no length field
             continue
         if marker == 0xD9:
+            if progressive and any_scan:
+                break  # progressive stream complete → reconstruction
             raise CodecError("jpeg EOI before scan")
+        if pos + 2 > n:
+            raise CodecError("truncated jpeg segments")
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2: pos + seglen]
         if len(seg) != seglen - 2:
@@ -364,7 +578,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     raise CodecError("truncated DHT")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 sp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise CodecError(f"unsupported jpeg precision {prec}")
@@ -390,42 +605,56 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 # raster — honoring declared 2x2 factors here would
                 # scramble legal grayscale streams
                 comps[0]["h"] = comps[0]["v"] = 1
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise CodecError("unsupported jpeg mode (progressive/arith)")
+            raise CodecError("unsupported jpeg mode (lossless/arith)")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS → entropy decode below
+        elif marker == 0xDA:  # SOS → entropy decode
             ns = seg[0]
-            if ns != len(comps) or not comps:
+            if not comps:
+                raise CodecError("jpeg SOS before SOF")
+            if not progressive and ns != len(comps):
                 raise CodecError("jpeg SOS/SOF component mismatch")
+            if len(seg) < 4 + 2 * ns:
+                raise CodecError("truncated jpeg SOS")
+            scomps = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                hit = None
                 for c in comps:
                     if c["cid"] == cs:
                         c["td"], c["ta"] = tt >> 4, tt & 0xF
-            pos = pos + seglen
-            break
+                        hit = c
+                if hit is None:
+                    raise CodecError("jpeg SOS names unknown component")
+                scomps.append(hit)
+            if not progressive:
+                pos = pos + seglen
+                break
+            ss_, se_, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah_, al_ = aa >> 4, aa & 0xF
+            if not any_scan:
+                _alloc_coefs(comps, w, h)
+            any_scan = True
+            pos = _decode_prog_scan(
+                data, pos + seglen, scomps, comps, dc_tabs, ac_tabs,
+                dri, w, h, ss_, se_, ah_, al_)
+            continue
         # APPn / COM / others: skip
         pos += seglen
 
+    for c in comps:
+        if c["tq"] not in qtabs:
+            raise CodecError("jpeg references missing DQT")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    if progressive:
+        return _reconstruct(comps, qtabs, w, h, hmax, vmax)
+    _alloc_coefs(comps, w, h)
     for c in comps:
-        bw = mcux * c["h"]
-        bh = mcuy * c["v"]
-        # int32 coefficients: the standing decode state is the largest
-        # allocation header dims can force — int64 doubled it for no
-        # reason (legal dequantized values fit 27 bits; the DC predictor
-        # is clamped below).  IDCT float temporaries are chunked, so the
-        # bomb guard's pixel cap bounds JPEG memory like the other
-        # formats instead of ~16× it (review-found)
-        c["coef"] = np.zeros((bh * bw, 64), np.int32)
-        c["bw"] = bw
-        if c["tq"] not in qtabs:
-            raise CodecError("jpeg references missing DQT")
         if c.get("td") not in dc_tabs or c.get("ta") not in ac_tabs:
             raise CodecError("jpeg references missing DHT")
 
@@ -470,12 +699,37 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                         k += 1
                     row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                     c["coef"][row] = blk
+    return _reconstruct(comps, qtabs, w, h, hmax, vmax)
+
+
+def _alloc_coefs(comps: list[dict], w: int, h: int) -> None:
+    """MCU-padded per-component coefficient grids (int32: the standing
+    decode state is the largest allocation header dims can force — legal
+    dequantized values fit 27 bits; IDCT float temporaries are chunked,
+    so the bomb guard's pixel cap bounds JPEG memory like the other
+    formats)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        c["coef"] = np.zeros((bh * bw, 64), np.int32)
+        c["bw"] = bw
+
+
+def _reconstruct(comps: list[dict], qtabs: dict, w: int, h: int,
+                 hmax: int, vmax: int) -> np.ndarray:
     # dequantize + IDCT per component: coef rows are in zigzag order as
     # decoded → dequant in zigzag, then unzigzag.  IDCT runs as two
     # broadcast BLAS matmuls (einsum's 3-operand path was the profile's
     # top cost at 0.14 s per 580×540 image) over CHUNKS of block rows,
     # so float64 temporaries stay bounded (~tens of MB) no matter what
     # the header declares
+    for c in comps:
+        if "coef" not in c:
+            raise CodecError("jpeg stream held no scan data")
     planes = []
     for c in comps:
         qz = qtabs[c["tq"]].reshape(-1)[ZIGZAG].astype(np.int64)
@@ -701,5 +955,256 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture/golden side): the common libjpeg-style
+# scan script shape — DC first at Al=1 + DC refinement, then per
+# component an AC spectral scan at Al=1 and its refinement to Al=0 —
+# exercising every progressive decode path (DC/AC x first/refine, EOB
+# runs, point transforms) with real byte streams.
+
+
+# progressive AC scans code EOBn symbols (n<<4, n=0..14) that the
+# baseline Annex-K AC tables do not contain — ship a custom flat table
+# covering the full progressive AC symbol space (160 run/size + ZRL +
+# 15 EOBn = 176 symbols, all at code length 8: 176/256 < 1 satisfies
+# Kraft, and a flat table keeps the fixture encoder trivial)
+_AC_PROG_SYMS = sorted({(r << 4) | sz for r in range(16)
+                        for sz in range(1, 11)}
+                       | {0xF0} | {n << 4 for n in range(15)})
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMS),
+             0, 0, 0, 0, 0, 0, 0, 0], _AC_PROG_SYMS)
+
+
+class _EobBuffer:
+    """Accumulates EOB runs across blocks of one AC scan and flushes the
+    EOBn code (G.1.2.2: run = 2^n + n appended bits)."""
+
+    def __init__(self, bw_: _BitWriter, ac_codes):
+        self.bw = bw_
+        self.ac = ac_codes
+        self.run = 0
+
+    def add(self) -> None:
+        self.run += 1
+        if self.run == 0x7FFF:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.run:
+            return
+        n = self.run.bit_length() - 1
+        c, sz = self.ac[n << 4]
+        self.bw.write(c, sz)
+        if n:
+            self.bw.write(self.run - (1 << n), n)
+        self.run = 0
+
+
+def _enc_ac_first(bw_: _BitWriter, blk: np.ndarray, ac_codes,
+                  eob: _EobBuffer, al: int) -> None:
+    vals = [int(v) for v in blk[1:]]
+    pt = [(-((-v) >> al) if v < 0 else v >> al) for v in vals]
+    nz = [i for i, v in enumerate(pt) if v]
+    if not nz:
+        eob.add()
+        return
+    eob.flush()
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = pt[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, sz = ac_codes[0xF0]
+            bw_.write(c, sz)
+            run -= 16
+        t, bits = _mag(v)
+        c, sz = ac_codes[(run << 4) | t]
+        bw_.write(c, sz)
+        bw_.write(bits, t)
+        run = 0
+    if nz[-1] + 1 < 63:
+        eob.add()
+
+
+def _enc_ac_refine(bw_: _BitWriter, blk: np.ndarray, ac_codes,
+                   al: int) -> None:
+    """Refinement from precision al+1 down to al, emitted in DECODER
+    consumption order (code, sign, then the correction bits of the
+    positions passed in that segment) with eobrun=1 per block."""
+    p1 = 1 << al
+    absv = [abs(int(v)) >> al for v in blk[1:]]
+    newpos = [i for i, a in enumerate(absv) if a == 1]
+    k = 0
+    for j in newpos:
+        # zero-history run length between k and j
+        r = sum(1 for i in range(k, j) if absv[i] == 0)
+        while r > 15:
+            c, sz = ac_codes[0xF0]
+            bw_.write(c, sz)
+            nzero = 16
+            while nzero:
+                if absv[k] > 1:
+                    bw_.write((abs(int(blk[1 + k])) >> al) & 1, 1)
+                else:
+                    nzero -= 1
+                k += 1
+            r -= 16
+        c, sz = ac_codes[(r << 4) | 1]
+        bw_.write(c, sz)
+        bw_.write(1 if int(blk[1 + j]) > 0 else 0, 1)
+        while k < j:
+            if absv[k] > 1:
+                bw_.write((abs(int(blk[1 + k])) >> al) & 1, 1)
+            k += 1
+        k = j + 1
+    tail = [i for i in range(k, 63) if absv[i] > 1]
+    if k < 63 and (tail or True):
+        # EOB (eobrun = 1): decoder then reads one correction bit per
+        # remaining nonzero-history coefficient
+        c, sz = ac_codes[0x00]
+        bw_.write(c, sz)
+        for i in tail:
+            bw_.write((abs(int(blk[1 + i])) >> al) & 1, 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = True) -> bytes:
+    """(h, w, 3) RGB uint8 → progressive (SOF2) JFIF bytes whose
+    dequantized coefficients equal ``encode_jpeg``'s at the same
+    settings — decode(progressive) == decode(baseline) pixel-exact."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise CodecError("encode_jpeg_progressive wants (h, w, 3) RGB")
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = (-0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+          + 0.5 * f[:, :, 2] + 128.0)
+    cr = (0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+          - 0.081312 * f[:, :, 2] + 128.0)
+    qlum, qchrom = _quality_tables(quality)
+    sh = 2 if subsample else 1
+
+    def pad_to(a: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-a.shape[0]) % mult
+        pw = (-a.shape[1]) % mult
+        return np.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+    ypad = pad_to(y, 8 * sh)
+    if subsample:
+        cbp, crp = pad_to(cb, 16), pad_to(cr, 16)
+        cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+    else:
+        cbs, crs = pad_to(cb, 8), pad_to(cr, 8)
+    planes = [(_encode_blocks(ypad, qlum.reshape(8, 8).astype(np.float64)),
+               ypad.shape[1] // 8, sh, sh),
+              (_encode_blocks(cbs, qchrom.reshape(8, 8).astype(np.float64)),
+               cbs.shape[1] // 8, 1, 1),
+              (_encode_blocks(crs, qchrom.reshape(8, 8).astype(np.float64)),
+               crs.shape[1] // 8, 1, 1)]
+    mcux = planes[0][1] // sh
+    mcuy = planes[0][0].shape[0] // planes[0][1] // sh
+
+    dc_codes = [_huff_codes(*_DC_LUM), _huff_codes(*_DC_CHROM),
+                _huff_codes(*_DC_CHROM)]
+    acp = _huff_codes(*_AC_PROG)
+    ac_codes = [acp, acp, acp]
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qlum.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xDB, bytes([1]) + bytes(qchrom.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, (sh << 4) | sh, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += _seg(0xC2, sof)
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_PROG),
+                                 (0, 1, _DC_CHROM), (1, 1, _AC_PROG)):
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    def mcu_blocks(ci: int):
+        blocks, bwidth, chh, cvv = planes[ci]
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for by in range(cvv):
+                for bx in range(chh):
+                    yield blocks[(my * cvv + by) * bwidth + (mx * chh + bx)]
+
+    # scan 1: DC first, all components interleaved, Al=1
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(3):
+            blocks, bwidth, chh, cvv = planes[ci]
+            for by in range(cvv):
+                for bx in range(chh):
+                    dc = int(blocks[(my * cvv + by) * bwidth
+                                    + (mx * chh + bx)][0]) >> 1
+                    t, bits = _mag(dc - preds[ci])
+                    preds[ci] = dc
+                    c, sz = dc_codes[ci][t]
+                    bw_.write(c, sz)
+                    if t:
+                        bw_.write(bits, t)
+    bw_.flush()
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + bw_.out
+
+    # scan 2: DC refinement (one bit per block, same interleave)
+    bw_ = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(3):
+            blocks, bwidth, chh, cvv = planes[ci]
+            for by in range(cvv):
+                for bx in range(chh):
+                    bw_.write(int(blocks[(my * cvv + by) * bwidth
+                                         + (mx * chh + bx)][0]) & 1, 1)
+    bw_.flush()
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + bw_.out
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1 → Al=0),
+    # NON-interleaved over the component's own A.2.2 block raster
+    for ci in range(3):
+        blocks, bwidth, chh, cvv = planes[ci]
+        cw = -(-(w * chh) // sh) if ci == 0 else -(-w // sh)
+        chh_px = -(-(h * cvv) // sh) if ci == 0 else -(-h // sh)
+        if ci == 0:
+            cw, chh_px = w, h
+        nbx = -(-cw // 8)
+        nby = -(-chh_px // 8)
+        tsel = 0 if ci == 0 else 1
+        bw_ = _BitWriter()
+        eob = _EobBuffer(bw_, ac_codes[ci])
+        for by in range(nby):
+            for bx in range(nbx):
+                _enc_ac_first(bw_, blocks[by * bwidth + bx],
+                              ac_codes[ci], eob, 1)
+        eob.flush()
+        bw_.flush()
+        out += sos([(ci + 1, 0, tsel)], 1, 63, 0, 1) + bw_.out
+
+        bw_ = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                _enc_ac_refine(bw_, blocks[by * bwidth + bx],
+                               ac_codes[ci], 0)
+        bw_.flush()
+        out += sos([(ci + 1, 0, tsel)], 1, 63, 1, 0) + bw_.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -238,3 +238,135 @@ def test_rst_preceded_by_fill_bytes():
     br2 = jpeg._BitReader(b"\xff\xff\xd7", 0)
     with pytest.raises(jpeg.CodecError):
         br2.align_and_expect_rst(0)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — round 5
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """The progressive scan script (DC Al=1 + refine, per-component AC
+    spectral Al=1 + refine) carries the SAME quantized coefficients as
+    the baseline encoder — decode must be pixel-identical across shapes,
+    qualities and both subsampling modes (exercises DC/AC first+refine,
+    EOB runs, ZRL-in-refinement, point transforms)."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:57, 0:43]
+    grad = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    flat = np.full((24, 33, 3), 130, np.uint8)
+    imgs = [rng.integers(0, 256, (64, 80, 3), np.uint8), grad, flat,
+            rng.integers(0, 256, (17, 19, 3), np.uint8),
+            rng.integers(0, 256, (1, 1, 3), np.uint8),
+            rng.integers(0, 256, (9, 130, 3), np.uint8)]
+    for img in imgs:
+        for q in (30, 85, 95):
+            for sub in (True, False):
+                b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q, subsample=sub))
+                p = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg_progressive(img, q, subsample=sub))
+                assert np.array_equal(b, p), (img.shape, q, sub)
+
+
+def test_progressive_eob_run_spanning_blocks():
+    """A mostly-flat image makes consecutive all-zero AC blocks: the
+    encoder accumulates EOBn runs > 1 and the decoder's eobrun path must
+    skip exactly that many blocks (value check via baseline equality)."""
+    img = np.full((64, 64, 3), 200, np.uint8)
+    img[0, 0] = [10, 20, 30]  # one busy block so the scan isn't all-EOB
+    blob = jpeg.encode_jpeg_progressive(img, 85)
+    assert np.array_equal(jpeg.decode_jpeg(blob),
+                          jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85)))
+
+
+def test_progressive_fuzz_totality():
+    """Progressive streams under mutation/truncation either decode or
+    raise CodecError — never an uncaught exception or a hang."""
+    img = np.random.default_rng(9).integers(0, 256, (32, 32, 3), np.uint8)
+    blob = jpeg.encode_jpeg_progressive(img, 85)
+    rng = np.random.default_rng(10)
+    for _ in range(60):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(256))
+        try:
+            out = jpeg.decode_jpeg(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except jpeg.CodecError:
+            pass
+    for cut in (4, len(blob) // 4, len(blob) // 2, len(blob) - 3):
+        try:
+            jpeg.decode_jpeg(bytes(blob[:cut]))
+        except jpeg.CodecError:
+            pass
+
+
+def test_progressive_bad_scan_headers_dead_letter():
+    """Spec-illegal progressive scan headers (AC scan naming 3
+    components, Ah jumping by 2) must dead-letter with CodecError."""
+    img = np.random.default_rng(2).integers(0, 256, (16, 16, 3), np.uint8)
+    blob = bytearray(jpeg.encode_jpeg_progressive(img, 85))
+    # find the first AC SOS (ns==1): marker FF DA with seg[2]==1
+    import struct as _s
+    pos = 2
+    hits = []
+    while pos + 4 < len(blob):
+        if blob[pos] == 0xFF and blob[pos + 1] == 0xDA:
+            (ln,) = _s.unpack_from(">H", blob, pos + 2)
+            hits.append((pos, ln))
+            pos += 2 + ln
+            # skip entropy till next marker
+            while pos + 1 < len(blob) and not (
+                    blob[pos] == 0xFF and blob[pos + 1] not in (0x00,)
+                    and not (0xD0 <= blob[pos + 1] <= 0xD7)):
+                pos += 1
+        else:
+            pos += 1 if blob[pos] != 0xFF else 2
+    ac_sos = [p for p, ln in hits if blob[p + 4] == 1]
+    assert ac_sos
+    p0 = ac_sos[0]
+    # corrupt Ss to 0 while Se stays 63 → DC scan with Se != 0
+    bad = bytearray(blob)
+    bad[p0 + 7] = 0
+    with pytest.raises(jpeg.CodecError):
+        jpeg.decode_jpeg(bytes(bad))
+    # successive approximation jumping from Ah=0 to Ah=3
+    bad2 = bytearray(blob)
+    bad2[p0 + 9] = (3 << 4) | 1
+    with pytest.raises(jpeg.CodecError):
+        jpeg.decode_jpeg(bytes(bad2))
+
+
+def test_progressive_dims_and_dhash_match_baseline():
+    """jpeg_dims reads SOF2 headers; the dHash of a progressive re-save
+    equals its baseline sibling (the dedup property: a progressive
+    re-encode of the same pixels co-clusters)."""
+    from deduplicator_ray import hashing
+
+    img = fixtures._base_image(np.random.default_rng([13, 1]))
+    blob = jpeg.encode_jpeg_progressive(img, 85)
+    assert jpeg.jpeg_dims(blob) == (img.shape[1], img.shape[0])
+    b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85))
+    p = jpeg.decode_jpeg(blob)
+    assert hashing.dhash_u64(p, 8) == hashing.dhash_u64(b, 8)
+
+
+def test_projpg_corpus_progressive_coclusters(sf_small, ray_session):
+    """End-to-end: every family's baseline jpg and SOF2 re-save share one
+    proc_hash bucket; truncated streams dead-letter out of the relation."""
+    import __ray_entry__ as e
+
+    out = e._img_progressive_jpeg_clusters(sf_small)
+    assert len(out) > 0
+    assert not out["image_id"].str.endswith("_bad.jpg").any()
+    fam = out["image_id"].str.rsplit("_", n=1).str[0]
+    df = out.assign(fam=fam)
+    core = df[df["image_id"].str.endswith(("_base.jpg", "_prog.jpg"))]
+    per = core.groupby("fam").agg(n=("image_id", "size"),
+                                  h=("proc_hash", "nunique"))
+    assert len(per) > 0 and (per["n"] == 2).all() and (per["h"] == 1).all()
+    # quality-shifted progressive members joined their family's bucket
+    p2 = df[df["image_id"].str.endswith("_prog2.jpg")]
+    if len(p2):
+        j = p2.merge(core, on="fam", suffixes=("_p2", "_core"))
+        assert (j["proc_hash_p2"] == j["proc_hash_core"]).all()

@@ -144,6 +144,24 @@ def _img_progressive_jpeg_clusters(sf_dir: str):
         ["proc_hash", "image_id"]).reset_index(drop=True)
 
 
+def _img_mp4_container_meta(sf_dir: str):
+    """Distributed fingerprint pass over REAL mp4 containers: the frames
+    column comes from the ISO BMFF box walk (codecs.parse_mp4_meta — the
+    metadata cv2 reads for the reference, dupedb.py:92-98), the
+    fingerprint stays the honest md5 stub, and malformed streams keep
+    frames=1 instead of crashing.  Mirror: projection of the mp4x oracle
+    sidecar (Ray-free recompute of the same kernel)."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    fp = ip.fingerprints(dio.read_parquet(fixtures.mp4x_images_path(sf_dir)),
+                         _cfg())
+    out = fp.select_columns(["image_id", "status", "frames"]).to_pandas()
+    out["frames"] = out["frames"].astype("int64")
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _img_nonstrict_decisions(sf_dir: str):
     """Keeper election in non-strict mode over images ∪ the vcon corpus:
     exercises the animation-wins quality rule (makeImageSortTuple
@@ -1507,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_reference_clusters_nonstrict": _img_reference_clusters_nonstrict,
         "img_png_variant_clusters": _img_png_variant_clusters,
         "img_progressive_jpeg_clusters": _img_progressive_jpeg_clusters,
+        "img_mp4_container_meta": _img_mp4_container_meta,
         "img_nonstrict_decisions": _img_nonstrict_decisions,
         "img_strict_mode_diff": _img_strict_mode_diff,
         "img_phash_clusters": _img_phash_clusters,
@@ -1767,6 +1786,11 @@ def _fixture_mirrors() -> dict[str, str]:
         "img_progressive_jpeg_clusters": mirrors.compose(
             mirrors.REFERENCE_CLUSTERS_SQL,
             hashes=fixtures.projpg_hashes_path(sf) + "/*.parquet", **kw),
+        "img_mp4_container_meta": f"""
+            SELECT image_id, status, CAST(frames AS BIGINT) AS frames
+            FROM '{fixtures.mp4x_hashes_path(sf)}/*.parquet'
+            ORDER BY image_id
+        """,
         "img_nonstrict_decisions": mirrors.compose(
             mirrors.REFERENCE_DECISIONS_SQL, hashes=hashes,
             ns_hashes=fixtures.nonstrict_hashes_path(sf) + "/*.parquet",

@@ -623,6 +623,139 @@ def decode_vcon(data: bytes) -> list[bytes]:
 
 
 # ---------------------------------------------------------------------------
+# mp4: REAL ISO BMFF container box-parse (ftyp/moov walk) for frame
+# counts, duration and track dims — no H.264 pixel decode (that stays
+# the documented stub boundary), but the quality tuple's frames signal
+# and the metadata surface are real for actual mp4 files
+# (/root/reference/dupedb.py:92-98 reads the same metadata via cv2).
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) of the boxes in a range."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4: pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise CodecError("truncated mp4 largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # box extends to end of enclosing scope
+        if size < hdr or pos + size > end:
+            raise CodecError("bad mp4 box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, *path: bytes):
+    """First box at a nested path, as (payload_start, payload_end)."""
+    lo, hi = start, end
+    for name in path:
+        for btype, b0, b1 in _mp4_boxes(data, lo, hi):
+            if btype == name:
+                lo, hi = b0, b1
+                break
+        else:
+            raise CodecError(f"mp4 missing {name.decode(errors='replace')} box")
+    return lo, hi
+
+
+def parse_mp4_meta(data: bytes) -> tuple[int, int, int, int]:
+    """(frames, duration_ms, width, height) of the first VIDEO track of
+    an ISO BMFF (mp4/mov) stream — ftyp sanity, then the moov walk
+    moov→trak→mdia(hdlr=='vide')→(mdhd timescale/duration,
+    stbl→stsz sample_count, tkhd dims).  Raises CodecError for anything
+    that is not a well-formed mp4 (the caller falls back to the plain
+    stub path, so random-byte fixtures keep today's behavior)."""
+    if len(data) < 16:
+        raise CodecError("not an mp4: too short")
+    try:
+        tops = list(_mp4_boxes(data, 0, len(data)))
+    except struct.error as e:
+        raise CodecError(f"bad mp4: {e}") from e
+    if not tops or tops[0][0] != b"ftyp":
+        raise CodecError("not an mp4: no ftyp")
+    moov = next(((b0, b1) for t, b0, b1 in tops if t == b"moov"), None)
+    if moov is None:
+        raise CodecError("mp4 missing moov")
+    try:
+        for btype, t0, t1 in _mp4_boxes(data, *moov):
+            if btype != b"trak":
+                continue
+            m0, m1 = _mp4_find(data, t0, t1, b"mdia")
+            h0, h1 = _mp4_find(data, m0, m1, b"hdlr")
+            if data[h0 + 8: h0 + 12] != b"vide":
+                continue
+            d0, d1 = _mp4_find(data, m0, m1, b"mdhd")
+            ver = data[d0]
+            if ver == 1:
+                timescale = struct.unpack_from(">I", data, d0 + 20)[0]
+                duration = struct.unpack_from(">Q", data, d0 + 24)[0]
+            else:
+                timescale = struct.unpack_from(">I", data, d0 + 12)[0]
+                duration = struct.unpack_from(">I", data, d0 + 16)[0]
+            z0, z1 = _mp4_find(data, m0, m1, b"minf", b"stbl", b"stsz")
+            sample_size = struct.unpack_from(">I", data, z0 + 4)[0]
+            frames = struct.unpack_from(">I", data, z0 + 8)[0]
+            if frames == 0 and sample_size:
+                frames = 1
+            w = h = 0
+            try:
+                k0, k1 = _mp4_find(data, t0, t1, b"tkhd")
+                kver = data[k0]
+                off = k0 + (88 if kver == 1 else 76)
+                w = struct.unpack_from(">I", data, off)[0] >> 16
+                h = struct.unpack_from(">I", data, off + 4)[0] >> 16
+            except CodecError:
+                pass
+            if frames <= 0 or frames > 10_000_000:
+                raise CodecError(f"implausible mp4 frame count {frames}")
+            dur_ms = int(duration * 1000 // timescale) if timescale else 0
+            return frames, dur_ms, w, h
+    except (struct.error, IndexError) as e:
+        raise CodecError(f"bad mp4 moov: {e}") from e
+    raise CodecError("mp4 has no video track")
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def encode_mp4_stub(frames: int, duration_ms: int, w: int, h: int,
+                    seed: int = 0) -> bytes:
+    """Minimal well-formed ISO BMFF stream: real ftyp/moov metadata (the
+    part ``parse_mp4_meta`` reads) over a deterministic filler mdat —
+    fixture-side only, no codec payload."""
+    timescale = 1000
+    duration = duration_ms
+    mdhd = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration) + b"\x55\xc4\x00\x00")
+    hdlr = b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"stub\x00"
+    stsz = _mp4_box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, frames)
+                    + b"".join(struct.pack(">I", 64) for _ in range(frames)))
+    stbl = _mp4_box(b"stbl", stsz)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", _mp4_box(b"mdhd", mdhd)
+                    + _mp4_box(b"hdlr", hdlr) + minf)
+    tkhd = (b"\x00\x00\x00\x07" + struct.pack(">III", 0, 0, 1)
+            + b"\x00" * 4 + struct.pack(">I", duration) + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", w << 16, h << 16))
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    mvhd = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    rng = np.random.default_rng(seed)
+    body = rng.integers(0, 256, 64 * max(frames, 1), dtype=np.uint8).tobytes()
+    return (_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+            + moov + _mp4_box(b"mdat", body))
+
+
 # acon: a trivially parseable PCM container standing in for wav/flac/mp3.
 # Real audio decoding needs libsndfile/ffmpeg (absent here, see STUB_FMTS);
 # the audio DEDUP pipeline still needs genuine per-window compute, so

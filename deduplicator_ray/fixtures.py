@@ -973,6 +973,91 @@ def projpg_images_path(sf_dir: str) -> str:
     return out
 
 
+MP4X_FAMILIES = {"sf0.001": 30, "sf0.01": 300, "sf0.1": 3000}
+
+
+def mp4x_images_path(sf_dir: str) -> str:
+    """Real-container mp4 corpus (IMAGES_SCHEMA): per family a
+    well-formed ISO BMFF stream (ftyp/moov/trak/stsz — real frame count,
+    duration and track dims; filler mdat, no codec payload) plus a
+    byte-identical copy (md5-clusters, like the reference's strict video
+    class), and occasionally a random-byte pseudo-mp4 (the pre-existing
+    stub behavior: frames stays 1) or a truncated moov (parse fails →
+    same stub fallback, loudly NOT a crash)."""
+    from deduplicator_ray import codecs
+
+    sfn = sf_name(sf_dir)
+    n_fam = MP4X_FAMILIES.get(sfn, 30)
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"mp4x_{sfn}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    rows: list[dict] = []
+    for fid in range(n_fam):
+        rng = np.random.default_rng([SEED, 99, fid])
+        d = f"mp4x/{rng.choice(_DIRS)}"
+        stem = f"{rng.choice(_WORDS)}_m{fid:05d}"
+        cap = _caption(rng)
+        nf = int(rng.integers(2, 400))
+        dur = int(nf * 1000 // 30)
+        w = int(rng.choice([320, 640, 1280]))
+        h = int(w * 9 // 16)
+        blob = codecs.encode_mp4_stub(nf, dur, w, h, seed=fid)
+
+        def mrow(iid, b):
+            rows.append(dict(image_id=iid, bytes=b, w=0, h=0, fmt="mp4",
+                             caption=cap, phash=0))
+
+        mrow(f"{d}/{stem}.mp4", blob)
+        mrow(f"{d}/{stem} (copy).mp4", blob)
+        if rng.uniform() < 0.3:
+            junk = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+            mrow(f"{d}/{stem}_junk.mp4", junk)
+        if rng.uniform() < 0.2:
+            mrow(f"{d}/{stem}_trunc.mp4", blob[: len(blob) // 4])
+    pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
+                   os.path.join(tmp, "part-000000.parquet"))
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def mp4x_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
+    """Ray-free oracle hash sidecar (with REAL frames) over the mp4
+    container corpus."""
+    img_dir = mp4x_images_path(sf_dir)
+    out = f"{img_dir}_hashes_h{hash_size}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for f in shards:
+        _write_hash_shard((os.path.join(img_dir, f), os.path.join(tmp, f),
+                           hash_size, "dhash"))
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def projpg_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     """Ray-free oracle hash sidecar over the progressive-JPEG corpus
     (``hashes_path`` pattern)."""

@@ -92,6 +92,13 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
             rec["dhash"] = 0
             rec["status"] = "md5_only"
             rec["error"] = str(e)
+            if row["fmt"] == "mp4":
+                # mirror decode_hash: real frame count from the BMFF box
+                # walk when the payload parses; stub path otherwise
+                try:
+                    rec["frames"] = codecs.parse_mp4_meta(data)[0]
+                except codecs.CodecError:
+                    pass
         except codecs.CodecError as e:
             rec["proc_hash"] = None
             rec["dhash"] = None

@@ -410,3 +410,60 @@ def test_pngx_corpus_variants_cocluster(sf_small, ray_session):
                                   h=("proc_hash", "nunique"))
     assert len(perg4) > 0 and (perg4["n"] == 2).all() \
         and (perg4["h"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# mp4 container metadata (round 5)
+
+
+def test_mp4_meta_roundtrip_and_rejection():
+    """encode_mp4_stub → parse_mp4_meta roundtrips (frames, duration,
+    dims); garbage / truncated / ftyp-less payloads raise CodecError."""
+    b = codecs.encode_mp4_stub(37, 1480, 640, 360, seed=5)
+    assert codecs.parse_mp4_meta(b) == (37, 1480, 640, 360)
+    assert codecs.parse_mp4_meta(
+        codecs.encode_mp4_stub(1, 40, 320, 240, seed=2)) == (1, 40, 320, 240)
+    import pytest as _pytest
+    rng = np.random.default_rng(1)
+    for bad in (b"\x00" * 40, b"ftyp" + b"\x00" * 100,
+                bytes(rng.integers(0, 256, 2048, dtype=np.uint8)),
+                b[: len(b) // 4]):
+        with _pytest.raises(codecs.CodecError):
+            codecs.parse_mp4_meta(bad)
+    # mutation totality
+    for _ in range(40):
+        m = bytearray(b)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(256))
+        try:
+            f, d, w, h = codecs.parse_mp4_meta(bytes(m))
+            assert 0 < f <= 10_000_000
+        except codecs.CodecError:
+            pass
+
+
+def test_mp4_fingerprint_real_frames(ray_session, sf_small):
+    """The fingerprint stage reports REAL frame counts for well-formed
+    mp4 streams, falls back to frames=1 for junk/truncated ones, and
+    byte-identical mp4 copies still md5-cluster."""
+    import __ray_entry__ as e
+
+    out = e._img_mp4_container_meta(sf_small)
+    assert len(out) > 0
+    good = out[~out["image_id"].str.contains("_junk|_trunc")]
+    assert (good["frames"] > 1).all()      # every family has >= 2 frames
+    assert (good["status"] == "md5_only").all()
+    junk = out[out["image_id"].str.contains("_junk|_trunc")]
+    if len(junk):
+        assert (junk["frames"] == 1).all()
+    # copy pairs share the family's md5 cluster
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+    from deduplicator_ray.config import PipelineConfig
+
+    rc = ip.reference_clusters(
+        dio.read_parquet(fixtures.mp4x_images_path(sf_small)),
+        PipelineConfig()).to_pandas()
+    assert (rc.groupby("proc_hash")["image_id"].size() >= 2).all()
+    assert rc["image_id"].str.endswith(".mp4").all()

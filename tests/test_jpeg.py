@@ -370,3 +370,28 @@ def test_projpg_corpus_progressive_coclusters(sf_small, ray_session):
     if len(p2):
         j = p2.merge(core, on="fam", suffixes=("_p2", "_core"))
         assert (j["proc_hash_p2"] == j["proc_hash_core"]).all()
+
+
+def test_restart_interval_streams_roundtrip():
+    """DRI + RSTn streams decode identically to their marker-free
+    siblings across intervals and subsampling modes (covers the fast
+    scan decoder's segment splitting + predictor resets); corrupt
+    restart sequences dead-letter."""
+    rng = np.random.default_rng(6)
+    for shape in [(64, 80, 3), (37, 41, 3)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        for sub in (True, False):
+            want = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, subsample=sub))
+            for ri in (1, 3, 7):
+                blob = jpeg.encode_jpeg(img, 85, subsample=sub,
+                                        restart_mcus=ri)
+                assert np.array_equal(jpeg.decode_jpeg(blob), want)
+    # break an RST marker's sequence number → CodecError, not desync
+    blob = bytearray(jpeg.encode_jpeg(
+        np.random.default_rng(1).integers(0, 256, (64, 64, 3), np.uint8),
+        85, restart_mcus=2))
+    i = bytes(blob).find(b"\xff\xd0")
+    assert i > 0
+    blob[i + 1] = 0xD5
+    with pytest.raises(jpeg.CodecError):
+        jpeg.decode_jpeg(bytes(blob))

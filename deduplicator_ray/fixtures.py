@@ -1036,32 +1036,21 @@ def mp4x_images_path(sf_dir: str) -> str:
 def mp4x_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     """Ray-free oracle hash sidecar (with REAL frames) over the mp4
     container corpus."""
-    img_dir = mp4x_images_path(sf_dir)
-    out = f"{img_dir}_hashes_h{hash_size}"
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
-    tmp = out + ".tmp"
-    import shutil as _sh
-
-    _sh.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    for f in shards:
-        _write_hash_shard((os.path.join(img_dir, f), os.path.join(tmp, f),
-                           hash_size, "dhash"))
-    if os.path.exists(out):
-        _sh.rmtree(out)
-    os.rename(tmp, out)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _oracle_hash_sidecar(mp4x_images_path(sf_dir), hash_size)
 
 
 def projpg_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     """Ray-free oracle hash sidecar over the progressive-JPEG corpus
     (``hashes_path`` pattern)."""
-    img_dir = projpg_images_path(sf_dir)
+    return _oracle_hash_sidecar(projpg_images_path(sf_dir), hash_size)
+
+
+def _oracle_hash_sidecar(img_dir: str, hash_size: int = 8) -> str:
+    """Shared sidecar writer for the extension corpora: Ray-free oracle
+    recompute of every row's fingerprint (+frames) into
+    ``{img_dir}_hashes_h{N}``, crash-safe via tmp+rename, parallel over
+    shards (one implementation — review-found: three copies drifted,
+    one silently dropping the parallel branch)."""
     out = f"{img_dir}_hashes_h{hash_size}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
@@ -1094,33 +1083,7 @@ def pngx_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     """Ray-free oracle hash sidecar over the PNG-variant corpus (the
     ``hashes_path`` pattern: the per-image decode ships as data so the
     DuckDB mirror value-checks the distributed clustering)."""
-    img_dir = pngx_images_path(sf_dir)
-    out = f"{img_dir}_hashes_h{hash_size}"
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    shards = sorted(f for f in os.listdir(img_dir) if f.endswith(".parquet"))
-    tmp = out + ".tmp"
-    import shutil as _sh
-
-    _sh.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    jobs = [(os.path.join(img_dir, f), os.path.join(tmp, f), hash_size,
-             "dhash") for f in shards]
-    if len(jobs) > 4 and os.environ.get("DEDUP_FIXTURE_SERIAL") != "1":
-        import concurrent.futures as cf
-
-        with cf.ProcessPoolExecutor(max_workers=min(24, os.cpu_count() or 4)) as ex:
-            list(ex.map(_write_hash_shard, jobs, chunksize=1))
-    else:
-        for j in jobs:
-            _write_hash_shard(j)
-    if os.path.exists(out):
-        _sh.rmtree(out)
-    os.rename(tmp, out)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _oracle_hash_sidecar(pngx_images_path(sf_dir), hash_size)
 
 
 def nonstrict_hashes_path(sf_dir: str, strict: bool = False,

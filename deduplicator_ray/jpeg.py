@@ -579,6 +579,12 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 sp += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            if comps:
+                # a second SOF would append coefficient-less component
+                # entries that a later SOS resolves to — the KeyError
+                # escaped the taxonomy (review-found); one frame per
+                # stream is also what the spec allows (B.2.1)
+                raise CodecError("duplicate jpeg SOF")
             progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:

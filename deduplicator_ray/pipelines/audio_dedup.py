@@ -139,7 +139,7 @@ def audio_signatures(audios: rd.Dataset) -> rd.Dataset:
         AudioSignatures,
         batch_format="pyarrow",
         batch_size=32,               # payloads are large; keep batches small
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )
 
 
@@ -236,7 +236,7 @@ def audio_tier_signatures(audios: rd.Dataset) -> rd.Dataset:
         AudioSignaturesMd5,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )
 
 

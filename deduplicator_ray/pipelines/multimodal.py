@@ -180,7 +180,7 @@ def resize_pipeline(ds: rd.Dataset, out_w: int, out_h: int,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         batch_size=128,           # pixel payloads: small batches
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )
 
 
@@ -189,7 +189,7 @@ def feature_pipeline(ds: rd.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )
 
 
@@ -518,5 +518,5 @@ def audio_pipeline(ds: rd.Dataset, fake: bool = False) -> rd.Dataset:
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )

@@ -111,7 +111,7 @@ def video_frames(videos: rd.Dataset, hash_size: int = 8) -> rd.Dataset:
         fn_constructor_kwargs={"hash_size": hash_size},
         batch_format="pyarrow",
         batch_size=32,               # payloads are large; keep batches small
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )
 
 
@@ -212,7 +212,7 @@ def video_tier_frames(videos: rd.Dataset, hash_size: int = 8) -> rd.Dataset:
         fn_constructor_kwargs={"hash_size": hash_size},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=tuning.actor_pool_bounds(),
+        concurrency=tuning.actor_pool_bounds(per_actor_gb=1.0),
     )
 
 

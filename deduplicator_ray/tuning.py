@@ -74,24 +74,38 @@ def tune() -> None:
         log.addFilter(_EmptyBundleSchemaFilter())
 
 
-def actor_pool_bounds(cap: int | None = None) -> tuple[int, int]:
+def actor_pool_bounds(cap: int | None = None,
+                      per_actor_gb: float | None = None) -> tuple[int, int]:
     """Autoscaling ``concurrency=(min, max)`` bounds for stateful
     decode/fingerprint actor pools, derived from the CLUSTER's CPU count
     instead of a hard-coded constant (a fixed (1, 8) cap bounds the
     decode stage at 8 actors on a 32-cpu node — and on a 256-node
     cluster leaves 99% of it idle).  ``min=1`` keeps tiny inputs from
     paying multi-actor startup; ``max`` tracks total cores so the pool
-    can widen to the cluster whenever the stage is the bottleneck, with
-    an optional caller cap for stages whose per-actor memory footprint
-    (model weights, large batches) bounds safe parallelism."""
+    can widen to the cluster whenever the stage is the bottleneck.
+
+    ``per_actor_gb``: MEMORY-derived bound for stages whose in-flight
+    batches are large (multi-MB media payloads × batch_size) — the pool
+    is additionally capped at cluster-memory / per_actor_gb so N actors
+    can never out-allocate the heap regardless of core count.  ``cap``
+    remains an absolute override."""
+    cores = 8
+    mem_gb = None
     try:
         if ray.is_initialized():
-            cores = int(ray.cluster_resources().get("CPU", 8))
+            res = ray.cluster_resources()
+            cores = int(res.get("CPU", 8))
+            if res.get("memory"):
+                mem_gb = float(res["memory"]) / (1 << 30)
         else:
             cores = int(os.cpu_count() or 8)
     except Exception:
-        cores = 8
+        pass
     hi = max(2, cores)
+    if per_actor_gb:
+        if mem_gb is None:
+            mem_gb = 4.0 * cores  # typical provisioning fallback
+        hi = max(2, min(hi, int(mem_gb / per_actor_gb)))
     if cap is not None:
         hi = max(2, min(cap, hi))
     return (1, hi)

@@ -395,3 +395,27 @@ def test_restart_interval_streams_roundtrip():
     blob[i + 1] = 0xD5
     with pytest.raises(jpeg.CodecError):
         jpeg.decode_jpeg(bytes(blob))
+
+
+def test_duplicate_sof_dead_letters():
+    """A second SOF segment (appending coefficient-less components) must
+    raise CodecError, not escape as KeyError (review-found on
+    adversarial progressive streams)."""
+    img = np.random.default_rng(7).integers(0, 256, (16, 16, 3), np.uint8)
+    blob = jpeg.encode_jpeg_progressive(img, 85)
+    i = blob.find(b"\xff\xc2")
+    import struct as _s
+    (ln,) = _s.unpack_from(">H", blob, i + 2)
+    sof_seg = blob[i: i + 2 + ln]
+    # duplicate the SOF right before the second SOS
+    j = blob.find(b"\xff\xda", blob.find(b"\xff\xda") + 2)
+    bad = blob[:j] + sof_seg + blob[j:]
+    with pytest.raises(jpeg.CodecError, match="duplicate"):
+        jpeg.decode_jpeg(bad)
+    # baseline stream with duplicate SOF0 dead-letters the same way
+    b2 = jpeg.encode_jpeg(img, 85)
+    i2 = b2.find(b"\xff\xc0")
+    (ln2,) = _s.unpack_from(">H", b2, i2 + 2)
+    bad2 = b2[:i2] + b2[i2: i2 + 2 + ln2] + b2[i2:]
+    with pytest.raises(jpeg.CodecError, match="duplicate"):
+        jpeg.decode_jpeg(bad2)

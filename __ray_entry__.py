@@ -162,6 +162,24 @@ def _img_mp4_container_meta(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _img_webm_container_meta(sf_dir: str):
+    """Distributed fingerprint pass over REAL Matroska/webm containers:
+    frames from the EBML SimpleBlock walk (codecs.parse_webm_meta — the
+    metadata cv2 reads for the reference's other video extension,
+    dupedb.py:53-65, 92-98), fingerprint stays the honest md5 stub, and
+    malformed streams keep frames=1.  Mirror: projection of the webmx
+    oracle sidecar."""
+    from deduplicator_ray import fixtures
+    from deduplicator_ray import io as dio
+    from deduplicator_ray.pipelines import image_dedup as ip
+
+    fp = ip.fingerprints(
+        dio.read_parquet(fixtures.webmx_images_path(sf_dir)), _cfg())
+    out = fp.select_columns(["image_id", "status", "frames"]).to_pandas()
+    out["frames"] = out["frames"].astype("int64")
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _img_nonstrict_decisions(sf_dir: str):
     """Keeper election in non-strict mode over images ∪ the vcon corpus:
     exercises the animation-wins quality rule (makeImageSortTuple
@@ -1526,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_png_variant_clusters": _img_png_variant_clusters,
         "img_progressive_jpeg_clusters": _img_progressive_jpeg_clusters,
         "img_mp4_container_meta": _img_mp4_container_meta,
+        "img_webm_container_meta": _img_webm_container_meta,
         "img_nonstrict_decisions": _img_nonstrict_decisions,
         "img_strict_mode_diff": _img_strict_mode_diff,
         "img_phash_clusters": _img_phash_clusters,
@@ -1789,6 +1808,11 @@ def _fixture_mirrors() -> dict[str, str]:
         "img_mp4_container_meta": f"""
             SELECT image_id, status, CAST(frames AS BIGINT) AS frames
             FROM '{fixtures.mp4x_hashes_path(sf)}/*.parquet'
+            ORDER BY image_id
+        """,
+        "img_webm_container_meta": f"""
+            SELECT image_id, status, CAST(frames AS BIGINT) AS frames
+            FROM '{fixtures.webmx_hashes_path(sf)}/*.parquet'
             ORDER BY image_id
         """,
         "img_nonstrict_decisions": mirrors.compose(

@@ -756,6 +756,178 @@ def encode_mp4_stub(frames: int, duration_ms: int, w: int, h: int,
             + moov + _mp4_box(b"mdat", body))
 
 
+# webm: REAL Matroska/EBML metadata parse — the mp4 box walk's sibling
+# for the reference's other video extension (dupedb.py:53-65).  Frame
+# count = video-track SimpleBlock/Block count across Clusters (lacing
+# honored), duration from Info, dims from the video TrackEntry.  No VP8/
+# VP9 pixel decode (stub boundary unchanged).
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, new_pos) of an EBML variable-length integer.  Element IDs
+    keep the length-marker bit (``keep_marker``); sizes strip it.  An
+    all-ones size payload means 'unknown size' and returns -1."""
+    if pos >= len(data):
+        raise CodecError("truncated ebml vint")
+    first = data[pos]
+    if first == 0:
+        raise CodecError("bad ebml vint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise CodecError("truncated ebml vint")
+    if keep_marker:
+        v = int.from_bytes(data[pos:pos + length], "big")
+    else:
+        v = first & ((1 << (8 - length)) - 1)
+        for i in range(1, length):
+            v = (v << 8) | data[pos + i]
+        if v == (1 << (7 * length)) - 1:
+            v = -1  # unknown size
+    return v, pos + length
+
+
+def _ebml_walk(data: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end) within a range."""
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, True)
+        size, pos = _ebml_vint(data, pos, False)
+        if size == -1:
+            yield eid, pos, end  # unknown size: extends to range end
+            return
+        if pos + size > end:
+            raise CodecError("ebml element overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def parse_webm_meta(data: bytes) -> tuple[int, int, int, int]:
+    """(frames, duration_ms, width, height) of the first video track of
+    a Matroska/webm stream.  Raises CodecError for anything not
+    well-formed EBML (callers fall back to the stub path)."""
+    if not data.startswith(_EBML_MAGIC):
+        raise CodecError("not webm: no EBML header")
+    seg = None
+    for eid, b0, b1 in _ebml_walk(data, 0, len(data)):
+        if eid == 0x18538067:  # Segment
+            seg = (b0, b1)
+            break
+    if seg is None:
+        raise CodecError("webm missing Segment")
+    tscale = 1_000_000  # ns per timestamp unit (Matroska default)
+    duration_units = 0.0
+    vtrack = None
+    w = h = 0
+    clusters: list[tuple[int, int]] = []
+    for eid, b0, b1 in _ebml_walk(data, *seg):
+        if eid == 0x1549A966:  # Info
+            for i2, c0, c1 in _ebml_walk(data, b0, b1):
+                if i2 == 0x2AD7B1:
+                    tscale = int.from_bytes(data[c0:c1], "big")
+                elif i2 == 0x4489:  # Duration (float)
+                    n = c1 - c0
+                    if n == 4:
+                        duration_units = struct.unpack(">f", data[c0:c1])[0]
+                    elif n == 8:
+                        duration_units = struct.unpack(">d", data[c0:c1])[0]
+                    else:
+                        raise CodecError("bad webm Duration width")
+        elif eid == 0x1654AE6B:  # Tracks
+            for i2, t0, t1 in _ebml_walk(data, b0, b1):
+                if i2 != 0xAE:  # TrackEntry
+                    continue
+                tnum = ttype = 0
+                tw = th = 0
+                for i3, e0, e1 in _ebml_walk(data, t0, t1):
+                    if i3 == 0xD7:
+                        tnum = int.from_bytes(data[e0:e1], "big")
+                    elif i3 == 0x83:
+                        ttype = int.from_bytes(data[e0:e1], "big")
+                    elif i3 == 0xE0:  # Video
+                        for i4, v0, v1 in _ebml_walk(data, e0, e1):
+                            if i4 == 0xB0:
+                                tw = int.from_bytes(data[v0:v1], "big")
+                            elif i4 == 0xBA:
+                                th = int.from_bytes(data[v0:v1], "big")
+                if ttype == 1 and vtrack is None:
+                    vtrack, w, h = tnum, tw, th
+        elif eid == 0x1F43B675:  # Cluster
+            clusters.append((b0, b1))
+    if vtrack is None:
+        raise CodecError("webm has no video track")
+    frames = 0
+    for b0, b1 in clusters:
+        for eid, c0, c1 in _ebml_walk(data, b0, b1):
+            blk = None
+            if eid == 0xA3:  # SimpleBlock
+                blk = (c0, c1)
+            elif eid == 0xA0:  # BlockGroup
+                for i2, g0, g1 in _ebml_walk(data, c0, c1):
+                    if i2 == 0xA1:
+                        blk = (g0, g1)
+                        break
+            if blk is None:
+                continue
+            p0, p1 = blk
+            tn, p = _ebml_vint(data, p0, False)
+            if tn != vtrack:
+                continue
+            if p + 3 > p1:
+                raise CodecError("truncated webm block")
+            flags = data[p + 2]
+            lacing = (flags >> 1) & 3
+            if lacing == 0:
+                frames += 1
+            else:
+                if p + 4 > p1:
+                    raise CodecError("truncated webm lace header")
+                frames += data[p + 3] + 1
+    if frames <= 0 or frames > 10_000_000:
+        raise CodecError(f"implausible webm frame count {frames}")
+    dur_ms = int(duration_units * tscale / 1_000_000)
+    return frames, dur_ms, w, h
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    # 4-byte size with marker bit (handles payloads to 2^28-2)
+    size = (0x10000000 | n).to_bytes(4, "big")
+    return idb + size + payload
+
+
+def _ebml_uint(eid: int, v: int) -> bytes:
+    return _ebml_el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def encode_webm_stub(frames: int, duration_ms: int, w: int, h: int,
+                     seed: int = 0) -> bytes:
+    """Minimal well-formed Matroska stream: real EBML/Info/Tracks
+    metadata and one Cluster of SimpleBlocks with deterministic filler
+    payloads — fixture-side only, no codec payload."""
+    ebml = _ebml_el(0x1A45DFA3,
+                    _ebml_uint(0x4286, 1) + _ebml_uint(0x42F7, 1)
+                    + _ebml_el(0x4282, b"webm") + _ebml_uint(0x4287, 4))
+    info = _ebml_el(0x1549A966,
+                    _ebml_uint(0x2AD7B1, 1_000_000)
+                    + _ebml_el(0x4489,
+                               struct.pack(">d", float(duration_ms))))
+    video = _ebml_el(0xE0, _ebml_uint(0xB0, w) + _ebml_uint(0xBA, h))
+    track = _ebml_el(0xAE, _ebml_uint(0xD7, 1) + _ebml_uint(0x83, 1)
+                     + _ebml_el(0x536E, b"v") + video)
+    tracks = _ebml_el(0x1654AE6B, track)
+    rng = np.random.default_rng(seed)
+    blocks = b""
+    for i in range(frames):
+        payload = rng.integers(0, 256, 24, dtype=np.uint8).tobytes()
+        blk = b"\x81" + struct.pack(">h", i) + b"\x00" + payload
+        blocks += _ebml_el(0xA3, blk)
+    cluster = _ebml_el(0x1F43B675, _ebml_uint(0xE7, 0) + blocks)
+    return ebml + _ebml_el(0x18538067, info + tracks + cluster)
+
+
 # acon: a trivially parseable PCM container standing in for wav/flac/mp3.
 # Real audio decoding needs libsndfile/ffmpeg (absent here, see STUB_FMTS);
 # the audio DEDUP pipeline still needs genuine per-window compute, so

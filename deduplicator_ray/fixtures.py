@@ -1045,6 +1045,67 @@ def projpg_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
     return _oracle_hash_sidecar(projpg_images_path(sf_dir), hash_size)
 
 
+def webmx_images_path(sf_dir: str) -> str:
+    """Real-container webm corpus (IMAGES_SCHEMA), the Matroska sibling
+    of ``mp4x_images_path``: per family a well-formed EBML stream (real
+    frame count via SimpleBlocks, duration, track dims; filler payloads)
+    plus a byte-identical copy, and occasionally random-byte or
+    truncated pseudo-webm (stub fallback, frames=1)."""
+    from deduplicator_ray import codecs
+
+    sfn = sf_name(sf_dir)
+    n_fam = MP4X_FAMILIES.get(sfn, 30)
+    root = os.environ.get(
+        "DEDUP_FIXTURE_ROOT",
+        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
+    out = os.path.join(root, f"webmx_{sfn}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    import shutil as _sh
+
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    rows: list[dict] = []
+    for fid in range(n_fam):
+        rng = np.random.default_rng([SEED, 100, fid])
+        d = f"webmx/{rng.choice(_DIRS)}"
+        stem = f"{rng.choice(_WORDS)}_w{fid:05d}"
+        cap = _caption(rng)
+        nf = int(rng.integers(2, 300))
+        dur = int(nf * 1000 // 24)
+        w = int(rng.choice([426, 854, 1920]))
+        h = int(w * 9 // 16)
+        blob = codecs.encode_webm_stub(nf, dur, w, h, seed=fid)
+
+        def wrow(iid, b):
+            rows.append(dict(image_id=iid, bytes=b, w=0, h=0, fmt="webm",
+                             caption=cap, phash=0))
+
+        wrow(f"{d}/{stem}.webm", blob)
+        wrow(f"{d}/{stem} (copy).webm", blob)
+        if rng.uniform() < 0.3:
+            junk = rng.integers(0, 256, 1536, dtype=np.uint8).tobytes()
+            wrow(f"{d}/{stem}_junk.webm", junk)
+        if rng.uniform() < 0.2:
+            wrow(f"{d}/{stem}_trunc.webm", blob[: len(blob) // 4])
+    pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
+                   os.path.join(tmp, "part-000000.parquet"))
+    if os.path.exists(out):
+        _sh.rmtree(out)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def webmx_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
+    """Ray-free oracle hash sidecar (with REAL frames) over the webm
+    container corpus."""
+    return _oracle_hash_sidecar(webmx_images_path(sf_dir), hash_size)
+
+
 def _oracle_hash_sidecar(img_dir: str, hash_size: int = 8) -> str:
     """Shared sidecar writer for the extension corpora: Ray-free oracle
     recompute of every row's fingerprint (+frames) into

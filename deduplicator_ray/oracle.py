@@ -92,11 +92,13 @@ def compute_rows(images: pa.Table, cfg: PipelineConfig) -> list[dict]:
             rec["dhash"] = 0
             rec["status"] = "md5_only"
             rec["error"] = str(e)
-            if row["fmt"] == "mp4":
-                # mirror decode_hash: real frame count from the BMFF box
-                # walk when the payload parses; stub path otherwise
+            if row["fmt"] in ("mp4", "webm"):
+                # mirror decode_hash: real frame count from the BMFF /
+                # EBML walk when the payload parses; stub path otherwise
+                meta_fn = (codecs.parse_mp4_meta if row["fmt"] == "mp4"
+                           else codecs.parse_webm_meta)
                 try:
-                    rec["frames"] = codecs.parse_mp4_meta(data)[0]
+                    rec["frames"] = meta_fn(data)[0]
                 except codecs.CodecError:
                     pass
         except codecs.CodecError as e:

@@ -107,16 +107,20 @@ def make_decode_hash(cfg: PipelineConfig, with_rank_columns: bool = True):
                         proc_hash[i] = md5s[i]
                         continue
                 else:
-                    if fmts[i] == "mp4":
-                        # REAL container metadata for actual mp4 files
-                        # (ftyp/moov box walk — no codec payload decode):
-                        # the quality tuple's frames signal is real even
-                        # though the fingerprint stays the md5 stub path
-                        # below (decode_image raises for mp4).  A payload
-                        # that is not well-formed BMFF keeps frames=1 —
+                    if fmts[i] in ("mp4", "webm"):
+                        # REAL container metadata for actual mp4/webm
+                        # files (BMFF box walk / Matroska EBML walk — no
+                        # codec payload decode): the quality tuple's
+                        # frames signal is real even though the
+                        # fingerprint stays the md5 stub path below
+                        # (decode_image raises for both).  A payload
+                        # that is not well-formed keeps frames=1 —
                         # random-byte fixtures are unchanged.
+                        meta_fn = (codecs.parse_mp4_meta
+                                   if fmts[i] == "mp4"
+                                   else codecs.parse_webm_meta)
                         try:
-                            frames[i] = codecs.parse_mp4_meta(data)[0]
+                            frames[i] = meta_fn(data)[0]
                         except codecs.CodecError:
                             pass
                     img = codecs.decode_image(data, fmts[i], int(ws[i]), int(hs[i]))

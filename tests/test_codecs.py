@@ -467,3 +467,44 @@ def test_mp4_fingerprint_real_frames(ray_session, sf_small):
         PipelineConfig()).to_pandas()
     assert (rc.groupby("proc_hash")["image_id"].size() >= 2).all()
     assert rc["image_id"].str.endswith(".mp4").all()
+
+
+def test_webm_meta_roundtrip_and_rejection():
+    """encode_webm_stub → parse_webm_meta roundtrips (SimpleBlock frame
+    count, duration, track dims); garbage / truncated / videoless EBML
+    raises CodecError; mutation totality holds."""
+    b = codecs.encode_webm_stub(53, 2120, 640, 360, seed=3)
+    assert codecs.parse_webm_meta(b) == (53, 2120, 640, 360)
+    assert codecs.parse_webm_meta(
+        codecs.encode_webm_stub(1, 40, 320, 240)) == (1, 40, 320, 240)
+    import pytest as _pytest
+    rng = np.random.default_rng(1)
+    for bad in (b"\x00" * 30, b"\x1a\x45\xdf\xa3" + b"\x00" * 50,
+                bytes(rng.integers(0, 256, 1024, dtype=np.uint8)),
+                b[: len(b) // 3]):
+        with _pytest.raises(codecs.CodecError):
+            codecs.parse_webm_meta(bad)
+    for _ in range(40):
+        m = bytearray(b)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(256))
+        try:
+            f, d, w, h = codecs.parse_webm_meta(bytes(m))
+            assert 0 < f <= 10_000_000
+        except codecs.CodecError:
+            pass
+
+
+def test_webm_fingerprint_real_frames(ray_session, sf_small):
+    """The fingerprint stage reports REAL Matroska frame counts for
+    well-formed webm streams and stub frames=1 for junk/truncated."""
+    import __ray_entry__ as e
+
+    out = e._img_webm_container_meta(sf_small)
+    assert len(out) > 0
+    good = out[~out["image_id"].str.contains("_junk|_trunc")]
+    assert (good["frames"] > 1).all()
+    assert (good["status"] == "md5_only").all()
+    junk = out[out["image_id"].str.contains("_junk|_trunc")]
+    if len(junk):
+        assert (junk["frames"] == 1).all()

@@ -800,6 +800,50 @@ def _ebml_walk(data: bytes, pos: int, end: int):
         pos += size
 
 
+def _webm_block_frames(data: bytes, p0: int, p1: int, vtrack: int) -> int:
+    """Frame count carried by one (Simple)Block payload (lacing-aware)."""
+    tn, p = _ebml_vint(data, p0, False)
+    if tn != vtrack:
+        return 0
+    if p + 3 > p1:
+        raise CodecError("truncated webm block")
+    lacing = (data[p + 2] >> 1) & 3
+    if lacing == 0:
+        return 1
+    if p + 4 > p1:
+        raise CodecError("truncated webm lace header")
+    return data[p + 3] + 1
+
+
+def _count_webm_frames(data: bytes, pos: int, end: int, vtrack: int) -> int:
+    """Video-track frames across a clusters region.  Cluster boundaries
+    are transparent — sized AND unknown-size Clusters both just continue
+    the scan over their children, so streamed/MediaRecorder output
+    (unknown-size clusters back to back) counts every block
+    (review-found: the first implementation stopped at the first
+    unknown-size cluster and silently undercounted)."""
+    frames = 0
+    while pos < end:
+        eid, p2 = _ebml_vint(data, pos, True)
+        size, p3 = _ebml_vint(data, p2, False)
+        if eid == 0x1F43B675:  # Cluster (either sizing): descend inline
+            pos = p3
+            continue
+        if size == -1:
+            raise CodecError("unknown-size non-cluster ebml element")
+        if p3 + size > end:
+            raise CodecError("ebml element overruns its parent")
+        if eid == 0xA3:  # SimpleBlock
+            frames += _webm_block_frames(data, p3, p3 + size, vtrack)
+        elif eid == 0xA0:  # BlockGroup
+            for i2, g0, g1 in _ebml_walk(data, p3, p3 + size):
+                if i2 == 0xA1:
+                    frames += _webm_block_frames(data, g0, g1, vtrack)
+                    break
+        pos = p3 + size
+    return frames
+
+
 _EBML_MAGIC = b"\x1a\x45\xdf\xa3"
 
 
@@ -820,7 +864,7 @@ def parse_webm_meta(data: bytes) -> tuple[int, int, int, int]:
     duration_units = 0.0
     vtrack = None
     w = h = 0
-    clusters: list[tuple[int, int]] = []
+    cluster0 = None
     for eid, b0, b1 in _ebml_walk(data, *seg):
         if eid == 0x1549A966:  # Info
             for i2, c0, c1 in _ebml_walk(data, b0, b1):
@@ -853,39 +897,23 @@ def parse_webm_meta(data: bytes) -> tuple[int, int, int, int]:
                                 th = int.from_bytes(data[v0:v1], "big")
                 if ttype == 1 and vtrack is None:
                     vtrack, w, h = tnum, tw, th
-        elif eid == 0x1F43B675:  # Cluster
-            clusters.append((b0, b1))
+        elif eid == 0x1F43B675 and cluster0 is None:  # first Cluster
+            # the clusters region runs from here to the segment end; the
+            # counter below treats further Cluster starts (sized or
+            # unknown-size) as transparent boundaries
+            cluster0 = b0
     if vtrack is None:
         raise CodecError("webm has no video track")
-    frames = 0
-    for b0, b1 in clusters:
-        for eid, c0, c1 in _ebml_walk(data, b0, b1):
-            blk = None
-            if eid == 0xA3:  # SimpleBlock
-                blk = (c0, c1)
-            elif eid == 0xA0:  # BlockGroup
-                for i2, g0, g1 in _ebml_walk(data, c0, c1):
-                    if i2 == 0xA1:
-                        blk = (g0, g1)
-                        break
-            if blk is None:
-                continue
-            p0, p1 = blk
-            tn, p = _ebml_vint(data, p0, False)
-            if tn != vtrack:
-                continue
-            if p + 3 > p1:
-                raise CodecError("truncated webm block")
-            flags = data[p + 2]
-            lacing = (flags >> 1) & 3
-            if lacing == 0:
-                frames += 1
-            else:
-                if p + 4 > p1:
-                    raise CodecError("truncated webm lace header")
-                frames += data[p + 3] + 1
+    frames = (_count_webm_frames(data, cluster0, seg[1], vtrack)
+              if cluster0 is not None else 0)
     if frames <= 0 or frames > 10_000_000:
         raise CodecError(f"implausible webm frame count {frames}")
+    import math as _math
+    if not _math.isfinite(duration_units) or duration_units < 0 \
+            or duration_units > 1e15:
+        # NaN/Inf/absurd Duration floats would escape as ValueError/
+        # OverflowError past the CodecError-only fallbacks (review-found)
+        raise CodecError("bad webm Duration value")
     dur_ms = int(duration_units * tscale / 1_000_000)
     return frames, dur_ms, w, h
 

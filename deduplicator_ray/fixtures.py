@@ -976,22 +976,20 @@ def projpg_images_path(sf_dir: str) -> str:
 MP4X_FAMILIES = {"sf0.001": 30, "sf0.01": 300, "sf0.1": 3000}
 
 
-def mp4x_images_path(sf_dir: str) -> str:
-    """Real-container mp4 corpus (IMAGES_SCHEMA): per family a
-    well-formed ISO BMFF stream (ftyp/moov/trak/stsz — real frame count,
-    duration and track dims; filler mdat, no codec payload) plus a
-    byte-identical copy (md5-clusters, like the reference's strict video
-    class), and occasionally a random-byte pseudo-mp4 (the pre-existing
-    stub behavior: frames stays 1) or a truncated moov (parse fails →
-    same stub fallback, loudly NOT a crash)."""
-    from deduplicator_ray import codecs
-
+def _container_images_path(sf_dir: str, kind: str, encode_fn,
+                           frame_hi: int, fps: int, widths: tuple,
+                           seed_tag: int, junk_len: int) -> str:
+    """Shared builder for the real-container metadata corpora (mp4x /
+    webmx — review-found twin ~50-line copies folded): per family a
+    well-formed container with real frame count/duration/dims plus a
+    byte-identical copy, and occasionally random-byte or truncated
+    pseudo-files (stub fallback, frames=1)."""
     sfn = sf_name(sf_dir)
     n_fam = MP4X_FAMILIES.get(sfn, 30)
     root = os.environ.get(
         "DEDUP_FIXTURE_ROOT",
         os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"mp4x_{sfn}")
+    out = os.path.join(root, f"{kind}_{sfn}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -1000,29 +998,30 @@ def mp4x_images_path(sf_dir: str) -> str:
 
     _sh.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
+    ext = kind[:-1]  # 'mp4x' → 'mp4', 'webmx' → 'webm'
     rows: list[dict] = []
     for fid in range(n_fam):
-        rng = np.random.default_rng([SEED, 99, fid])
-        d = f"mp4x/{rng.choice(_DIRS)}"
-        stem = f"{rng.choice(_WORDS)}_m{fid:05d}"
+        rng = np.random.default_rng([SEED, seed_tag, fid])
+        d = f"{kind}/{rng.choice(_DIRS)}"
+        stem = f"{rng.choice(_WORDS)}_{kind[0]}{fid:05d}"
         cap = _caption(rng)
-        nf = int(rng.integers(2, 400))
-        dur = int(nf * 1000 // 30)
-        w = int(rng.choice([320, 640, 1280]))
+        nf = int(rng.integers(2, frame_hi))
+        dur = int(nf * 1000 // fps)
+        w = int(rng.choice(widths))
         h = int(w * 9 // 16)
-        blob = codecs.encode_mp4_stub(nf, dur, w, h, seed=fid)
+        blob = encode_fn(nf, dur, w, h, seed=fid)
 
-        def mrow(iid, b):
-            rows.append(dict(image_id=iid, bytes=b, w=0, h=0, fmt="mp4",
+        def crow(iid, b):
+            rows.append(dict(image_id=iid, bytes=b, w=0, h=0, fmt=ext,
                              caption=cap, phash=0))
 
-        mrow(f"{d}/{stem}.mp4", blob)
-        mrow(f"{d}/{stem} (copy).mp4", blob)
+        crow(f"{d}/{stem}.{ext}", blob)
+        crow(f"{d}/{stem} (copy).{ext}", blob)
         if rng.uniform() < 0.3:
-            junk = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
-            mrow(f"{d}/{stem}_junk.mp4", junk)
+            junk = rng.integers(0, 256, junk_len, dtype=np.uint8).tobytes()
+            crow(f"{d}/{stem}_junk.{ext}", junk)
         if rng.uniform() < 0.2:
-            mrow(f"{d}/{stem}_trunc.mp4", blob[: len(blob) // 4])
+            crow(f"{d}/{stem}_trunc.{ext}", blob[: len(blob) // 4])
     pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
                    os.path.join(tmp, "part-000000.parquet"))
     if os.path.exists(out):
@@ -1031,6 +1030,17 @@ def mp4x_images_path(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+def mp4x_images_path(sf_dir: str) -> str:
+    """Real-container mp4 corpus (IMAGES_SCHEMA): well-formed ISO BMFF
+    streams (ftyp/moov/trak/stsz — real frame count, duration, track
+    dims; filler mdat) — see ``_container_images_path``."""
+    from deduplicator_ray import codecs
+
+    return _container_images_path(
+        sf_dir, "mp4x", codecs.encode_mp4_stub, 400, 30,
+        (320, 640, 1280), 99, 2048)
 
 
 def mp4x_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
@@ -1046,58 +1056,14 @@ def projpg_hashes_path(sf_dir: str, hash_size: int = 8) -> str:
 
 
 def webmx_images_path(sf_dir: str) -> str:
-    """Real-container webm corpus (IMAGES_SCHEMA), the Matroska sibling
-    of ``mp4x_images_path``: per family a well-formed EBML stream (real
-    frame count via SimpleBlocks, duration, track dims; filler payloads)
-    plus a byte-identical copy, and occasionally random-byte or
-    truncated pseudo-webm (stub fallback, frames=1)."""
+    """Real-container webm corpus (IMAGES_SCHEMA): well-formed Matroska
+    EBML streams (Info/Tracks/Cluster SimpleBlocks) — see
+    ``_container_images_path``."""
     from deduplicator_ray import codecs
 
-    sfn = sf_name(sf_dir)
-    n_fam = MP4X_FAMILIES.get(sfn, 30)
-    root = os.environ.get(
-        "DEDUP_FIXTURE_ROOT",
-        os.path.join(tempfile.gettempdir(), "dedup_ray_fixtures"))
-    out = os.path.join(root, f"webmx_{sfn}")
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    tmp = out + ".tmp"
-    import shutil as _sh
-
-    _sh.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    rows: list[dict] = []
-    for fid in range(n_fam):
-        rng = np.random.default_rng([SEED, 100, fid])
-        d = f"webmx/{rng.choice(_DIRS)}"
-        stem = f"{rng.choice(_WORDS)}_w{fid:05d}"
-        cap = _caption(rng)
-        nf = int(rng.integers(2, 300))
-        dur = int(nf * 1000 // 24)
-        w = int(rng.choice([426, 854, 1920]))
-        h = int(w * 9 // 16)
-        blob = codecs.encode_webm_stub(nf, dur, w, h, seed=fid)
-
-        def wrow(iid, b):
-            rows.append(dict(image_id=iid, bytes=b, w=0, h=0, fmt="webm",
-                             caption=cap, phash=0))
-
-        wrow(f"{d}/{stem}.webm", blob)
-        wrow(f"{d}/{stem} (copy).webm", blob)
-        if rng.uniform() < 0.3:
-            junk = rng.integers(0, 256, 1536, dtype=np.uint8).tobytes()
-            wrow(f"{d}/{stem}_junk.webm", junk)
-        if rng.uniform() < 0.2:
-            wrow(f"{d}/{stem}_trunc.webm", blob[: len(blob) // 4])
-    pq.write_table(pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA),
-                   os.path.join(tmp, "part-000000.parquet"))
-    if os.path.exists(out):
-        _sh.rmtree(out)
-    os.rename(tmp, out)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _container_images_path(
+        sf_dir, "webmx", codecs.encode_webm_stub, 300, 24,
+        (426, 854, 1920), 100, 1536)
 
 
 def webmx_hashes_path(sf_dir: str, hash_size: int = 8) -> str:

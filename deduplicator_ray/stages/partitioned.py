@@ -79,18 +79,28 @@ def _group_codes(t: pa.Table, keys: list[str]) -> np.ndarray:
     a sentinel so null-keyed rows form one real group, matching the
     pandas helpers' nulls-equal semantics."""
     if all(pa.types.is_integer(t[k].type) for k in keys):
-        cols = [(pc.fill_null(t[k], np.iinfo(np.int64).min + 1)
-                 .to_numpy(zero_copy_only=False).astype(np.int64))
-                for k in keys]
-        if len(cols) == 1:
-            return np.unique(cols[0], return_inverse=True)[1]
-        # exact multi-int codes without string materialization: view the
-        # row-contiguous stack as fixed-width void records and unique
-        # those (C-level lexsort — review-found: the string join path
-        # built ~40 B of garbage per row on int64 pair dedups)
-        packed = np.ascontiguousarray(np.stack(cols, axis=1))
-        recs = packed.view([("", np.int64)] * len(cols)).reshape(-1)
-        return np.unique(recs, return_inverse=True)[1]
+        try:
+            # cast to int64 FIRST: fill_null's int64-min sentinel cannot
+            # be represented in narrower columns and pyarrow refuses it
+            # even on null-free data (review-found crash on int32 keys);
+            # a uint64 value past int63 fails the safe cast and falls
+            # back to the exact string path below
+            cols = [(pc.fill_null(pc.cast(t[k], pa.int64()),
+                                  np.iinfo(np.int64).min + 1)
+                     .to_numpy(zero_copy_only=False).astype(np.int64))
+                    for k in keys]
+        except (pa.ArrowInvalid, OverflowError):
+            cols = None
+        if cols is not None:
+            if len(cols) == 1:
+                return np.unique(cols[0], return_inverse=True)[1]
+            # exact multi-int codes without string materialization: view
+            # the row-contiguous stack as fixed-width void records and
+            # unique those (C-level lexsort — the string join path built
+            # ~40 B of garbage per row on int64 pair dedups)
+            packed = np.ascontiguousarray(np.stack(cols, axis=1))
+            recs = packed.view([("", np.int64)] * len(cols)).reshape(-1)
+            return np.unique(recs, return_inverse=True)[1]
     parts = [pc.fill_null(pc.cast(t[k], pa.string()), "\x00null")
              for k in keys]
     joined = (parts[0] if len(parts) == 1

@@ -508,3 +508,56 @@ def test_webm_fingerprint_real_frames(ray_session, sf_small):
     junk = out[out["image_id"].str.contains("_junk|_trunc")]
     if len(junk):
         assert (junk["frames"] == 1).all()
+
+
+def test_webm_unknown_size_clusters_count_all_frames():
+    """Streamed/MediaRecorder webm uses unknown-size Clusters back to
+    back: the frame counter must treat cluster boundaries as transparent
+    instead of stopping at the first unknown-size element
+    (review-found silent undercount)."""
+    import struct as _s
+
+    b = codecs.encode_webm_stub(6, 250, 320, 180, seed=9)
+    # rebuild: split the single cluster into two, the first unknown-size
+    ebml_end = b.find(b"\x18\x53\x80\x67")
+    # craft from parts: reuse helpers
+    info = codecs._ebml_el(0x1549A966,
+                           codecs._ebml_uint(0x2AD7B1, 1_000_000)
+                           + codecs._ebml_el(0x4489, _s.pack(">d", 250.0)))
+    video = codecs._ebml_el(0xE0, codecs._ebml_uint(0xB0, 320)
+                            + codecs._ebml_uint(0xBA, 180))
+    track = codecs._ebml_el(0xAE, codecs._ebml_uint(0xD7, 1)
+                            + codecs._ebml_uint(0x83, 1) + video)
+    tracks = codecs._ebml_el(0x1654AE6B, track)
+
+    def blocks(n, t0):
+        out = b""
+        for i in range(n):
+            blk = b"\x81" + _s.pack(">h", t0 + i) + b"\x00" + b"\xab" * 9
+            out += codecs._ebml_el(0xA3, blk)
+        return out
+
+    # cluster 1: unknown size (0xFF length marker), 3 blocks
+    c1 = b"\x1f\x43\xb6\x75\xff" + codecs._ebml_uint(0xE7, 0) + blocks(3, 0)
+    # cluster 2: sized, 3 blocks
+    c2 = codecs._ebml_el(0x1F43B675,
+                         codecs._ebml_uint(0xE7, 100) + blocks(3, 100))
+    seg = codecs._ebml_el(0x18538067, info + tracks + c1 + c2)
+    stream = b[:ebml_end] + seg
+    f, d, w, h = codecs.parse_webm_meta(stream)
+    assert f == 6, f"undercounted: {f}"
+    assert (d, w, h) == (250, 320, 180)
+
+
+def test_webm_nan_duration_dead_letters():
+    """A NaN/Inf Duration float raises CodecError, not ValueError/
+    OverflowError escaping the stub fallback (review-found)."""
+    import struct as _s
+
+    b = codecs.encode_webm_stub(5, 200, 320, 180, seed=2)
+    i = b.find(bytes([0x44, 0x89]))
+    for v in (float("nan"), float("inf"), -float("inf")):
+        bad = bytearray(b)
+        bad[i + 6: i + 14] = _s.pack(">d", v)
+        with pytest.raises(codecs.CodecError):
+            codecs.parse_webm_meta(bytes(bad))

@@ -911,3 +911,31 @@ def test_docs_dedup_tiers_report_mirror(sf_small, con_docs):
     full = q.docs_dedup_tiers(sf_small)
     assert eng["n_docs"].sum() == len(full)
     assert eng["n_chars"].sum() == full["n_chars"].sum()
+
+
+def test_group_codes_narrow_and_unsigned_int_keys(ray_session):
+    """drop_duplicates on (int32, int32) and (int64, uint64) key tuples
+    must group exactly — the int fast path casts safely and falls back
+    to the string path for values it cannot represent (review-found
+    ArrowInvalid crash on narrow int keys)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicator_ray.stages.partitioned import drop_duplicates
+
+    t32 = pa.table({
+        "a": pa.array([1, 1, 2, 2, 1], pa.int32()),
+        "b": pa.array([7, 7, 8, 8, 9], pa.int32()),
+        "v": pa.array(list(range(5)), pa.int64()),
+    })
+    out = drop_duplicates(rd.from_arrow(t32), ["a", "b"]).to_pandas()
+    assert sorted(map(tuple, out[["a", "b"]].itertuples(index=False))) == \
+        [(1, 7), (1, 9), (2, 8)]
+    big = (1 << 63) + 5  # unrepresentable in int64 → string-path fallback
+    tu = pa.table({
+        "a": pa.array([1, 1, 2], pa.int64()),
+        "b": pa.array([big, big, big], pa.uint64()),
+    })
+    out2 = drop_duplicates(rd.from_arrow(tu), ["a", "b"]).to_pandas()
+    assert len(out2) == 2

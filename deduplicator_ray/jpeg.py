@@ -456,22 +456,17 @@ def _decode_prog_scan(data: bytes, pos: int, scomps: list[dict],
     if ss == 0:
         if ah == 0 and c.get("td") not in dc_tabs:
             raise CodecError("jpeg references missing DHT")
-    elif c.get("ta") not in ac_tabs:
-        raise CodecError("jpeg references missing DHT")
-    act = ac_tabs.get(c.get("ta"))
-    pred = 0
-    eobrun = 0
-    i = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            if restart(i):
-                br.align_and_expect_rst(rst)
-                rst = (rst + 1) & 7
-                pred = 0
-                eobrun = 0
-            i += 1
-            blk = c["coef"][by * c["bw"] + bx]
-            if ss == 0:
+        pred = 0
+        eobrun = 0
+        i = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart(i):
+                    br.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    pred = 0
+                i += 1
+                blk = c["coef"][by * c["bw"] + bx]
                 if ah == 0:
                     t = dc_tabs[c["td"]].decode(br)
                     if t > 11:
@@ -481,11 +476,201 @@ def _decode_prog_scan(data: bytes, pos: int, scomps: list[dict],
                     blk[0] = pred << al
                 elif br.receive(1):
                     blk[0] = int(blk[0]) | (1 << al)
-            elif ah == 0:
-                eobrun = _ac_first(br, blk, act, ss, se, al, eobrun)
-            else:
-                eobrun = _ac_refine(br, blk, act, ss, se, al, eobrun)
-    return _skip_to_marker(data, br.pos)
+        return _skip_to_marker(data, br.pos)
+    if c.get("ta") not in ac_tabs:
+        raise CodecError("jpeg references missing DHT")
+    return _decode_prog_ac_fast(data, pos, c, ac_tabs[c["ta"]],
+                                dri, nbx, nby, ss, se, ah, al)
+
+
+def _decode_prog_ac_fast(data: bytes, pos: int, c: dict,
+                         act: _HuffDecoder, dri: int, nbx: int, nby: int,
+                         ss: int, se: int, ah: int, al: int) -> int:
+    """Progressive AC scan (first or refinement) over one component's
+    block raster with the fast bit path: the scan is RST-split and
+    FF00-unstuffed once (``_split_scan_segments``), bit state lives in
+    local ints, and the accumulator refills four bytes at a time — the
+    same rework that took the baseline scan 127→95 ms; progressive
+    streams pay it per AC scan, so the constant matters ~4×.  EOB-run /
+    refinement semantics unchanged (equality matrix + fuzz pin them)."""
+    n_units = nbx * nby
+    n_ivl = (n_units - 1) // dri if dri else 0
+    segs, end_pos = _split_scan_segments(data, pos, n_ivl)
+    if len(segs) < n_ivl + 1:
+        raise CodecError("missing jpeg restart marker")
+    acv, acl = act.val, act.ln
+    coef = c["coef"]
+    cbw = c["bw"]
+    p1v = 1 << al
+    seg_i = 0
+    seg = segs[0] + b"\x00" * 8
+    limit = len(segs[0]) + 4
+    acc = 0
+    nbits = 0
+    p = 0
+    eobrun = 0
+    i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and i and i % dri == 0:
+                seg_i += 1
+                raw = segs[seg_i]
+                seg = raw + b"\x00" * 8
+                limit = len(raw) + 4
+                acc = 0
+                nbits = 0
+                p = 0
+                eobrun = 0
+            i += 1
+            blk = coef[by * cbw + bx]
+            if ah == 0:
+                # ----- AC spectral first (G.2.2) -----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    if nbits < 16:
+                        if p >= limit:
+                            raise CodecError("truncated jpeg scan")
+                        acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                            | int.from_bytes(seg[p:p + 4], "big")
+                        p += 4
+                        nbits += 32
+                    peek = (acc >> (nbits - 16)) & 0xFFFF
+                    L = acl[peek]
+                    if L == 0:
+                        raise CodecError("bad jpeg huffman code")
+                    nbits -= L
+                    rs = acv[peek]
+                    sz = rs & 0xF
+                    if sz == 0:
+                        r = rs >> 4
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            if nbits < r:
+                                if p >= limit:
+                                    raise CodecError("truncated jpeg scan")
+                                acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                    | int.from_bytes(seg[p:p + 4], "big")
+                                p += 4
+                                nbits += 32
+                            nbits -= r
+                            eobrun += (acc >> nbits) & ((1 << r) - 1)
+                        break
+                    k += rs >> 4
+                    if k > se:
+                        raise CodecError("jpeg AC run past spectral band")
+                    if nbits < sz:
+                        if p >= limit:
+                            raise CodecError("truncated jpeg scan")
+                        acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                            | int.from_bytes(seg[p:p + 4], "big")
+                        p += 4
+                        nbits += 32
+                    nbits -= sz
+                    v = (acc >> nbits) & ((1 << sz) - 1)
+                    blk[k] = (v - (1 << sz) + 1
+                              if v < (1 << (sz - 1)) else v) << al
+                    k += 1
+                continue
+            # ----- AC refinement (G.2.2 / jdphuff) -----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    if nbits < 16:
+                        if p >= limit:
+                            raise CodecError("truncated jpeg scan")
+                        acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                            | int.from_bytes(seg[p:p + 4], "big")
+                        p += 4
+                        nbits += 32
+                    peek = (acc >> (nbits - 16)) & 0xFFFF
+                    L = acl[peek]
+                    if L == 0:
+                        raise CodecError("bad jpeg huffman code")
+                    nbits -= L
+                    rs = acv[peek]
+                    sz = rs & 0xF
+                    if sz == 0:
+                        r = rs >> 4
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                if nbits < r:
+                                    if p >= limit:
+                                        raise CodecError(
+                                            "truncated jpeg scan")
+                                    acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                        | int.from_bytes(seg[p:p + 4], "big")
+                                    p += 4
+                                    nbits += 32
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                            break
+                        nzero = 15
+                        newval = 0
+                    else:
+                        if sz != 1:
+                            raise CodecError(
+                                "bad jpeg AC refinement magnitude")
+                        nzero = rs >> 4
+                        if nbits < 1:
+                            if p >= limit:
+                                raise CodecError("truncated jpeg scan")
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                | int.from_bytes(seg[p:p + 4], "big")
+                            p += 4
+                            nbits += 32
+                        nbits -= 1
+                        newval = p1v if (acc >> nbits) & 1 else -p1v
+                    while True:
+                        if k > se:
+                            if sz:
+                                raise CodecError(
+                                    "jpeg AC refine run past band")
+                            break
+                        v = int(blk[k])
+                        if v != 0:
+                            if nbits < 1:
+                                if p >= limit:
+                                    raise CodecError("truncated jpeg scan")
+                                acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                    | int.from_bytes(seg[p:p + 4], "big")
+                                p += 4
+                                nbits += 32
+                            nbits -= 1
+                            if (acc >> nbits) & 1 and (v & p1v) == 0:
+                                blk[k] = v + (p1v if v >= 0 else -p1v)
+                            k += 1
+                            continue
+                        nzero -= 1
+                        if nzero < 0:
+                            if sz:
+                                blk[k] = newval
+                            k += 1
+                            break
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if nbits < 1:
+                            if p >= limit:
+                                raise CodecError("truncated jpeg scan")
+                            acc = ((acc & ((1 << nbits) - 1)) << 32) \
+                                | int.from_bytes(seg[p:p + 4], "big")
+                            p += 4
+                            nbits += 32
+                        nbits -= 1
+                        if (acc >> nbits) & 1 and (v & p1v) == 0:
+                            blk[k] = v + (p1v if v >= 0 else -p1v)
+                    k += 1
+                eobrun -= 1
+    return end_pos
 
 
 # ---------------------------------------------------------------------------
@@ -670,9 +855,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
 
 
 def _split_scan_segments(data: bytes, pos: int,
-                         n_intervals: int) -> list[bytes]:
-    """The scan's entropy bytes as UNSTUFFED per-restart-interval
-    segments: the whole region up to the next real marker is located
+                         n_intervals: int) -> tuple[list[bytes], int]:
+    """(unstuffed per-restart-interval segments, next-marker position).
+
+    The scan's entropy region up to the next real marker is located
     once, split on RSTn boundaries (B.1.1.2 fill bytes tolerated), and
     each segment drops its FF00 stuffing via bytes.replace — after this
     the bit feeder never needs a stuffing branch."""
@@ -680,11 +866,13 @@ def _split_scan_segments(data: bytes, pos: int,
     segs: list[bytes] = []
     seg_start = pos
     p = pos
+    end_pos = n
     while True:
         # find next candidate marker byte
         q = data.find(b"\xff", p)
         if q < 0 or q + 1 >= n:
             segs.append(data[seg_start: n if q < 0 else q])
+            end_pos = n if q < 0 else q
             break
         nxt = data[q + 1]
         if nxt == 0x00:
@@ -704,11 +892,13 @@ def _split_scan_segments(data: bytes, pos: int,
             seg_start = q + 2
             p = q + 2
             if len(segs) >= n_intervals + 1:
+                end_pos = q
                 break
             continue
         segs.append(data[seg_start:q])
+        end_pos = q
         break
-    return [sg.replace(b"\xff\x00", b"\xff") for sg in segs]
+    return [sg.replace(b"\xff\x00", b"\xff") for sg in segs], end_pos
 
 
 def _decode_baseline_scan_fast(data: bytes, pos: int, comps: list[dict],
@@ -731,7 +921,7 @@ def _decode_baseline_scan_fast(data: bytes, pos: int, comps: list[dict],
     a segment end, RSTn sequence checking, DC predictor clamp."""
     n_mcu = mcux * mcuy
     n_ivl = (n_mcu - 1) // dri if dri else 0
-    segs = _split_scan_segments(data, pos, n_ivl)
+    segs, _ = _split_scan_segments(data, pos, n_ivl)
     if len(segs) < n_ivl + 1:
         raise CodecError("missing jpeg restart marker")
     ncomp = len(comps)

@@ -800,9 +800,28 @@ def _ebml_walk(data: bytes, pos: int, end: int):
         pos += size
 
 
+def _ebml_vint_raw(data: bytes, pos: int) -> tuple[int, int]:
+    """Marker-stripped vint WITHOUT the unknown-size -1 mapping — block
+    TRACK NUMBERS are values, not sizes, and the all-ones encodings
+    (127, 16383, ...) are legal numbers (review-found: track 127's
+    0xFF vint read as -1 and zeroed the frame count)."""
+    if pos >= len(data):
+        raise CodecError("truncated ebml vint")
+    first = data[pos]
+    if first == 0:
+        raise CodecError("bad ebml vint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise CodecError("truncated ebml vint")
+    v = first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
 def _webm_block_frames(data: bytes, p0: int, p1: int, vtrack: int) -> int:
     """Frame count carried by one (Simple)Block payload (lacing-aware)."""
-    tn, p = _ebml_vint(data, p0, False)
+    tn, p = _ebml_vint_raw(data, p0)
     if tn != vtrack:
         return 0
     if p + 3 > p1:
@@ -826,8 +845,19 @@ def _count_webm_frames(data: bytes, pos: int, end: int, vtrack: int) -> int:
     while pos < end:
         eid, p2 = _ebml_vint(data, pos, True)
         size, p3 = _ebml_vint(data, p2, False)
-        if eid == 0x1F43B675:  # Cluster (either sizing): descend inline
-            pos = p3
+        if eid == 0x1F43B675:  # Cluster
+            if size == -1:
+                # unknown size: children inline until the next cluster
+                pos = p3
+                continue
+            if p3 + size > end:
+                raise CodecError("ebml element overruns its parent")
+            # sized cluster: recurse so its children are bounds-checked
+            # against the CLUSTER end — a block overrunning its cluster
+            # dead-letters instead of desyncing into a plausible wrong
+            # frame count (review-found)
+            frames += _count_webm_frames(data, p3, p3 + size, vtrack)
+            pos = p3 + size
             continue
         if size == -1:
             raise CodecError("unknown-size non-cluster ebml element")
@@ -869,7 +899,16 @@ def parse_webm_meta(data: bytes) -> tuple[int, int, int, int]:
         if eid == 0x1549A966:  # Info
             for i2, c0, c1 in _ebml_walk(data, b0, b1):
                 if i2 == 0x2AD7B1:
+                    # bound the element: Matroska TimestampScale is ns
+                    # per unit (default 10^6); an absurd/oversized value
+                    # overflows the duration product into OverflowError
+                    # past the CodecError-only fallbacks (review-found)
+                    if c1 - c0 > 8:
+                        raise CodecError("bad webm TimestampScale width")
                     tscale = int.from_bytes(data[c0:c1], "big")
+                    if not (0 < tscale <= 10_000_000_000):
+                        raise CodecError(
+                            f"implausible webm TimestampScale {tscale}")
                 elif i2 == 0x4489:  # Duration (float)
                     n = c1 - c0
                     if n == 4:

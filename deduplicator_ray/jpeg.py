@@ -310,85 +310,6 @@ def _skip_to_marker(data: bytes, p: int) -> int:
     raise CodecError("jpeg truncated after scan")
 
 
-def _ac_first(br: _BitReader, blk: np.ndarray, act: _HuffDecoder,
-              ss: int, se: int, al: int, eobrun: int) -> int:
-    """AC spectral-selection first scan for one block (G.2.2): runs and
-    EOBn codes over the point-transformed band."""
-    if eobrun > 0:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        rs = act.decode(br)
-        r, s2 = rs >> 4, rs & 0xF
-        if s2 == 0:
-            if r == 15:
-                k += 16
-                continue
-            eobrun = (1 << r) - 1
-            if r:
-                eobrun += br.receive(r)
-            break
-        k += r
-        if k > se:
-            raise CodecError("jpeg AC run past spectral band")
-        blk[k] = _extend(br.receive(s2), s2) << al
-        k += 1
-    return eobrun
-
-
-def _ac_refine(br: _BitReader, blk: np.ndarray, act: _HuffDecoder,
-               ss: int, se: int, al: int, eobrun: int) -> int:
-    """AC successive-approximation refinement for one block (G.2.2 /
-    jdphuff decode_mcu_AC_refine): newly-nonzero coefficients carry a
-    sign bit; every already-nonzero coefficient passed reads one
-    correction bit; runs count zero-HISTORY positions only."""
-    p1 = 1 << al
-    k = ss
-    if eobrun == 0:
-        while k <= se:
-            rs = act.decode(br)
-            r, s2 = rs >> 4, rs & 0xF
-            if s2 == 0:
-                if r != 15:
-                    eobrun = 1 << r
-                    if r:
-                        eobrun += br.receive(r)
-                    break
-                nzero = 15          # ZRL: pass 16 zero-history positions
-                newval = 0
-            else:
-                if s2 != 1:
-                    raise CodecError("bad jpeg AC refinement magnitude")
-                nzero = r
-                newval = p1 if br.receive(1) else -p1
-            while True:
-                if k > se:
-                    if s2:
-                        raise CodecError("jpeg AC refine run past band")
-                    break
-                v = int(blk[k])
-                if v != 0:
-                    if br.receive(1) and (v & p1) == 0:
-                        blk[k] = v + (p1 if v >= 0 else -p1)
-                    k += 1
-                    continue
-                nzero -= 1
-                if nzero < 0:
-                    if s2:
-                        blk[k] = newval
-                    k += 1
-                    break
-                k += 1
-    if eobrun > 0:
-        while k <= se:
-            v = int(blk[k])
-            if v != 0 and br.receive(1) and (v & p1) == 0:
-                blk[k] = v + (p1 if v >= 0 else -p1)
-            k += 1
-        eobrun -= 1
-    return eobrun
-
-
 def _decode_prog_scan(data: bytes, pos: int, scomps: list[dict],
                       comps: list[dict], dc_tabs: dict, ac_tabs: dict,
                       dri: int, w: int, h: int,
@@ -1429,10 +1350,14 @@ def _enc_ac_refine(bw_: _BitWriter, blk: np.ndarray, ac_codes,
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
-                            subsample: bool = True) -> bytes:
+                            subsample: bool = True,
+                            restart_units: int = 0) -> bytes:
     """(h, w, 3) RGB uint8 → progressive (SOF2) JFIF bytes whose
     dequantized coefficients equal ``encode_jpeg``'s at the same
-    settings — decode(progressive) == decode(baseline) pixel-exact."""
+    settings — decode(progressive) == decode(baseline) pixel-exact.
+    ``restart_units`` > 0 emits DRI + RSTn markers every that-many data
+    units in EVERY scan (MCUs in the DC scans, blocks in the AC scans)
+    — coverage for the decoder's per-scan restart paths."""
     if img.ndim != 3 or img.shape[2] != 3:
         raise CodecError("encode_jpeg_progressive wants (h, w, 3) RGB")
     h, w = img.shape[:2]
@@ -1490,6 +1415,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
     for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_PROG),
                                  (0, 1, _DC_CHROM), (1, 1, _AC_PROG)):
         out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_units:
+        out += _seg(0xDD, struct.pack(">H", restart_units))
 
     def mcu_blocks(ci: int):
         blocks, bwidth, chh, cvv = planes[ci]
@@ -1499,10 +1426,20 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
                 for bx in range(chh):
                     yield blocks[(my * cvv + by) * bwidth + (mx * chh + bx)]
 
+    def rst_break(bw_, m, rst):
+        """Byte-align, emit RSTn, reset — shared by all scans."""
+        bw_.flush()
+        bw_.out += bytes([0xFF, 0xD0 + rst])
+        return (rst + 1) & 7
+
     # scan 1: DC first, all components interleaved, Al=1
     bw_ = _BitWriter()
     preds = [0, 0, 0]
+    rst = 0
     for m in range(mcux * mcuy):
+        if restart_units and m and m % restart_units == 0:
+            rst = rst_break(bw_, m, rst)
+            preds = [0, 0, 0]
         my, mx = divmod(m, mcux)
         for ci in range(3):
             blocks, bwidth, chh, cvv = planes[ci]
@@ -1521,7 +1458,10 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
 
     # scan 2: DC refinement (one bit per block, same interleave)
     bw_ = _BitWriter()
+    rst = 0
     for m in range(mcux * mcuy):
+        if restart_units and m and m % restart_units == 0:
+            rst = rst_break(bw_, m, rst)
         my, mx = divmod(m, mcux)
         for ci in range(3):
             blocks, bwidth, chh, cvv = planes[ci]
@@ -1545,8 +1485,14 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
         tsel = 0 if ci == 0 else 1
         bw_ = _BitWriter()
         eob = _EobBuffer(bw_, ac_codes[ci])
+        rst = 0
+        i = 0
         for by in range(nby):
             for bx in range(nbx):
+                if restart_units and i and i % restart_units == 0:
+                    eob.flush()
+                    rst = rst_break(bw_, i, rst)
+                i += 1
                 _enc_ac_first(bw_, blocks[by * bwidth + bx],
                               ac_codes[ci], eob, 1)
         eob.flush()
@@ -1554,8 +1500,13 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
         out += sos([(ci + 1, 0, tsel)], 1, 63, 0, 1) + bw_.out
 
         bw_ = _BitWriter()
+        rst = 0
+        i = 0
         for by in range(nby):
             for bx in range(nbx):
+                if restart_units and i and i % restart_units == 0:
+                    rst = rst_break(bw_, i, rst)
+                i += 1
                 _enc_ac_refine(bw_, blocks[by * bwidth + bx],
                                ac_codes[ci], 0)
         bw_.flush()

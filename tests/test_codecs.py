@@ -561,3 +561,86 @@ def test_webm_nan_duration_dead_letters():
         bad[i + 6: i + 14] = _s.pack(">d", v)
         with pytest.raises(codecs.CodecError):
             codecs.parse_webm_meta(bytes(bad))
+
+
+def test_webm_timestampscale_bomb_dead_letters():
+    """An oversized/absurd TimestampScale element raises CodecError
+    instead of overflowing the duration product into OverflowError
+    (review-found escape past the stub fallback)."""
+    b = codecs.encode_webm_stub(5, 200, 320, 180, seed=4)
+    i = b.find(bytes([0x2A, 0xD7, 0xB1]))
+    assert i > 0
+    # rewrite the element with a 200-byte all-FF payload via rebuild
+    import struct as _s
+    info = codecs._ebml_el(0x1549A966,
+                           codecs._ebml_el(0x2AD7B1, b"\xff" * 200)
+                           + codecs._ebml_el(0x4489, _s.pack(">d", 250.0)))
+    video = codecs._ebml_el(0xE0, codecs._ebml_uint(0xB0, 320)
+                            + codecs._ebml_uint(0xBA, 180))
+    track = codecs._ebml_el(0xAE, codecs._ebml_uint(0xD7, 1)
+                            + codecs._ebml_uint(0x83, 1) + video)
+    blk = codecs._ebml_el(0xA3, b"\x81\x00\x00\x00" + b"\xab" * 8)
+    clus = codecs._ebml_el(0x1F43B675, codecs._ebml_uint(0xE7, 0) + blk)
+    seg = codecs._ebml_el(0x18538067,
+                          info + codecs._ebml_el(0x1654AE6B, track) + clus)
+    stream = b[: b.find(b"\x18\x53\x80\x67")] + seg
+    with pytest.raises(codecs.CodecError, match="TimestampScale"):
+        codecs.parse_webm_meta(stream)
+
+
+def test_webm_track_127_allones_vint_counts():
+    """Track number 127 encodes as the all-ones 1-byte vint 0xFF in
+    blocks — a legal NUMBER, not an unknown SIZE; its frames must count
+    (review-found: read as -1, zeroing the count)."""
+    import struct as _s
+
+    info = codecs._ebml_el(0x1549A966,
+                           codecs._ebml_uint(0x2AD7B1, 1_000_000)
+                           + codecs._ebml_el(0x4489, _s.pack(">d", 100.0)))
+    video = codecs._ebml_el(0xE0, codecs._ebml_uint(0xB0, 320)
+                            + codecs._ebml_uint(0xBA, 180))
+    track = codecs._ebml_el(0xAE, codecs._ebml_uint(0xD7, 127)
+                            + codecs._ebml_uint(0x83, 1) + video)
+    blocks = b""
+    for i in range(4):
+        blocks += codecs._ebml_el(
+            0xA3, b"\xff" + _s.pack(">h", i) + b"\x00" + b"\xab" * 6)
+    clus = codecs._ebml_el(0x1F43B675, codecs._ebml_uint(0xE7, 0) + blocks)
+    seg = codecs._ebml_el(0x18538067,
+                          info + codecs._ebml_el(0x1654AE6B, track) + clus)
+    stream = (b"\x1a\x45\xdf\xa3" + b"\x10\x00\x00\x04"
+              + codecs._ebml_uint(0x4287, 4))[:0]  # build header via stub
+    hdr = codecs.encode_webm_stub(1, 10, 16, 9)
+    stream = hdr[: hdr.find(b"\x18\x53\x80\x67")] + seg
+    f, d, w, h = codecs.parse_webm_meta(stream)
+    assert f == 4 and (d, w, h) == (100, 320, 180)
+
+
+def test_webm_block_overrunning_sized_cluster_dead_letters():
+    """A SimpleBlock whose declared size overruns its SIZED cluster
+    (but stays inside the segment) must dead-letter, not desync into a
+    plausible wrong frame count (review-found)."""
+    import struct as _s
+
+    info = codecs._ebml_el(0x1549A966,
+                           codecs._ebml_uint(0x2AD7B1, 1_000_000)
+                           + codecs._ebml_el(0x4489, _s.pack(">d", 100.0)))
+    video = codecs._ebml_el(0xE0, codecs._ebml_uint(0xB0, 320)
+                            + codecs._ebml_uint(0xBA, 180))
+    track = codecs._ebml_el(0xAE, codecs._ebml_uint(0xD7, 1)
+                            + codecs._ebml_uint(0x83, 1) + video)
+    # block claims 200 bytes but its cluster only holds ~20
+    bad_blk = b"\xa3" + (0x10000000 | 200).to_bytes(4, "big") \
+        + b"\x81\x00\x00\x00" + b"\xab" * 8
+    clus1 = codecs._ebml_el(0x1F43B675, codecs._ebml_uint(0xE7, 0) + bad_blk)
+    good = codecs._ebml_el(0xA3, b"\x81\x00\x00\x00" + b"\xab" * 8)
+    clus2 = codecs._ebml_el(0x1F43B675, codecs._ebml_uint(0xE7, 1) + good)
+    # pad the segment so the bad block size fits INSIDE the segment
+    pad = codecs._ebml_el(0xEC, b"\x00" * 260)  # Void element
+    seg = codecs._ebml_el(0x18538067,
+                          info + codecs._ebml_el(0x1654AE6B, track)
+                          + clus1 + clus2 + pad)
+    hdr = codecs.encode_webm_stub(1, 10, 16, 9)
+    stream = hdr[: hdr.find(b"\x18\x53\x80\x67")] + seg
+    with pytest.raises(codecs.CodecError):
+        codecs.parse_webm_meta(stream)

@@ -419,3 +419,27 @@ def test_duplicate_sof_dead_letters():
     bad2 = b2[:i2] + b2[i2: i2 + 2 + ln2] + b2[i2:]
     with pytest.raises(jpeg.CodecError, match="duplicate"):
         jpeg.decode_jpeg(bad2)
+
+
+def test_progressive_restart_interval_streams():
+    """Progressive streams with DRI + RSTn in every scan (DC interleave
+    units and per-component AC block units) decode identically to the
+    marker-free siblings; a wrong RSTn sequence dead-letters
+    (review-found coverage gap on the fast AC restart branch)."""
+    rng = np.random.default_rng(8)
+    for shape in [(64, 80, 3), (37, 41, 3)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        for sub in (True, False):
+            want = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, subsample=sub))
+            for ru in (1, 3, 5):
+                got = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(
+                    img, 85, subsample=sub, restart_units=ru))
+                assert np.array_equal(got, want), (shape, sub, ru)
+    blob = bytearray(jpeg.encode_jpeg_progressive(
+        np.random.default_rng(3).integers(0, 256, (64, 64, 3), np.uint8),
+        85, restart_units=2))
+    i = bytes(blob).find(b"\xff\xd0")
+    assert i > 0
+    blob[i + 1] = 0xD4
+    with pytest.raises(jpeg.CodecError):
+        jpeg.decode_jpeg(bytes(blob))
